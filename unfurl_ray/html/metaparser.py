@@ -1,0 +1,507 @@
+"""Tolerant HTML -> metadata-bucket parser.
+
+From-scratch reimplementation of the *observable* behavior of the
+``htmlmetaparser`` + ``htmlparser2`` pair the reference delegates to
+(unfurl-html/src/index.ts:212-225; deps pinned at
+/root/reference/package-lock.json:11840,11848), built on stdlib
+``html.parser`` (error-tolerant, HTML5 charref decoding).
+
+Produces the ``Result`` buckets the reference consumes (SURVEY.md §1.2):
+
+- ``html``     — <title>, <meta name=description/keywords/author/...>,
+                 <link rel=canonical>
+- ``twitter``  — <meta name|property="twitter:*"> (repeats -> arrays)
+- ``sailthru`` — <meta name="sailthru.*">
+- ``applinks`` — <meta property="al:*">
+- ``icons``    — <link rel=icon|shortcut icon|apple-touch-icon[-precomposed]>
+                 (hrefs resolved absolute, deduped by href)
+- ``alternate``— <link rel=alternate> ({type, href} resolved)
+- ``jsonld``   — raw parsed <script type="application/ld+json"> bodies
+- ``rdfa``     — expanded-form JSON-LD nodes from RDFa attributes
+                 (property/prefix/typeof), with a built-in prefix table
+                 so bare ``og:`` works without a ``prefix=`` declaration
+                 (evidence: the xkcd/208 fixture declares no prefix)
+- ``microdata``— expanded-form JSON-LD nodes from itemscope/itemprop
+
+RDFa and microdata nodes are emitted **already in expanded JSON-LD
+form** (full-IRI keys, ``{"@value": ...}`` / ``{"@id": ...}`` wrappers)
+so that the downstream graph-normalization step (html/jsonld.py) only
+needs real context processing for the ``jsonld`` bucket.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from html.parser import HTMLParser
+
+from unfurl_ray.core.url import to_url
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+ICON_RELS = frozenset(
+    ["icon", "shortcut icon", "apple-touch-icon", "apple-touch-icon-precomposed"]
+)
+
+# Meta names copied verbatim into the `html` bucket.  Only the first
+# seven are read downstream (SURVEY.md §1.2); the rest are common names
+# kept for API completeness.
+HTML_META_NAMES = frozenset(
+    [
+        "description", "keywords", "author", "language",
+        "apple-mobile-web-app-title", "application-name", "generator",
+        "creator", "publisher", "robots", "viewport", "theme-color",
+        "date", "copyright",
+    ]
+)
+
+# Built-in RDFa prefix table: W3C RDFa 1.1 initial context plus the OGP
+# vertical namespaces.  ``og:`` without a prefix declaration must still
+# expand (xkcd/208 fixture evidence); ``cc:`` binds to the https form
+# (unfurl-html/src/index.ts:397 reads https://creativecommons.org/ns#).
+BUILTIN_PREFIXES: dict[str, str] = {
+    "og": "http://ogp.me/ns#",
+    "fb": "http://ogp.me/ns/fb#",
+    "article": "http://ogp.me/ns/article#",
+    "book": "http://ogp.me/ns/book#",
+    "books": "http://ogp.me/ns/books#",
+    "music": "http://ogp.me/ns/music#",
+    "video": "http://ogp.me/ns/video#",
+    "profile": "http://ogp.me/ns/profile#",
+    "website": "http://ogp.me/ns/website#",
+    "cc": "https://creativecommons.org/ns#",
+    "dc": "http://purl.org/dc/terms/",
+    "dct": "http://purl.org/dc/terms/",
+    "dcterms": "http://purl.org/dc/terms/",
+    "dc11": "http://purl.org/dc/elements/1.1/",
+    "schema": "http://schema.org/",
+    "foaf": "http://xmlns.com/foaf/0.1/",
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "skos": "http://www.w3.org/2004/02/skos/core#",
+    "sioc": "http://rdfs.org/sioc/ns#",
+    "gr": "http://purl.org/goodrelations/v1#",
+    "ctag": "http://commontag.org/ns#",
+    "rev": "http://purl.org/stuff/rev#",
+    "v": "http://rdf.data-vocabulary.org/#",
+    "vcard": "http://www.w3.org/2006/vcard/ns#",
+}
+
+_PREFIX_DECL = re.compile(r"([A-Za-z][\w.-]*):\s+(\S+)")
+_WS = re.compile(r"\s+")
+
+
+def set_bucket(bucket: dict, key: str, value) -> None:
+    """First value scalar; repeats accumulate into an array."""
+    prev = bucket.get(key)
+    if prev is None:
+        bucket[key] = value
+    elif isinstance(prev, list):
+        prev.append(value)
+    else:
+        bucket[key] = [prev, value]
+
+
+def _merge_expanded(node: dict, key: str, values: list) -> None:
+    node.setdefault(key, []).extend(values)
+
+
+class Result:
+    """Parsed metadata buckets (the reference's ``htmlmetaparser.Result``)."""
+
+    __slots__ = ("html", "twitter", "sailthru", "applinks", "icons",
+                 "alternate", "jsonld", "rdfa", "microdata")
+
+    def __init__(self):
+        self.html: dict = {}
+        self.twitter: dict = {}
+        self.sailthru: dict = {}
+        self.applinks: dict = {}
+        self.icons: list[dict] = []
+        self.alternate: list[dict] = []
+        self.jsonld: list = []
+        self.rdfa: list[dict] = []
+        self.microdata: list[dict] = []
+
+
+class _Collector:
+    """Accumulates text until its element closes."""
+
+    __slots__ = ("depth", "parts", "finish")
+
+    def __init__(self, depth: int, finish):
+        self.depth = depth
+        self.parts: list[str] = []
+        self.finish = finish
+
+
+class _Item:
+    """An open microdata item (itemscope)."""
+
+    __slots__ = ("depth", "node")
+
+    def __init__(self, depth: int, node: dict):
+        self.depth = depth
+        self.node = node
+
+
+class MetaHandler(HTMLParser):
+    """Single-pass streaming handler; feed() then call result()."""
+
+    def __init__(self, url: str):
+        super().__init__(convert_charrefs=True)
+        self.url = url
+        self.res = Result()
+        self._depth = 0
+        self._collectors: list[_Collector] = []
+        self._icon_hrefs: set[str] = set()
+        # RDFa state: prefix scopes + one merged node per subject.
+        self._prefix_stack: list[tuple[int, dict[str, str]]] = []
+        self._vocab_stack: list[tuple[int, str]] = []
+        self._rdfa_nodes: dict[str, dict] = {}
+        # Microdata state.
+        self._item_stack: list[_Item] = []
+        self._md_vocab_stack: list[tuple[int, str]] = []
+        # <script type="application/ld+json"> capture.
+        self._jsonld_collect: _Collector | None = None
+        self._in_jsonld_script = False
+
+    # -- tree bookkeeping ---------------------------------------------------
+
+    def handle_starttag(self, tag, attrs):
+        attrd = {}
+        for k, v in attrs:
+            if k not in attrd:
+                attrd[k] = v if v is not None else ""
+        void = tag in VOID_ELEMENTS
+        if not void:
+            self._depth += 1
+        self._element(tag, attrd, void)
+
+    def handle_startendtag(self, tag, attrs):
+        attrd = {}
+        for k, v in attrs:
+            if k not in attrd:
+                attrd[k] = v if v is not None else ""
+        self._element(tag, attrd, True)
+
+    def handle_endtag(self, tag):
+        if tag in VOID_ELEMENTS:
+            return
+        if self._depth > 0:
+            self._close_to(self._depth - 1)
+            self._depth -= 1
+        if tag == "script":
+            self._in_jsonld_script = False
+
+    def close(self):
+        super().close()
+        self._close_to(-1)
+
+    def _close_to(self, depth: int) -> None:
+        while self._collectors and self._collectors[-1].depth > depth:
+            col = self._collectors.pop()
+            col.finish("".join(col.parts))
+        while self._prefix_stack and self._prefix_stack[-1][0] > depth:
+            self._prefix_stack.pop()
+        while self._vocab_stack and self._vocab_stack[-1][0] > depth:
+            self._vocab_stack.pop()
+        while self._item_stack and self._item_stack[-1].depth > depth:
+            item = self._item_stack.pop()
+            if not self._item_stack or "@__pending" not in item.node:
+                pass
+        while self._md_vocab_stack and self._md_vocab_stack[-1][0] > depth:
+            self._md_vocab_stack.pop()
+
+    def handle_data(self, data):
+        if self._in_jsonld_script and self._jsonld_collect is not None:
+            self._jsonld_collect.parts.append(data)
+            return
+        for col in self._collectors:
+            col.parts.append(data)
+
+    # -- element dispatch ---------------------------------------------------
+
+    def _element(self, tag: str, attrs: dict[str, str], void: bool) -> None:
+        depth = self._depth if not void else self._depth + 1
+        if "prefix" in attrs:
+            scope = dict(self._current_prefixes())
+            for m in _PREFIX_DECL.finditer(attrs["prefix"]):
+                scope[m.group(1)] = m.group(2)
+            self._prefix_stack.append((self._depth, scope))
+        if "vocab" in attrs:
+            self._vocab_stack.append((self._depth, attrs["vocab"].strip()))
+
+        if tag == "title":
+            if not void and "title" not in self.res.html:
+                self._collectors.append(
+                    _Collector(self._depth, self._finish_title)
+                )
+        elif tag == "meta":
+            self._meta(attrs)
+        elif tag == "link":
+            self._link(attrs)
+        elif tag == "base":
+            href = attrs.get("href")
+            if href:
+                resolved = to_url(href, self.url)
+                if resolved:
+                    self.url = resolved
+        elif tag == "script":
+            stype = (attrs.get("type") or "").split(";", 1)[0].strip().lower()
+            if stype == "application/ld+json" and not void:
+                self._in_jsonld_script = True
+                self._jsonld_collect = _Collector(
+                    self._depth, self._finish_jsonld
+                )
+                self._collectors.append(self._jsonld_collect)
+
+        # RDFa on non-meta elements (a/link with property, or text content).
+        if tag != "meta" and "property" in attrs and "content" not in attrs:
+            self._rdfa_element(tag, attrs, void)
+
+        # Microdata.
+        if "itemscope" in attrs:
+            self._microdata_scope(tag, attrs, void)
+        elif "itemprop" in attrs and self._item_stack:
+            self._microdata_prop(tag, attrs, void)
+
+    def _finish_title(self, text: str) -> None:
+        self.res.html.setdefault("title", _WS.sub(" ", text).strip())
+
+    def _finish_jsonld(self, text: str) -> None:
+        self._jsonld_collect = None
+        try:
+            data = json.loads(text)
+        except (ValueError, RecursionError):
+            return
+        if isinstance(data, list):
+            self.res.jsonld.extend(data)
+        elif data is not None:
+            self.res.jsonld.append(data)
+
+    # -- <meta> -------------------------------------------------------------
+
+    def _meta(self, attrs: dict[str, str]) -> None:
+        content = attrs.get("content")
+        name = attrs.get("name")
+        prop = attrs.get("property")
+        key = name or prop
+        if key is None or content is None:
+            return
+        key = key.strip()
+        lkey = key.lower()
+
+        if lkey.startswith("twitter:"):
+            set_bucket(self.res.twitter, key[8:], content)
+            return
+        if lkey.startswith("sailthru."):
+            set_bucket(self.res.sailthru, key[9:], content)
+            return
+        if lkey.startswith("al:"):
+            set_bucket(self.res.applinks, key[3:], content)
+            return
+        if name is not None and lkey in HTML_META_NAMES:
+            set_bucket(self.res.html, lkey, content)
+            return
+        if prop is not None:
+            iri = self._expand_curie(prop.strip())
+            if iri:
+                node = self._subject_node()
+                _merge_expanded(node, iri, [{"@value": content}])
+
+    # -- <link> -------------------------------------------------------------
+
+    def _link(self, attrs: dict[str, str]) -> None:
+        rel = (attrs.get("rel") or "").strip().lower()
+        href = attrs.get("href")
+        if not rel or not href:
+            return
+        rel = _WS.sub(" ", rel)
+        resolved = to_url(href, self.url)
+        if rel == "canonical":
+            if resolved:
+                self.res.html.setdefault("canonical", resolved)
+        elif rel in ICON_RELS:
+            if resolved and resolved not in self._icon_hrefs:
+                self._icon_hrefs.add(resolved)
+                icon: dict = {"href": resolved}
+                if attrs.get("type"):
+                    icon["type"] = attrs["type"]
+                if attrs.get("sizes"):
+                    icon["sizes"] = attrs["sizes"]
+                self.res.icons.append(icon)
+        elif rel == "alternate":
+            if resolved:
+                alt: dict = {"href": resolved}
+                if attrs.get("type"):
+                    alt["type"] = attrs["type"]
+                if attrs.get("media"):
+                    alt["media"] = attrs["media"]
+                if attrs.get("hreflang"):
+                    alt["hreflang"] = attrs["hreflang"]
+                self.res.alternate.append(alt)
+
+    # -- RDFa ---------------------------------------------------------------
+
+    def _current_prefixes(self) -> dict[str, str]:
+        return self._prefix_stack[-1][1] if self._prefix_stack else BUILTIN_PREFIXES
+
+    def _current_vocab(self) -> str | None:
+        return self._vocab_stack[-1][1] if self._vocab_stack else None
+
+    def _expand_curie(self, value: str) -> str | None:
+        """CURIE/term -> IRI; unknown bare terms need an active @vocab."""
+        if not value or value.startswith("@"):
+            return None
+        if ":" in value:
+            prefix, local = value.split(":", 1)
+            if prefix in ("http", "https") or local.startswith("//"):
+                return value
+            base = self._current_prefixes().get(prefix)
+            return base + local if base else None
+        vocab = self._current_vocab()
+        return vocab + value if vocab else None
+
+    def _subject_node(self, subject: str | None = None) -> dict:
+        sid = subject if subject is not None else ""
+        node = self._rdfa_nodes.get(sid)
+        if node is None:
+            node = {}
+            if sid:
+                node["@id"] = sid
+            self._rdfa_nodes[sid] = node
+            self.res.rdfa.append(node)
+        return node
+
+    def _rdfa_element(self, tag: str, attrs: dict[str, str], void: bool) -> None:
+        iri = self._expand_curie((attrs.get("property") or "").strip())
+        if not iri:
+            return
+        node = self._subject_node(
+            to_url(attrs["about"], self.url) if attrs.get("about") else None
+        )
+        href = attrs.get("href") or attrs.get("src") or attrs.get("resource")
+        if href:
+            resolved = to_url(href, self.url)
+            if resolved:
+                _merge_expanded(node, iri, [{"@id": resolved}])
+            return
+        if attrs.get("datetime"):
+            _merge_expanded(node, iri, [{"@value": attrs["datetime"]}])
+            return
+        if not void:
+            def finish(text: str, node=node, iri=iri):
+                _merge_expanded(node, iri, [{"@value": text.strip()}])
+            self._collectors.append(_Collector(self._depth, finish))
+
+    # -- microdata ----------------------------------------------------------
+
+    @staticmethod
+    def _vocab_of(itemtype: str) -> str:
+        cut = max(itemtype.rfind("/"), itemtype.rfind("#"))
+        return itemtype[: cut + 1] if cut >= 0 else itemtype
+
+    def _microdata_scope(self, tag: str, attrs: dict[str, str], void: bool) -> None:
+        depth = self._depth if not void else self._depth + 1
+        node: dict = {}
+        types = _WS.split(attrs.get("itemtype", "").strip()) if attrs.get("itemtype") else []
+        types = [t for t in types if t]
+        if types:
+            node["@type"] = types
+            self._md_vocab_stack.append((self._depth, self._vocab_of(types[0])))
+        if attrs.get("itemid"):
+            resolved = to_url(attrs["itemid"], self.url)
+            if resolved:
+                node["@id"] = resolved
+
+        itemprop = attrs.get("itemprop")
+        if itemprop and self._item_stack:
+            parent = self._item_stack[-1].node
+            for name in _WS.split(itemprop.strip()):
+                if name:
+                    _merge_expanded(parent, self._md_prop_iri(name), [node])
+        else:
+            self.res.microdata.append(node)
+        self._item_stack.append(_Item(self._depth if not void else self._depth, node))
+        if void:
+            self._item_stack.pop()
+
+    def _md_prop_iri(self, name: str) -> str:
+        if name.startswith(("http://", "https://")):
+            return name
+        vocab = (
+            self._md_vocab_stack[-1][1]
+            if self._md_vocab_stack
+            else "http://schema.org/"
+        )
+        return vocab + name
+
+    def _microdata_prop(self, tag: str, attrs: dict[str, str], void: bool) -> None:
+        item = self._item_stack[-1].node
+        names = [n for n in _WS.split(attrs["itemprop"].strip()) if n]
+        if not names:
+            return
+
+        value: dict | None = None
+        if tag == "meta":
+            value = {"@value": attrs.get("content", "")}
+        elif tag in ("a", "area", "link"):
+            resolved = to_url(attrs.get("href"), self.url)
+            value = {"@id": resolved} if resolved else None
+        elif tag in ("img", "audio", "video", "source", "track", "embed", "iframe"):
+            resolved = to_url(attrs.get("src"), self.url)
+            value = {"@id": resolved} if resolved else None
+        elif tag == "object":
+            resolved = to_url(attrs.get("data"), self.url)
+            value = {"@id": resolved} if resolved else None
+        elif tag == "time" and attrs.get("datetime"):
+            value = {"@value": attrs["datetime"]}
+        elif tag == "data" and attrs.get("value"):
+            value = {"@value": attrs["value"]}
+        elif "content" in attrs:
+            value = {"@value": attrs["content"]}
+
+        if value is not None:
+            for name in names:
+                _merge_expanded(item, self._md_prop_iri(name), [value])
+            return
+        if void:
+            for name in names:
+                _merge_expanded(item, self._md_prop_iri(name), [{"@value": ""}])
+            return
+
+        iris = [self._md_prop_iri(n) for n in names]
+
+        def finish(text: str, item=item, iris=iris):
+            val = {"@value": _WS.sub(" ", text).strip()}
+            for iri in iris:
+                _merge_expanded(item, iri, [val])
+
+        self._collectors.append(_Collector(self._depth, finish))
+
+    def result(self) -> Result:
+        self.close()
+        return self.res
+
+    def error(self, message):  # pragma: no cover - py<3.10 compat hook
+        pass
+
+
+def parse_html(text: str, url: str) -> Result | None:
+    """Parse HTML into metadata buckets; parse failure -> None.
+
+    Mirrors the reference's contract (unfurl-html/src/index.ts:212-225):
+    a parser error yields ``undefined`` and the caller degrades to a bare
+    ``{type: "website", url}``.
+    """
+    handler = MetaHandler(url)
+    try:
+        handler.feed(text)
+        return handler.result()
+    except Exception:
+        return None
