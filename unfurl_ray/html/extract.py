@@ -276,8 +276,7 @@ def get_icon(o: ExtractOptions) -> list[dict]:
         sizes = icon.get("sizes")
         if js_truthy(sizes):
             pairs = [
-                [js_number(p) for p in s.split("x", 1)[:2]] +
-                ([float("nan")] if "x" not in s else [])
+                [js_number(p) for p in s.split("x")[:2]]
                 for s in _SIZE_WS.split(sizes)
             ]
             # .sort((x) => x[0]) with a unary comparator returns NaN-ish
@@ -287,6 +286,7 @@ def get_icon(o: ExtractOptions) -> list[dict]:
                 last = pairs[-1]
                 width = _nanint(last[0]) if len(last) > 0 else None
                 height = _nanint(last[1]) if len(last) > 1 else None
+
         icons.append(
             {
                 "type": "image",
