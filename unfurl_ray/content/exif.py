@@ -1,37 +1,50 @@
-"""In-process image metadata (EXIF path).
+"""In-process image metadata (the reference's unfurl-exif plugin).
 
-Mirrors the behavior of unfurl-exif/src/index.ts:5-53: only
-``image/*`` records are handled, at most a 131072-byte prefix is
-inspected, parse failures degrade to a bare ``{type: "image", url}``.
+Mirrors unfurl-exif/src/index.ts:5-53: only ``image/*`` records are
+handled; at most a 131072-byte prefix is inspected (:21); the record is
 
-The sandbox has no exifreader/Pillow, so tag decoding is a pure-Python
-parser for the formats the corpus exercises (JPEG APP1/EXIF dimensions
-and camera tags, PNG IHDR, WebP VP8X/VP8/VP8L headers, GIF).  Anything
-it cannot decode yields the degraded record — same contract as the
-reference's catch-all (unfurl-exif/src/index.ts:44-46).
+- ``encodingFormat``: XMP ``format`` value ?? content-type header (:28)
+- ``width/height``: the *file* dimensions (JPEG SOF / PNG IHDR), not the
+  EXIF Pixel[XY]Dimension tags (:33-34; flickr fixture evidence)
+- ``camera``: always-present dict of make/model/lensMake/lensModel/
+  software/orientation, with exifreader's TIFF-style orientation
+  descriptions ("top-left", ...) (:35-42)
+- ``dateCreated/dateModified``: XMP dates only, no-TZ forced UTC (:29-32,49-53)
+- any parse failure (including formats exifreader@3 can't read: WebP,
+  GIF, or a JPEG with no EXIF/XMP at all) degrades to ``{type: "image",
+  url}`` (:44-46)
+
+Pure-Python binary parsing (no exifreader/Pillow in the sandbox).
 """
 
 from __future__ import annotations
 
+import re
 import struct
 from datetime import datetime, timezone
 
 MAX_PREFIX = 131072  # unfurl-exif/src/index.ts:21
 
-_EXIF_TAGS = {
+EXIF_TAGS = {
     0x010F: "make",
     0x0110: "model",
     0x0131: "software",
     0x0112: "orientation",
-    0xA002: "pixel_x",
-    0xA003: "pixel_y",
+    0x0132: "modify_date",
     0x9003: "date_original",
-    0x0132: "date_modified",
+    0x9291: "subsec_original",
     0xA433: "lensMake",
     0xA434: "lensModel",
 }
 
-_ORIENTATIONS = {
+# exifreader's TIFF orientation descriptions (exif suite).
+ORIENT_TIFF = {
+    1: "top-left", 2: "top-right", 3: "bottom-right", 4: "bottom-left",
+    5: "left-top", 6: "right-top", 7: "right-bottom", 8: "left-bottom",
+}
+
+# exiftool's orientation descriptions (exiftool suite).
+ORIENT_EXIFTOOL = {
     1: "Horizontal (normal)", 2: "Mirror horizontal", 3: "Rotate 180",
     4: "Mirror vertical", 5: "Mirror horizontal and rotate 270 CW",
     6: "Rotate 90 CW", 7: "Mirror horizontal and rotate 90 CW",
@@ -39,8 +52,8 @@ _ORIENTATIONS = {
 }
 
 
-def _parse_exif_tiff(data: bytes) -> dict:
-    """Parse a TIFF/EXIF blob (the part after the JPEG APP1 Exif header)."""
+def parse_exif_tiff(data: bytes) -> dict:
+    """Parse a TIFF/EXIF blob (after the JPEG APP1 ``Exif\\0\\0`` header)."""
     out: dict = {}
     if len(data) < 8:
         return out
@@ -58,8 +71,8 @@ def _parse_exif_tiff(data: bytes) -> dict:
     def u32(off):
         return struct.unpack_from(fmt + "I", data, off)[0]
 
-    def read_ifd(offset, out):
-        if offset + 2 > len(data):
+    def read_ifd(offset, depth=0):
+        if offset + 2 > len(data) or depth > 4:
             return
         count = u16(offset)
         for i in range(count):
@@ -70,11 +83,11 @@ def _parse_exif_tiff(data: bytes) -> dict:
             typ = u16(entry + 2)
             n = u32(entry + 4)
             if tag == 0x8769:  # EXIF sub-IFD pointer
-                read_ifd(u32(entry + 8), out)
+                read_ifd(u32(entry + 8), depth + 1)
                 continue
-            if tag not in _EXIF_TAGS:
+            if tag not in EXIF_TAGS:
                 continue
-            name = _EXIF_TAGS[tag]
+            name = EXIF_TAGS[tag]
             if typ == 2:  # ASCII
                 voff = u32(entry + 8) if n > 4 else entry + 8
                 raw = data[voff: voff + n].split(b"\x00", 1)[0]
@@ -85,41 +98,49 @@ def _parse_exif_tiff(data: bytes) -> dict:
                 out[name] = u32(entry + 8)
 
     try:
-        read_ifd(u32(4), out)
+        read_ifd(u32(4))
     except (struct.error, IndexError):
         pass
     return out
 
 
-def _exif_date(value: str) -> datetime | None:
-    """EXIF ``YYYY:MM:DD HH:MM:SS`` -> UTC datetime (exif-date parity)."""
-    try:
-        return datetime.strptime(value, "%Y:%m:%d %H:%M:%S").replace(
-            tzinfo=timezone.utc
-        )
-    except (ValueError, TypeError):
-        return None
+_XMP_TAG = re.compile(
+    rb'(?:xmp:|)(ModifyDate|DateCreated|CreateDate|format)'
+    rb'(?:>([^<]+)<|="([^"]+)")'
+)
 
 
-def parse_image_meta(data: bytes) -> dict | None:
-    """Sniff + parse dimensions and EXIF camera tags; None if unknown."""
+def parse_xmp(data: bytes) -> dict:
+    """Tiny XMP scan for the four values unfurl-exif consumes."""
+    out: dict = {}
+    for m in _XMP_TAG.finditer(data):
+        key = m.group(1).decode()
+        val = (m.group(2) or m.group(3) or b"").decode("utf-8", "replace")
+        out.setdefault(key, val)
+    return out
+
+
+def sniff_image(data: bytes) -> dict | None:
+    """File-format sniff + dimensions + EXIF/XMP tag scan."""
     if data[:3] == b"\xff\xd8\xff":
         return _parse_jpeg(data)
     if data[:8] == b"\x89PNG\r\n\x1a\n":
+        out = {"format": "image/png", "kind": "png", "has_meta": True}
         if len(data) >= 24 and data[12:16] == b"IHDR":
             w, h = struct.unpack(">II", data[16:24])
-            return {"width": w, "height": h, "format": "image/png"}
-        return {"format": "image/png"}
+            out.update(width=w, height=h)
+        return out
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         return _parse_webp(data)
     if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
         w, h = struct.unpack("<HH", data[6:10])
-        return {"width": w, "height": h, "format": "image/gif"}
+        return {"width": w, "height": h, "format": "image/gif",
+                "kind": "gif", "has_meta": False}
     return None
 
 
 def _parse_jpeg(data: bytes) -> dict:
-    out: dict = {"format": "image/jpeg"}
+    out: dict = {"format": "image/jpeg", "kind": "jpeg", "has_meta": False}
     i = 2
     n = len(data)
     while i + 4 <= n:
@@ -130,29 +151,36 @@ def _parse_jpeg(data: bytes) -> dict:
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
+        if marker == 0xD9 or marker == 0xDA:
+            break
         if i + 4 > n:
             break
         seglen = struct.unpack(">H", data[i + 2: i + 4])[0]
-        if marker == 0xE1 and data[i + 4: i + 10] == b"Exif\x00\x00":
-            out.update(_parse_exif_tiff(data[i + 10: i + 2 + seglen]))
+        if seglen < 2:
+            break
+        if marker == 0xE1:
+            if data[i + 4: i + 10] == b"Exif\x00\x00":
+                out["exif"] = parse_exif_tiff(data[i + 10: i + 2 + seglen])
+                out["has_meta"] = True
+            elif data[i + 4: i + 8] == b"http":
+                out["xmp"] = parse_xmp(data[i + 4: i + 2 + seglen])
+                out["has_meta"] = True
         elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             if i + 9 <= n:
                 h, w = struct.unpack(">HH", data[i + 5: i + 9])
                 out.setdefault("height", h)
                 out.setdefault("width", w)
-            break
         i += 2 + seglen
     return out
 
 
 def _parse_webp(data: bytes) -> dict:
-    out: dict = {"format": "image/webp"}
+    out: dict = {"format": "image/webp", "kind": "webp", "has_meta": False}
     chunk = data[12:16]
     if chunk == b"VP8X" and len(data) >= 30:
-        w = int.from_bytes(data[24:27], "little") + 1
-        h = int.from_bytes(data[27:30], "little") + 1
-        out.update(width=w, height=h)
+        out.update(width=int.from_bytes(data[24:27], "little") + 1,
+                   height=int.from_bytes(data[27:30], "little") + 1)
     elif chunk == b"VP8 " and len(data) >= 30:
         w, h = struct.unpack("<HH", data[26:30])
         out.update(width=w & 0x3FFF, height=h & 0x3FFF)
@@ -163,34 +191,42 @@ def _parse_webp(data: bytes) -> dict:
     return out
 
 
+def xmp_date(value: str | None) -> datetime | None:
+    """unfurl-exif/src/index.ts:49-53: append Z when no TZ suffix."""
+    if not value:
+        return None
+    from unfurl_ray.core.values import js_date
+    if re.search(r"(?:Z|[+-]\d\d:\d\d)$", value):
+        return js_date(value)
+    return js_date(value + "Z")
+
+
 def scrape_exif(url: str, mime: str, body: bytes) -> dict | None:
-    """The EXIF plugin: image/* -> Image record; else defer (None)."""
+    """The exifreader-parity plugin: image/* -> Image; else defer."""
     if not mime.startswith("image/"):
         return None
-    meta = parse_image_meta(body[:MAX_PREFIX])
-    if not meta:
+    meta = sniff_image(body[:MAX_PREFIX])
+    if not meta or not meta.get("has_meta") or meta.get("kind") not in (
+        "jpeg", "png"
+    ):
         return {"type": "image", "url": url}
+    exif = meta.get("exif") or {}
+    xmp = meta.get("xmp") or {}
     camera = {}
     for key in ("make", "model", "lensMake", "lensModel", "software"):
-        if meta.get(key):
-            camera[key] = meta[key]
-    orientation = meta.get("orientation")
-    if isinstance(orientation, int) and orientation in _ORIENTATIONS:
-        camera["orientation"] = _ORIENTATIONS[orientation]
-    width = meta.get("pixel_x") or meta.get("width")
-    height = meta.get("pixel_y") or meta.get("height")
-    if width and height:
-        camera_mp = round(width * height / 1_000_000, 1)
-        if camera:
-            camera["megapixels"] = camera_mp
-    record = {
+        if exif.get(key):
+            camera[key] = exif[key]
+    orientation = exif.get("orientation")
+    if isinstance(orientation, int) and orientation in ORIENT_TIFF:
+        camera["orientation"] = ORIENT_TIFF[orientation]
+    return {
         "type": "image",
         "url": url,
-        "encodingFormat": meta.get("format", mime),
-        "width": width,
-        "height": height,
-        "camera": camera or None,
-        "dateCreated": _exif_date(meta.get("date_original", "")),
-        "dateModified": _exif_date(meta.get("date_modified", "")),
+        "encodingFormat": xmp.get("format") or mime,
+        "dateModified": xmp_date(xmp.get("ModifyDate")),
+        "dateCreated": xmp_date(xmp.get("DateCreated"))
+        or xmp_date(xmp.get("CreateDate")),
+        "width": meta.get("width"),
+        "height": meta.get("height"),
+        "camera": camera,
     }
-    return record

@@ -75,9 +75,6 @@ class FixtureSideTable:
         path = self.fixture_dir / name
         if path.is_dir():
             page = _read_page_dir(path)
-            if page is not None and isinstance(page.get("body"), bytes):
-                page = dict(page)
-                page["body"] = page["body"].decode("utf-8", errors="replace")
         if page is None and accept:
             # The reference falls back to the no-accept cache entry only
             # on a live fetch; offline we try the plain dir too.
@@ -90,10 +87,6 @@ class FixtureSideTable:
                         break
             if sub is not None:
                 page = _read_page_dir(sub)
-                if page is not None and isinstance(page.get("body"), bytes):
-                    page = dict(page)
-                    page["body"] = page["body"].decode("utf-8",
-                                                       errors="replace")
         self._cache[name] = page
         return page
 
