@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship transcript-extraction pipeline on
+sf0.001; ``queries()`` exposes one callable per implemented operator
+family (SURVEY.md §2 + the training-data ops); ``oracle_sql()`` gives
+the DuckDB twin for every SQL-expressible query (same column names,
+floats rounded identically on both sides).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init`` / ``ray.shutdown`` anywhere on these paths.
 """
 
 from __future__ import annotations
@@ -20,25 +17,198 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: transcripts -> ExtractTurns actor pool -> (conv_id,
+    turn_idx) ordering shuffle; returns the ordered Dataset."""
+    from unfurl_ray.engine.pipeline import extract_turns, order_by_turn
+    from unfurl_ray.sources.transcripts import build_transcripts
+
+    ds = build_transcripts("/root/testdata/sf0.001")
+    extracted = extract_turns(ds, concurrency=4)
+    return order_by_turn(extracted)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from unfurl_ray import pipelines as p
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core (SURVEY.md §2.2/§2.5-2.7 mappings)
+        "q1_pricing_summary": p.q1_pricing_summary,
+        "q6_filter_revenue": p.q6_filter_revenue,
+        "q_top_orders": p.q_top_orders,
+        "q_segment_revenue": p.q_segment_revenue,
+        "q_nation_balance": p.q_nation_balance,
+        "q_order_lineitem_join": p.q_order_lineitem_join,
+        "q_semi_join": p.q_semi_join,
+        "q_anti_join": p.q_anti_join,
+        "q_distinct_event_types": p.q_distinct_event_types,
+        "q_events_window": p.q_events_window,
+        "q_sessionize": p.q_sessionize,
+        "q_asof_join": p.q_asof_join,
+        # documents / text analysis
+        "q_doc_stats": p.q_doc_stats,
+        "q_token_count": p.q_token_count,
+        "q_exact_dedup": p.q_exact_dedup,
+        "q_fingerprint": p.q_fingerprint,
+        "q_quality": p.q_quality,
+        "q_langid": p.q_langid,
+        # dedup families
+        "q_minhash_dedup": p.q_minhash_dedup,
+        "q_simhash": p.q_simhash,
+        # embeddings / similarity
+        "q_cosine_to_query": p.q_cosine_to_query,
+        "q_knn_topk": p.q_knn_topk,
+        "q_knn_ivf": p.q_knn_ivf,
+        # extraction (the reference's core capability)
+        "q_extract_meta": p.q_extract_meta,
+        "q_main_text": p.q_main_text,
+        "q_transcript_types": p.q_transcript_types,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   count(*) AS count_order,
+                   round(sum(l_quantity) / count(*), 2) AS avg_qty,
+                   round(sum(l_extendedprice) / count(*), 2) AS avg_price
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "q6_filter_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q_top_orders": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+        """,
+        "q_segment_revenue": """
+            SELECT c_mktsegment,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "q_nation_balance": """
+            SELECT r_name, n_name,
+                   round(sum(s_acctbal), 2) AS total_bal,
+                   count(*) AS n_suppliers
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "q_order_lineitem_join": """
+            SELECT o_orderstatus, count(*) AS n_items,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderstatus
+        """,
+        "q_semi_join": """
+            SELECT o_orderstatus, count(*) AS n_orders
+            FROM orders
+            WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+            GROUP BY o_orderstatus
+        """,
+        "q_anti_join": """
+            SELECT count(*) AS n_customers FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "q_distinct_event_types": """
+            SELECT DISTINCT event_type FROM events ORDER BY event_type
+        """,
+        "q_events_window": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "q_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w
+                                    > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT user_id,
+                   CAST(sum(new_session) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM flagged GROUP BY user_id
+        """,
+        "q_asof_join": """
+            SELECT e.event_id, o.o_orderkey
+            FROM (SELECT event_id, user_id % 100 AS join_key, ts
+                  FROM events) e
+            ASOF LEFT JOIN (
+                SELECT join_key, o_orderdate,
+                       max(o_orderkey) AS o_orderkey
+                FROM (SELECT o_orderkey, o_custkey % 100 AS join_key,
+                             o_orderdate FROM orders)
+                GROUP BY join_key, o_orderdate) o
+              ON e.join_key = o.join_key AND e.ts >= o.o_orderdate
+        """,
+        "q_doc_stats": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        "q_token_count": r"""
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                        END AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "q_exact_dedup": """
+            SELECT md5(text) AS content_hash,
+                   min(doc_id) AS doc_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY md5(text)
+        """,
+        "q_fingerprint": r"""
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                       AS fingerprint_md5
+            FROM documents
+        """,
+        "q_cosine_to_query": """
+            SELECT vec_id,
+                   round(CAST(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[])
+                        FROM embeddings WHERE vec_id = 0)
+                   ) AS DOUBLE), 4) AS cosine
+            FROM embeddings
+        """,
+        "q_extract_meta": """
+            SELECT doc_id,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS headline,
+                   CASE WHEN rtrim(substr(text, 1, 100)) = '' THEN NULL
+                        ELSE rtrim(substr(text, 1, 100)) END AS description,
+                   'en' AS language,
+                   'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+                       AS canonical_url
+            FROM documents
+        """,
+        "q_main_text": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN ''
+                        WHEN len(regexp_split_to_array(trim(text), '\s+'))
+                             >= 8
+                        THEN regexp_replace(trim(text), '\s+', ' ', 'g')
+                        ELSE '' END AS main_text
+            FROM documents
+        """,
+        # q_quality / q_langid / q_minhash_dedup / q_simhash / q_knn_topk
+        # / q_knn_ivf / q_transcript_types: heuristic or multi-stage
+        # pipelines with no faithful single-statement SQL twin ->
+        # rows-only checks.
+    }

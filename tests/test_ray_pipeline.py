@@ -1,0 +1,135 @@
+"""Ray Data pipeline integration tests (sf0.001 testdata)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_transcript_pipeline_end_to_end(ray_session, tmp_path):
+    from unfurl_ray.engine.pipeline import run_pipeline
+    from unfurl_ray.sources.transcripts import build_transcripts
+    import glob
+    import ray.data as rd
+
+    tdir = str(tmp_path / "transcripts")
+    build_transcripts(SF).write_parquet(tdir)
+    manifest = run_pipeline(
+        sorted(glob.glob(f"{tdir}/*.parquet")),
+        str(tmp_path / "out"),
+        concurrency=2,
+        files_per_partition=4,
+        resume=True,
+        order=True,
+    )
+    assert manifest["partitions"]["part-00000"]["complete"]
+    final = rd.read_parquet(str(tmp_path / "out" / "final")).to_pandas()
+    assert len(final) == 500
+    # ordering: (conv_id, turn_idx) non-decreasing
+    key = list(zip(final["conv_id"], final["turn_idx"]))
+    assert key == sorted(key)
+    assert (final["unfurl_type"] == "website").sum() > 300
+
+
+def test_resume_skips_finished_partitions(ray_session, tmp_path):
+    from unfurl_ray.engine.pipeline import run_extraction_checkpointed
+
+    out = str(tmp_path / "out2")
+    m1 = run_extraction_checkpointed(
+        [f"{SF}/documents.parquet"], out, concurrency=2
+    )
+    secs1 = m1["partitions"]["part-00000"]["seconds"]
+    m2 = run_extraction_checkpointed(
+        [f"{SF}/documents.parquet"], out, concurrency=2
+    )
+    # second run must not recompute (manifest entry identical object)
+    assert m2["partitions"]["part-00000"]["seconds"] == secs1
+
+
+def test_transcripts_deterministic(ray_session):
+    from unfurl_ray.sources.transcripts import build_transcripts
+
+    a = build_transcripts(SF).to_pandas()
+    b = build_transcripts(SF).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a.columns) == {"conv_id", "turn_idx", "role", "text",
+                              "tool", "ts"}
+
+
+def test_exact_dedup(ray_session):
+    import ray.data as rd
+    from unfurl_ray.ops.dedup import exact_dedup
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "text": ["a", "b", "a", "a"]}
+    ))
+    out = exact_dedup(ds).to_pandas().sort_values("doc_id")
+    assert len(out) == 2
+    dup = out[out["doc_id"] == 1]["dup_count"].iloc[0]
+    assert dup == 3
+
+
+def test_minhash_finds_near_dups(ray_session):
+    import ray.data as rd
+    from unfurl_ray.ops.dedup import minhash_dedup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    near = base.replace("lazy", "sleepy")
+    other = "completely different text about ray data pipelines " * 10
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [base, near, other]}
+    ))
+    pairs = minhash_dedup_pairs(ds, threshold=0.5)
+    assert ((pairs["id_a"] == 1) & (pairs["id_b"] == 2)).any()
+    assert not ((pairs["id_b"] == 3) | (pairs["id_a"] == 3)).any()
+
+
+def test_knn_brute_self_similarity(ray_session):
+    import ray.data as rd
+    from unfurl_ray.ops.similarity import knn_brute
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(50, dtype=np.int64),
+         "embedding": list(vecs)}
+    ))
+    out = knn_brute(ds, vecs[:3], k=5)
+    for qi in range(3):
+        top = out[out["query_id"] == qi].iloc[0]
+        assert top["vec_id"] == qi  # self is nearest
+        assert abs(top["cosine"] - 1.0) < 1e-6
+
+
+def test_multimodal_image_meta(ray_session):
+    import ray.data as rd
+    import struct
+    from unfurl_ray.ops.multimodal import image_meta_pipeline
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">IIBBBBB", 640, 480, 8, 2, 0, 0, 0))
+    ds = rd.from_items([
+        {"item_id": 1, "content": png},
+        {"item_id": 2, "content": b"notanimage"},
+    ])
+    out = image_meta_pipeline(ds, concurrency=1).to_pandas()
+    meta = out.sort_values("item_id")["image_meta"].tolist()
+    assert meta[0]["format"] == "image/png"
+    assert meta[0]["width"] == 640 and meta[0]["height"] == 480
+    assert meta[1]["format"] is None
+
+
+def test_sessionize_gap_logic(ray_session):
+    import ray.data as rd
+    from unfurl_ray.ops.relational import sessionize
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00", "2024-01-01 00:10",  # session 1
+         "2024-01-01 01:00",                      # session 2 (gap 50m)
+         "2024-01-01 01:20"]                      # still session 2
+    )
+    ds = rd.from_pandas(pd.DataFrame({"user_id": [1, 1, 1, 1], "ts": ts}))
+    out = sessionize(ds, "ts", "user_id", gap_s=1800).to_pandas()
+    assert len(out) == 2
+    assert sorted(out["n_events"].tolist()) == [2, 2]

@@ -1,0 +1,195 @@
+"""Main-content extraction: boilerplate stripping via text/link density.
+
+The north_rule adds a DOM-heuristic main-content pass (Readability /
+Boilerpipe style — Kohlschütter et al., "Boilerplate Detection using
+Shallow Text Features", WSDM 2010) on top of the reference's metadata
+extraction.  This is a from-scratch implementation over the same
+tolerant stdlib tokenizer the metaparser uses:
+
+- block-level elements delimit text blocks;
+- ``script/style/noscript/template/svg`` content is dropped;
+- container roles (``nav/header/footer/aside/form/menu``) mark their
+  whole subtree boilerplate;
+- a block is *content* when it has enough words and a low link density
+  (words inside <a> / total words);
+- emitted per block: text, char span into the source, word/link stats.
+
+Pure function of the input string -> runs inside stateless
+``map_batches`` tasks; the compiled regexes live at module level
+(loaded once per worker process).
+"""
+
+from __future__ import annotations
+
+import re
+
+BLOCK_TAGS = frozenset(
+    "p div td th li dd dt h1 h2 h3 h4 h5 h6 article section pre "
+    "blockquote main figcaption summary center".split()
+)
+DROP_TAGS = frozenset("script style noscript template svg iframe".split())
+BOILER_TAGS = frozenset("nav header footer aside form menu button".split())
+VOID = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+MIN_WORDS = 8
+MAX_LINK_DENSITY = 0.33
+
+_WORDS = re.compile(r"\S+")
+_WS = re.compile(r"\s+")
+
+
+class _Block:
+    __slots__ = ("parts", "start", "end", "link_words", "boiler")
+
+    def __init__(self, boiler: bool):
+        self.parts: list[str] = []
+        self.start = -1
+        self.end = -1
+        self.link_words = 0
+        self.boiler = boiler
+
+
+from html.parser import HTMLParser
+
+
+class _ContentHandler(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[_Block] = []
+        self._drop = 0
+        self._boiler = 0
+        self._link = 0
+        self._stack: list[str] = []
+        self._line_starts: list[int] | None = None
+        self._current: _Block | None = None
+
+    def _offset(self) -> int:
+        if self._line_starts is None:
+            text = self.rawdata if not self._fed else self._fed
+            self._line_starts = [0]
+            for i, ch in enumerate(text):
+                if ch == "\n":
+                    self._line_starts.append(i + 1)
+        line, col = self.getpos()
+        if line - 1 < len(self._line_starts):
+            return self._line_starts[line - 1] + col
+        return -1
+
+    _fed = ""
+
+    def feed(self, data):
+        self._fed = data
+        super().feed(data)
+
+    def _open_block(self):
+        self._current = _Block(self._boiler > 0)
+        self.blocks.append(self._current)
+
+    def _close_block(self):
+        self._current = None
+
+    def handle_starttag(self, tag, attrs):
+        if tag in DROP_TAGS:
+            if tag not in VOID:
+                self._drop += 1
+            return
+        if tag in BOILER_TAGS:
+            self._boiler += 1
+            self._stack.append(tag)
+            self._close_block()
+            return
+        if tag == "a":
+            self._link += 1
+            self._stack.append(tag)
+            return
+        if tag in BLOCK_TAGS:
+            self._close_block()
+            self._open_block()
+        if tag not in VOID:
+            self._stack.append(tag)
+
+    def handle_endtag(self, tag):
+        if tag in DROP_TAGS:
+            if self._drop > 0:
+                self._drop -= 1
+            return
+        if tag in BOILER_TAGS:
+            if self._boiler > 0:
+                self._boiler -= 1
+            self._close_block()
+        elif tag == "a":
+            if self._link > 0:
+                self._link -= 1
+        elif tag in BLOCK_TAGS:
+            self._close_block()
+        if self._stack and tag in self._stack:
+            while self._stack and self._stack.pop() != tag:
+                pass
+
+    def handle_data(self, data):
+        if self._drop > 0:
+            return
+        stripped = data.strip()
+        if not stripped:
+            return
+        if self._current is None:
+            self._open_block()
+        block = self._current
+        pos = self._offset()
+        if block.start < 0:
+            block.start = pos
+        if pos >= 0:
+            block.end = pos + len(data)
+        block.parts.append(data)
+        if self._link > 0:
+            block.link_words += len(_WORDS.findall(data))
+        if self._boiler > 0:
+            block.boiler = True
+
+
+def extract_blocks(html_text: str) -> list[dict]:
+    """All text blocks with stats (content + boilerplate, classified)."""
+    handler = _ContentHandler()
+    try:
+        handler.feed(html_text)
+        handler.close()
+    except Exception:
+        return []
+    out = []
+    for block in handler.blocks:
+        text = _WS.sub(" ", "".join(block.parts)).strip()
+        if not text:
+            continue
+        words = len(_WORDS.findall(text))
+        link_density = block.link_words / words if words else 0.0
+        is_content = (
+            not block.boiler
+            and words >= MIN_WORDS
+            and link_density <= MAX_LINK_DENSITY
+        )
+        out.append(
+            {
+                "text": text,
+                "start": block.start,
+                "end": block.end,
+                "words": words,
+                "link_density": round(link_density, 4),
+                "is_content": is_content,
+            }
+        )
+    return out
+
+
+def extract_main_text(html_text: str) -> tuple[str, list[dict]]:
+    """Main text + spans.  Returns ("", []) for non-HTML/empty input."""
+    blocks = extract_blocks(html_text)
+    content = [b for b in blocks if b["is_content"]]
+    main_text = "\n".join(b["text"] for b in content)
+    spans = [
+        {"start": b["start"], "end": b["end"], "kind": "main_text"}
+        for b in content
+        if b["start"] >= 0
+    ]
+    return main_text, spans

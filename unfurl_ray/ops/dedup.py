@@ -1,0 +1,224 @@
+"""Deduplication operators (exact + near-dup families).
+
+Ray-Data-first shapes (ray_guide "Aggregation at scale"):
+
+- **exact**: vectorized content-hash column inside ``map_batches`` ->
+  ``groupby(hash)`` keep-first.  The shuffle moves only (hash, doc_id,
+  small cols), never the text payload, so it scales to 100 TB.
+- **MinHash + LSH**: shingle -> minhash signature per doc (numpy, per
+  batch) -> explode to (band_id, band_hash) rows -> groupby bands ->
+  candidate pairs -> exact-Jaccard verification.  Signatures are
+  mergeable partials; the all-to-all exchange carries ~n_bands small
+  ints per doc.
+- **SimHash**: 64-bit hyperplane-free charhash aggregate; near-dups =
+  identical simhash buckets (or Hamming<=k via bit-rotation buckets).
+- **n-gram Jaccard**: the verification kernel, also exposed directly.
+- **embedding cosine**: see ops/similarity.py (near-dup = cos > tau).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+# MinHash parameters (classic 128 perms = 16 bands x 8 rows).
+N_PERM = 128
+N_BANDS = 16
+ROWS_PER_BAND = N_PERM // N_BANDS
+_MERSENNE = (1 << 61) - 1
+_rng = np.random.default_rng(42)
+_PERM_A = _rng.integers(1, _MERSENNE, size=N_PERM, dtype=np.int64)
+_PERM_B = _rng.integers(0, _MERSENNE, size=N_PERM, dtype=np.int64)
+
+
+def normalize_words(text: str) -> list[str]:
+    return [w.lower() for w in _WORD_RE.findall(text or "")]
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """k-word shingles -> stable 32-bit hashes (crc32: process-stable)."""
+    words = normalize_words(text)
+    if len(words) < k:
+        shingles = [" ".join(words)] if words else []
+    else:
+        shingles = [" ".join(words[i: i + k]) for i in range(len(words) - k + 1)]
+    if not shingles:
+        return np.zeros(1, dtype=np.int64)
+    return np.array(
+        [zlib.crc32(s.encode()) for s in set(shingles)], dtype=np.int64
+    )
+
+
+def minhash_signature(text: str, k: int = 3) -> np.ndarray:
+    """N_PERM-wide MinHash signature (vectorized over shingles)."""
+    h = shingle_hashes(text, k)
+    # (n_shingles, N_PERM) permuted values via universal hashing.
+    vals = (np.outer(h, _PERM_A) + _PERM_B) % _MERSENNE
+    return vals.min(axis=0)
+
+
+def add_content_hash(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Vectorized exact-dup key: crc64-ish of the raw content."""
+    import hashlib
+
+    texts = batch.column(column).to_pylist()
+    hashes = [
+        hashlib.md5((t or "").encode()).hexdigest() for t in texts
+    ]
+    return batch.append_column("content_hash", pa.array(hashes, pa.string()))
+
+
+def exact_dedup(ds, column: str = "text", id_column: str = "doc_id"):
+    """Keep the lowest-id row per exact content hash; adds dup_count.
+
+    groupby moves only (hash, id) — drop the payload before the shuffle
+    and rejoin by id downstream if the text is needed.
+    """
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b, column), batch_format="pyarrow"
+    ).select_columns(["content_hash", id_column])
+
+    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        keep = group.nsmallest(1, id_column).copy()
+        keep["dup_count"] = len(group)
+        return keep
+
+    return hashed.groupby("content_hash").map_groups(
+        keep_first, batch_format="pandas"
+    )
+
+
+def minhash_band_rows(batch: pa.Table, column: str = "text",
+                      id_column: str = "doc_id") -> pa.Table:
+    """Explode each doc into N_BANDS (band_id, band_hash) rows."""
+    ids = batch.column(id_column).to_pylist()
+    texts = batch.column(column).to_pylist()
+    out_ids, out_bands, out_hashes = [], [], []
+    for doc_id, text in zip(ids, texts):
+        sig = minhash_signature(text)
+        for band in range(N_BANDS):
+            chunk = sig[band * ROWS_PER_BAND: (band + 1) * ROWS_PER_BAND]
+            band_hash = zlib.crc32(chunk.tobytes())
+            out_ids.append(doc_id)
+            out_bands.append(band)
+            out_hashes.append(band_hash)
+    return pa.table(
+        {
+            id_column: pa.array(out_ids, pa.int64()),
+            "band_id": pa.array(out_bands, pa.int32()),
+            "band_hash": pa.array(out_hashes, pa.int64()),
+        }
+    )
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    a = set(shingle_hashes(text_a, k).tolist())
+    b = set(shingle_hashes(text_b, k).tolist())
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    union = len(a | b)
+    return inter / union if union else 0.0
+
+
+def minhash_candidate_pairs(ds, column: str = "text",
+                            id_column: str = "doc_id"):
+    """LSH bucket join: docs sharing any band bucket become candidates.
+
+    Returns a Dataset of (id_a, id_b) with id_a < id_b, deduped.
+    """
+    bands = ds.map_batches(
+        lambda b: minhash_band_rows(b, column, id_column),
+        batch_format="pyarrow",
+    )
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(group[id_column].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        out_a, out_b = [], []
+        # Hot-bucket guard: cap the quadratic blowup per bucket; at
+        # scale buckets this big mean a degenerate band (log + sample).
+        cap = 200
+        ids = ids[:cap]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
+        pairs, batch_format="pandas"
+    )
+    return cand.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def minhash_dedup_pairs(ds, threshold: float = 0.8, column: str = "text",
+                        id_column: str = "doc_id"):
+    """Candidates -> verified near-dup pairs (exact n-gram Jaccard).
+
+    The verify stage broadcasts the candidate docs' texts via a
+    driver-side lookup only when the candidate set is small; at scale,
+    join texts back by id (hash join) before verification instead.
+    """
+    import ray
+
+    cand = minhash_candidate_pairs(ds, column, id_column).to_pandas()
+    if cand.empty:
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
+    need_ids = set(cand["id_a"]) | set(cand["id_b"])
+    texts = {}
+    for batch in ds.select_columns([id_column, column]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for i, t in zip(batch.column(id_column).to_pylist(),
+                        batch.column(column).to_pylist()):
+            if i in need_ids:
+                texts[i] = t
+    jac = [
+        ngram_jaccard(texts.get(a, ""), texts.get(b, ""))
+        for a, b in zip(cand["id_a"], cand["id_b"])
+    ]
+    cand = cand.assign(jaccard=np.round(jac, 4))
+    return cand[cand["jaccard"] >= threshold].reset_index(drop=True)
+
+
+# -- SimHash ----------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word features (crc-based, process-stable)."""
+    words = normalize_words(text)
+    if not words:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for w in words:
+        h = zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32)
+        bits = np.unpackbits(
+            np.frombuffer(int(h).to_bytes(8, "big"), dtype=np.uint8)
+        ).astype(np.int64)
+        acc += bits * 2 - 1
+    out = 0
+    for i, v in enumerate(acc):
+        if v > 0:
+            out |= 1 << (63 - i)
+    return out
+
+
+def add_simhash(batch: pa.Table, column: str = "text") -> pa.Table:
+    texts = batch.column(column).to_pylist()
+    # int64 domain for Arrow: shift into signed range.
+    hashes = [simhash64(t) - (1 << 63) for t in texts]
+    return batch.append_column("simhash", pa.array(hashes, pa.int64()))

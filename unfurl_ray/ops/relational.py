@@ -1,0 +1,184 @@
+"""Relational building blocks, Ray-Data-first.
+
+Patterns per ray_guide "Joins and lookups" / "Aggregation at scale":
+
+- broadcast hash join (small side via ``ray.put``, probe in map_batches)
+- semi / anti join via broadcast key set
+- partial pre-aggregation before the groupby shuffle
+- event-time tumbling windows + gap sessionization via
+  ``groupby(key).map_groups`` over ts-sorted groups
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+class BroadcastJoin:
+    """map_batches UDF: merge a broadcast pandas DataFrame onto batches.
+
+    The small side is shipped to the object store ONCE (``ray.put`` on
+    the driver); each actor fetches it in ``__init__`` — never per
+    batch (SURVEY.md §2.5 J1 mapping).
+    """
+
+    def __init__(self, small_ref: Any, on: str, how: str = "inner",
+                 suffix: str = "_r"):
+        import ray
+
+        self.small = (
+            ray.get(small_ref)
+            if isinstance(small_ref, ray.ObjectRef)
+            else small_ref
+        )
+        self.on = on
+        self.how = how
+        self.suffix = suffix
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(
+            self.small, on=self.on, how=self.how, suffixes=("", self.suffix)
+        )
+
+
+def broadcast_join(ds, small_df: pd.DataFrame, on: str, how: str = "inner",
+                   concurrency: int = 4):
+    import ray
+
+    ref = ray.put(small_df)
+    return ds.map_batches(
+        BroadcastJoin,
+        fn_constructor_kwargs={"small_ref": ref, "on": on, "how": how},
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+
+
+class KeyFilter:
+    """Semi/anti join: broadcast key set, vectorized isin per batch."""
+
+    def __init__(self, keys_ref: Any, on: str, anti: bool = False):
+        import ray
+
+        keys = (
+            ray.get(keys_ref)
+            if isinstance(keys_ref, ray.ObjectRef)
+            else keys_ref
+        )
+        self.keys = set(keys)
+        self.on = on
+        self.anti = anti
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        mask = batch[self.on].isin(self.keys)
+        return batch[~mask] if self.anti else batch[mask]
+
+
+def semi_join(ds, keys, on: str, anti: bool = False, concurrency: int = 4):
+    import ray
+
+    ref = ray.put(list(keys))
+    return ds.map_batches(
+        KeyFilter,
+        fn_constructor_kwargs={"keys_ref": ref, "on": on, "anti": anti},
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+
+
+def pre_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]]):
+    """Partial-aggregate inside map_batches, then a small groupby.
+
+    ``aggs``: out_col -> (in_col, fn) with fn in {sum, count, min, max}.
+    The shuffle then moves one row per key per batch instead of every
+    input row — the difference between shuffling 100 TB and ~GBs.
+    Means must be finished downstream as sum/count.
+    """
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys, as_index=False, sort=False)
+        pieces = {}
+        for out_col, (in_col, fn) in aggs.items():
+            if fn == "count":
+                pieces[out_col] = g.size().rename(columns={"size": out_col})
+            else:
+                pieces[out_col] = getattr(g[in_col], fn)().rename(
+                    columns={in_col: out_col}
+                )
+        merged = None
+        for piece in pieces.values():
+            merged = piece if merged is None else merged.merge(piece, on=keys)
+        return merged
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    finishers = []
+    for out_col, (_in, fn) in aggs.items():
+        if fn in ("sum", "count"):
+            finishers.append(Sum(out_col, alias_name=out_col))
+        elif fn == "min":
+            finishers.append(Min(out_col, alias_name=out_col))
+        elif fn == "max":
+            finishers.append(Max(out_col, alias_name=out_col))
+    return partials.groupby(keys).aggregate(*finishers)
+
+
+def _ts_us(series: pd.Series) -> pd.Series:
+    """Timestamp series of any datetime64 unit -> int64 microseconds."""
+    dtype = str(series.dtype)
+    vals = series.astype("int64")
+    if "[ns" in dtype:
+        return vals // 1_000
+    if "[ms" in dtype:
+        return vals * 1_000
+    if "[s]" in dtype:
+        return vals * 1_000_000
+    return vals  # [us] or already-numeric microseconds
+
+
+def tumbling_window(ds, ts_col: str, key_col: str, width_s: int,
+                    value_col: str | None = None):
+    """Per (key, window) count/avg via vectorized bucketing + pre-agg."""
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        win = (_ts_us(batch[ts_col]) // (width_s * 1_000_000)) * width_s
+        out = batch.copy()
+        out["window_start"] = pd.to_datetime(win, unit="s")
+        return out
+
+    bucketed = ds.map_batches(bucket, batch_format="pandas")
+    aggs = {"n_events": (key_col, "count")}
+    if value_col:
+        aggs["sum_value"] = (value_col, "sum")
+    return pre_aggregate(bucketed, [key_col, "window_start"], aggs)
+
+
+def sessionize(ds, ts_col: str, key_col: str, gap_s: int):
+    """Gap-based sessions per key: groupby(key).map_groups over sorted ts.
+
+    Partitioning assumption: one key's events fit in one group (true for
+    user-level event streams; salt ultra-hot keys first if not).
+    """
+    gap_us = gap_s * 1_000_000
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(ts_col)
+        ts = _ts_us(g[ts_col])
+        new_session = (ts.diff() > gap_us).fillna(True)
+        session_ids = new_session.cumsum()
+        agg = g.assign(_sid=session_ids).groupby("_sid")
+        out = pd.DataFrame(
+            {
+                key_col: g[key_col].iloc[0],
+                "session_idx": np.arange(agg.ngroups, dtype="int64"),
+                "n_events": agg.size().to_numpy(),
+                "session_start": agg[ts_col].min().to_numpy(),
+                "session_end": agg[ts_col].max().to_numpy(),
+            }
+        )
+        return out
+
+    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")

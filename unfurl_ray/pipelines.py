@@ -1,0 +1,531 @@
+"""Named query pipelines over the driver testdata tables.
+
+Each function takes ``sf_dir`` and returns a Dataset / DataFrame —
+these back ``__ray_entry__.queries()`` and are verified against DuckDB
+oracles (``__ray_entry__.oracle_sql()``) by the driver at sf=0.01.
+
+Every pipeline is Ray-Data-first: column-pruned reads, vectorized
+batch kernels, broadcast small sides, partial pre-aggregation before
+any groupby shuffle, and explicit top-k instead of full sorts where
+possible.  Float outputs are rounded so value-hash comparison against
+DuckDB's double arithmetic is stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _parquet(sf_dir: str, table: str, columns=None):
+    return _rd().read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# -- relational core --------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 shape: grouped sums/avgs with partial pre-aggregation
+    (one row per key per batch crosses the shuffle, not 6M rows)."""
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    ds = _parquet(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount"],
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return batch.append_column("disc_price", disc_price)
+
+    ds = ds.map_batches(revenue, batch_format="pyarrow")
+    out = pre_aggregate(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_base_price": ("l_extendedprice", "sum"),
+            "sum_disc_price": ("disc_price", "sum"),
+            "count_order": ("l_quantity", "count"),
+        },
+    ).to_pandas()
+    out["avg_qty"] = (out["sum_qty"] / out["count_order"]).round(2)
+    out["avg_price"] = (out["sum_base_price"] / out["count_order"]).round(2)
+    for col in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out[col] = out[col].round(2)
+    out["count_order"] = out["count_order"].astype("int64")
+    return out
+
+
+def q6_filter_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape: pruned read + vectorized filter + one aggregate."""
+    ds = _parquet(
+        sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch.column("l_discount"), 0.05),
+                pc.less_equal(batch.column("l_discount"), 0.07),
+            ),
+            pc.less(batch.column("l_quantity"), 24.0),
+        )
+        t = batch.filter(mask)
+        rev = pc.sum(
+            pc.multiply(t.column("l_extendedprice"), t.column("l_discount"))
+        ).as_py() or 0.0
+        return pa.table({"rev": pa.array([rev], pa.float64())})
+
+    total = (
+        _sum_scalar(ds.map_batches(partial, batch_format="pyarrow"), "rev")
+    )
+    return pd.DataFrame({"revenue": [round(total, 2)]})
+
+
+def _sum_scalar(ds, col: str) -> float:
+    from ray.data.aggregate import Sum
+
+    result = ds.aggregate(Sum(col, alias_name="s"))
+    return result["s"] if isinstance(result, dict) else result
+
+
+def q_top_orders(sf_dir: str) -> pd.DataFrame:
+    """Top-15 orders by totalprice (tie-broken), via sort+limit."""
+    ds = _parquet(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = (
+        ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(15)
+        .to_pandas()
+    )
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return out
+
+
+def q_segment_revenue(sf_dir: str) -> pd.DataFrame:
+    """orders x customer broadcast hash join -> revenue per segment."""
+    from unfurl_ray.ops.relational import broadcast_join, pre_aggregate
+
+    customer = _parquet(
+        sf_dir, "customer", ["c_custkey", "c_mktsegment"]
+    ).to_pandas().rename(columns={"c_custkey": "o_custkey"})
+    orders = _parquet(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, customer, on="o_custkey")
+    out = pre_aggregate(
+        joined, ["c_mktsegment"],
+        {"revenue": ("o_totalprice", "sum"),
+         "n_orders": ("o_totalprice", "count")},
+    ).to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
+
+
+def q_nation_balance(sf_dir: str) -> pd.DataFrame:
+    """supplier x nation x region broadcast joins -> balance per nation."""
+    from unfurl_ray.ops.relational import broadcast_join, pre_aggregate
+
+    nation = _parquet(sf_dir, "nation").to_pandas()
+    region = _parquet(sf_dir, "region").to_pandas()
+    dim = nation.merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    )[["n_nationkey", "n_name", "r_name"]].rename(
+        columns={"n_nationkey": "s_nationkey"}
+    )
+    supplier = _parquet(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    joined = broadcast_join(supplier, dim, on="s_nationkey")
+    out = pre_aggregate(
+        joined, ["r_name", "n_name"],
+        {"total_bal": ("s_acctbal", "sum"),
+         "n_suppliers": ("s_acctbal", "count")},
+    ).to_pandas()
+    out["total_bal"] = out["total_bal"].round(2)
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return out
+
+
+def q_order_lineitem_join(sf_dir: str) -> pd.DataFrame:
+    """Large-large hash join (Dataset.join) -> rows per order status."""
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    lineitem = _parquet(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _parquet(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    joined = lineitem.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    out = pre_aggregate(
+        joined, ["o_orderstatus"],
+        {"n_items": ("l_quantity", "count"),
+         "sum_qty": ("l_quantity", "sum")},
+    ).to_pandas()
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["n_items"] = out["n_items"].astype("int64")
+    return out
+
+
+def q_semi_join(sf_dir: str) -> pd.DataFrame:
+    """Orders having any lineitem with quantity >= 49 (broadcast semi)."""
+    from unfurl_ray.ops.relational import pre_aggregate, semi_join
+
+    lineitem = _parquet(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    keys = (
+        lineitem.map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b.column("l_quantity"), 49.0)
+            ).select(["l_orderkey"]),
+            batch_format="pyarrow",
+        )
+        .unique("l_orderkey")
+    )
+    orders = _parquet(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    hits = semi_join(orders, keys, on="o_orderkey")
+    out = pre_aggregate(
+        hits, ["o_orderstatus"], {"n_orders": ("o_orderkey", "count")}
+    ).to_pandas()
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
+
+
+def q_anti_join(sf_dir: str) -> pd.DataFrame:
+    """Customers with no orders (broadcast anti join) -> count."""
+    from unfurl_ray.ops.relational import semi_join
+
+    order_custs = _parquet(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+    customer = _parquet(sf_dir, "customer", ["c_custkey"])
+    lonely = semi_join(
+        customer.map_batches(
+            lambda b: b.rename_columns(["o_custkey"]), batch_format="pyarrow"
+        ),
+        order_custs,
+        on="o_custkey",
+        anti=True,
+    )
+    return pd.DataFrame({"n_customers": [int(lonely.count())]})
+
+
+def q_distinct_event_types(sf_dir: str) -> pd.DataFrame:
+    ds = _parquet(sf_dir, "events", ["event_type"])
+    values = sorted(ds.unique("event_type"))
+    return pd.DataFrame({"event_type": values})
+
+
+def q_events_window(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour windows per event_type: counts + sums."""
+    from unfurl_ray.ops.relational import tumbling_window
+
+    ds = _parquet(sf_dir, "events", ["ts", "event_type", "value"])
+    out = tumbling_window(
+        ds, ts_col="ts", key_col="event_type", width_s=3600,
+        value_col="value",
+    ).to_pandas()
+    out["sum_value"] = out["sum_value"].round(2)
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+def q_sessionize(sf_dir: str) -> pd.DataFrame:
+    """30-minute-gap sessions per user -> sessions per user."""
+    from unfurl_ray.ops.relational import sessionize
+
+    ds = _parquet(sf_dir, "events", ["user_id", "ts"])
+    sessions = sessionize(ds, ts_col="ts", key_col="user_id", gap_s=1800)
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [group["user_id"].iloc[0]],
+                "n_sessions": [len(group)],
+                "n_events": [int(group["n_events"].sum())],
+            }
+        )
+
+    out = sessions.groupby("user_id").map_groups(
+        per_user, batch_format="pandas"
+    ).to_pandas()
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+def q_asof_join(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each event matched to the latest order of its
+    (user_id % 100)-keyed customer with o_orderdate <= ts.
+
+    Ray shape: tag+union both sides, groupby key, pd.merge_asof per
+    group (ray_guide "As-of / range join").  Oracle: DuckDB ASOF JOIN.
+    """
+    events = _parquet(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _parquet(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).to_pandas()
+    orders["join_key"] = (orders["o_custkey"] % 100).astype("int64")
+
+    import ray
+
+    # Dedupe the right side to one order per (key, date) so asof
+    # tie-breaking matches the oracle deterministically.
+    orders = (
+        orders.groupby(["join_key", "o_orderdate"], as_index=False)
+        ["o_orderkey"].max()
+    )
+    orders_ref = ray.put(orders)
+
+    def asof_per_key(group: pd.DataFrame) -> pd.DataFrame:
+        all_orders = ray.get(orders_ref)
+        key = int(group["join_key"].iloc[0])
+        right = (
+            all_orders[all_orders["join_key"] == key]
+            .sort_values("o_orderdate")
+        )
+        left = group.sort_values("ts")
+        if right.empty:
+            out = left.copy()
+            out["o_orderkey"] = pd.Series(
+                [pd.NA] * len(out), dtype="Int64", index=out.index
+            )
+            return out[["event_id", "o_orderkey"]]
+        merged = pd.merge_asof(
+            left, right,
+            left_on="ts", right_on="o_orderdate",
+            direction="backward",
+        )
+        merged["o_orderkey"] = merged["o_orderkey"].astype("Int64")
+        return merged[["event_id", "o_orderkey"]]
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "join_key", pa.array(users % 100, pa.int64())
+        )
+
+    keyed = events.map_batches(add_key, batch_format="pyarrow")
+    return keyed.groupby("join_key").map_groups(
+        asof_per_key, batch_format="pandas"
+    ).to_pandas()
+
+
+# -- documents / text -------------------------------------------------------
+
+def q_doc_stats(sf_dir: str) -> pd.DataFrame:
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    ds = _parquet(sf_dir, "documents", ["lang", "n_chars"])
+    out = pre_aggregate(
+        ds, ["lang"],
+        {"n_docs": ("n_chars", "count"), "sum_chars": ("n_chars", "sum")},
+    ).to_pandas()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return out
+
+
+def q_token_count(sf_dir: str):
+    from unfurl_ray.ops.textstats import token_count_batch
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        token_count_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_tokens"])
+
+
+def q_exact_dedup(sf_dir: str) -> pd.DataFrame:
+    from unfurl_ray.ops.dedup import exact_dedup
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_dedup(ds).to_pandas()
+    out["dup_count"] = out["dup_count"].astype("int64")
+    return out
+
+
+def q_fingerprint(sf_dir: str):
+    from unfurl_ray.ops.textstats import fingerprint_batch
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "fingerprint_md5"])
+
+
+def q_quality(sf_dir: str):
+    from unfurl_ray.ops.textstats import quality_score_batch
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(quality_score_batch, batch_format="pandas")
+
+
+def q_langid(sf_dir: str):
+    from unfurl_ray.ops.textstats import LangId
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=2)
+
+
+def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
+    from unfurl_ray.ops.dedup import minhash_dedup_pairs
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_dedup_pairs(ds, threshold=0.8)
+
+
+def q_simhash(sf_dir: str):
+    from unfurl_ray.ops.dedup import add_simhash
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: add_simhash(b), batch_format="pyarrow"
+    ).select_columns(["doc_id", "simhash"])
+
+
+# -- embeddings -------------------------------------------------------------
+
+def q_cosine_to_query(sf_dir: str) -> pd.DataFrame:
+    """Cosine of every vector against the vec_id=0 vector (rounded)."""
+    import ray
+
+    ds = _parquet(sf_dir, "embeddings", ["vec_id", "embedding"])
+    first = ds.filter(lambda r: r["vec_id"] == 0).take(1)
+    query = np.asarray(first[0]["embedding"], dtype=np.float64)
+    qn = query / np.linalg.norm(query)
+    query_ref = ray.put(qn)
+
+    class Cos:
+        def __init__(self):
+            self.q = ray.get(query_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from unfurl_ray.ops.similarity import _as_matrix, _normalize
+
+            m = _normalize(_as_matrix(batch.column("embedding")))
+            sims = np.round(m @ self.q, 4)
+            return pa.table(
+                {
+                    "vec_id": batch.column("vec_id"),
+                    "cosine": pa.array(sims, pa.float64()),
+                }
+            )
+
+    return ds.map_batches(Cos, batch_format="pyarrow", concurrency=2)
+
+
+def q_knn_topk(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-10 for 4 deterministic query vectors."""
+    from unfurl_ray.ops.similarity import knn_brute
+
+    ds = _parquet(sf_dir, "embeddings", ["vec_id", "embedding"])
+    probe = ds.limit(4).to_pandas()
+    queries = np.array(probe["embedding"].tolist(), dtype=np.float64)
+    return knn_brute(ds, queries, k=10)
+
+
+def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF-bucketed ANN over the same queries (scale path)."""
+    from unfurl_ray.ops.similarity import knn_ivf
+
+    ds = _parquet(sf_dir, "embeddings", ["vec_id", "embedding"])
+    probe = ds.limit(4).to_pandas()
+    queries = np.array(probe["embedding"].tolist(), dtype=np.float64)
+    return knn_ivf(ds, queries, k=10)
+
+
+# -- extraction -------------------------------------------------------------
+
+def _esc_attr(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace('"', "&quot;")
+
+
+def _doc_html(doc_id: int, text: str) -> str:
+    """Simple deterministic wrap whose extraction output is expressible
+    in SQL string functions (the oracle recomputes it from documents)."""
+    desc = _esc_attr(text[:100].rstrip())
+    return (
+        f"<html><head><title>Doc {doc_id}</title>"
+        f'<meta name="description" content="{desc}">'
+        f'<meta name="language" content="en">'
+        f'<link rel="canonical" href="https://example.org/doc/{doc_id}">'
+        f"</head><body><p>{_esc_attr(text)}</p></body></html>"
+    )
+
+
+def q_extract_meta(sf_dir: str):
+    """unfurl extraction over deterministic HTML wraps of documents."""
+    from unfurl_ray.engine.stages import ExtractTurns
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": pa.array(
+                    [_doc_html(i, t or "") for i, t in zip(ids, texts)],
+                    pa.large_string(),
+                ),
+            }
+        )
+
+    extracted = ds.map_batches(wrap, batch_format="pyarrow").map_batches(
+        ExtractTurns,
+        fn_constructor_kwargs={"keep_columns": ("doc_id",)},
+        batch_format="pyarrow",
+        concurrency=4,
+        num_cpus=1,
+    )
+    return extracted.select_columns(
+        ["doc_id", "headline", "description", "language", "canonical_url"]
+    )
+
+
+def q_main_text(sf_dir: str):
+    """Boilerplate-stripped main text of the deterministic wraps."""
+    from unfurl_ray.content.boilerplate import extract_main_text
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        mains = [
+            extract_main_text(_doc_html(i, t or ""))[0]
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "main_text": pa.array(mains, pa.large_string()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def q_transcript_types(sf_dir: str) -> pd.DataFrame:
+    """Flagship transcript pipeline -> per-type counts (rows-only check;
+    the template-kind routing is not SQL-expressible)."""
+    from unfurl_ray.engine.pipeline import extract_turns, order_by_turn
+    from unfurl_ray.ops.relational import pre_aggregate
+    from unfurl_ray.sources.transcripts import build_transcripts
+
+    ds = build_transcripts(sf_dir)
+    extracted = extract_turns(ds, concurrency=4)
+    out = pre_aggregate(
+        extracted, ["unfurl_type"], {"n": ("unfurl_type", "count")}
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out
