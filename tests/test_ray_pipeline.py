@@ -24,7 +24,15 @@ def test_transcript_pipeline_end_to_end(ray_session, tmp_path):
         order=True,
     )
     assert manifest["partitions"]["part-00000"]["complete"]
-    final = rd.read_parquet(str(tmp_path / "out" / "final")).to_pandas()
+    # The ordering contract is: path-sorted files, each an ordered,
+    # contiguous (conv_id, turn_idx) range — read them in path order.
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    files = sorted((tmp_path / "out" / "final").glob("*.parquet"))
+    final = pa.concat_tables(
+        [pq.read_table(f) for f in files]
+    ).to_pandas()
     assert len(final) == 500
     # ordering: (conv_id, turn_idx) non-decreasing
     key = list(zip(final["conv_id"], final["turn_idx"]))

@@ -184,14 +184,29 @@ def run_pipeline(
     ds = rd.read_parquet(parts)
     final_dir = Path(out_dir) / "final"
     if order:
-        # preserve_order pins output-file order to the sort order, so
-        # path-sorted readers see globally ordered turns (each file is
-        # one contiguous (conv_id, turn_idx) range).
+        # preserve_order pins write-task order to the sort order, and
+        # the filename provider makes file paths sort in that same
+        # order — so path-sorted readers see globally ordered turns
+        # (each file is one contiguous (conv_id, turn_idx) range).
+        from ray.data.datasource import FilenameProvider
+
+        class OrderedNames(FilenameProvider):
+            def get_filename_for_block(self, block, write_uuid,
+                                       task_index, block_index):
+                # write_uuid must appear (append-mode guard); keeping it
+                # after the numeric prefix preserves lexicographic order.
+                return (
+                    f"range-{task_index:06d}-{block_index:06d}"
+                    f"-{write_uuid}.parquet"
+                )
+
         ctx = rd.DataContext.get_current()
         prev = ctx.execution_options.preserve_order
         ctx.execution_options.preserve_order = True
         try:
-            order_by_turn(ds).write_parquet(str(final_dir))
+            order_by_turn(ds).write_parquet(
+                str(final_dir), filename_provider=OrderedNames()
+            )
         finally:
             ctx.execution_options.preserve_order = prev
     else:
