@@ -1,0 +1,194 @@
+"""Benchmark driver: headline extraction pipeline + representative ops.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "turns": N, "turns_per_sec": N}
+
+Env:
+  GRAFT_SF_DIR     input dir (default /root/testdata/sf0.1)
+  RAY_GRAFT_CPUS   num_cpus for ray.init (default 32)
+  BENCH_REPEAT     transcript amplification factor (default 480 -> 2.4M
+                   turns at sf0.1, so fixed costs — actor-pool spin-up,
+                   sort sampling — amortize at both parallelism levels)
+
+`--scaling` runs the headline pipeline at 8 and 32 CPUs in fresh
+processes on the SAME pre-materialized input and reports both
+throughputs + scaling efficiency (the sandbox substitute for N vs 4N
+clusters, BASELINE.md protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPEAT = int(os.environ.get("BENCH_REPEAT", "480"))
+TRANSCRIPT_CACHE = os.environ.get(
+    "BENCH_TRANSCRIPTS", f"/tmp/unfurl_ray_bench/transcripts_{REPEAT}"
+)
+
+
+def materialize_transcripts() -> str:
+    """Write the amplified transcript table once (warm page cache too);
+    both scaling runs then read identical input files."""
+    import glob
+
+    import ray.data as rd
+
+    from unfurl_ray.sources.transcripts import build_transcripts
+
+    marker = os.path.join(TRANSCRIPT_CACHE, "_DONE")
+    if not os.path.exists(marker):
+        ds = build_transcripts(SF_DIR, shuffled=False, repeat=REPEAT)
+        ds.write_parquet(TRANSCRIPT_CACHE)
+        open(marker, "w").write("ok")
+    # warm the OS page cache so we measure compute, not first-read I/O
+    for f in glob.glob(f"{TRANSCRIPT_CACHE}/*.parquet"):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+    return TRANSCRIPT_CACHE
+
+
+def run_headline() -> dict:
+    """Extraction + (conv_id, turn_idx) ordering over the transcript
+    table; consumed by count of materialized output (no driver loop)."""
+    import ray.data as rd
+
+    from unfurl_ray.engine.pipeline import extract_turns, order_by_turn
+
+    path = materialize_transcripts()
+
+    def one_trial() -> tuple[float, int]:
+        # 4 blocks/CPU: enough extract tasks per actor to balance the
+        # pool, few enough that the sort's blocksxpartitions fragment
+        # count stays coarse (tiny fragments made the shuffle a flat,
+        # non-scaling cost; see order_by_turn docstring)
+        ds = rd.read_parquet(path, override_num_blocks=4 * NUM_CPUS)
+        t0 = time.time()
+        extracted = extract_turns(
+            ds, concurrency=max(2, NUM_CPUS - 2), batch_size=256
+        )
+        ordered = order_by_turn(extracted)
+        n = (
+            ordered.select_columns(["conv_id", "turn_idx"])
+            .materialize()
+            .count()
+        )
+        return time.time() - t0, n
+
+    trials = int(os.environ.get("BENCH_TRIALS", "2"))
+    best, n = min(one_trial() for _ in range(trials))
+    return {"seconds": best, "turns": n, "turns_per_sec": round(n / best, 1)}
+
+
+def run_queries() -> dict:
+    from unfurl_ray import pipelines as p
+
+    timings = {}
+    for name, fn in [
+        ("q1_pricing_summary", p.q1_pricing_summary),
+        ("q_order_lineitem_join", p.q_order_lineitem_join),
+        ("q_events_window", p.q_events_window),
+        ("q_exact_dedup", p.q_exact_dedup),
+        ("q_minhash_dedup", p.q_minhash_dedup),
+        ("q_knn_topk", p.q_knn_topk),
+        ("q_extract_meta", p.q_extract_meta),
+    ]:
+        t0 = time.time()
+        result = fn(SF_DIR)
+        if hasattr(result, "to_pandas"):
+            result.to_pandas()
+        timings[name] = round(time.time() - t0, 2)
+    return timings
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # push-based shuffle merges map fragments in intermediate stages —
+    # measurably faster AND more stable for the wide-row ordering sort
+    # (pull-based: 44-58 s at 32 CPUs; push-based: 41.4-41.6 s)
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+
+    headline = run_headline()
+    queries = run_queries() if os.environ.get("BENCH_QUERIES", "1") == "1" else {}
+    ray.shutdown()
+
+    print(
+        json.dumps(
+            {
+                "metric": "transcript extraction + ordering wall time",
+                "value": round(headline["seconds"], 2),
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "turns": headline["turns"],
+                "turns_per_sec": headline["turns_per_sec"],
+            }
+        )
+    )
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            BENCH_QUERIES="0",
+            BENCH_TRANSCRIPTS=TRANSCRIPT_CACHE,
+            # single trial per level keeps the whole 8+32 comparison
+            # inside one sitting; push-based shuffle is stable enough
+            BENCH_TRIALS=os.environ.get("BENCH_TRIALS", "1"),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    tput_lo = r_lo["turns_per_sec"]
+    tput_hi = r_hi["turns_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (8 -> 32 CPUs)",
+                "sec_8": r_lo["value"],
+                "sec_32": r_hi["value"],
+                "turns": r_lo["turns"],
+                "turns_per_sec_8": tput_lo,
+                "turns_per_sec_32": tput_hi,
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -17,6 +17,12 @@ tolerant stdlib tokenizer the metaparser uses:
 Pure function of the input string -> runs inside stateless
 ``map_batches`` tasks; the compiled regexes live at module level
 (loaded once per worker process).
+
+``ContentCollector`` holds the per-document state behind plain
+``starttag/endtag/data`` events so ONE tokenization pass can drive it
+alongside the metadata handler (engine/plugin.py combined path) — the
+HTML is megabytes per turn and tokenizing it twice was ~30% of the
+extract stage's CPU.
 """
 
 from __future__ import annotations
@@ -51,37 +57,20 @@ class _Block:
         self.boiler = boiler
 
 
-from html.parser import HTMLParser
+class ContentCollector:
+    """Parser-agnostic block state; drive with starttag/endtag/data.
 
+    ``data`` takes the char offset of the data run (or -1 unknown) so
+    the caller owns position bookkeeping (it differs per tokenizer).
+    """
 
-class _ContentHandler(HTMLParser):
     def __init__(self):
-        super().__init__(convert_charrefs=True)
         self.blocks: list[_Block] = []
         self._drop = 0
         self._boiler = 0
         self._link = 0
         self._stack: list[str] = []
-        self._line_starts: list[int] | None = None
         self._current: _Block | None = None
-
-    def _offset(self) -> int:
-        if self._line_starts is None:
-            text = self.rawdata if not self._fed else self._fed
-            self._line_starts = [0]
-            for i, ch in enumerate(text):
-                if ch == "\n":
-                    self._line_starts.append(i + 1)
-        line, col = self.getpos()
-        if line - 1 < len(self._line_starts):
-            return self._line_starts[line - 1] + col
-        return -1
-
-    _fed = ""
-
-    def feed(self, data):
-        self._fed = data
-        super().feed(data)
 
     def _open_block(self):
         self._current = _Block(self._boiler > 0)
@@ -90,7 +79,7 @@ class _ContentHandler(HTMLParser):
     def _close_block(self):
         self._current = None
 
-    def handle_starttag(self, tag, attrs):
+    def starttag(self, tag: str):
         if tag in DROP_TAGS:
             if tag not in VOID:
                 self._drop += 1
@@ -110,7 +99,7 @@ class _ContentHandler(HTMLParser):
         if tag not in VOID:
             self._stack.append(tag)
 
-    def handle_endtag(self, tag):
+    def endtag(self, tag: str):
         if tag in DROP_TAGS:
             if self._drop > 0:
                 self._drop -= 1
@@ -128,7 +117,7 @@ class _ContentHandler(HTMLParser):
             while self._stack and self._stack.pop() != tag:
                 pass
 
-    def handle_data(self, data):
+    def data(self, data: str, pos: int):
         if self._drop > 0:
             return
         stripped = data.strip()
@@ -137,7 +126,6 @@ class _ContentHandler(HTMLParser):
         if self._current is None:
             self._open_block()
         block = self._current
-        pos = self._offset()
         if block.start < 0:
             block.start = pos
         if pos >= 0:
@@ -148,17 +136,53 @@ class _ContentHandler(HTMLParser):
         if self._boiler > 0:
             block.boiler = True
 
+    def wants_data(self) -> bool:
+        """True when a data run could contribute (skip offset math else)."""
+        return self._drop == 0
 
-def extract_blocks(html_text: str) -> list[dict]:
-    """All text blocks with stats (content + boilerplate, classified)."""
-    handler = _ContentHandler()
-    try:
-        handler.feed(html_text)
-        handler.close()
-    except Exception:
-        return []
+
+from html.parser import HTMLParser
+
+
+class _ContentHandler(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.collector = ContentCollector()
+        self._line_starts: list[int] | None = None
+
+    _fed = ""
+
+    def feed(self, data):
+        self._fed = data
+        super().feed(data)
+
+    def _offset(self) -> int:
+        if self._line_starts is None:
+            text = self.rawdata if not self._fed else self._fed
+            self._line_starts = [0]
+            for i, ch in enumerate(text):
+                if ch == "\n":
+                    self._line_starts.append(i + 1)
+        line, col = self.getpos()
+        if line - 1 < len(self._line_starts):
+            return self._line_starts[line - 1] + col
+        return -1
+
+    def handle_starttag(self, tag, attrs):
+        self.collector.starttag(tag)
+
+    def handle_endtag(self, tag):
+        self.collector.endtag(tag)
+
+    def handle_data(self, data):
+        if self.collector.wants_data() and data.strip():
+            self.collector.data(data, self._offset())
+
+
+def finish_blocks(collector: ContentCollector) -> list[dict]:
+    """Classify collected blocks -> stats dicts (content + boilerplate)."""
     out = []
-    for block in handler.blocks:
+    for block in collector.blocks:
         text = _WS.sub(" ", "".join(block.parts)).strip()
         if not text:
             continue
@@ -182,9 +206,19 @@ def extract_blocks(html_text: str) -> list[dict]:
     return out
 
 
-def extract_main_text(html_text: str) -> tuple[str, list[dict]]:
-    """Main text + spans.  Returns ("", []) for non-HTML/empty input."""
-    blocks = extract_blocks(html_text)
+def extract_blocks(html_text: str) -> list[dict]:
+    """All text blocks with stats (content + boilerplate, classified)."""
+    handler = _ContentHandler()
+    try:
+        handler.feed(html_text)
+        handler.close()
+    except Exception:
+        return []
+    return finish_blocks(handler.collector)
+
+
+def blocks_to_main(blocks: list[dict]) -> tuple[str, list[dict]]:
+    """Content blocks -> (main_text, spans)."""
     content = [b for b in blocks if b["is_content"]]
     main_text = "\n".join(b["text"] for b in content)
     spans = [
@@ -193,3 +227,8 @@ def extract_main_text(html_text: str) -> tuple[str, list[dict]]:
         if b["start"] >= 0
     ]
     return main_text, spans
+
+
+def extract_main_text(html_text: str) -> tuple[str, list[dict]]:
+    """Main text + spans.  Returns ("", []) for non-HTML/empty input."""
+    return blocks_to_main(extract_blocks(html_text))

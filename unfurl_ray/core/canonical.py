@@ -71,21 +71,10 @@ def _serialize(value: Any, out: list[str]) -> None:
         raise TypeError(f"unserializable type {type(value)!r}")
 
 
-_ESCAPES = {'"': '\\"', "\\": "\\\\", "\n": "\\n", "\r": "\\r",
-            "\t": "\\t", "\b": "\\b", "\f": "\\f"}
-
-
-def _json_string(s: str) -> str:
-    out = ['"']
-    for ch in s:
-        if ch in _ESCAPES:
-            out.append(_ESCAPES[ch])
-        elif ord(ch) < 0x20:
-            out.append(f"\\u{ord(ch):04x}")
-        else:
-            out.append(ch)
-    out.append('"')
-    return "".join(out)
+# C-accelerated escaper: short escapes for \" \\ \n \r \t \b \f,
+# \uXXXX for other control chars, non-ASCII passthrough — identical to
+# the hand-rolled per-char loop it replaced (hot path: ~16% of extract)
+from json.encoder import encode_basestring as _json_string
 
 
 def format_js_date(dt: datetime) -> str:

@@ -19,11 +19,17 @@ from __future__ import annotations
 import json
 from typing import Any, Callable
 
+from unfurl_ray.content.boilerplate import (
+    ContentCollector,
+    blocks_to_main,
+    extract_blocks,
+    finish_blocks,
+)
 from unfurl_ray.content.mime import content_type
 from unfurl_ray.core.values import to_array
 from unfurl_ray.html.extract import assemble_website
 from unfurl_ray.html.jsonld import normalize_jsonld
-from unfurl_ray.html.metaparser import parse_html
+from unfurl_ray.html.metaparser import MetaHandler, parse_html
 
 CONTENT_TYPE_JSON = "application/json"
 CONTENT_TYPE_OEMBED = "application/json+oembed"
@@ -146,6 +152,101 @@ def scrape_html(
     graph = normalize_jsonld(merged, url, context_loader)
     oembed = get_oembed(side_table, metadata.alternate) if status == 200 else None
     return assemble_website(url, mime, metadata, graph, oembed)
+
+
+class MetaContentHandler(MetaHandler):
+    """MetaHandler + main-content blocks in ONE tokenization pass.
+
+    The metadata and boilerplate extractors both run the stdlib
+    tokenizer over the same (potentially multi-MB) payload; fusing them
+    halves tokenizer work in the hot ``ExtractTurns`` stage.  Metadata
+    semantics are exactly ``MetaHandler``'s (every event delegates via
+    super() first); content events mirror ``_ContentHandler``'s —
+    ``handle_startendtag`` maps to starttag+endtag, matching the
+    HTMLParser default dispatch the standalone handler relies on.
+    """
+
+    def __init__(self, url: str):
+        super().__init__(url)
+        self.content = ContentCollector()
+        self._line_starts: list[int] | None = None
+        self._fed_text = ""
+
+    def feed(self, data):
+        self._fed_text = data
+        super().feed(data)
+
+    def _offset(self) -> int:
+        if self._line_starts is None:
+            text = self._fed_text or self.rawdata
+            self._line_starts = [0]
+            for i, ch in enumerate(text):
+                if ch == "\n":
+                    self._line_starts.append(i + 1)
+        line, col = self.getpos()
+        if line - 1 < len(self._line_starts):
+            return self._line_starts[line - 1] + col
+        return -1
+
+    def handle_starttag(self, tag, attrs):
+        super().handle_starttag(tag, attrs)
+        self.content.starttag(tag)
+
+    def handle_startendtag(self, tag, attrs):
+        super().handle_startendtag(tag, attrs)
+        self.content.starttag(tag)
+        self.content.endtag(tag)
+
+    def handle_endtag(self, tag):
+        super().handle_endtag(tag)
+        self.content.endtag(tag)
+
+    def handle_data(self, data):
+        super().handle_data(data)
+        if self.content.wants_data() and data.strip():
+            self.content.data(data, self._offset())
+
+
+def scrape_html_with_content(
+    url: str,
+    status: int,
+    mime: str,
+    body_text: str,
+    side_table: SideTable | None = None,
+    context_loader: dict[str, Any] | None = None,
+) -> tuple[dict | None, str, list[dict]]:
+    """Single-pass variant of ``scrape_html`` + ``extract_main_text``.
+
+    Returns ``(record_or_None, main_text, spans)``; record None means
+    the mime gate deferred (non-HTML).  Degradation parity: a parse
+    error still yields the bare website record, and main content is
+    re-attempted standalone (the metadata callbacks may raise on input
+    the content pass would survive).
+    """
+    if mime != "text/html":
+        return None, "", []
+    handler = MetaContentHandler(url)
+    try:
+        handler.feed(body_text)
+        metadata = handler.result()
+        blocks = finish_blocks(handler.content)
+    except Exception:
+        metadata = None
+        blocks = extract_blocks(body_text)  # rare: content-only retry
+    main_text, spans = blocks_to_main(blocks)
+    if metadata is None:
+        return {"type": "website", "url": url}, main_text, spans
+    merged = (
+        to_array(metadata.jsonld)
+        + to_array(metadata.rdfa)
+        + to_array(metadata.microdata)
+    )
+    if context_loader is None:
+        context_loader = ContextLoader(side_table)
+    graph = normalize_jsonld(merged, url, context_loader)
+    oembed = get_oembed(side_table, metadata.alternate) if status == 200 else None
+    record = assemble_website(url, mime, metadata, graph, oembed)
+    return record, main_text, spans
 
 
 Plugin = Callable[..., "dict | None"]

@@ -16,9 +16,12 @@ from typing import Any
 
 import pyarrow as pa
 
-from unfurl_ray.content.boilerplate import extract_main_text
 from unfurl_ray.core.canonical import canonical_json
-from unfurl_ray.engine.plugin import ContextLoader, scrape_page
+from unfurl_ray.engine.plugin import (
+    ContextLoader,
+    scrape_html_with_content,
+    scrape_page,
+)
 
 SPAN_TYPE = pa.list_(
     pa.struct(
@@ -109,15 +112,25 @@ class ExtractTurns:
         for url, text in zip(urls, texts):
             text = text or ""
             mime = sniff_mime(text)
-            record = scrape_page(
-                url,
-                200,
-                {"content-type": mime},
-                text,
-                side_table=self.side_table,
-                context_loader=self.context_loader,
-                plugins=self.plugins,
-            )
+            if mime == "text/html" and "html" in self.plugins:
+                # fused parse: metadata buckets + content blocks in one
+                # tokenization of the (possibly multi-MB) payload
+                record, main_text, spans = scrape_html_with_content(
+                    url, 200, mime, text,
+                    side_table=self.side_table,
+                    context_loader=self.context_loader,
+                )
+            else:
+                record = scrape_page(
+                    url,
+                    200,
+                    {"content-type": mime},
+                    text,
+                    side_table=self.side_table,
+                    context_loader=self.context_loader,
+                    plugins=self.plugins,
+                )
+                main_text, spans = ("", [])
             mimes.append(mime)
             types.append(record.get("type", "link"))
             jsons.append(canonical_json(record))
@@ -125,10 +138,6 @@ class ExtractTurns:
             descriptions.append(record.get("description"))
             canonicals.append(record.get("canonicalUrl"))
             languages.append(record.get("language"))
-            if mime == "text/html":
-                main_text, spans = extract_main_text(text)
-            else:
-                main_text, spans = ("", [])
             main_texts.append(main_text)
             spans_col.append(spans)
             n_images.append(len(record.get("image") or []))

@@ -141,18 +141,26 @@ def _payload(kind: int, doc_id: int, title: str, desc: str, body: str) -> str:
     return body
 
 
-def transcripts_from_documents(batch: pa.Table) -> pa.Table:
-    """documents batch -> transcript rows (1 turn per document row).
+def transcripts_from_documents(batch: pa.Table, repeat: int = 1) -> pa.Table:
+    """documents batch -> transcript rows (``repeat`` turns per doc row).
 
-    conv_id groups ~TURNS_PER_CONV docs; a small set of hot conv_ids
-    (hash % 97 == 0 -> conv-hot-<k>) gives Zipf-ish skew so salted
-    repartition is exercised at scale.
+    conv_id groups ~TURNS_PER_CONV virtual docs; a small set of hot
+    conv_ids (hash % 97 == 0 -> conv-hot-<k>) gives Zipf-ish skew so
+    salted repartition is exercised at scale.  ``repeat`` amplifies the
+    row count deterministically (bench scaling runs) — each copy gets a
+    distinct virtual doc_id, so output is identical to a bigger corpus.
     """
-    doc_ids = batch.column("doc_id").to_pylist()
-    texts = batch.column("text").to_pylist()
+    raw_ids = batch.column("doc_id").to_pylist()
+    raw_texts = batch.column("text").to_pylist()
+    doc_texts = (
+        (rid * repeat + r, t)
+        for rid, t in zip(raw_ids, raw_texts)
+        for r in range(repeat)
+    )
 
     conv_ids, turn_idxs, roles, payloads, tools, tss = [], [], [], [], [], []
-    for doc_id, text in zip(doc_ids, texts):
+    shuffle_keys = []
+    for doc_id, text in doc_texts:
         text = text or ""
         h = _mix(doc_id)
         if h % 97 == 0:  # hot conversations (skew)
@@ -171,6 +179,7 @@ def transcripts_from_documents(batch: pa.Table) -> pa.Table:
         payloads.append(_payload(kind, doc_id, title, desc, text))
         tools.append("browser" if doc_id % 3 == 2 else "")
         tss.append(BASE_TS + doc_id * 1_000_000)
+        shuffle_keys.append(_mix(doc_id + 7) % (1 << 32))
 
     return pa.table(
         {
@@ -183,21 +192,27 @@ def transcripts_from_documents(batch: pa.Table) -> pa.Table:
             # deterministic pseudo-shuffle key: global row order is
             # hash order, so (conv_id, turn_idx) ordering needs a real
             # shuffle downstream.
-            "shuffle_key": pa.array(
-                [_mix(d + 7) % (1 << 32) for d in doc_ids], pa.uint32()
-            ),
+            "shuffle_key": pa.array(shuffle_keys, pa.uint32()),
         }
     )
 
 
-def build_transcripts(sf_dir: str, shuffled: bool = True):
+def build_transcripts(sf_dir: str, shuffled: bool = True, repeat: int = 1):
     """documents.parquet -> transcript Dataset (lazy, Ray-native)."""
     import ray.data as rd
 
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    ds = ds.map_batches(transcripts_from_documents, batch_format="pyarrow")
+    if repeat > 1:
+        # One small parquet file reads as one block; split it so the
+        # repeat-amplified generation runs on every core.
+        ds = ds.repartition(64)
+    ds = ds.map_batches(
+        transcripts_from_documents,
+        fn_kwargs={"repeat": repeat},
+        batch_format="pyarrow",
+    )
     if shuffled:
         ds = ds.sort("shuffle_key")
     return ds.drop_columns(["shuffle_key"])
