@@ -56,8 +56,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_simhash": p.q_simhash,
         # embeddings / similarity
         "q_cosine_to_query": p.q_cosine_to_query,
+        "q_embed_neardup": p.q_embed_neardup,
         "q_knn_topk": p.q_knn_topk,
         "q_knn_ivf": p.q_knn_ivf,
+        # multimodal plumbing
+        "q_image_meta": p.q_image_meta,
         # extraction (the reference's core capability)
         "q_extract_meta": p.q_extract_meta,
         "q_main_text": p.q_main_text,
@@ -187,6 +190,23 @@ def oracle_sql() -> dict[str, str]:
                         FROM embeddings WHERE vec_id = 0)
                    ) AS DOUBLE), 4) AS cosine
             FROM embeddings
+        """,
+        "q_embed_neardup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(CAST(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 4)
+                       AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+        "q_image_meta": """
+            SELECT doc_id, 'image/png' AS format,
+                   doc_id % 640 + 16 AS width,
+                   doc_id % 480 + 9 AS height
+            FROM documents ORDER BY doc_id
         """,
         "q_extract_meta": """
             SELECT doc_id,

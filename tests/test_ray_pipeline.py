@@ -141,3 +141,79 @@ def test_sessionize_gap_logic(ray_session):
     out = sessionize(ds, "ts", "user_id", gap_s=1800).to_pandas()
     assert len(out) == 2
     assert sorted(out["n_events"].tolist()) == [2, 2]
+
+
+def test_multimodal_audio_and_frames(ray_session):
+    import ray.data as rd
+    from unfurl_ray.ops.multimodal import (
+        audio_meta_pipeline, frame_sample_pipeline, sniff_wav,
+    )
+
+    # 1 channel, 8000 Hz, 16-bit PCM, 16000 bytes of data -> 1000 ms
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    data = b"data" + (16000).to_bytes(4, "little") + b"\x00" * 16000
+    wav = b"RIFF" + (4 + len(fmt) + len(data)).to_bytes(4, "little") + b"WAVE" + fmt + data
+    meta = sniff_wav(wav)
+    assert meta["sample_rate"] == 8000 and meta["duration_ms"] == 1000
+
+    ds = rd.from_items([
+        {"item_id": 1, "content": wav},
+        {"item_id": 2, "content": b"mp3?"},
+    ])
+    out = audio_meta_pipeline(ds, concurrency=1).to_pandas()
+    metas = out.sort_values("item_id")["audio_meta"].tolist()
+    assert metas[0]["duration_ms"] == 1000 and metas[0]["channels"] == 1
+    assert metas[1]["format"] is None
+
+    vid = bytes(range(256)) * 16  # 4 KiB fake video payload
+    ds2 = rd.from_items([{"item_id": 1, "content": vid}])
+    frames = frame_sample_pipeline(ds2, concurrency=1, n_frames=4).to_pandas()
+    fr = frames["frames"][0]
+    assert len(fr) == 4
+    assert fr[0]["frame_idx"] == 0 and len(fr[0]["data"]) == 64
+    assert fr[1]["ts_ms"] > fr[0]["ts_ms"]
+
+
+def test_multimodal_resize_stub_contract(ray_session):
+    import pytest
+    import ray.data as rd
+    from unfurl_ray.ops.multimodal import DecodeBackend, ImageResize
+
+    # default backend: clearly-marked NotImplementedError (no codec)
+    with pytest.raises(NotImplementedError):
+        ImageResize()._resize_one(b"\x89PNG....")
+
+    class FakeBackend(DecodeBackend):
+        def decode_pixels(self, data: bytes):
+            return data * 2
+
+    ds = rd.from_items([{"item_id": 1, "content": b"ab" * 64}])
+    out = ds.map_batches(
+        ImageResize,
+        fn_constructor_kwargs={"width": 8, "height": 8,
+                               "backend": FakeBackend()},
+        batch_format="pyarrow", concurrency=1,
+    ).to_pandas()
+    assert len(out["resized"][0]) == 64  # 8x8 contract
+    assert out["resized_meta"][0]["width"] == 8
+
+
+def test_embedding_cosine_pairs(ray_session):
+    import ray.data as rd
+    from unfurl_ray.ops.similarity import cosine_pair_dedup
+
+    base = np.array([1.0, 0.0, 0.0, 0.0])
+    vecs = [base, base * 3.0,                      # exact dup (cos 1.0)
+            np.array([0.9, 0.1, 0.0, 0.0]),        # near dup
+            np.array([0.0, 1.0, 0.0, 0.0])]        # orthogonal
+    ds = rd.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(4, dtype=np.int64),
+         "embedding": [v.astype(np.float32) for v in vecs]}
+    ))
+    out = cosine_pair_dedup(ds, threshold=0.9, concurrency=1).to_pandas()
+    pairs = set(zip(out["vec_a"], out["vec_b"]))
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert all(b != 3 and a != 3 for a, b in pairs)

@@ -100,3 +100,159 @@ def image_meta_pipeline(ds, concurrency: int = 2, batch_size: int = 32):
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def sniff_wav(data: bytes) -> dict | None:
+    """Real WAV (RIFF/WAVE) header parse: rate, channels, bits, duration.
+
+    Walks the chunk list (fmt / data may come in any order after the
+    RIFF header); no codec needed for PCM metadata.
+    """
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    out: dict = {"format": "audio/wav"}
+    pos = 12
+    byte_rate = data_size = None
+    while pos + 8 <= len(data):
+        cid = data[pos: pos + 4]
+        size = int.from_bytes(data[pos + 4: pos + 8], "little")
+        body = data[pos + 8: pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            out["channels"] = int.from_bytes(body[2:4], "little")
+            out["sample_rate"] = int.from_bytes(body[4:8], "little")
+            byte_rate = int.from_bytes(body[8:12], "little")
+            out["bits_per_sample"] = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if byte_rate and data_size is not None:
+        out["duration_ms"] = int(round(data_size / byte_rate * 1000))
+    return out if "sample_rate" in out else None
+
+
+AUDIO_META_TYPE = pa.struct(
+    [
+        ("format", pa.string()),
+        ("sample_rate", pa.int32()),
+        ("channels", pa.int32()),
+        ("bits_per_sample", pa.int32()),
+        ("duration_ms", pa.int64()),
+    ]
+)
+
+
+class AudioMeta:
+    """Actor-pool stage: audio binary column -> typed metadata struct
+    (WAV header parse is real; other containers -> nulls)."""
+
+    def __init__(self, column: str = "content"):
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas = []
+        for data in batch.column(self.column).to_pylist():
+            meta = sniff_wav(data or b"") or {}
+            metas.append(
+                {k: meta.get(k) for k in (
+                    "format", "sample_rate", "channels",
+                    "bits_per_sample", "duration_ms")}
+            )
+        return batch.append_column(
+            "audio_meta", pa.array(metas, AUDIO_META_TYPE)
+        )
+
+
+FRAME_TYPE = pa.list_(
+    pa.struct([("frame_idx", pa.int32()), ("ts_ms", pa.int64()),
+               ("data", pa.binary())])
+)
+
+
+class FrameSample:
+    """Actor-pool stage: video binary -> n sampled "frames".
+
+    Real frame decode needs ffmpeg (absent here) — the sampler is a
+    clearly-marked deterministic fake (fixed-stride byte windows with
+    synthetic timestamps) so the Ray plumbing (list<struct> layout,
+    per-frame bytes, batch sizing by payload) is exercised for real.
+    Swap ``_cut`` for an ffmpeg-backed keyframe extractor in prod.
+    """
+
+    def __init__(self, column: str = "content", n_frames: int = 4,
+                 frame_bytes: int = 64, fps_ms: int = 40):
+        self.column = column
+        self.n = n_frames
+        self.frame_bytes = frame_bytes
+        self.fps_ms = fps_ms
+
+    def _cut(self, data: bytes) -> list[dict]:
+        if not data:
+            return []
+        step = max(1, len(data) // self.n)
+        return [
+            {
+                "frame_idx": i,
+                "ts_ms": i * step * self.fps_ms // max(1, self.frame_bytes),
+                "data": data[i * step: i * step + self.frame_bytes],
+            }
+            for i in range(min(self.n, (len(data) + step - 1) // step))
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        frames = [
+            self._cut(d or b"")
+            for d in batch.column(self.column).to_pylist()
+        ]
+        return batch.append_column("frames", pa.array(frames, FRAME_TYPE))
+
+
+class ImageResize:
+    """Actor-pool stage signature for image resize.
+
+    Pixel work needs a codec (Pillow/libvips — absent in this sandbox):
+    ``DecodeBackend.decode_pixels`` raises NotImplementedError, and this
+    stage surfaces that unless given a fake backend.  The schema
+    contract (adds ``resized: binary`` + ``resized_meta`` struct) and
+    batch plumbing are real and covered by tests via the fake.
+    """
+
+    def __init__(self, column: str = "content", width: int = 64,
+                 height: int = 64, backend: DecodeBackend | None = None):
+        self.column = column
+        self.width = width
+        self.height = height
+        self.backend = backend or DecodeBackend()
+
+    def _resize_one(self, data: bytes) -> bytes:
+        # default backend raises NotImplementedError here (no codec in
+        # sandbox); a real/fake backend returns decoded bytes which a
+        # real implementation would interpolate to (width, height)
+        pixels = self.backend.decode_pixels(data)
+        return bytes(pixels)[: self.width * self.height]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [self._resize_one(d or b"")
+               for d in batch.column(self.column).to_pylist()]
+        meta = [{"format": "image/raw", "width": self.width,
+                 "height": self.height} for _ in out]
+        return batch.append_column(
+            "resized", pa.array(out, pa.binary())
+        ).append_column("resized_meta", pa.array(meta, IMAGE_META_TYPE))
+
+
+def audio_meta_pipeline(ds, concurrency: int = 2, batch_size: int = 64):
+    return ds.map_batches(
+        AudioMeta, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+    )
+
+
+def frame_sample_pipeline(ds, concurrency: int = 2, batch_size: int = 16,
+                          n_frames: int = 4):
+    """Tiny batch_size: each row may be a multi-MB video blob and the
+    output multiplies it by n_frames."""
+    return ds.map_batches(
+        FrameSample, fn_constructor_kwargs={"n_frames": n_frames},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+    )

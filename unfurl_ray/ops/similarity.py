@@ -157,3 +157,67 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
         expr=f"centroid_id in {wanted}"
     ) if hasattr(assigned, "filter") else assigned
     return knn_brute(subset.drop_columns(["centroid_id"]), queries, k)
+
+
+class CosinePairs:
+    """Actor-pool stage: near-duplicate pairs by embedding cosine.
+
+    The full normalized corpus (id + matrix) is broadcast once via
+    ``ray.put`` and each batch matmuls its rows against it, emitting
+    only pairs ``vec_a < vec_b`` with ``cosine >= threshold`` — so the
+    N^2 similarity matrix never materializes and only matches cross the
+    wire.  This is the exact baseline; at corpus sizes where the
+    broadcast no longer fits (>~10M x d floats per node), swap the
+    probe side for the IVF partitioning of ``knn_ivf`` (or LSH bucket
+    groupby a la MinHash) and take the same pair-emission kernel
+    within buckets.
+    """
+
+    def __init__(self, corpus_ref, threshold: float):
+        import ray
+
+        ids, mat = (
+            ray.get(corpus_ref)
+            if isinstance(corpus_ref, ray.ObjectRef)
+            else corpus_ref
+        )
+        self.ids = ids
+        self.mat = mat  # already normalized (n, d)
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = _normalize(_as_matrix(batch.column("embedding")))
+        sims = m @ self.mat.T  # (batch, corpus)
+        rows, cols = np.nonzero(sims >= self.threshold)
+        a = ids[rows]
+        b = self.ids[cols]
+        keep = a < b
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep], pa.int64()),
+                "vec_b": pa.array(b[keep], pa.int64()),
+                "cosine": pa.array(
+                    np.round(sims[rows, cols][keep], 4), pa.float64()
+                ),
+            }
+        )
+
+
+def cosine_pair_dedup(ds, threshold: float = 0.45, concurrency: int = 4):
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine>=t)."""
+    import ray
+
+    corpus = ds.select_columns(["vec_id", "embedding"]).to_pandas()
+    ids = corpus["vec_id"].to_numpy(dtype=np.int64)
+    mat = _normalize(np.array(corpus["embedding"].tolist()))
+    corpus_ref = ray.put((ids, mat))
+    return ds.map_batches(
+        CosinePairs,
+        fn_constructor_kwargs={
+            "corpus_ref": corpus_ref, "threshold": threshold,
+        },
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=concurrency,
+    )

@@ -529,3 +529,64 @@ def q_transcript_types(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     out["n"] = out["n"].astype("int64")
     return out
+
+
+def q_embed_neardup(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact brute baseline;
+    broadcast normalized corpus, per-batch matmul -> only matching
+    pairs leave the tasks).  Scale path: IVF/LSH bucket + same kernel
+    (see ops.similarity.CosinePairs)."""
+    from unfurl_ray.ops.similarity import cosine_pair_dedup
+
+    ds = _parquet(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = cosine_pair_dedup(ds, threshold=0.45).to_pandas()
+    return (
+        out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    )
+
+
+def q_image_meta(sf_dir: str) -> pd.DataFrame:
+    """Multimodal plumbing, oracle-checkable: deterministic PNG headers
+    (dims derived from doc_id) ride a binary column through the real
+    ``ImageMeta`` sniffing stage; SQL recomputes the dims arithmetic."""
+    import struct
+
+    from unfurl_ray.ops.multimodal import ImageMeta
+
+    def to_png(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        blobs = [
+            b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">IIBBBBB", d % 640 + 16, d % 480 + 9,
+                          8, 2, 0, 0, 0)
+            for d in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "content": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    ds = _parquet(sf_dir, "documents", ["doc_id"])
+    out = (
+        ds.map_batches(to_png, batch_format="pyarrow")
+        .map_batches(
+            ImageMeta, batch_format="pyarrow", batch_size=128,
+            concurrency=2, num_cpus=1,
+        )
+        .to_pandas()
+    )
+    meta = pd.DataFrame(out["image_meta"].tolist())
+    return (
+        pd.DataFrame(
+            {
+                "doc_id": out["doc_id"],
+                "format": meta["format"],
+                "width": meta["width"].astype("int64"),
+                "height": meta["height"].astype("int64"),
+            }
+        )
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
