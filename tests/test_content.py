@@ -120,3 +120,51 @@ def test_combined_single_pass_parity():
         assert got_spans == want_spans, p["url"]
         checked += 1
     assert checked > 80
+
+
+def test_pdf_text_extraction():
+    from unfurl_ray.content.pdf_text import (
+        extract_pdf_blocks, extract_pdf_text,
+    )
+    from unfurl_ray.sources.transcripts import _pdf_payload
+
+    pdf = _pdf_payload("Doc 1: hello world", "lorem ipsum " * 10)
+    data = pdf.encode("latin-1")
+    text, spans = extract_pdf_text(data)
+    assert text.startswith("Doc 1: hello world")
+    assert "lorem ipsum" in text
+    assert spans and spans[0]["kind"] == "pdf_text"
+    s = spans[0]
+    assert b"Tj" in data[s["start"]:s["end"]]
+    assert extract_pdf_text(b"not a pdf") == ("", [])
+
+    # literal-string escapes, hex strings, octal
+    raw = (b"%PDF-1.4\n<< /Length 62 >>\nstream\n"
+           b"BT (a\\(b\\)c) Tj <48454C4C4F> Tj (\\101\\n) Tj ET"
+           b"\nendstream\n%%EOF")
+    blocks = extract_pdf_blocks(raw)
+    assert blocks and blocks[0]["text"] == "a(b)c HELLO A"
+
+
+def test_pdf_text_flate_stream():
+    import zlib
+    from unfurl_ray.content.pdf_text import extract_pdf_text
+
+    content = b"BT (compressed text payload here) Tj ET"
+    comp = zlib.compress(content)
+    raw = (b"%PDF-1.4\n<< /Filter /FlateDecode /Length "
+           + str(len(comp)).encode() + b" >>\nstream\n" + comp
+           + b"\nendstream\n%%EOF")
+    text, spans = extract_pdf_text(raw)
+    assert text == "compressed text payload here"
+    assert spans[0]["start"] > 0  # whole-stream span for inflated data
+
+
+def test_pdf_tj_array_glues_kerning_pieces():
+    from unfurl_ray.content.pdf_text import extract_pdf_blocks
+
+    raw = (b"%PDF-1.4\n<< /Length 48 >>\nstream\n"
+           b"BT [(Hel) -20 (lo)] TJ (world) Tj ET"
+           b"\nendstream\n%%EOF")
+    blocks = extract_pdf_blocks(raw)
+    assert blocks[0]["text"] == "Hello world"

@@ -217,3 +217,20 @@ def test_embedding_cosine_pairs(ray_session):
     pairs = set(zip(out["vec_a"], out["vec_b"]))
     assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
     assert all(b != 3 and a != 3 for a, b in pairs)
+
+
+def test_pdf_turns_extract_document_and_text(ray_session):
+    from unfurl_ray.engine.pipeline import extract_turns
+    from unfurl_ray.sources.transcripts import build_transcripts
+
+    ds = build_transcripts("/root/testdata/sf0.001", shuffled=False)
+    out = extract_turns(ds, concurrency=2).to_pandas()
+    pdfs = out[out["mime"] == "application/pdf"]
+    assert len(pdfs) > 0
+    assert (pdfs["unfurl_type"] == "document").all()
+    with_text = pdfs[pdfs["main_text"].str.len() > 0]
+    assert len(with_text) == len(pdfs)
+    row = with_text.iloc[0]
+    assert row["main_text"].startswith("Doc ")
+    assert row["spans"][0]["kind"] == "pdf_text"
+    assert row["headline"] is not None  # /Title Info metadata flows

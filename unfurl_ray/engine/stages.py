@@ -130,7 +130,14 @@ class ExtractTurns:
                     context_loader=self.context_loader,
                     plugins=self.plugins,
                 )
-                main_text, spans = ("", [])
+                if mime == "application/pdf":
+                    from unfurl_ray.content.pdf_text import extract_pdf_text
+
+                    main_text, spans = extract_pdf_text(
+                        text.encode("latin-1", errors="replace")
+                    )
+                else:
+                    main_text, spans = ("", [])
             mimes.append(mime)
             types.append(record.get("type", "link"))
             jsons.append(canonical_json(record))

@@ -135,10 +135,39 @@ def _payload(kind: int, doc_id: int, title: str, desc: str, body: str) -> str:
             f'<meta name="language" content="en">'
             f"</head><body>{main}</body></html>"
         )
-    # kind 8: plain text (mime-gate fallback) or empty
+    if kind == 8:  # PDF turn (north_rule PDF/layout axis)
+        return _pdf_payload(title, body)
+    # kind 9: plain text (mime-gate fallback) or empty
     if doc_id % 7 == 0:
         return ""
     return body
+
+
+def _pdf_payload(title: str, body: str) -> str:
+    """Minimal single-page PDF (ASCII, uncompressed content stream) so
+    the PDF text-extraction path runs per turn; one Tj per line."""
+    def pdf_esc(s: str) -> str:
+        return (
+            s.replace("\\", "").replace("(", "").replace(")", "")
+            .encode("ascii", errors="ignore").decode("ascii")
+        )
+
+    lines = [pdf_esc(title)] + [
+        pdf_esc(body[i: i + 60]) for i in range(0, min(len(body), 300), 60)
+    ]
+    content = "BT /F1 12 Tf 72 720 Td " + " T* ".join(
+        f"({ln}) Tj" for ln in lines if ln.strip()
+    ) + " ET"
+    stream = f"<< /Length {len(content)} >>\nstream\n{content}\nendstream"
+    return (
+        "%PDF-1.4\n"
+        "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        f"4 0 obj {stream} endobj\n"
+        f"5 0 obj << /Title ({pdf_esc(title)}) >> endobj\n"
+        "trailer << /Root 1 0 R /Info 5 0 R >>\n%%EOF\n"
+    )
 
 
 def transcripts_from_documents(batch: pa.Table, repeat: int = 1) -> pa.Table:
@@ -172,7 +201,7 @@ def transcripts_from_documents(batch: pa.Table, repeat: int = 1) -> pa.Table:
         words = text.split()
         title = f"Doc {doc_id}: " + " ".join(words[:5])
         desc = " ".join(words[5:25]) or "empty description"
-        kind = h % 9
+        kind = h % 10
         conv_ids.append(conv)
         turn_idxs.append(turn)
         roles.append(ROLES[doc_id % 3])
