@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_extract_meta": p.q_extract_meta,
         "q_main_text": p.q_main_text,
         "q_transcript_types": p.q_transcript_types,
+        "q_conv_stats": p.q_conv_stats,
     }
 
 

@@ -234,3 +234,38 @@ def test_pdf_turns_extract_document_and_text(ray_session):
     assert row["main_text"].startswith("Doc ")
     assert row["spans"][0]["kind"] == "pdf_text"
     assert row["headline"] is not None  # /Title Info metadata flows
+
+
+def test_salted_groupby_matches_unsalted(ray_session):
+    """Full skew drill: find hot keys -> salt -> per-(key,salt) partial
+    -> merge == plain groupby result."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from unfurl_ray.ops.skew import add_salt, find_hot_keys
+
+    rows = (
+        [{"conv_id": "hot", "turn_idx": i, "v": 1} for i in range(500)]
+        + [{"conv_id": f"c{i % 20}", "turn_idx": i, "v": 1}
+           for i in range(200)]
+    )
+    ds = rd.from_items(rows)
+    hot = find_hot_keys(ds, "conv_id", threshold=100)
+    assert hot == {"hot"}
+
+    salted = add_salt(ds, "conv_id", hot, n_salt=4, order_col="turn_idx")
+    sub = (
+        salted.groupby(["conv_id", "salt"])
+        .aggregate(Sum("v", alias_name="n"))
+        .to_pandas()
+    )
+    # hot key spread across >1 salt partitions
+    assert sub[sub["conv_id"] == "hot"]["salt"].nunique() > 1
+    merged = sub.groupby("conv_id", as_index=False)["n"].sum()
+    plain = (
+        ds.groupby("conv_id").aggregate(Sum("v", alias_name="n"))
+        .to_pandas()
+    )
+    assert (
+        merged.sort_values("conv_id").reset_index(drop=True)["n"].tolist()
+        == plain.sort_values("conv_id").reset_index(drop=True)["n"].tolist()
+    )

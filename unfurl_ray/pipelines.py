@@ -590,3 +590,30 @@ def q_image_meta(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def q_conv_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-conversation turn counts with the skew drill: detect hot
+    conv_ids, salt them, aggregate per (conv, salt), merge.  Rows-only
+    check (conv assignment uses a non-SQL hash mixer)."""
+    from ray.data.aggregate import Count
+
+    from unfurl_ray.ops.skew import add_salt, find_hot_keys
+    from unfurl_ray.sources.transcripts import build_transcripts
+
+    ds = build_transcripts(sf_dir, shuffled=False)
+    hot = find_hot_keys(ds, "conv_id", threshold=1000)
+    salted = add_salt(ds, "conv_id", hot, n_salt=8, order_col="turn_idx")
+    sub = (
+        salted.groupby(["conv_id", "salt"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    out = (
+        sub.groupby("conv_id", as_index=False)["n"].sum()
+        .rename(columns={"n": "n_turns"})
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    out["n_turns"] = out["n_turns"].astype("int64")
+    return out
