@@ -179,10 +179,13 @@ class MetaContentHandler(MetaHandler):
     def _offset(self) -> int:
         if self._line_starts is None:
             text = self._fed_text or self.rawdata
-            self._line_starts = [0]
-            for i, ch in enumerate(text):
-                if ch == "\n":
-                    self._line_starts.append(i + 1)
+            starts = [0]
+            find = text.find
+            i = find("\n")
+            while i >= 0:
+                starts.append(i + 1)
+                i = find("\n", i + 1)
+            self._line_starts = starts
         line, col = self.getpos()
         if line - 1 < len(self._line_starts):
             return self._line_starts[line - 1] + col
