@@ -39,6 +39,19 @@ def test_transcript_pipeline_end_to_end(ray_session, tmp_path):
     assert key == sorted(key)
     assert (final["unfurl_type"] == "website").sum() > 300
 
+    # re-run (resume): extraction skipped, final REPLACED not appended
+    run_pipeline(
+        sorted(glob.glob(f"{tdir}/*.parquet")),
+        str(tmp_path / "out"),
+        concurrency=2,
+        files_per_partition=4,
+        resume=True,
+        order=True,
+    )
+    files2 = sorted((tmp_path / "out" / "final").glob("*.parquet"))
+    total = sum(pq.read_metadata(f).num_rows for f in files2)
+    assert total == 500
+
 
 def test_resume_skips_finished_partitions(ray_session, tmp_path):
     from unfurl_ray.engine.pipeline import run_extraction_checkpointed

@@ -195,6 +195,13 @@ def run_pipeline(
     )
     ds = rd.read_parquet(parts)
     final_dir = Path(out_dir) / "final"
+    # the ordering pass is all-or-nothing: write_parquet appends (file
+    # names carry a fresh write_uuid), so a resumed/re-run pipeline
+    # must replace the previous final output, not double it
+    if final_dir.exists():
+        import shutil
+
+        shutil.rmtree(final_dir)
     # shuffle partitions by bytes (~256 MB each), floored at 2xCPUs so
     # every core participates in the reduce (see order_by_turn)
     total_bytes = sum(os.stat(p).st_size for p in parts)
