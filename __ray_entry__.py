@@ -44,6 +44,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_window": p.q_events_window,
         "q_sessionize": p.q_sessionize,
         "q_asof_join": p.q_asof_join,
+        "q_hopping_window": p.q_hopping_window,
+        "q_topk_per_group": p.q_topk_per_group,
+        "q_group_median": p.q_group_median,
         # documents / text analysis
         "q_doc_stats": p.q_doc_stats,
         "q_token_count": p.q_token_count,
@@ -147,6 +150,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(new_session) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM flagged GROUP BY user_id
+        """,
+        "q_hopping_window": """
+            WITH assigned AS (
+                SELECT event_type, date_trunc('hour', ts) AS window_start,
+                       value FROM events
+                UNION ALL
+                SELECT event_type,
+                       date_trunc('hour', ts) - INTERVAL 1 HOUR, value
+                FROM events
+            )
+            SELECT event_type, window_start, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM assigned GROUP BY event_type, window_start
+        """,
+        "q_topk_per_group": """
+            SELECT o_orderstatus, o_orderkey,
+                   round(o_totalprice, 2) AS o_totalprice
+            FROM (
+                SELECT o_orderstatus, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_orderstatus
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS rn
+                FROM orders)
+            WHERE rn <= 3
+        """,
+        "q_group_median": """
+            SELECT o_orderstatus,
+                   round(quantile_disc(o_totalprice, 0.5), 2)
+                       AS quantile_value,
+                   count(*) AS n
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         "q_asof_join": """
             SELECT e.event_id, o.o_orderkey

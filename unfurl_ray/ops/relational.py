@@ -182,3 +182,79 @@ def sessionize(ds, ts_col: str, key_col: str, gap_s: int):
         return out
 
     return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+
+
+def hopping_window(ds, ts_col: str, key_col: str, width_s: int,
+                   step_s: int, value_col: str | None = None):
+    """Overlapping (hopping) windows: each event lands in
+    ``width_s / step_s`` windows; assignment is a vectorized batch
+    flat-map (replicate rows per window), then the same partial
+    pre-aggregation as the tumbling path — events:windows fan-out
+    happens inside the batch, only pre-aggregated (key, window) rows
+    hit the shuffle.
+    """
+    if width_s % step_s:
+        raise ValueError("width_s must be a multiple of step_s")
+    k = width_s // step_s
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        us = _ts_us(batch[ts_col]).to_numpy()
+        step_us = step_s * 1_000_000
+        last_start = (us // step_us) * step_s  # seconds
+        reps = pd.concat([batch] * k, ignore_index=True)
+        starts = np.concatenate(
+            [last_start - i * step_s for i in range(k)]
+        )
+        reps["window_start"] = pd.to_datetime(starts, unit="s")
+        return reps[starts >= 0]
+
+    assigned = ds.map_batches(assign, batch_format="pandas")
+    aggs = {"n_events": (key_col, "count")}
+    if value_col:
+        aggs["sum_value"] = (value_col, "sum")
+    return pre_aggregate(assigned, [key_col, "window_start"], aggs)
+
+
+def topk_per_group(ds, key_col: str, order_col: str, k: int,
+                   tiebreak_col: str | None = None):
+    """Top-k rows per key: per-batch partial top-k (only k rows per key
+    per batch survive) then a global per-key top-k on the small
+    remainder — no full shuffle of the input."""
+    sort_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+    ascending = [False] + ([True] if tiebreak_col else [])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.sort_values(sort_cols, ascending=ascending)
+            .groupby(key_col, as_index=False)
+            .head(k)
+        )
+
+    pruned = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return (
+        pruned.sort_values([key_col] + sort_cols,
+                           ascending=[True] + ascending)
+        .groupby(key_col, as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def group_quantile_disc(ds, key_col: str, value_col: str, q: float):
+    """Exact discrete quantile per key (the element at
+    ``floor(q * (n-1))`` of the sorted values — DuckDB
+    ``quantile_disc`` semantics), via groupby().map_groups.
+
+    Partitioning assumption: one key's values fit in one group;
+    pre-bucket (e.g. by value range) for pathological keys.
+    """
+    def quant(group: pd.DataFrame) -> pd.DataFrame:
+        vals = np.sort(group[value_col].to_numpy())
+        idx = int(np.floor(q * (len(vals) - 1)))
+        return pd.DataFrame(
+            {key_col: [group[key_col].iloc[0]],
+             "quantile_value": [vals[idx]],
+             "n": [len(vals)]}
+        )
+
+    return ds.groupby(key_col).map_groups(quant, batch_format="pandas")

@@ -617,3 +617,48 @@ def q_conv_stats(sf_dir: str) -> pd.DataFrame:
     )
     out["n_turns"] = out["n_turns"].astype("int64")
     return out
+
+
+def q_hopping_window(sf_dir: str) -> pd.DataFrame:
+    """2-hour windows hopping every hour per event_type (each event in
+    2 windows; fan-out stays inside the batch, pre-aggregated)."""
+    from unfurl_ray.ops.relational import hopping_window
+
+    ds = _parquet(sf_dir, "events", ["ts", "event_type", "value"])
+    out = hopping_window(
+        ds, ts_col="ts", key_col="event_type", width_s=7200,
+        step_s=3600, value_col="value",
+    ).to_pandas()
+    out["sum_value"] = out["sum_value"].round(2)
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+def q_topk_per_group(sf_dir: str) -> pd.DataFrame:
+    """Top-3 orders by price per order status (partial per-batch top-k,
+    tiny global merge — no full shuffle)."""
+    from unfurl_ray.ops.relational import topk_per_group
+
+    ds = _parquet(
+        sf_dir, "orders", ["o_orderstatus", "o_totalprice", "o_orderkey"]
+    )
+    out = topk_per_group(
+        ds, key_col="o_orderstatus", order_col="o_totalprice", k=3,
+        tiebreak_col="o_orderkey",
+    )
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return out[["o_orderstatus", "o_orderkey", "o_totalprice"]]
+
+
+def q_group_median(sf_dir: str) -> pd.DataFrame:
+    """Discrete median of order price per status (exact, DuckDB
+    quantile_disc semantics) via groupby().map_groups."""
+    from unfurl_ray.ops.relational import group_quantile_disc
+
+    out = group_quantile_disc(
+        _parquet(sf_dir, "orders", ["o_orderstatus", "o_totalprice"]),
+        key_col="o_orderstatus", value_col="o_totalprice", q=0.5,
+    ).to_pandas()
+    out["quantile_value"] = out["quantile_value"].round(2)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
