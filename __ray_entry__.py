@@ -40,6 +40,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_order_lineitem_join": p.q_order_lineitem_join,
         "q_semi_join": p.q_semi_join,
         "q_anti_join": p.q_anti_join,
+        "q_bloom_semi_join": p.q_bloom_semi_join,
+        "q_hll_users": p.q_hll_users,
         "q_distinct_event_types": p.q_distinct_event_types,
         "q_events_window": p.q_events_window,
         "q_sessionize": p.q_sessionize,
@@ -127,6 +129,14 @@ def oracle_sql() -> dict[str, str]:
         "q_anti_join": """
             SELECT count(*) AS n_customers FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "q_bloom_semi_join": """
+            SELECT count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            WHERE o_custkey IN (
+                SELECT c_custkey FROM customer
+                WHERE c_mktsegment = 'BUILDING')
         """,
         "q_distinct_event_types": """
             SELECT DISTINCT event_type FROM events ORDER BY event_type

@@ -282,3 +282,33 @@ def test_salted_groupby_matches_unsalted(ray_session):
         merged.sort_values("conv_id").reset_index(drop=True)["n"].tolist()
         == plain.sort_values("conv_id").reset_index(drop=True)["n"].tolist()
     )
+
+
+def test_hll_distinct_accuracy(ray_session):
+    import ray.data as rd
+    from unfurl_ray.ops.sketch import hll_distinct
+
+    n = 20000
+    ds = rd.from_pandas(pd.DataFrame({"k": np.arange(n) % 5000}))
+    est = hll_distinct(ds, "k", p=12)
+    assert abs(est - 5000) / 5000 < 0.05  # ~1.6% stderr at p=12
+
+
+def test_bloom_semi_join_exact(ray_session):
+    import ray.data as rd
+    from unfurl_ray.ops.sketch import BloomFilter, bloom_semi_join
+
+    bf = BloomFilter(1000, fp_rate=0.01)
+    bf.add(list(range(1000)))
+    hits = bf.contains(list(range(1000)))
+    assert hits.all()  # no false negatives, ever
+    fp = bf.contains(list(range(10_000, 30_000))).mean()
+    assert fp < 0.03  # ~target fp rate
+
+    ds = rd.from_pandas(pd.DataFrame({"k": np.arange(500), "v": 1}))
+    keys = set(range(0, 500, 7))
+    semi = bloom_semi_join(ds, keys, on="k", concurrency=1).to_pandas()
+    assert set(semi["k"]) == keys  # exact despite the Bloom prefilter
+    anti = bloom_semi_join(ds, keys, on="k", anti=True,
+                           concurrency=1).to_pandas()
+    assert set(anti["k"]) == set(range(500)) - keys

@@ -662,3 +662,37 @@ def q_group_median(sf_dir: str) -> pd.DataFrame:
     out["quantile_value"] = out["quantile_value"].round(2)
     out["n"] = out["n"].astype("int64")
     return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+def q_hll_users(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct users over events via mergeable HLL
+    sketches (4 KiB per batch regardless of input size).  Rows-only
+    check — the estimate is within ~2% of exact but not equal."""
+    from unfurl_ray.ops.sketch import hll_distinct
+
+    ds = _parquet(sf_dir, "events", ["user_id"])
+    est = hll_distinct(ds, "user_id", p=12)
+    return pd.DataFrame({"approx_distinct_users": [round(est)]})
+
+
+def q_bloom_semi_join(sf_dir: str) -> pd.DataFrame:
+    """Orders by customers in BUILDING segment, via Bloom-prefiltered
+    exact semi join (filter broadcast; survivors exact-checked)."""
+    from unfurl_ray.ops.sketch import bloom_semi_join
+
+    cust = (
+        _parquet(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .to_pandas()
+    )
+    keys = cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"]
+    orders = _parquet(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    out = (
+        bloom_semi_join(orders, set(keys.tolist()), on="o_custkey")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_orders": [len(out)],
+            "revenue": [round(out["o_totalprice"].sum(), 2)],
+        }
+    )
