@@ -312,3 +312,21 @@ def test_bloom_semi_join_exact(ray_session):
     anti = bloom_semi_join(ds, keys, on="k", anti=True,
                            concurrency=1).to_pandas()
     assert set(anti["k"]) == set(range(500)) - keys
+
+
+def test_snippet_dedup_cache(ray_session):
+    import ray.data as rd
+    from unfurl_ray.ops.dedup import snippet_dedup
+
+    rows = [{"i": i, "text": f"doc {i % 10}  body"} for i in range(50)]
+    ds = rd.from_items(rows)
+    out = snippet_dedup(ds, concurrency=1).to_pandas().sort_values("i")
+    # 10 distinct snippets -> first occurrence unique, rest flagged
+    assert (~out["is_dup_snippet"]).sum() == 10
+    assert out["is_dup_snippet"].sum() == 40
+    # whitespace/case-normalized: "DOC 3 body" is a dup of "doc 3  body"
+    ds2 = rd.from_items(
+        [{"i": 0, "text": "doc 3  body"}, {"i": 1, "text": "DOC 3 body"}]
+    )
+    out2 = snippet_dedup(ds2, concurrency=1).to_pandas().sort_values("i")
+    assert out2["is_dup_snippet"].tolist() == [False, True]

@@ -222,3 +222,59 @@ def add_simhash(batch: pa.Table, column: str = "text") -> pa.Table:
     # int64 domain for Arrow: shift into signed range.
     hashes = [simhash64(t) - (1 << 63) for t in texts]
     return batch.append_column("simhash", pa.array(hashes, pa.int64()))
+
+
+class SnippetDedupCache:
+    """Actor-pool stage: streaming near-duplicate snippet marking.
+
+    Holds a bounded LRU of content fingerprints per actor (north_star:
+    "snippet dedup caches" as actor state) and flags rows whose
+    normalized text was already seen by THIS actor — an intentionally
+    approximate, zero-shuffle streaming filter: each actor only sees
+    its share of the stream, so cross-actor duplicates pass (use
+    ``exact_dedup``'s content-hash groupby for the exact, global
+    variant).  Routing batches by a key (e.g. hash-partitioned
+    conv_id) makes per-key duplicates deterministic.
+    """
+
+    def __init__(self, column: str = "text", capacity: int = 100_000):
+        from collections import OrderedDict
+
+        self.column = column
+        self.capacity = capacity
+        self.seen: "OrderedDict[int, None]" = OrderedDict()
+
+    def _fingerprint(self, text: str) -> int:
+        import zlib
+
+        norm = " ".join((text or "").split()).lower()
+        return zlib.crc32(norm.encode())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flags = []
+        for text in batch.column(self.column).to_pylist():
+            fp = self._fingerprint(text)
+            if fp in self.seen:
+                self.seen.move_to_end(fp)
+                flags.append(True)
+            else:
+                self.seen[fp] = None
+                if len(self.seen) > self.capacity:
+                    self.seen.popitem(last=False)
+                flags.append(False)
+        return batch.append_column(
+            "is_dup_snippet", pa.array(flags, pa.bool_())
+        )
+
+
+def snippet_dedup(ds, column: str = "text", capacity: int = 100_000,
+                  concurrency: int = 1):
+    """Attach the streaming snippet-dedup stage (stateful actor pool;
+    concurrency=1 -> globally exact within stream order)."""
+    return ds.map_batches(
+        SnippetDedupCache,
+        fn_constructor_kwargs={"column": column, "capacity": capacity},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
