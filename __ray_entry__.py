@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_group_median": p.q_group_median,
         # documents / text analysis
         "q_doc_stats": p.q_doc_stats,
+        "q_hash_sample": p.q_hash_sample,
         "q_token_count": p.q_token_count,
         "q_exact_dedup": p.q_exact_dedup,
         "q_fingerprint": p.q_fingerprint,
@@ -208,6 +209,11 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_stats": """
             SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
             FROM documents GROUP BY lang
+        """,
+        "q_hash_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE (doc_id * 2654435761) % 100 < 10
+            ORDER BY doc_id
         """,
         "q_token_count": r"""
             SELECT doc_id,

@@ -696,3 +696,19 @@ def q_bloom_semi_join(sf_dir: str) -> pd.DataFrame:
             "revenue": [round(out["o_totalprice"].sum(), 2)],
         }
     )
+
+
+def q_hash_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 10% sample: hash-bucket the key inside the batch
+    (reproducible across runs/cluster sizes, unlike random_sample) and
+    keep bucket < 10 of 100.  The same predicate is exactly
+    SQL-expressible, so the sample is oracle-checked row for row."""
+    ds = _parquet(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        bucket = (ids * 2654435761) % 100  # no pc.mod in this pyarrow
+        return batch.filter(pa.array(bucket < 10))
+
+    out = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
