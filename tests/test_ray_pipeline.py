@@ -330,3 +330,29 @@ def test_snippet_dedup_cache(ray_session):
     )
     out2 = snippet_dedup(ds2, concurrency=1).to_pandas().sort_values("i")
     assert out2["is_dup_snippet"].tolist() == [False, True]
+
+
+def test_extract_turns_never_fails_a_row(ray_session):
+    import ray.data as rd
+    from unfurl_ray.engine.stages import ExtractTurns
+
+    nasty = [
+        {"conv_id": "c", "turn_idx": 0, "text": None},
+        {"conv_id": "c", "turn_idx": 1, "text": ""},
+        {"conv_id": "c", "turn_idx": 2, "text": "\x00\ud800loose<<<>>>"
+            if False else "\x00<<<~garbage~>>>"},
+        {"conv_id": "c", "turn_idx": 3,
+         "text": "<html><head><title>" + "x" * 100_000},  # unterminated
+        {"conv_id": "c", "turn_idx": 4, "text": "<" * 5000},
+        {"conv_id": "c", "turn_idx": 5,
+         "text": "%PDF-1.4\nstream\n" + "(" * 2000},  # broken pdf
+        {"conv_id": "c", "turn_idx": 6,
+         "text": "<div>" * 3000 + "deep"},  # deep nesting
+    ]
+    out = (
+        rd.from_items(nasty)
+        .map_batches(ExtractTurns, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+    )
+    assert len(out) == len(nasty)  # every row survived
+    assert out["unfurl_json"].notna().all()

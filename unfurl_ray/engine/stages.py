@@ -108,36 +108,50 @@ class ExtractTurns:
         headlines, descriptions, canonicals, languages = [], [], [], []
         main_texts, spans_col = [], []
         n_images, n_icons, n_videos = [], [], []
+        errors = []
 
         for url, text in zip(urls, texts):
             text = text or ""
-            mime = sniff_mime(text)
-            if mime == "text/html" and "html" in self.plugins:
-                # fused parse: metadata buckets + content blocks in one
-                # tokenization of the (possibly multi-MB) payload
-                record, main_text, spans = scrape_html_with_content(
-                    url, 200, mime, text,
-                    side_table=self.side_table,
-                    context_loader=self.context_loader,
-                )
-            else:
-                record = scrape_page(
-                    url,
-                    200,
-                    {"content-type": mime},
-                    text,
-                    side_table=self.side_table,
-                    context_loader=self.context_loader,
-                    plugins=self.plugins,
-                )
-                if mime == "application/pdf":
-                    from unfurl_ray.content.pdf_text import extract_pdf_text
-
-                    main_text, spans = extract_pdf_text(
-                        text.encode("latin-1", errors="replace")
+            err = None
+            try:
+                mime = sniff_mime(text)
+                if mime == "text/html" and "html" in self.plugins:
+                    # fused parse: metadata buckets + content blocks in
+                    # one tokenization of the (possibly multi-MB) payload
+                    record, main_text, spans = scrape_html_with_content(
+                        url, 200, mime, text,
+                        side_table=self.side_table,
+                        context_loader=self.context_loader,
                     )
                 else:
-                    main_text, spans = ("", [])
+                    record = scrape_page(
+                        url,
+                        200,
+                        {"content-type": mime},
+                        text,
+                        side_table=self.side_table,
+                        context_loader=self.context_loader,
+                        plugins=self.plugins,
+                    )
+                    if mime == "application/pdf":
+                        from unfurl_ray.content.pdf_text import (
+                            extract_pdf_text,
+                        )
+
+                        main_text, spans = extract_pdf_text(
+                            text.encode("latin-1", errors="replace")
+                        )
+                    else:
+                        main_text, spans = ("", [])
+            except Exception as exc:  # never fail a row (SURVEY §4):
+                # emit the degraded record + error column; at 10^12
+                # turns one pathological payload must not kill its
+                # whole partition
+                mime = "application/octet-stream"
+                record = {"type": "link", "url": url}
+                main_text, spans = ("", [])
+                err = f"{type(exc).__name__}: {exc}"[:500]
+            errors.append(err)
             mimes.append(mime)
             types.append(record.get("type", "link"))
             jsons.append(canonical_json(record))
@@ -169,6 +183,7 @@ class ExtractTurns:
             n_images=pa.array(n_images, pa.int32()),
             n_icons=pa.array(n_icons, pa.int32()),
             n_videos=pa.array(n_videos, pa.int32()),
+            error=pa.array(errors, pa.string()),
         )
         return pa.table(arrays)
 
