@@ -15,7 +15,19 @@ from unfurl_ray.sources.fixtures import (
 )
 
 
-def test_extract_pages_matches_snapshots(ray_session):
+import pytest
+
+from unfurl_ray.sources.fixtures import exif_snapshots, exiftool_snapshots
+
+
+@pytest.mark.parametrize(
+    "plugins,snap_fn",
+    [(("html",), html_snapshots),
+     (("exif",), exif_snapshots),
+     (("filemeta",), exiftool_snapshots)],
+    ids=["html", "exif", "exiftool"],
+)
+def test_extract_pages_matches_snapshots(ray_session, plugins, snap_fn):
     import ray
     import ray.data as rd
 
@@ -37,7 +49,8 @@ def test_extract_pages_matches_snapshots(ray_session):
         rd.from_arrow(table)
         .map_batches(
             ExtractPages,
-            fn_constructor_kwargs={"side_table_ref": side_ref},
+            fn_constructor_kwargs={"side_table_ref": side_ref,
+                                   "plugins": plugins},
             batch_format="pyarrow",
             batch_size=16,
             concurrency=2,
@@ -45,7 +58,7 @@ def test_extract_pages_matches_snapshots(ray_session):
         )
         .to_pandas()
     )
-    snaps = html_snapshots()
+    snaps = snap_fn()
     by_url = dict(zip(out["url"], out["unfurl_json"]))
     matched = checked = 0
     for url, want in snaps.items():
