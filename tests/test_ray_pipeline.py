@@ -95,9 +95,12 @@ def test_minhash_finds_near_dups(ray_session):
     import ray.data as rd
     from unfurl_ray.ops.dedup import minhash_dedup_pairs
 
-    base = "the quick brown fox jumps over the lazy dog " * 10
-    near = base.replace("lazy", "sleepy")
-    other = "completely different text about ray data pipelines " * 10
+    # realistic near-dup: one word changed in a long distinct text
+    # (tiny shingle sets make LSH banding a coin flip by design)
+    words = [f"word{i}" for i in range(60)]
+    base = " ".join(words)
+    near = base.replace("word30", "changed")
+    other = " ".join(f"other{i}" for i in range(60))
     ds = rd.from_pandas(pd.DataFrame(
         {"doc_id": [1, 2, 3], "text": [base, near, other]}
     ))

@@ -42,17 +42,34 @@ def normalize_words(text: str) -> list[str]:
 
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """k-word shingles -> stable 32-bit hashes (crc32: process-stable)."""
+    """k-word shingles -> stable hashes, without materializing shingle
+    strings: crc32 per word (cached — vocab repeats heavily), then the
+    k word-hashes of each shingle combine via a vectorized polynomial
+    mix.  Deterministic across processes (crc32 + fixed constants)."""
     words = normalize_words(text)
-    if len(words) < k:
-        shingles = [" ".join(words)] if words else []
-    else:
-        shingles = [" ".join(words[i: i + k]) for i in range(len(words) - k + 1)]
-    if not shingles:
+    if not words:
         return np.zeros(1, dtype=np.int64)
-    return np.array(
-        [zlib.crc32(s.encode()) for s in set(shingles)], dtype=np.int64
+    cache = _word_hash_cache
+    wh = np.fromiter(
+        (cache[w] if w in cache else cache.setdefault(
+            w, zlib.crc32(w.encode())) for w in words),
+        dtype=np.int64, count=len(words),
     )
+    if len(cache) > 1_000_000:  # bound worker memory
+        cache.clear()
+    if len(words) < k:
+        combined = np.int64(0)
+        for i, h in enumerate(wh):
+            combined = combined * np.int64(1_000_003) + h
+        return np.unique(np.array([combined % _MERSENNE], dtype=np.int64))
+    acc = np.zeros(len(words) - k + 1, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            acc = acc * np.int64(1_000_003) + wh[j: len(words) - k + 1 + j]
+    return np.unique(np.abs(acc) % _MERSENNE)
+
+
+_word_hash_cache: dict = {}
 
 
 def minhash_signature(text: str, k: int = 3) -> np.ndarray:
@@ -138,27 +155,32 @@ def minhash_candidate_pairs(ds, column: str = "text",
         batch_format="pyarrow",
     )
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group[id_column].unique())
-        if len(ids) < 2:
+    from itertools import combinations
+
+    def pairs_for_band(group: pd.DataFrame) -> pd.DataFrame:
+        # one call per BAND (16 total), not per bucket (~docs x 16):
+        # per-group Python dispatch dominated the band shuffle before.
+        # Only buckets with >=2 docs can emit pairs — filter those
+        # vectorized, then combine within each (rare) duplicate bucket.
+        dup = group[group.duplicated("band_hash", keep=False)]
+        if dup.empty:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64")})
         out_a, out_b = [], []
-        # Hot-bucket guard: cap the quadratic blowup per bucket; at
-        # scale buckets this big mean a degenerate band (log + sample).
-        cap = 200
-        ids = ids[:cap]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
+        cap = 200  # hot-bucket guard: buckets this big at scale mean a
+        # degenerate band -> cap the quadratic blowup (log + sample)
+        for _, ids in dup.groupby("band_hash")[id_column]:
+            uniq = sorted(ids.unique())[:cap]
+            for a, b in combinations(uniq, 2):
+                out_a.append(a)
+                out_b.append(b)
         return pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
-    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
-    )
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # pairs may repeat across bands; dedupe at the consumer (a pandas
+    # drop_duplicates once collected beats a second Ray shuffle for a
+    # candidate set that is tiny relative to the corpus)
+    return bands.groupby("band_id").map_groups(
+        pairs_for_band, batch_format="pandas"
     )
 
 
@@ -172,7 +194,11 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, column: str = "text",
     """
     import ray
 
-    cand = minhash_candidate_pairs(ds, column, id_column).to_pandas()
+    cand = (
+        minhash_candidate_pairs(ds, column, id_column)
+        .to_pandas()
+        .drop_duplicates(["id_a", "id_b"])
+    )
     if cand.empty:
         return pd.DataFrame(
             {"id_a": pd.Series(dtype="int64"),
