@@ -359,3 +359,32 @@ def test_extract_turns_never_fails_a_row(ray_session):
     )
     assert len(out) == len(nasty)  # every row survived
     assert out["unfurl_json"].notna().all()
+
+
+def test_resume_recomputes_on_input_change(ray_session, tmp_path):
+    import glob
+
+    from unfurl_ray.engine.pipeline import run_extraction_checkpointed
+    from unfurl_ray.sources.transcripts import build_transcripts
+
+    tdir = str(tmp_path / "t")
+    build_transcripts(SF, shuffled=False).write_parquet(tdir)
+    files = sorted(glob.glob(f"{tdir}/*.parquet"))
+    out = str(tmp_path / "out3")
+    m1 = run_extraction_checkpointed(files, out, concurrency=2)
+    secs1 = m1["partitions"]["part-00000"]["seconds"]
+
+    # move the first input file's fingerprint (size:mtime) by bumping
+    # its mtime a full second (fingerprint truncates to whole seconds)
+    import os
+    st = os.stat(files[0])
+    os.utime(files[0], (st.st_atime, st.st_mtime + 2))
+
+    m2 = run_extraction_checkpointed(files, out, concurrency=2)
+    # changed partition recomputed (new timing), others untouched
+    assert m2["partitions"]["part-00000"]["seconds"] != secs1
+    if len(files) > 1:
+        assert (
+            m2["partitions"]["part-00001"]["seconds"]
+            == m1["partitions"]["part-00001"]["seconds"]
+        )
