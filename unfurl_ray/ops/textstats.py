@@ -32,15 +32,25 @@ STOPWORDS = {
 
 
 def token_count_batch(batch: pa.Table) -> pa.Table:
-    """doc_id, n_tokens (whitespace), n_subtokens (BPE-ish regex)."""
-    texts = batch.column("text").to_pylist()
-    n_tok = [len(_TOKEN_RE.findall(t or "")) for t in texts]
-    n_sub = [len(_BPE_RE.findall(t or "")) for t in texts]
+    """doc_id, n_tokens (whitespace), n_subtokens (BPE-ish regex).
+
+    Both counts run as Arrow RE2 kernels (count_substring_regex) —
+    no per-row Python regex in this hot path.  Note RE2's ``\\s`` is
+    ASCII-only (U+00A0 etc. count as token chars), which matches the
+    DuckDB oracle's regexp semantics exactly — Python's Unicode ``\\s``
+    would not."""
+    import pyarrow.compute as pc
+
+    col = pc.fill_null(batch.column("text"), "")
+    n_tok = pc.count_substring_regex(col, r"\S+")
+    n_sub = pc.count_substring_regex(
+        col, r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+"
+    )
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
-            "n_tokens": pa.array(n_tok, pa.int64()),
-            "n_subtokens": pa.array(n_sub, pa.int64()),
+            "n_tokens": pc.cast(n_tok, pa.int64()),
+            "n_subtokens": pc.cast(n_sub, pa.int64()),
         }
     )
 
