@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import re
 import struct
-from datetime import datetime, timezone
+from datetime import datetime
 
 MAX_PREFIX = 131072  # unfurl-exif/src/index.ts:21
 

@@ -14,10 +14,7 @@
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 

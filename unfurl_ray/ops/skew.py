@@ -15,7 +15,6 @@ import zlib
 
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 
 def add_salt(ds, key_col: str, hot_keys: set, n_salt: int = 8,

@@ -17,7 +17,6 @@ come out in a deterministic *shuffled global order* (hash order) so the
 from __future__ import annotations
 
 import pyarrow as pa
-import pyarrow.compute as pc
 
 ROLES = ["user", "assistant", "tool"]
 TURNS_PER_CONV = 8  # avg; actual count varies per conv via hash
