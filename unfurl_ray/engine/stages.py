@@ -228,20 +228,27 @@ class ExtractPages:
         )
         bodies = batch.column("body").to_pylist()
 
-        types, jsons = [], []
+        types, jsons, errors = [], [], []
         for url, status, hdrs, body in zip(urls, statuses, headers, bodies):
-            record = scrape_page(
-                url, status, hdrs, body or b"",
-                side_table=self.side_table,
-                context_loader=self.context_loader,
-                plugins=self.plugins,
-            )
+            try:
+                record = scrape_page(
+                    url, status, hdrs, body or b"",
+                    side_table=self.side_table,
+                    context_loader=self.context_loader,
+                    plugins=self.plugins,
+                )
+                err = None
+            except Exception as exc:  # never fail a row (SURVEY §4)
+                record = {"type": "link", "url": url}
+                err = f"{type(exc).__name__}: {exc}"[:500]
             types.append(record.get("type", "link"))
             jsons.append(canonical_json(record))
+            errors.append(err)
         return pa.table(
             {
                 "url": batch.column("url"),
                 "unfurl_type": pa.array(types, pa.string()),
                 "unfurl_json": pa.array(jsons, pa.large_string()),
+                "error": pa.array(errors, pa.string()),
             }
         )
