@@ -207,7 +207,8 @@ def oracle_sql() -> dict[str, str]:
               ON e.join_key = o.join_key AND e.ts >= o.o_orderdate
         """,
         "q_doc_stats": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
         """,
         "q_hash_sample": """

@@ -47,6 +47,11 @@ def materialize_transcripts() -> str:
 
     marker = os.path.join(TRANSCRIPT_CACHE, "_DONE")
     if not os.path.exists(marker):
+        # a crashed prior materialization leaves partial files that the
+        # retry's (append-mode) write_parquet would double — start clean
+        import shutil
+
+        shutil.rmtree(TRANSCRIPT_CACHE, ignore_errors=True)
         ds = build_transcripts(SF_DIR, shuffled=False, repeat=REPEAT)
         ds.write_parquet(TRANSCRIPT_CACHE)
         open(marker, "w").write("ok")

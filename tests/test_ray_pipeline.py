@@ -373,11 +373,11 @@ def test_resume_recomputes_on_input_change(ray_session, tmp_path):
     out = str(tmp_path / "out3")
     m1 = run_extraction_checkpointed(files, out, concurrency=2)
 
-    # move the first input file's fingerprint (size:mtime) by bumping
-    # its mtime a full second (fingerprint truncates to whole seconds)
+    # move the first input file's fingerprint by a sub-second mtime
+    # bump (fingerprint uses st_mtime_ns — same-second rewrites count)
     import os
     st = os.stat(files[0])
-    os.utime(files[0], (st.st_atime, st.st_mtime + 2))
+    os.utime(files[0], ns=(st.st_atime_ns, st.st_mtime_ns + 1_000))
 
     m2 = run_extraction_checkpointed(files, out, concurrency=2)
     # changed partition recomputed: its recorded input fingerprint now
@@ -391,3 +391,59 @@ def test_resume_recomputes_on_input_change(ray_session, tmp_path):
             m2["partitions"]["part-00001"]["inputs"]
             == m1["partitions"]["part-00001"]["inputs"]
         )
+    # the recomputed partition must be REPLACED, not appended to: row
+    # count (manifest + on-disk) unchanged after the forced recompute
+    import pyarrow.parquet as pq
+
+    rows_disk = sum(
+        pq.read_metadata(f).num_rows
+        for f in (tmp_path / "out3" / "extracted" / "part-00000").glob(
+            "*.parquet"
+        )
+    )
+    assert rows_disk == m1["partitions"]["part-00000"]["rows"]
+    assert (
+        m2["partitions"]["part-00000"]["rows"]
+        == m1["partitions"]["part-00000"]["rows"]
+    )
+
+
+def test_stale_partition_dirs_not_merged(ray_session, tmp_path):
+    """Final output is built from the manifest's partitions only; a
+    stale extracted/<dir> from an older layout must not leak in, and a
+    resume=False rerun clears the extracted dir."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from unfurl_ray.engine.pipeline import run_pipeline
+    from unfurl_ray.sources.transcripts import build_transcripts
+
+    tdir = str(tmp_path / "t")
+    build_transcripts(SF, shuffled=False).write_parquet(tdir)
+    files = sorted(glob.glob(f"{tdir}/*.parquet"))
+    out = tmp_path / "out4"
+    run_pipeline(files, str(out), concurrency=2, resume=True, order=False)
+    n1 = sum(
+        pq.read_metadata(f).num_rows for f in (out / "final").glob("*.parquet")
+    )
+
+    # plant a stale partition dir (old layout) with a rogue file
+    stale = out / "extracted" / "part-zz-stale"
+    stale.mkdir()
+    src = next((out / "extracted" / "part-00000").glob("*.parquet"))
+    (stale / "rogue.parquet").write_bytes(src.read_bytes())
+
+    run_pipeline(files, str(out), concurrency=2, resume=True, order=False)
+    n2 = sum(
+        pq.read_metadata(f).num_rows for f in (out / "final").glob("*.parquet")
+    )
+    assert n2 == n1  # stale dir ignored by the manifest-driven glob
+
+    # resume=False rerun: extracted/ cleared, stale dir gone, count same
+    run_pipeline(files, str(out), concurrency=2, resume=False, order=False)
+    assert not stale.exists()
+    n3 = sum(
+        pq.read_metadata(f).num_rows for f in (out / "final").glob("*.parquet")
+    )
+    assert n3 == n1

@@ -85,8 +85,10 @@ def order_by_turn(ds, num_partitions: int | None = None):
 # -- checkpoint / resume ----------------------------------------------------
 
 def _fingerprint(path: str) -> str:
+    # mtime at ns resolution: a same-size rewrite within the same
+    # second must still invalidate the partition on resume
     st = os.stat(path)
-    return f"{st.st_size}:{int(st.st_mtime)}"
+    return f"{st.st_size}:{st.st_mtime_ns}"
 
 
 def _load_manifest(manifest_path: Path) -> dict:
@@ -122,8 +124,15 @@ def run_extraction_checkpointed(
     """
     import ray.data as rd
 
+    import shutil
+
     out = Path(out_dir)
     extracted = out / "extracted"
+    if not resume and extracted.exists():
+        # a fresh (non-resumed) run must not inherit stale partition
+        # dirs from a previous layout (different files_per_partition,
+        # shrunk input list, ...)
+        shutil.rmtree(extracted)
     extracted.mkdir(parents=True, exist_ok=True)
     manifest_path = out / "manifest.json"
     manifest = _load_manifest(manifest_path) if resume else {"partitions": {}}
@@ -145,6 +154,11 @@ def run_extraction_checkpointed(
             concurrency=concurrency, batch_size=batch_size,
         )
         part_dir = extracted / part_id
+        # write_parquet APPENDS (fresh write_uuid filenames): a changed
+        # input fingerprint or a crash between write and manifest save
+        # would otherwise leave old files underneath the rewrite and
+        # silently double the partition
+        shutil.rmtree(part_dir, ignore_errors=True)
         ds.write_parquet(str(part_dir))
         # lineage + metrics from the written partition (cheap re-read of
         # the small metadata columns only).
@@ -188,10 +202,13 @@ def run_pipeline(
         files_per_partition=files_per_partition, resume=resume,
     )
     extracted = Path(out_dir) / "extracted"
+    # enumerate ONLY the manifest's partitions: stale dirs from an
+    # earlier run with a different layout must not leak into the final
+    # ordered output
     parts = sorted(
         str(f)
-        for p in extracted.iterdir() if p.is_dir()
-        for f in p.glob("*.parquet")
+        for part_id in manifest["partitions"]
+        for f in (extracted / part_id).glob("*.parquet")
     )
     ds = rd.read_parquet(parts)
     final_dir = Path(out_dir) / "final"
