@@ -109,6 +109,59 @@ def test_minhash_finds_near_dups(ray_session):
     assert not ((pairs["id_b"] == 3) | (pairs["id_a"] == 3)).any()
 
 
+def test_minhash_distributed_verify_parity(ray_session):
+    """The distributed verify stage (semi-join + broadcast shingle
+    sets) must return exactly the pairs a single-process reference
+    computation (same banding, driver-side ngram_jaccard) produces."""
+    from itertools import combinations
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    import zlib
+
+    from unfurl_ray.ops.dedup import (
+        N_BANDS,
+        ROWS_PER_BAND,
+        minhash_dedup_pairs,
+        minhash_signature,
+        ngram_jaccard,
+    )
+
+    docs = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet",
+        columns=["doc_id", "text"],
+    ).to_pandas()
+    ds = rd.from_pandas(docs)
+    got = minhash_dedup_pairs(ds, threshold=0.8)
+
+    # single-process reference: bucket by (band, band_hash), all-pairs
+    # within buckets, verify with exact n-gram Jaccard
+    buckets: dict = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        sig = minhash_signature(text or "")
+        for band in range(N_BANDS):
+            chunk = sig[band * ROWS_PER_BAND: (band + 1) * ROWS_PER_BAND]
+            buckets.setdefault(
+                (band, zlib.crc32(chunk.tobytes())), []
+            ).append(int(doc_id))
+    cand = {
+        pair
+        for ids in buckets.values() if len(ids) > 1
+        for pair in combinations(sorted(set(ids)), 2)
+    }
+    texts = dict(zip(docs["doc_id"].astype(int), docs["text"]))
+    want = sorted(
+        (a, b, round(j, 4))
+        for a, b in cand
+        if (j := ngram_jaccard(texts[a] or "", texts[b] or "")) >= 0.8
+    )
+    assert (
+        list(map(tuple, got[["id_a", "id_b", "jaccard"]].itertuples(
+            index=False))) == want
+    )
+    assert len(want) > 0  # sf0.01 has planted near-dups
+
+
 def test_knn_brute_self_similarity(ray_session):
     import ray.data as rd
     from unfurl_ray.ops.similarity import knn_brute

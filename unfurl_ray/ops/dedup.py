@@ -188,38 +188,89 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, column: str = "text",
                         id_column: str = "doc_id"):
     """Candidates -> verified near-dup pairs (exact n-gram Jaccard).
 
-    The verify stage broadcasts the candidate docs' texts via a
-    driver-side lookup only when the candidate set is small; at scale,
-    join texts back by id (hash join) before verification instead.
+    Fully distributed verify — the corpus never crosses the driver:
+
+    1. candidate PAIR table (small by LSH construction: band
+       selectivity + the hot-bucket cap in ``pairs_for_band``) is the
+       broadcast small side;
+    2. ``semi_join`` filters the corpus down to candidate docs — a
+       distributed broadcast-key filter, not a driver scan;
+    3. each candidate doc's exact shingle-hash set is computed inside
+       ``map_batches``; only those O(candidates) rows leave the workers;
+    4. pairs verify distributed against the broadcast shingle sets.
     """
     import ray
+    import ray.data as rd
 
+    from unfurl_ray.ops.relational import semi_join
+
+    empty = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"),
+         "id_b": pd.Series(dtype="int64"),
+         "jaccard": pd.Series(dtype="float64")}
+    )
     cand = (
         minhash_candidate_pairs(ds, column, id_column)
         .to_pandas()
         .drop_duplicates(["id_a", "id_b"])
+        .reset_index(drop=True)
     )
     if cand.empty:
-        return pd.DataFrame(
-            {"id_a": pd.Series(dtype="int64"),
-             "id_b": pd.Series(dtype="int64"),
-             "jaccard": pd.Series(dtype="float64")}
-        )
+        return empty
     need_ids = set(cand["id_a"]) | set(cand["id_b"])
-    texts = {}
-    for batch in ds.select_columns([id_column, column]).iter_batches(
-        batch_format="pyarrow"
-    ):
-        for i, t in zip(batch.column(id_column).to_pylist(),
-                        batch.column(column).to_pylist()):
-            if i in need_ids:
-                texts[i] = t
-    jac = [
-        ngram_jaccard(texts.get(a, ""), texts.get(b, ""))
-        for a, b in zip(cand["id_a"], cand["id_b"])
-    ]
-    cand = cand.assign(jaccard=np.round(jac, 4))
-    return cand[cand["jaccard"] >= threshold].reset_index(drop=True)
+
+    def to_shingles(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_pylist()
+        texts = batch.column(column).to_pylist()
+        return pa.table(
+            {
+                id_column: pa.array(ids, pa.int64()),
+                "shingles": pa.array(
+                    [shingle_hashes(t or "").tolist() for t in texts],
+                    pa.list_(pa.int64()),
+                ),
+            }
+        )
+
+    cand_docs = (
+        semi_join(ds.select_columns([id_column, column]), need_ids,
+                  on=id_column)
+        .map_batches(to_shingles, batch_format="pyarrow")
+        .to_pandas()  # O(candidates) rows, not the corpus
+    )
+    sets_ref = ray.put(
+        {
+            int(i): frozenset(s)
+            for i, s in zip(cand_docs[id_column], cand_docs["shingles"])
+        }
+    )
+
+    class Verify:
+        def __init__(self):
+            self.sets = ray.get(sets_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            jac = []
+            for a, b in zip(batch["id_a"], batch["id_b"]):
+                sa = self.sets.get(int(a), frozenset())
+                sb = self.sets.get(int(b), frozenset())
+                union = len(sa | sb)
+                jac.append(len(sa & sb) / union if union else 1.0)
+            out = batch.assign(jaccard=np.round(jac, 4))
+            return out[out["jaccard"] >= threshold]
+
+    out = (
+        rd.from_pandas(cand)
+        .map_batches(Verify, batch_format="pandas", concurrency=2)
+        .to_pandas()
+    )
+    if out.empty:
+        return empty
+    return (
+        out.sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+        .astype({"id_a": "int64", "id_b": "int64"})
+    )
 
 
 # -- SimHash ----------------------------------------------------------------
