@@ -97,17 +97,17 @@ def exact_dedup(ds, column: str = "text", id_column: str = "doc_id"):
     groupby moves only (hash, id) — drop the payload before the shuffle
     and rejoin by id downstream if the text is needed.
     """
+    from ray.data.aggregate import Count, Min
+
     hashed = ds.map_batches(
         lambda b: add_content_hash(b, column), batch_format="pyarrow"
     ).select_columns(["content_hash", id_column])
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        keep = group.nsmallest(1, id_column).copy()
-        keep["dup_count"] = len(group)
-        return keep
-
-    return hashed.groupby("content_hash").map_groups(
-        keep_first, batch_format="pandas"
+    # native groupby aggregate, not map_groups: keep-first over millions
+    # of 1-row hash groups must not pay one Python dispatch per group
+    return hashed.groupby("content_hash").aggregate(
+        Min(id_column, alias_name=id_column),
+        Count(alias_name="dup_count"),
     )
 
 

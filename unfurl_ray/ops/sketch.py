@@ -23,52 +23,68 @@ import pyarrow as pa
 
 
 def _hash64(values: "pa.Array | list") -> np.ndarray:
-    """Deterministic 64-bit hashes for arbitrary scalars (xxhash-free:
-    two rounds of splitmix over a string-hash seed)."""
-    if isinstance(values, (pa.Array, pa.ChunkedArray)):
-        values = values.to_pylist()
-    import zlib
+    """Deterministic 64-bit hashes, vectorized end to end.
 
-    out = np.empty(len(values), dtype=np.uint64)
+    Numeric/bool/datetime columns hash as raw numpy arrays; everything
+    else is stringified once and hashed as an object array.  Both paths
+    go through ``pandas.util.hash_array`` (keyed siphash with a fixed
+    default key — stable across processes and nodes) followed by a
+    vectorized splitmix64 finalizer for avalanche; no Python-per-row
+    work remains on the HLL fold / Bloom probe hot path.
+    """
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        arr = values.to_numpy(zero_copy_only=False)
+    elif isinstance(values, np.ndarray):
+        arr = values
+    elif isinstance(values, pd.Series):
+        arr = values.to_numpy()
+    else:
+        arr = np.asarray(list(values))
+    if arr.dtype == object or arr.dtype.kind in "USV":
+        arr = np.array([str(v) for v in arr], dtype=object)
+    h = pd.util.hash_array(arr, categorize=False).astype(np.uint64)
     with np.errstate(over="ignore"):  # uint64 wraparound is the point
-        for i, v in enumerate(values):
-            b = repr(v).encode()
-            h = np.uint64(zlib.crc32(b)) << np.uint64(32) | np.uint64(
-                zlib.adler32(b)
-            )
-            # splitmix64 finalizer
-            h = (h + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(2**64 - 1)
-            h ^= h >> np.uint64(30)
-            h = (h * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(2**64 - 1)
-            h ^= h >> np.uint64(27)
-            h = (h * np.uint64(0x94D049BB133111EB)) & np.uint64(2**64 - 1)
-            h ^= h >> np.uint64(31)
-            out[i] = h
-    return out
+        h = h + np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(30)
+        h = h * np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h = h * np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+    return h
 
 
 # -- HyperLogLog ------------------------------------------------------------
 
+# leading-zero count per byte value (exact, table-driven)
+_LZ8 = np.array(
+    [8] + [7 - int(v).bit_length() + 1 for v in range(1, 256)],
+    dtype=np.uint8,
+)
+
+
 def hll_fold(values, p: int = 12) -> np.ndarray:
-    """Fold values into a fresh 2^p-register sketch (uint8 registers)."""
+    """Fold values into a fresh 2^p-register sketch (uint8 registers).
+
+    Fully vectorized: siphash-based ``_hash64``, then leading-zero rank
+    via a byte-wise table (view the shifted hash as 8 big-endian bytes,
+    find the first nonzero byte, add its per-byte lz) — exact and with
+    no per-bit loop.
+    """
     m = 1 << p
     regs = np.zeros(m, dtype=np.uint8)
     if len(values) == 0:
         return regs
     h = _hash64(values)
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
-    rest = (h << np.uint64(p)) & np.uint64(2**64 - 1)
-    # rank = position of leftmost 1-bit in the remaining 64-p bits (+1)
-    rank = np.zeros(len(h), dtype=np.uint8)
-    remaining = rest
-    found = np.zeros(len(h), dtype=bool)
-    for bit in range(64 - p):
-        top = (remaining >> np.uint64(63)).astype(bool)
-        newly = top & ~found
-        rank[newly] = bit + 1
-        found |= top
-        remaining = (remaining << np.uint64(1)) & np.uint64(2**64 - 1)
-    rank[~found] = 64 - p + 1
+    with np.errstate(over="ignore"):
+        rest = h << np.uint64(p)
+    b = rest.byteswap().view(np.uint8).reshape(-1, 8)  # big-endian bytes
+    nz = b != 0
+    first = nz.argmax(axis=1)
+    lz = first * 8 + _LZ8[b[np.arange(len(b)), first]]
+    rank = (lz + 1).astype(np.uint8)
+    rank[rest == 0] = 64 - p + 1
+    np.clip(rank, None, 64 - p + 1, out=rank)
     np.maximum.at(regs, idx, rank)
     return regs
 
@@ -164,12 +180,12 @@ def bloom_semi_join(ds, keys, on: str, fp_rate: float = 0.01,
             self.bloom, self.exact = ray.get(state_ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            vals = batch[on].tolist()
-            maybe = self.bloom.contains(vals)
-            hit = np.array(
-                [m and v in self.exact for m, v in zip(maybe, vals)],
-                dtype=bool,
-            )
+            maybe = self.bloom.contains(batch[on].to_numpy())
+            hit = maybe.copy()
+            if maybe.any():
+                # exact-check ONLY the Bloom positives (vectorized isin
+                # masked to the ~fp-rate surviving fraction)
+                hit[maybe] = batch.loc[maybe, on].isin(self.exact)
             return batch[~hit] if anti else batch[hit]
 
     return ds.map_batches(
