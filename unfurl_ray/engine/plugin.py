@@ -46,14 +46,18 @@ def side_request(
 ) -> SidePage | None:
     """Resolve a secondary request against the offline side table.
 
-    Accepts either a plain dict (url -> page, optionally with
-    ``accept:<mime>`` sub-entries) or any object exposing
-    ``get_page(url, accept)`` (e.g. the fixture-corpus resolver).
+    Accepts a plain dict (url -> page, optionally with
+    ``accept:<mime>`` sub-entries), any object exposing
+    ``get_page(url, accept)`` (e.g. the fixture-corpus resolver), or a
+    ``request(url, accept)`` callable (the reference's ``Request``,
+    unfurl/src/index.ts:17 — what plugins receive as ``input.request``).
     """
     if not side_table:
         return None
     if hasattr(side_table, "get_page"):
         return side_table.get_page(url, accept)
+    if callable(side_table) and not isinstance(side_table, dict):
+        return side_table(url, accept)
     entry = side_table.get(url)
     if entry is None:
         return None
@@ -104,24 +108,48 @@ class ContextLoader:
     def __init__(self, side_table: SideTable | None):
         self.side_table = side_table
         self._cache: dict[str, Any] = {}
+        self._loading: set[str] = set()
 
     def get(self, url: str) -> Any:
         if url in self._cache:
             return self._cache[url]
-        doc = None
-        page = side_request(self.side_table, url, "application/ld+json")
-        if isinstance(page, dict):
-            mime = content_type(page.get("headers"))
-            if page.get("status") == 200 and mime in (
-                CONTENT_TYPE_JSON, "application/ld+json"
-            ):
-                try:
-                    parsed = json.loads(page.get("body") or "")
-                except (ValueError, RecursionError):
-                    parsed = None
-                if isinstance(parsed, dict):
-                    doc = parsed
-        self._cache[url] = doc
+        if url in self._loading:  # Link-header cycle guard
+            return None
+        self._loading.add(url)
+        try:
+            doc = None
+            page = side_request(self.side_table, url, "application/ld+json")
+            if isinstance(page, dict):
+                mime = content_type(page.get("headers"))
+                if page.get("status") == 200 and mime in (
+                    CONTENT_TYPE_JSON, "application/ld+json"
+                ):
+                    try:
+                        parsed = json.loads(page.get("body") or "")
+                    except (ValueError, RecursionError):
+                        parsed = None
+                    if isinstance(parsed, dict):
+                        doc = parsed
+                    # the reference forwards the Link header as the
+                    # remote document's contextUrl (unfurl-html/src/
+                    # index.ts:160-162); per the JSON-LD alternate-
+                    # context rule the linked document then supplies
+                    # the @context, so resolve it through this cache
+                    from unfurl_ray.core.values import to_value
+
+                    link = to_value(
+                        (page.get("headers") or {}).get("link")
+                    )
+                    if isinstance(link, str) and link.strip():
+                        target = link.strip()
+                        if target.startswith("<") and ">" in target:
+                            target = target[1: target.index(">")]
+                        linked = self.get(target)
+                        if isinstance(linked, dict):
+                            doc = linked
+            self._cache[url] = doc
+        finally:
+            self._loading.discard(url)
         return doc
 
     def __bool__(self) -> bool:
@@ -252,7 +280,141 @@ def scrape_html_with_content(
     return record, main_text, spans
 
 
-Plugin = Callable[..., "dict | None"]
+# -- user-extension plugin API ----------------------------------------------
+#
+# Faithful to the reference's middleware model (unfurl/src/index.ts:19-26):
+#
+#     Plugin = (input, next) => Promise<Unfurl>
+#     Input  = { page, request, scrape }
+#
+# A plugin either handles the page, delegates via ``next(input)``, or
+# wraps ``next``'s result; ``input.scrape`` lets it recursively scrape a
+# sub-resource fetched through ``input.request``.
+
+
+class PageInput:
+    """The reference's ``Input`` (unfurl/src/index.ts:19-23): the page
+    record plus ``request`` / ``scrape`` handles so a plugin can make
+    secondary fetches and recurse into the scraper.
+
+    ``context_loader`` is engine-side cache threading — the reference
+    gets the same per-scraper JSON-LD cache by memoizing its document
+    loader on the ``request`` identity (unfurl-html/src/index.ts:146).
+    """
+
+    __slots__ = ("page", "request", "scrape", "context_loader")
+
+    def __init__(self, page: SidePage, request: Callable,
+                 scrape: Callable, context_loader: Any = None):
+        self.page = page
+        self.request = request
+        self.scrape = scrape
+        self.context_loader = context_loader
+
+
+Next = Callable[[PageInput], dict]
+Plugin = Callable[[PageInput, Next], dict]
+
+
+def _page_text(page: SidePage) -> str:
+    body = page.get("body") or ""
+    if isinstance(body, bytes):
+        return body.decode("utf-8", errors="replace")
+    return body
+
+
+def _page_bytes(page: SidePage) -> bytes:
+    body = page.get("body") or b""
+    return body if isinstance(body, bytes) else body.encode()
+
+
+def html_plugin(inp: PageInput, next_fn: Next) -> dict:
+    """Built-in HTML plugin as reference-shaped middleware
+    (unfurl-html/src/index.ts:41-87): defer to ``next`` on non-HTML."""
+    page = inp.page
+    mime = content_type(page.get("headers"))
+    if mime != "text/html":
+        return next_fn(inp)
+    result = scrape_html(
+        page["url"], page.get("status", 200), mime, _page_text(page),
+        side_table=inp.request, context_loader=inp.context_loader,
+    )
+    return result if result is not None else next_fn(inp)
+
+
+def exif_plugin(inp: PageInput, next_fn: Next) -> dict:
+    from unfurl_ray.content.exif import scrape_exif
+
+    page = inp.page
+    result = scrape_exif(
+        page["url"], content_type(page.get("headers")), _page_bytes(page)
+    )
+    return result if result is not None else next_fn(inp)
+
+
+def filemeta_plugin(inp: PageInput, next_fn: Next) -> dict:
+    from unfurl_ray.content.filemeta import scrape_filemeta
+
+    page = inp.page
+    result = scrape_filemeta(
+        page["url"], content_type(page.get("headers")), _page_bytes(page)
+    )
+    return result if result is not None else next_fn(inp)
+
+
+PLUGIN_REGISTRY: dict[str, Plugin] = {
+    "html": html_plugin,
+    "exif": exif_plugin,
+    "filemeta": filemeta_plugin,
+}
+
+
+def register_plugin(name: str, fn: Plugin) -> None:
+    """Register a user plugin under ``name`` for use in any stage's
+    ``plugins`` tuple (names resolve through this registry)."""
+    PLUGIN_REGISTRY[name] = fn
+
+
+def make_request(side_table: SideTable | None) -> Callable:
+    """Side table -> the reference's ``Request`` callable shape."""
+    if (callable(side_table) and not isinstance(side_table, dict)
+            and not hasattr(side_table, "get_page")):
+        return side_table
+    return lambda url, accept=None: side_request(side_table, url, accept)
+
+
+def compose_scraper(
+    plugins: "list[Plugin]",
+    request: Callable,
+    context_loader: Any = None,
+) -> Callable[[SidePage], dict]:
+    """The reference's ``scraper()`` composition (unfurl/src/index.ts:
+    171-188): a left reduce wraps each plugin around the accumulated
+    ``next``, so the LAST plugin in the list is the outermost
+    middleware and runs FIRST; the base handler emits
+    ``{type: "link", url}``.  The returned ``scrape`` hands itself to
+    every plugin via ``input.scrape`` (recursion support).
+    """
+    def base(inp: PageInput) -> dict:
+        return {"type": "link", "url": inp.page.get("url")}
+
+    next_fn: Next = base
+    for plugin in plugins:
+        def wrap(p: Plugin, nxt: Next) -> Next:
+            return lambda inp: p(inp, nxt)
+
+        next_fn = wrap(plugin, next_fn)
+
+    def scrape(page: SidePage) -> dict:
+        return next_fn(PageInput(page, request, scrape, context_loader))
+
+    return scrape
+
+
+def resolve_plugins(plugins) -> "list[Plugin]":
+    return [
+        PLUGIN_REGISTRY[p] if isinstance(p, str) else p for p in plugins
+    ]
 
 
 def scrape_page(
@@ -262,39 +424,20 @@ def scrape_page(
     body: str | bytes,
     side_table: SideTable | None = None,
     context_loader: dict[str, Any] | None = None,
-    plugins: tuple[str, ...] = ("html",),
+    plugins: tuple = ("html",),
 ) -> dict:
     """Run the plugin chain over one page record; fall back to Link.
 
-    Per the reference's composition order (last plugin runs first), but
-    expressed as a router: each enabled plugin gets a chance in order,
-    the base emits ``{type: "link", url}``.
+    ``plugins`` entries are registry names or ``Plugin`` callables.
+    This entry point's tuple order is first-chance-first, so it
+    right-folds the REVERSED list (the reference's ``plugins`` array is
+    outermost-LAST; use ``compose_scraper`` directly for that order).
     """
-    mime = content_type(headers)
-    if isinstance(body, bytes):
-        text_body: str | None = None
-    else:
-        text_body = body
-
-    for name in plugins:
-        if name == "html":
-            if text_body is None and isinstance(body, bytes):
-                text_body = body.decode("utf-8", errors="replace")
-            result = scrape_html(
-                url, status, mime, text_body or "", side_table, context_loader
-            )
-            if result is not None:
-                return result
-        elif name == "exif":
-            from unfurl_ray.content.exif import scrape_exif
-            raw = body if isinstance(body, bytes) else body.encode()
-            result = scrape_exif(url, mime, raw)
-            if result is not None:
-                return result
-        elif name == "filemeta":
-            from unfurl_ray.content.filemeta import scrape_filemeta
-            raw = body if isinstance(body, bytes) else body.encode()
-            result = scrape_filemeta(url, mime, raw)
-            if result is not None:
-                return result
-    return {"type": "link", "url": url}
+    scrape = compose_scraper(
+        list(reversed(resolve_plugins(plugins))),
+        make_request(side_table),
+        context_loader,
+    )
+    return scrape(
+        {"url": url, "status": status, "headers": headers, "body": body}
+    )
