@@ -4,12 +4,12 @@
   matrix is broadcast once (``ray.put`` -> actor ``__init__``), each
   batch does one numpy matmul, partial top-k per batch, merged at the
   end (small result).  No shuffle of the corpus.
-- ``knn_ivf``: IVF-style scale path — k-means-ish coarse centroids
-  (deterministic seed), assign each vector to its nearest centroid in a
-  vectorized ``map_batches``, then probe only the closest ``nprobe``
-  partitions.  The centroid table is tiny and broadcast; the corpus
-  stays partitioned by centroid (hash groupby), so a query touches a
-  fraction of the data.
+- ``knn_ivf`` / ``IvfIndex``: IVF scale path — k-means-ish coarse
+  centroids (deterministic seed), assign each vector to its nearest
+  centroid in a vectorized ``map_batches``, materialize the corpus
+  ONCE as parquet hive-partitioned by ``centroid_id``, then a search
+  reads only the closest ``nprobe`` partition directories (pruned at
+  the read — a query touches nprobe/n_centroids of the bytes).
 """
 
 from __future__ import annotations
@@ -69,7 +69,8 @@ class BruteKnn:
         )
 
 
-def knn_brute(ds, queries: np.ndarray, k: int = 10):
+def knn_brute(ds, queries: np.ndarray, k: int = 10,
+              concurrency: int = 4):
     """Dataset(vec_id, embedding) x queries -> top-k per query.
 
     Per-batch partial top-k (the only data crossing the wire is
@@ -83,7 +84,10 @@ def knn_brute(ds, queries: np.ndarray, k: int = 10):
         fn_constructor_kwargs={"query_ref": query_ref, "k": k},
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=4,
+        # autoscaling pool (min 1): a FIXED pool sized to the CPU
+        # count reserves every core and deadlocks the upstream read
+        # task pool on small clusters
+        concurrency=(1, concurrency),
     ).to_pandas()
     out = (
         partials.sort_values(["query_id", "cosine", "vec_id"],
@@ -99,7 +103,13 @@ def kmeans_centroids(ds, n_centroids: int = 16, iters: int = 5,
                      sample: int = 4096) -> np.ndarray:
     """Deterministic small k-means on a sample (driver-side: the sample
     and centroid table are tiny; assignment stays distributed)."""
-    rows = ds.select_columns(["embedding"]).limit(sample).to_pandas()
+    rows = (
+        ds.select_columns(["vec_id", "embedding"]).limit(sample)
+        .to_pandas()
+        # parallel reads return blocks in nondeterministic order; pin
+        # the sample order so the seeded init picks the same rows
+        .sort_values("vec_id")
+    )
     m = _normalize(np.array(rows["embedding"].tolist(), dtype=np.float64))
     rng = np.random.default_rng(42)
     centroids = m[rng.choice(len(m), size=min(n_centroids, len(m)),
@@ -115,6 +125,12 @@ def kmeans_centroids(ds, n_centroids: int = 16, iters: int = 5,
                 if n > 0:
                     centroids[c] = v / n
     return centroids
+
+
+def _assign_centroids(batch: pa.Table, centroids=None) -> pa.Table:
+    m = _normalize(_as_matrix(batch.column("embedding")))
+    assign = (m @ centroids.T).argmax(axis=1).astype(np.int32)
+    return batch.append_column("centroid_id", pa.array(assign))
 
 
 class IvfAssign:
@@ -134,26 +150,85 @@ class IvfAssign:
         return batch.append_column("centroid_id", pa.array(assign))
 
 
-def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
-            nprobe: int = 4):
-    """IVF scale path: coarse-quantize, then search only nprobe lists."""
-    import ray
+class IvfIndex:
+    """Materialized IVF index: the corpus written ONCE as parquet
+    hive-partitioned by ``centroid_id``; a search reads ONLY its
+    ``nprobe`` partition directories (partition-pruned I/O, not a
+    full-dataset filter scan).  At 100 TB the build is a single
+    assignment pass + partitioned write, amortized over every query.
+    """
 
-    centroids = kmeans_centroids(ds, n_centroids)
-    centroid_ref = ray.put(centroids)
-    assigned = ds.map_batches(
-        IvfAssign,
-        fn_constructor_kwargs={"centroid_ref": centroid_ref},
-        batch_format="pyarrow",
-        concurrency=4,
-    )
-    q = _normalize(np.asarray(queries, dtype=np.float64))
-    probe_lists = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
-    wanted = sorted({int(c) for row in probe_lists for c in row})
-    subset = assigned.filter(
-        expr=f"centroid_id in {wanted}"
-    ) if hasattr(assigned, "filter") else assigned
-    return knn_brute(subset.drop_columns(["centroid_id"]), queries, k)
+    def __init__(self, path: str, centroids: np.ndarray):
+        self.path = path
+        self.centroids = np.asarray(centroids)
+
+    @classmethod
+    def build(cls, ds, path: str, n_centroids: int = 16) -> "IvfIndex":
+        import os
+
+        centroids = kmeans_centroids(ds, n_centroids)
+        # assignment as plain TASKS, not a fixed actor pool: a pool
+        # sized to the CPU count would reserve every core and starve
+        # the downstream Write task pool into a deadlock; the centroid
+        # matrix is tiny and ships via fn_kwargs (one object-store put)
+        assigned = ds.map_batches(
+            _assign_centroids,
+            fn_kwargs={"centroids": centroids},
+            batch_format="pyarrow",
+        )
+        # hive layout path/centroid_id=<c>/...; the partition column
+        # lives in the path, so list files carry only (vec_id, embedding)
+        assigned.write_parquet(path, partition_cols=["centroid_id"])
+        np.save(os.path.join(path, "centroids.npy"), centroids)
+        return cls(path, centroids)
+
+    @classmethod
+    def load(cls, path: str) -> "IvfIndex":
+        import os
+
+        return cls(path, np.load(os.path.join(path, "centroids.npy")))
+
+    def probe_partitions(self, queries: np.ndarray,
+                         nprobe: int) -> list[int]:
+        q = _normalize(np.asarray(queries, dtype=np.float64))
+        lists = np.argsort(-(q @ self.centroids.T), axis=1)[:, :nprobe]
+        return sorted({int(c) for row in lists for c in row})
+
+    def search(self, queries: np.ndarray, k: int = 10, nprobe: int = 4):
+        """Top-k per query over only the probed partitions' files."""
+        import os
+
+        import ray.data as rd
+
+        wanted = self.probe_partitions(queries, nprobe)
+        files = sorted(
+            os.path.join(d, f)
+            for d in (
+                os.path.join(self.path, f"centroid_id={c}") for c in wanted
+            )
+            if os.path.isdir(d)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+        subset = rd.read_parquet(files, columns=["vec_id", "embedding"])
+        return knn_brute(subset, queries, k)
+
+
+def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
+            nprobe: int = 4, index_path: str | None = None):
+    """IVF scale path: build (or reuse) the partitioned index, then
+    search only the ``nprobe`` probed partitions."""
+    import os
+    import tempfile
+
+    if index_path and os.path.exists(
+        os.path.join(index_path, "centroids.npy")
+    ):
+        index = IvfIndex.load(index_path)
+    else:
+        index_path = index_path or tempfile.mkdtemp(prefix="ivf_index_")
+        index = IvfIndex.build(ds, index_path, n_centroids)
+    return index.search(queries, k=k, nprobe=nprobe)
 
 
 class CosinePairs:

@@ -397,9 +397,17 @@ def q_cosine_to_query(sf_dir: str) -> pd.DataFrame:
     """Cosine of every vector against the vec_id=0 vector (rounded)."""
     import ray
 
+    import pyarrow.dataset as pads
+
     ds = _parquet(sf_dir, "embeddings", ["vec_id", "embedding"])
-    first = ds.filter(lambda r: r["vec_id"] == 0).take(1)
-    query = np.asarray(first[0]["embedding"], dtype=np.float64)
+    # fetch the single query row with a predicate-pushdown pyarrow
+    # read — not a per-row Python filter over the whole table
+    first = (
+        pads.dataset(f"{sf_dir}/embeddings.parquet")
+        .to_table(filter=pads.field("vec_id") == 0, columns=["embedding"])
+    )
+    query = np.asarray(first.column("embedding")[0].as_py(),
+                       dtype=np.float64)
     qn = query / np.linalg.norm(query)
     query_ref = ray.put(qn)
 
