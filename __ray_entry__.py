@@ -213,7 +213,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_hash_sample": """
             SELECT doc_id, lang, n_chars FROM documents
-            WHERE (doc_id * 2654435761) % 100 < 10
+            WHERE ((CAST(doc_id AS HUGEINT) * 2654435761)
+                   % 18446744073709551616) % 100 < 10
             ORDER BY doc_id
         """,
         "q_token_count": r"""
@@ -280,8 +281,41 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '' END AS main_text
             FROM documents
         """,
-        # q_quality / q_langid / q_minhash_dedup / q_simhash / q_knn_topk
-        # / q_knn_ivf / q_transcript_types: heuristic or multi-stage
-        # pipelines with no faithful single-statement SQL twin ->
-        # rows-only checks.
+        "q_knn_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id,
+                       CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id < 4
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       round(CAST(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), q.qe)
+                           AS DOUBLE), 6) AS cosine
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_id, vec_id, cosine FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id) AS rn
+                FROM scored)
+            WHERE rn <= 10
+        """,
+        "q_conv_stats": """
+            WITH t AS (
+                SELECT doc_id,
+                       (CAST(doc_id AS HUGEINT) * 2654435761)
+                           % 18446744073709551616 AS h
+                FROM documents
+            )
+            SELECT CASE WHEN h % 97 = 0
+                        THEN 'conv-hot-' || CAST(h % 3 AS VARCHAR)
+                        ELSE 'conv-' || printf('%08d', doc_id // 8)
+                   END AS conv_id,
+                   count(*) AS n_turns
+            FROM t GROUP BY 1
+        """,
+        # q_quality / q_langid / q_minhash_dedup / q_simhash / q_knn_ivf
+        # / q_hll_users / q_transcript_types: heuristic, sketch-based or
+        # multi-stage pipelines with no faithful single-statement SQL
+        # twin -> rows-only checks.
     }

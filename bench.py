@@ -29,10 +29,10 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPEAT = int(os.environ.get("BENCH_REPEAT", "480"))
-# v2: bump when the transcript generator changes (cache key = repeat
+# v3: bump when the transcript generator changes (cache key = repeat
 # + generator version; a stale cache would silently bench old input)
 TRANSCRIPT_CACHE = os.environ.get(
-    "BENCH_TRANSCRIPTS", f"/tmp/unfurl_ray_bench/transcripts_v2_{REPEAT}"
+    "BENCH_TRANSCRIPTS", f"/tmp/unfurl_ray_bench/transcripts_v3_{REPEAT}"
 )
 
 

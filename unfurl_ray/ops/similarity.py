@@ -51,20 +51,24 @@ class BruteKnn:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         m = _normalize(_as_matrix(batch.column("embedding")))
-        sims = m @ self.q.T  # (n, nq)
+        # rank on the ROUNDED cosine with vec_id tiebreak — the same
+        # total order the merge step and the SQL oracle use, so the
+        # per-batch partial top-k can never cut a row the global
+        # ordering would keep
+        sims = np.round(m @ self.q.T, 6)  # (n, nq)
         out_q, out_id, out_sim = [], [], []
         for qi in range(self.q.shape[0]):
             col = sims[:, qi]
             top = min(self.k, len(col))
-            idx = np.argpartition(-col, top - 1)[:top]
+            order = np.lexsort((ids, -col))[:top]
             out_q.extend([qi] * top)
-            out_id.extend(ids[idx].tolist())
-            out_sim.extend(col[idx].tolist())
+            out_id.extend(ids[order].tolist())
+            out_sim.extend(col[order].tolist())
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int32()),
                 "vec_id": pa.array(out_id, pa.int64()),
-                "cosine": pa.array(np.round(out_sim, 6), pa.float64()),
+                "cosine": pa.array(out_sim, pa.float64()),
             }
         )
 

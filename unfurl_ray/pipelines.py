@@ -430,14 +430,31 @@ def q_cosine_to_query(sf_dir: str) -> pd.DataFrame:
     return ds.map_batches(Cos, batch_format="pyarrow", concurrency=2)
 
 
+def _query_vectors(sf_dir: str, n: int = 4) -> np.ndarray:
+    """The query matrix: vectors vec_id 0..n-1 in vec_id order, via a
+    predicate-pushdown pyarrow read (query_id i == vec_id i, which is
+    what the SQL oracle joins on)."""
+    import pyarrow.dataset as pads
+
+    t = (
+        pads.dataset(f"{sf_dir}/embeddings.parquet")
+        .to_table(filter=pads.field("vec_id") < n,
+                  columns=["vec_id", "embedding"])
+        .sort_by("vec_id")
+    )
+    return np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+
+
 def q_knn_topk(sf_dir: str) -> pd.DataFrame:
-    """Brute-force cosine top-10 for 4 deterministic query vectors."""
+    """Brute-force cosine top-10 for the vec_id<4 query vectors
+    (oracle: DuckDB cross join + window top-k on the same rounded
+    total order)."""
     from unfurl_ray.ops.similarity import knn_brute
 
     ds = _parquet(sf_dir, "embeddings", ["vec_id", "embedding"])
-    probe = ds.limit(4).to_pandas()
-    queries = np.array(probe["embedding"].tolist(), dtype=np.float64)
-    return knn_brute(ds, queries, k=10)
+    out = knn_brute(ds, _query_vectors(sf_dir), k=10)
+    out["query_id"] = out["query_id"].astype("int64")
+    return out
 
 
 def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
@@ -445,9 +462,9 @@ def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
     from unfurl_ray.ops.similarity import knn_ivf
 
     ds = _parquet(sf_dir, "embeddings", ["vec_id", "embedding"])
-    probe = ds.limit(4).to_pandas()
-    queries = np.array(probe["embedding"].tolist(), dtype=np.float64)
-    return knn_ivf(ds, queries, k=10)
+    out = knn_ivf(ds, _query_vectors(sf_dir), k=10)
+    out["query_id"] = out["query_id"].astype("int64")
+    return out
 
 
 # -- extraction -------------------------------------------------------------
@@ -715,7 +732,12 @@ def q_hash_sample(sf_dir: str) -> pd.DataFrame:
 
     def pick(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        bucket = (ids * 2654435761) % 100  # no pc.mod in this pyarrow
+        # explicit uint64 wraparound (mod 2^64) — int64 would silently
+        # wrap NEGATIVE above doc_id ~3.5e9 while the HUGEINT oracle
+        # stays positive; both sides now compute the same bucket
+        with np.errstate(over="ignore"):
+            bucket = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+                % np.uint64(100)
         return batch.filter(pa.array(bucket < 10))
 
     out = ds.map_batches(pick, batch_format="pyarrow").to_pandas()

@@ -191,8 +191,12 @@ def transcripts_from_documents(batch: pa.Table, repeat: int = 1) -> pa.Table:
     for doc_id, text in doc_texts:
         text = text or ""
         h = _mix(doc_id)
-        if h % 97 == 0:  # hot conversations (skew)
-            conv = f"conv-hot-{h % 3}"
+        # hot-conv assignment uses the SQL-expressible multiplicative
+        # hash (same as q_hash_sample) so per-conv stats can be
+        # oracle-checked: (doc_id * 2654435761) mod 2^64
+        hot_h = (doc_id * 2654435761) % (1 << 64)
+        if hot_h % 97 == 0:  # hot conversations (skew)
+            conv = f"conv-hot-{hot_h % 3}"
             turn = doc_id % 100_000
         else:
             conv = f"conv-{doc_id // TURNS_PER_CONV:08d}"
