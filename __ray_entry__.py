@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embeddings / similarity
         "q_cosine_to_query": p.q_cosine_to_query,
         "q_embed_neardup": p.q_embed_neardup,
+        "q_embed_neardup_ann": p.q_embed_neardup_ann,
         "q_knn_topk": p.q_knn_topk,
         "q_knn_ivf": p.q_knn_ivf,
         # multimodal plumbing

@@ -234,6 +234,33 @@ def test_ivf_index_partition_pruned_search(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, again)
 
 
+def test_cosine_pairs_bucketed_vs_exact(ray_session):
+    """The bucketed (no-broadcast) near-dup path: exact precision —
+    every emitted pair really has cosine >= threshold and appears in
+    the exact broadcast baseline — and high recall at assign_top=2."""
+    import ray.data as rd
+
+    from unfurl_ray.ops.similarity import (
+        cosine_pair_dedup,
+        cosine_pairs_bucketed,
+    )
+
+    ds = rd.read_parquet(
+        "/root/testdata/sf0.01/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    exact = cosine_pair_dedup(ds, threshold=0.45).to_pandas()
+    exact_pairs = set(zip(exact["vec_a"], exact["vec_b"]))
+    got = cosine_pairs_bucketed(
+        ds, threshold=0.45, n_centroids=8, assign_top=2
+    ).to_pandas()
+    got_pairs = set(zip(got["vec_a"].astype(int), got["vec_b"].astype(int)))
+    assert exact_pairs  # the testdata plants near-dups
+    assert got_pairs <= exact_pairs  # exact precision
+    recall = len(got_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.7
+
+
 def test_multimodal_image_meta(ray_session):
     import ray.data as rd
     import struct

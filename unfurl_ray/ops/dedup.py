@@ -261,7 +261,7 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, column: str = "text",
 
     out = (
         rd.from_pandas(cand)
-        .map_batches(Verify, batch_format="pandas", concurrency=2)
+        .map_batches(Verify, batch_format="pandas", concurrency=(1, 2))
         .to_pandas()
     )
     if out.empty:

@@ -54,7 +54,7 @@ def broadcast_join(ds, small_df: pd.DataFrame, on: str, how: str = "inner",
         BroadcastJoin,
         fn_constructor_kwargs={"small_ref": ref, "on": on, "how": how},
         batch_format="pandas",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
 
@@ -86,7 +86,7 @@ def semi_join(ds, keys, on: str, anti: bool = False, concurrency: int = 4):
         KeyFilter,
         fn_constructor_kwargs={"keys_ref": ref, "on": on, "anti": anti},
         batch_format="pandas",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
 

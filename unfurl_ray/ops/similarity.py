@@ -80,12 +80,14 @@ def knn_brute(ds, queries: np.ndarray, k: int = 10,
     Per-batch partial top-k (the only data crossing the wire is
     nq*k rows per batch), merged with a tiny global top-k.
     """
-    import ray
-
-    query_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    # the query matrix is tiny (nq x d): pass it BY VALUE so it inlines
+    # into the actor spec — an ObjectRef constructor arg triggers Ray's
+    # actor-restart warning (ray#53727) and buys nothing at this size
     partials = ds.map_batches(
         BruteKnn,
-        fn_constructor_kwargs={"query_ref": query_ref, "k": k},
+        fn_constructor_kwargs={
+            "query_ref": np.asarray(queries, dtype=np.float64), "k": k,
+        },
         batch_format="pyarrow",
         batch_size=4096,
         # autoscaling pool (min 1): a FIXED pool sized to the CPU
@@ -280,6 +282,74 @@ class CosinePairs:
         )
 
 
+def cosine_pairs_bucketed(ds, threshold: float = 0.45,
+                          n_centroids: int = 16, assign_top: int = 2,
+                          chunk: int = 1024):
+    """Embedding-cosine near-dup pairs WITHOUT broadcasting the corpus
+    — the scale path for corpora too big for ``cosine_pair_dedup``'s
+    exact broadcast baseline.
+
+    Each vector fans out to its ``assign_top`` nearest coarse
+    centroids (inside the batch), buckets shuffle by centroid, and
+    pairs are emitted within buckets with EXACT cosine — so precision
+    is exact; only pairs whose vectors share no probed bucket are
+    missed (recall rises with ``assign_top``).  The shuffle moves each
+    embedding ``assign_top`` times and no node ever holds the corpus;
+    bucket size is governed by ``n_centroids`` (scale it with the
+    corpus so buckets stay ~corpus/n_centroids).
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Min
+
+    centroids = kmeans_centroids(ds, n_centroids)
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        m = _normalize(_as_matrix(batch.column("embedding")))
+        top = np.argsort(-(m @ centroids.T), axis=1)[:, :assign_top]
+        n = len(m)
+        rep = batch.take(pa.array(np.repeat(np.arange(n), assign_top)))
+        return rep.append_column(
+            "bucket", pa.array(top.ravel().astype(np.int32))
+        )
+
+    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group["vec_id"].to_numpy(np.int64)
+        m = _normalize(np.array(group["embedding"].tolist()))
+        out_a, out_b, out_c = [], [], []
+        # row-chunked matmul bounds memory at chunk x bucket floats
+        for s in range(0, len(ids), chunk):
+            sims = m[s: s + chunk] @ m.T
+            rows, cols = np.nonzero(sims >= threshold)
+            a = ids[rows + s]
+            b = ids[cols]
+            keep = a < b
+            out_a.append(a[keep])
+            out_b.append(b[keep])
+            out_c.append(sims[rows, cols][keep])
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a) if out_a else [],
+                "vec_b": np.concatenate(out_b) if out_b else [],
+                "cosine": np.round(
+                    np.concatenate(out_c) if out_c else [], 4
+                ),
+            }
+        )
+
+    pairs = (
+        ds.select_columns(["vec_id", "embedding"])
+        .map_batches(fanout, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
+    # a pair found in several shared buckets dedupes with a tiny
+    # groupby over the (small) pair table
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(
+        Min("cosine", alias_name="cosine")
+    )
+
+
 def cosine_pair_dedup(ds, threshold: float = 0.45, concurrency: int = 4):
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine>=t)."""
     import ray
@@ -295,5 +365,5 @@ def cosine_pair_dedup(ds, threshold: float = 0.45, concurrency: int = 4):
         },
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )

@@ -189,5 +189,5 @@ def bloom_semi_join(ds, keys, on: str, fp_rate: float = 0.01,
             return batch[~hit] if anti else batch[hit]
 
     return ds.map_batches(
-        Probe, batch_format="pandas", concurrency=concurrency
+        Probe, batch_format="pandas", concurrency=(1, concurrency)
     )

@@ -164,7 +164,7 @@ def q_order_lineitem_join(sf_dir: str) -> pd.DataFrame:
     joined = lineitem.join(
         orders,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=32,
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
@@ -372,7 +372,8 @@ def q_langid(sf_dir: str):
     from unfurl_ray.ops.textstats import LangId
 
     ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(LangId, batch_format="pandas", concurrency=2)
+    return ds.map_batches(LangId, batch_format="pandas",
+                          concurrency=(1, 2))
 
 
 def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
@@ -427,7 +428,8 @@ def q_cosine_to_query(sf_dir: str) -> pd.DataFrame:
                 }
             )
 
-    return ds.map_batches(Cos, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(Cos, batch_format="pyarrow",
+                          concurrency=(1, 2))
 
 
 def _query_vectors(sf_dir: str, n: int = 4) -> np.ndarray:
@@ -567,6 +569,22 @@ def q_embed_neardup(sf_dir: str) -> pd.DataFrame:
     out = cosine_pair_dedup(ds, threshold=0.45).to_pandas()
     return (
         out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    )
+
+
+def q_embed_neardup_ann(sf_dir: str) -> pd.DataFrame:
+    """Bucketed (centroid-LSH) near-dup pairs — the no-broadcast scale
+    path; exact precision, recall governed by assign_top (rows-only
+    check: bucket membership is kmeans-derived, not SQL)."""
+    from unfurl_ray.ops.similarity import cosine_pairs_bucketed
+
+    ds = _parquet(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = cosine_pairs_bucketed(
+        ds, threshold=0.45, n_centroids=8, assign_top=2
+    ).to_pandas()
+    return (
+        out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+        .astype({"vec_a": "int64", "vec_b": "int64"})
     )
 
 
