@@ -193,16 +193,12 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, column: str = "text",
     1. candidate PAIR table (small by LSH construction: band
        selectivity + the hot-bucket cap in ``pairs_for_band``) is the
        broadcast small side;
-    2. ``semi_join`` filters the corpus down to candidate docs — a
-       distributed broadcast-key filter, not a driver scan;
-    3. each candidate doc's exact shingle-hash set is computed inside
-       ``map_batches``; only those O(candidates) rows leave the workers;
-    4. pairs verify distributed against the broadcast shingle sets.
+    2. one fused task-pool ``map_batches`` pass filters the corpus to
+       candidate docs (broadcast key set) AND computes their exact
+       shingle-hash sets — only O(candidates) rows leave the workers;
+    3. pairs verify distributed against the broadcast shingle sets.
     """
-    import ray
     import ray.data as rd
-
-    from unfurl_ray.ops.relational import semi_join
 
     empty = pd.DataFrame(
         {"id_a": pd.Series(dtype="int64"),
@@ -219,12 +215,17 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, column: str = "text",
         return empty
     need_ids = set(cand["id_a"]) | set(cand["id_b"])
 
-    def to_shingles(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_column).to_pylist()
-        texts = batch.column(column).to_pylist()
+    # ONE fused task-pool pass over the corpus: broadcast-key filter +
+    # shingle computation in the same map (no actor spin-up, no second
+    # scan); only O(candidates) rows come back
+    def candidate_shingles(batch: pa.Table, need=None) -> pa.Table:
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        mask = pd.Series(ids).isin(need).to_numpy()
+        sub = batch.filter(pa.array(mask))
+        texts = sub.column(column).to_pylist()
         return pa.table(
             {
-                id_column: pa.array(ids, pa.int64()),
+                id_column: sub.column(id_column).cast(pa.int64()),
                 "shingles": pa.array(
                     [shingle_hashes(t or "").tolist() for t in texts],
                     pa.list_(pa.int64()),
@@ -233,35 +234,30 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, column: str = "text",
         )
 
     cand_docs = (
-        semi_join(ds.select_columns([id_column, column]), need_ids,
-                  on=id_column)
-        .map_batches(to_shingles, batch_format="pyarrow")
+        ds.select_columns([id_column, column])
+        .map_batches(candidate_shingles, fn_kwargs={"need": need_ids},
+                     batch_format="pyarrow")
         .to_pandas()  # O(candidates) rows, not the corpus
     )
-    sets_ref = ray.put(
-        {
-            int(i): frozenset(s)
-            for i, s in zip(cand_docs[id_column], cand_docs["shingles"])
-        }
-    )
+    sets = {
+        int(i): frozenset(s)
+        for i, s in zip(cand_docs[id_column], cand_docs["shingles"])
+    }
 
-    class Verify:
-        def __init__(self):
-            self.sets = ray.get(sets_ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            jac = []
-            for a, b in zip(batch["id_a"], batch["id_b"]):
-                sa = self.sets.get(int(a), frozenset())
-                sb = self.sets.get(int(b), frozenset())
-                union = len(sa | sb)
-                jac.append(len(sa & sb) / union if union else 1.0)
-            out = batch.assign(jaccard=np.round(jac, 4))
-            return out[out["jaccard"] >= threshold]
+    def verify(batch: pd.DataFrame, sets=None) -> pd.DataFrame:
+        jac = []
+        for a, b in zip(batch["id_a"], batch["id_b"]):
+            sa = sets.get(int(a), frozenset())
+            sb = sets.get(int(b), frozenset())
+            union = len(sa | sb)
+            jac.append(len(sa & sb) / union if union else 1.0)
+        out = batch.assign(jaccard=np.round(jac, 4))
+        return out[out["jaccard"] >= threshold]
 
     out = (
         rd.from_pandas(cand)
-        .map_batches(Verify, batch_format="pandas", concurrency=(1, 2))
+        .map_batches(verify, fn_kwargs={"sets": sets},
+                     batch_format="pandas")
         .to_pandas()
     )
     if out.empty:

@@ -156,15 +156,29 @@ def q_nation_balance(sf_dir: str) -> pd.DataFrame:
 
 
 def q_order_lineitem_join(sf_dir: str) -> pd.DataFrame:
-    """Large-large hash join (Dataset.join) -> rows per order status."""
+    """Large-large hash join (Dataset.join) -> rows per order status.
+
+    Join partitions are sized by BYTES (~256 MB of input each, floor
+    8): measured at sf0.1, per-partition overhead dominates small
+    inputs (8 parts: 3.2 s, 16: 4.2 s, 32: 6.8 s, 64: 15.9 s at 32
+    CPUs), while at 100 TB the byte rule is what keeps a partition's
+    hash table within a worker's heap.
+    """
+    import os
+
     from unfurl_ray.ops.relational import pre_aggregate
 
+    in_bytes = sum(
+        os.stat(f"{sf_dir}/{t}.parquet").st_size
+        for t in ("lineitem", "orders")
+    )
+    num_partitions = max(8, in_bytes // (256 << 20))
     lineitem = _parquet(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
     orders = _parquet(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
     joined = lineitem.join(
         orders,
         join_type="inner",
-        num_partitions=32,
+        num_partitions=int(num_partitions),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
