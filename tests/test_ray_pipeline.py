@@ -467,7 +467,10 @@ def test_snippet_dedup_cache(ray_session):
         [{"i": 0, "text": "doc 3  body"}, {"i": 1, "text": "DOC 3 body"}]
     )
     out2 = snippet_dedup(ds2, concurrency=1).to_pandas().sort_values("i")
-    assert out2["is_dup_snippet"].tolist() == [False, True]
+    # block ARRIVAL order at the actor is nondeterministic under load,
+    # so assert the normalization property (exactly one flagged), not
+    # which of the two arrived first
+    assert sorted(out2["is_dup_snippet"].tolist()) == [False, True]
 
 
 def test_extract_turns_never_fails_a_row(ray_session):
@@ -582,3 +585,32 @@ def test_stale_partition_dirs_not_merged(ray_session, tmp_path):
         pq.read_metadata(f).num_rows for f in (out / "final").glob("*.parquet")
     )
     assert n3 == n1
+
+
+def test_shrunk_input_prunes_stale_partitions(ray_session, tmp_path):
+    """Resuming with FEWER input files must drop the now-out-of-range
+    partitions from the manifest and disk (not merge them)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from unfurl_ray.engine.pipeline import run_pipeline
+    from unfurl_ray.sources.transcripts import build_transcripts
+
+    tdir = str(tmp_path / "t")
+    build_transcripts(SF, shuffled=False).repartition(4).write_parquet(tdir)
+    files = sorted(glob.glob(f"{tdir}/*.parquet"))
+    assert len(files) >= 2
+    out = tmp_path / "out5"
+    m1 = run_pipeline(files, str(out), concurrency=2, resume=True,
+                      order=False)
+    n_parts1 = len(m1["partitions"])
+
+    shrunk = files[:1]
+    m2 = run_pipeline(shrunk, str(out), concurrency=2, resume=True,
+                      order=False)
+    assert len(m2["partitions"]) == 1 < n_parts1
+    rows_final = sum(
+        pq.read_metadata(f).num_rows for f in (out / "final").glob("*.parquet")
+    )
+    assert rows_final == pq.read_metadata(shrunk[0]).num_rows

@@ -141,6 +141,15 @@ def run_extraction_checkpointed(
         input_files[i: i + files_per_partition]
         for i in range(0, len(input_files), files_per_partition)
     ]
+    # prune manifest entries (and their dirs) for partitions beyond the
+    # current input list — a shrunk input on resume must not leave
+    # stale partitions that the final pass would merge
+    current_ids = {f"part-{gi:05d}" for gi in range(len(groups))}
+    for stale_id in [
+        p for p in manifest["partitions"] if p not in current_ids
+    ]:
+        del manifest["partitions"][stale_id]
+        shutil.rmtree(extracted / stale_id, ignore_errors=True)
     for gi, files in enumerate(groups):
         part_id = f"part-{gi:05d}"
         fps = {f: _fingerprint(f) for f in files}

@@ -1,9 +1,11 @@
 """Similarity search over an embedding column (list<float>).
 
-- ``knn_brute``: brute-force cosine top-k — the baseline.  The query
-  matrix is broadcast once (``ray.put`` -> actor ``__init__``), each
+- ``knn_brute``: brute-force cosine top-k — the baseline.  The tiny
+  query matrix ships by value into the actor pool's constructor, each
   batch does one numpy matmul, partial top-k per batch, merged at the
   end (small result).  No shuffle of the corpus.
+- ``cosine_pairs_bucketed``: near-dup pairs without any corpus
+  broadcast (centroid-LSH fan-out + within-bucket exact pairs).
 - ``knn_ivf`` / ``IvfIndex``: IVF scale path — k-means-ish coarse
   centroids (deterministic seed), assign each vector to its nearest
   centroid in a vectorized ``map_batches``, materialize the corpus
@@ -171,7 +173,10 @@ class IvfIndex:
     @classmethod
     def build(cls, ds, path: str, n_centroids: int = 16) -> "IvfIndex":
         import os
+        import shutil
 
+        # a rebuild must replace, not append to, an existing index
+        shutil.rmtree(path, ignore_errors=True)
         centroids = kmeans_centroids(ds, n_centroids)
         # assignment as plain TASKS, not a fixed actor pool: a pool
         # sized to the CPU count would reserve every core and starve
@@ -245,10 +250,9 @@ class CosinePairs:
     only pairs ``vec_a < vec_b`` with ``cosine >= threshold`` — so the
     N^2 similarity matrix never materializes and only matches cross the
     wire.  This is the exact baseline; at corpus sizes where the
-    broadcast no longer fits (>~10M x d floats per node), swap the
-    probe side for the IVF partitioning of ``knn_ivf`` (or LSH bucket
-    groupby a la MinHash) and take the same pair-emission kernel
-    within buckets.
+    broadcast no longer fits (>~10M x d floats per node), use
+    ``cosine_pairs_bucketed`` — the same pair-emission kernel within
+    centroid-LSH buckets, no broadcast.
     """
 
     def __init__(self, corpus_ref, threshold: float):
