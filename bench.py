@@ -116,6 +116,39 @@ def run_queries() -> dict:
     return timings
 
 
+def run_micro() -> dict:
+    """Kernel micro-benchmarks + IVF recall (single-process, no Ray)."""
+    import numpy as np
+
+    from unfurl_ray.ops.sketch import hll_estimate, hll_fold
+
+    vals = np.random.default_rng(0).integers(0, 500_000, size=1_000_000)
+    hll_fold(vals[:1000], 12)  # warm
+    t0 = time.time()
+    regs = hll_fold(vals, 12)
+    fold_sec = time.time() - t0
+    exact = len(np.unique(vals))
+    err = abs(hll_estimate(regs) - exact) / exact
+    out = {
+        "hll_fold_1m_int64_sec": round(fold_sec, 3),
+        "hll_rel_err": round(err, 4),
+    }
+
+    # IVF recall vs brute on the sf embeddings (shares the Ray session)
+    from unfurl_ray import pipelines as p
+
+    brute = p.q_knn_topk(SF_DIR)
+    ivf = p.q_knn_ivf(SF_DIR)
+    recall = 0.0
+    qids = sorted(set(brute["query_id"]))
+    for qi in qids:
+        b = set(brute[brute["query_id"] == qi]["vec_id"])
+        g = set(ivf[ivf["query_id"] == qi]["vec_id"])
+        recall += len(b & g) / max(1, len(b))
+    out["ivf_recall_at_10"] = round(recall / len(qids), 3)
+    return out
+
+
 def main() -> None:
     import ray
 
@@ -137,7 +170,9 @@ def main() -> None:
     ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
 
     headline = run_headline()
-    queries = run_queries() if os.environ.get("BENCH_QUERIES", "1") == "1" else {}
+    run_q = os.environ.get("BENCH_QUERIES", "1") == "1"
+    queries = run_queries() if run_q else {}
+    micro = run_micro() if run_q else {}
     ray.shutdown()
 
     print(
@@ -147,6 +182,7 @@ def main() -> None:
                 "value": round(headline["seconds"], 2),
                 "unit": "sec",
                 "queries": queries,
+                "micro": micro,
                 "sf": SF_DIR,
                 "num_cpus": NUM_CPUS,
                 "turns": headline["turns"],
