@@ -432,6 +432,27 @@ def test_hll_distinct_accuracy(ray_session):
     assert abs(est - 5000) / 5000 < 0.05  # ~1.6% stderr at p=12
 
 
+def test_quantile_sketch_rank_error(ray_session):
+    """Mergeable quantile sketch: rank error vs exact < 1% on real
+    multi-block input (two merge levels exercised)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from unfurl_ray.ops.sketch import approx_quantiles
+
+    exact = np.sort(
+        pq.read_table(f"{SF}/events.parquet", columns=["value"])
+        .column("value").to_numpy(zero_copy_only=False)
+    )
+    ds = rd.read_parquet(
+        f"{SF}/events.parquet", columns=["value"]
+    ).repartition(8)  # force multiple sketch folds + a real tree merge
+    est = approx_quantiles(ds, "value", qs=(0.5, 0.95, 0.99))
+    for q in (0.5, 0.95, 0.99):
+        rank = np.searchsorted(exact, est[q]) / len(exact)
+        assert abs(rank - q) < 0.01, (q, est[q], rank)
+
+
 def test_bloom_semi_join_exact(ray_session):
     import ray.data as rd
     from unfurl_ray.ops.sketch import BloomFilter, bloom_semi_join

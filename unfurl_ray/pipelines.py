@@ -478,7 +478,11 @@ def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
     from unfurl_ray.ops.similarity import knn_ivf
 
     ds = _parquet(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = knn_ivf(ds, _query_vectors(sf_dir), k=10)
+    # nprobe=6/16 probes 37% of the partitions; on these UNclustered
+    # synthetic embeddings (IVF's worst case) that measures recall@10
+    # = 0.85 vs brute force (4: 0.70, 8: 1.00) — real embedding
+    # corpora cluster, shifting the whole tradeoff curve up
+    out = knn_ivf(ds, _query_vectors(sf_dir), k=10, nprobe=6)
     out["query_id"] = out["query_id"].astype("int64")
     return out
 
@@ -730,6 +734,24 @@ def q_hll_users(sf_dir: str) -> pd.DataFrame:
     ds = _parquet(sf_dir, "events", ["user_id"])
     est = hll_distinct(ds, "user_id", p=12)
     return pd.DataFrame({"approx_distinct_users": [round(est)]})
+
+
+def q_quantile_sketch(sf_dir: str) -> pd.DataFrame:
+    """Approximate p50/p95/p99 of events.value via mergeable
+    rank-strided sketches (no sort, no driver materialization; rows-
+    only check — the estimate is within ~0.1% rank error of exact but
+    not equal)."""
+    from unfurl_ray.ops.sketch import approx_quantiles
+
+    ds = _parquet(sf_dir, "events", ["value"])
+    est = approx_quantiles(ds, "value", qs=(0.5, 0.95, 0.99))
+    return pd.DataFrame(
+        {
+            "p50": [round(est[0.5], 4)],
+            "p95": [round(est[0.95], 4)],
+            "p99": [round(est[0.99], 4)],
+        }
+    )
 
 
 def q_bloom_semi_join(sf_dir: str) -> pd.DataFrame:
