@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bloom_semi_join": p.q_bloom_semi_join,
         "q_hll_users": p.q_hll_users,
         "q_quantile_sketch": p.q_quantile_sketch,
+        "q_group_quantile_sketch": p.q_group_quantile_sketch,
         "q_distinct_event_types": p.q_distinct_event_types,
         "q_events_window": p.q_events_window,
         "q_sessionize": p.q_sessionize,

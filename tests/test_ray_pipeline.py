@@ -453,6 +453,33 @@ def test_quantile_sketch_rank_error(ray_session):
         assert abs(rank - q) < 0.01, (q, est[q], rank)
 
 
+def test_grouped_quantile_sketch_rank_error(ray_session):
+    """Per-key sketch quantiles within 1% rank error of each key's
+    exact distribution."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from unfurl_ray.ops.sketch import grouped_approx_quantiles
+
+    t = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_type", "value"]
+    ).to_pandas()
+    ds = rd.read_parquet(
+        f"{SF}/events.parquet", columns=["event_type", "value"]
+    ).repartition(8)
+    got = grouped_approx_quantiles(
+        ds, "event_type", "value", qs=(0.5, 0.95)
+    ).to_pandas()
+    assert set(got["event_type"]) == set(t["event_type"])
+    for _, row in got.iterrows():
+        exact = np.sort(
+            t.loc[t["event_type"] == row["event_type"], "value"].to_numpy()
+        )
+        for q, col in ((0.5, "q_0.5"), (0.95, "q_0.95")):
+            rank = np.searchsorted(exact, row[col]) / len(exact)
+            assert abs(rank - q) < 0.01, (row["event_type"], q, rank)
+
+
 def test_bloom_semi_join_exact(ray_session):
     import ray.data as rd
     from unfurl_ray.ops.sketch import BloomFilter, bloom_semi_join

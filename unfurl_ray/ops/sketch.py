@@ -284,3 +284,50 @@ def approx_quantiles(ds, column: str, qs=(0.5, 0.95, 0.99),
         return {q: float("nan") for q in qs}
     vals, w = _q_compress(vals, w, m)
     return {q: quantile_query(vals, w, q) for q in qs}
+
+
+def grouped_approx_quantiles(ds, key_col: str, value_col: str,
+                             qs=(0.5, 0.95), m: int = 512):
+    """Approximate quantiles PER KEY via sketch-merge groupby.
+
+    Unlike ``relational.group_quantile_disc`` (exact, but assumes one
+    key's values fit in one group), this folds each batch into one
+    <=m-point summary PER KEY it contains, then groupby(key) merges
+    summaries — the shuffle carries sketches, never values, so a key
+    with 10^10 rows costs the same as one with 10^3.
+
+    Returns a Dataset of (key, q_<quantile>...) rows.
+    """
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        out_keys, out_vals, out_ws = [], [], []
+        for key, grp in batch.groupby(key_col, sort=False):
+            v = grp[value_col].to_numpy(dtype=np.float64)
+            v = v[~np.isnan(v)]
+            vals, w = _q_compress(v, np.ones(len(v)), m)
+            out_keys.append(key)
+            out_vals.append(vals.tobytes())
+            out_ws.append(w.tobytes())
+        return pd.DataFrame(
+            {key_col: out_keys, "vals": out_vals, "weights": out_ws}
+        )
+
+    def merge_key(group: pd.DataFrame) -> pd.DataFrame:
+        vs = np.concatenate(
+            [np.frombuffer(b, dtype=np.float64) for b in group["vals"]]
+        )
+        ws = np.concatenate(
+            [np.frombuffer(b, dtype=np.float64)
+             for b in group["weights"]]
+        )
+        vals, w = _q_compress(vs, ws, m)
+        row = {key_col: [group[key_col].iloc[0]]}
+        for q in qs:
+            row[f"q_{q}"] = [quantile_query(vals, w, q)]
+        return pd.DataFrame(row)
+
+    return (
+        ds.select_columns([key_col, value_col])
+        .map_batches(fold, batch_format="pandas")
+        .groupby(key_col)
+        .map_groups(merge_key, batch_format="pandas")
+    )

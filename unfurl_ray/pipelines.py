@@ -754,6 +754,22 @@ def q_quantile_sketch(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_group_quantile_sketch(sf_dir: str) -> pd.DataFrame:
+    """Approximate p50/p95 of events.value PER event_type via
+    sketch-merge groupby (the shuffle carries ~4KiB sketches per
+    (batch, key), never raw values — no one-key-per-group assumption;
+    rows-only check)."""
+    from unfurl_ray.ops.sketch import grouped_approx_quantiles
+
+    ds = _parquet(sf_dir, "events", ["event_type", "value"])
+    out = grouped_approx_quantiles(
+        ds, "event_type", "value", qs=(0.5, 0.95)
+    ).to_pandas()
+    out["q_0.5"] = out["q_0.5"].round(4)
+    out["q_0.95"] = out["q_0.95"].round(4)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_bloom_semi_join(sf_dir: str) -> pd.DataFrame:
     """Orders by customers in BUILDING segment, via Bloom-prefiltered
     exact semi join (filter broadcast; survivors exact-checked)."""
