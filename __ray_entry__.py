@@ -79,7 +79,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from unfurl_ray.ops.textstats import STOPWORDS
+
+    stops = ", ".join(
+        f"'{w}'" for w in sorted(set().union(*STOPWORDS.values()))
+    )
+    # q_quality parity notes: ASCII [ \t\n\f\r] classes match the
+    # Python kernel's explicit classes (RE2 \s and Python unicode \s
+    # disagree); floor(x*10^k + 0.5)/10^k is the same half-up float64
+    # rounding the kernel runs (DuckDB round() is half-away, numpy
+    # .round() half-even — neither matches the other).
+    q_quality_sql = f"""
+        WITH w AS (
+            SELECT doc_id,
+                   length(coalesce(text, '')) AS n_chars,
+                   len(list_filter(regexp_split_to_array(
+                       coalesce(text, ''), '[ \t\n\f\r]+'),
+                       x -> x <> '')) AS n_words,
+                   len(regexp_extract_all(coalesce(text, ''),
+                       '[^A-Za-z0-9_ \t\n\f\r]')) AS n_punct,
+                   len(list_filter(regexp_split_to_array(
+                       coalesce(text, ''), '[ \t\n\f\r]+'),
+                       x -> lower(x) IN ({stops}))) AS n_stop
+            FROM documents
+        ), r AS (
+            SELECT doc_id, n_words,
+                   floor(CAST(n_chars AS DOUBLE) / greatest(n_words, 1)
+                         * 1000 + 0.5) / 1000 AS mean_word_len,
+                   floor(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)
+                         * 10000 + 0.5) / 10000 AS punct_ratio,
+                   floor(CAST(n_stop AS DOUBLE) / greatest(n_words, 1)
+                         * 10000 + 0.5) / 10000 AS stopword_ratio
+            FROM w
+        )
+        SELECT doc_id, n_words, mean_word_len, punct_ratio,
+               stopword_ratio,
+               floor(((least(n_words, 200) / 200.0) * 0.4
+                      + (1 - least(punct_ratio, 1.0)) * 0.2
+                      + least(stopword_ratio, 0.5) * 2 * 0.4)
+                     * 10000 + 0.5) / 10000 AS quality
+        FROM r
+    """
     return {
+        "q_quality": q_quality_sql,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -317,8 +359,9 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_turns
             FROM t GROUP BY 1
         """,
-        # q_quality / q_langid / q_minhash_dedup / q_simhash / q_knn_ivf
-        # / q_hll_users / q_transcript_types: heuristic, sketch-based or
-        # multi-stage pipelines with no faithful single-statement SQL
-        # twin -> rows-only checks.
+        # q_langid / q_minhash_dedup / q_simhash / q_knn_ivf /
+        # q_hll_users / q_quantile_sketch / q_group_quantile_sketch /
+        # q_embed_neardup_ann / q_transcript_types: heuristic, sketch-
+        # based or multi-stage pipelines with no faithful single-
+        # statement SQL twin -> rows-only checks.
     }

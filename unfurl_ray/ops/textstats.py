@@ -54,32 +54,57 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# ASCII character classes written out explicitly so the Python regex
+# and the DuckDB/RE2 oracle regex are the SAME pattern text (RE2's \s
+# and Python's unicode \s disagree on \v and U+00A0 etc.)
+_WS_CLASS = " \t\n\f\r"
+_WORD_SPLIT_RE = re.compile(rf"[^{_WS_CLASS}]+")
+_PUNCT_ASCII_RE = re.compile(rf"[^A-Za-z0-9_{_WS_CLASS}]")
+
+
+def _half_up(x, k: int):
+    """Round half UP at k decimals via floor(x*10^k + 0.5)/10^k —
+    the same float64 ops the SQL oracle runs, so results are
+    bit-identical (numpy/pandas .round() is half-to-even, DuckDB
+    round() is half-away; neither matches the other)."""
+    import numpy as np
+
+    scale = float(10 ** k)
+    return np.floor(np.asarray(x, dtype=np.float64) * scale + 0.5) / scale
+
+
 def quality_score_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """Length / punctuation / stopword-ratio quality features + score.
 
-    C4/Gopher-style cheap filters: mean word length, punctuation ratio,
-    stopword hit ratio, all-caps ratio -> a [0,1] composite.
-    """
+    C4/Gopher-style cheap filters: mean word length, punctuation
+    ratio, stopword hit ratio -> a [0,1] composite.  Every operation
+    (ASCII tokenization, float64 ratios, half-up rounding) mirrors the
+    DuckDB oracle exactly, so q_quality is hash-checked."""
+    import numpy as np
+
     texts = batch["text"].fillna("")
-    n_chars = texts.str.len()
-    words = texts.str.split()
-    n_words = words.map(len)
-    mean_word_len = (n_chars / n_words.clip(lower=1)).round(3)
-    punct = texts.map(lambda t: len(_PUNCT_RE.findall(t)))
-    punct_ratio = (punct / n_chars.clip(lower=1)).round(4)
+    n_chars = texts.str.len().to_numpy(dtype=np.float64)
+    words = texts.map(_WORD_SPLIT_RE.findall)
+    n_words = words.map(len).to_numpy(dtype=np.int64)
+    nw1 = np.maximum(n_words, 1).astype(np.float64)
+    mean_word_len = _half_up(n_chars / nw1, 3)
+    punct = texts.map(
+        lambda t: len(_PUNCT_ASCII_RE.findall(t))
+    ).to_numpy(dtype=np.float64)
+    punct_ratio = _half_up(punct / np.maximum(n_chars, 1.0), 4)
     all_stop = set().union(*STOPWORDS.values())
-    stop_ratio = words.map(
-        lambda ws: round(
-            sum(1 for w in ws if w.lower() in all_stop) / max(1, len(ws)), 4
-        )
+    n_stop = words.map(
+        lambda ws: sum(1 for w in ws if w.lower() in all_stop)
+    ).to_numpy(dtype=np.float64)
+    stop_ratio = _half_up(n_stop / nw1, 4)
+    score = _half_up(
+        (np.minimum(n_words, 200) / 200.0) * 0.4
+        + (1 - np.minimum(punct_ratio, 1.0)) * 0.2
+        + np.minimum(stop_ratio, 0.5) * 2 * 0.4,
+        4,
     )
-    score = (
-        (n_words.clip(0, 200) / 200) * 0.4
-        + (1 - punct_ratio.clip(0, 1)) * 0.2
-        + stop_ratio.clip(0, 0.5) * 2 * 0.4
-    ).round(4)
     out = batch[["doc_id"]].copy()
-    out["n_words"] = n_words.astype("int64")
+    out["n_words"] = n_words
     out["mean_word_len"] = mean_word_len
     out["punct_ratio"] = punct_ratio
     out["stopword_ratio"] = stop_ratio
