@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from unfurl_ray.ops.textstats import STOPWORDS
+    from unfurl_ray.sources.transcripts import TURNS_PER_CONV as _TPC
 
     stops = ", ".join(
         f"'{w}'" for w in sorted(set().union(*STOPWORDS.values()))
@@ -345,7 +346,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored)
             WHERE rn <= 10
         """,
-        "q_conv_stats": """
+        # conv divisor derived from the kernel's own constant so the
+        # oracle can never drift from transcripts.TURNS_PER_CONV
+        "q_conv_stats": f"""
             WITH t AS (
                 SELECT doc_id,
                        (CAST(doc_id AS HUGEINT) * 2654435761)
@@ -354,7 +357,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CASE WHEN h % 97 = 0
                         THEN 'conv-hot-' || CAST(h % 3 AS VARCHAR)
-                        ELSE 'conv-' || printf('%08d', doc_id // 8)
+                        ELSE 'conv-' || printf('%08d',
+                                               doc_id // {_TPC})
                    END AS conv_id,
                    count(*) AS n_turns
             FROM t GROUP BY 1

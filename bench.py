@@ -214,7 +214,7 @@ def scaling() -> None:
     lo, hi = 8, 32
     # SCALING_TRIALS paired (lo, hi) trials -> per-trial efficiencies +
     # median (single pairs swing ±0.1 under this VM's run-to-run noise)
-    n_pairs = int(os.environ.get("SCALING_TRIALS", "1"))
+    n_pairs = max(1, int(os.environ.get("SCALING_TRIALS", "1")))
     effs, pairs = [], []
     for _ in range(n_pairs):
         r_lo, r_hi = run(lo), run(hi)

@@ -144,20 +144,40 @@ def test_context_loader_follows_link_header():
 
 
 def test_context_loader_link_cycle_guard():
+    rel = 'rel="http://www.w3.org/ns/json-ld#context"'
     side = {
         "https://a.test/": {
             "status": 200,
             "headers": {"content-type": "application/ld+json",
-                        "link": "<https://b.test/>"},
+                        "link": f"<https://b.test/>; {rel}"},
             "body": "{}",
         },
         "https://b.test/": {
             "status": 200,
             "headers": {"content-type": "application/ld+json",
-                        "link": "<https://a.test/>"},
+                        "link": f"<https://a.test/>; {rel}"},
             "body": "{}",
         },
     }
     loader = ContextLoader(side)
     out = loader.get("https://a.test/")  # must terminate
     assert out == {} or out is None
+
+
+def test_context_loader_ignores_unrelated_link_rel():
+    """A context page carrying an unrelated Link (rel=preload) keeps
+    its OWN body — only rel=json-ld#context substitutes the doc."""
+    side = {
+        "https://ctx.test/doc": {
+            "status": 200,
+            "headers": {
+                "content-type": "application/ld+json",
+                "link": '<https://cdn.test/font.woff2>; rel="preload"',
+            },
+            "body": '{"@context": {"x": "http://schema.org/x"}}',
+        },
+    }
+    loader = ContextLoader(side)
+    assert loader.get("https://ctx.test/doc") == {
+        "@context": {"x": "http://schema.org/x"}
+    }

@@ -95,6 +95,33 @@ def get_oembed(
     return None
 
 
+_JSONLD_CONTEXT_REL = "http://www.w3.org/ns/json-ld#context"
+
+
+def _jsonld_context_link(header: str) -> "str | None":
+    """First Link-header entry carrying the JSON-LD alternate-context
+    relation (RFC 8288 comma-separated ``<url>; param=value`` form).
+
+    Entries without a matching ``rel`` are ignored — returns None when
+    no entry names the context relation."""
+    import re
+
+    for part in header.split(","):
+        seg = part.strip()
+        if not seg.startswith("<") or ">" not in seg:
+            continue
+        url = seg[1: seg.index(">")]
+        params = seg[seg.index(">") + 1:]
+        m = re.search(r'rel\s*=\s*("([^"]*)"|([^;\s]+))', params)
+        if not m:
+            continue
+        rels = (m.group(2) if m.group(2) is not None
+                else m.group(3) or "").split()
+        if _JSONLD_CONTEXT_REL in rels:
+            return url
+    return None
+
+
 class ContextLoader:
     """JSON-LD remote-context cache over the offline side table.
 
@@ -133,20 +160,21 @@ class ContextLoader:
                     # the reference forwards the Link header as the
                     # remote document's contextUrl (unfurl-html/src/
                     # index.ts:160-162); per the JSON-LD alternate-
-                    # context rule the linked document then supplies
-                    # the @context, so resolve it through this cache
+                    # context rule ONLY a link whose rel is the
+                    # json-ld#context relation supplies the @context —
+                    # an unrelated Link (rel=preload etc.) must not
+                    # silently substitute the page's own body
                     from unfurl_ray.core.values import to_value
 
                     link = to_value(
                         (page.get("headers") or {}).get("link")
                     )
                     if isinstance(link, str) and link.strip():
-                        target = link.strip()
-                        if target.startswith("<") and ">" in target:
-                            target = target[1: target.index(">")]
-                        linked = self.get(target)
-                        if isinstance(linked, dict):
-                            doc = linked
+                        target = _jsonld_context_link(link)
+                        if target:
+                            linked = self.get(target)
+                            if isinstance(linked, dict):
+                                doc = linked
             self._cache[url] = doc
         finally:
             self._loading.discard(url)

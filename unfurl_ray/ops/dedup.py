@@ -6,10 +6,11 @@ Ray-Data-first shapes (ray_guide "Aggregation at scale"):
   ``groupby(hash)`` keep-first.  The shuffle moves only (hash, doc_id,
   small cols), never the text payload, so it scales to 100 TB.
 - **MinHash + LSH**: shingle -> minhash signature per doc (numpy, per
-  batch) -> explode to (band_id, band_hash) rows -> groupby bands ->
-  candidate pairs -> exact-Jaccard verification.  Signatures are
-  mergeable partials; the all-to-all exchange carries ~n_bands small
-  ints per doc.
+  batch) -> explode to (band_id, band_hash, band_bucket) rows ->
+  groupby (band_id, band_bucket) -> candidate pairs -> exact-Jaccard
+  verification.  Signatures are mergeable partials; the all-to-all
+  exchange carries ~n_bands small ints per doc, fragmented across
+  N_BANDS x N_BUCKETS groups so no group scales with the corpus.
 - **SimHash**: 64-bit hyperplane-free charhash aggregate; near-dups =
   identical simhash buckets (or Hamming<=k via bit-rotation buckets).
 - **n-gram Jaccard**: the verification kernel, also exposed directly.
@@ -31,6 +32,15 @@ _WORD_RE = re.compile(r"\w+", re.UNICODE)
 N_PERM = 128
 N_BANDS = 16
 ROWS_PER_BAND = N_PERM // N_BANDS
+# Shuffle granularity for LSH candidate generation: band rows group by
+# (band_id, band_hash % N_BUCKETS) so no map_groups group ever holds
+# one row per corpus document (grouping by band_id alone concentrates
+# the whole corpus's band rows into N_BANDS groups).  A group holds
+# ~corpus * N_BANDS / (N_BANDS * N_BUCKETS) rows of 3 ints; raise
+# N_BUCKETS with corpus size to keep that bounded (it only changes
+# shuffle granularity, never which pairs are emitted, because same
+# band_hash -> same bucket).
+N_BUCKETS = 4096
 _MERSENNE = (1 << 61) - 1
 _rng = np.random.default_rng(42)
 _PERM_A = _rng.integers(1, _MERSENNE, size=N_PERM, dtype=np.int64)
@@ -113,7 +123,9 @@ def exact_dedup(ds, column: str = "text", id_column: str = "doc_id"):
 
 def minhash_band_rows(batch: pa.Table, column: str = "text",
                       id_column: str = "doc_id") -> pa.Table:
-    """Explode each doc into N_BANDS (band_id, band_hash) rows."""
+    """Explode each doc into N_BANDS (band_id, band_hash, band_bucket)
+    rows; ``band_bucket`` is the shuffle key fragmenting each band's
+    rows across N_BUCKETS groups (see N_BUCKETS note above)."""
     ids = batch.column(id_column).to_pylist()
     texts = batch.column(column).to_pylist()
     out_ids, out_bands, out_hashes = [], [], []
@@ -130,6 +142,9 @@ def minhash_band_rows(batch: pa.Table, column: str = "text",
             id_column: pa.array(out_ids, pa.int64()),
             "band_id": pa.array(out_bands, pa.int32()),
             "band_hash": pa.array(out_hashes, pa.int64()),
+            "band_bucket": pa.array(
+                [h % N_BUCKETS for h in out_hashes], pa.int32()
+            ),
         }
     )
 
@@ -158,8 +173,11 @@ def minhash_candidate_pairs(ds, column: str = "text",
     from itertools import combinations
 
     def pairs_for_band(group: pd.DataFrame) -> pd.DataFrame:
-        # one call per BAND (16 total), not per bucket (~docs x 16):
-        # per-group Python dispatch dominated the band shuffle before.
+        # one call per (band, bucket) group — N_BANDS x N_BUCKETS groups
+        # total, each ~corpus/N_BUCKETS rows, so neither the per-group
+        # Python dispatch (round-1 pathology: one group per distinct
+        # band_hash) nor the group SIZE (round-2 pathology: one group
+        # per band = one row per corpus doc) scales with the corpus.
         # Only buckets with >=2 docs can emit pairs — filter those
         # vectorized, then combine within each (rare) duplicate bucket.
         dup = group[group.duplicated("band_hash", keep=False)]
@@ -179,7 +197,7 @@ def minhash_candidate_pairs(ds, column: str = "text",
     # pairs may repeat across bands; dedupe at the consumer (a pandas
     # drop_duplicates once collected beats a second Ray shuffle for a
     # candidate set that is tiny relative to the corpus)
-    return bands.groupby("band_id").map_groups(
+    return bands.groupby(["band_id", "band_bucket"]).map_groups(
         pairs_for_band, batch_format="pandas"
     )
 
@@ -243,21 +261,33 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, column: str = "text",
         int(i): frozenset(s)
         for i, s in zip(cand_docs[id_column], cand_docs["shingles"])
     }
+    # the shingle-set dict goes to the object store ONCE; each verify
+    # actor fetches it in __init__ — a fn_kwargs dict would re-serialize
+    # O(candidates x shingles) bytes into every task on near-dup-heavy
+    # corpora (exactly the corpora this op targets)
+    import ray
 
-    def verify(batch: pd.DataFrame, sets=None) -> pd.DataFrame:
-        jac = []
-        for a, b in zip(batch["id_a"], batch["id_b"]):
-            sa = sets.get(int(a), frozenset())
-            sb = sets.get(int(b), frozenset())
-            union = len(sa | sb)
-            jac.append(len(sa & sb) / union if union else 1.0)
-        out = batch.assign(jaccard=np.round(jac, 4))
-        return out[out["jaccard"] >= threshold]
+    sets_ref = ray.put(sets)
+
+    class VerifyPairs:
+        def __init__(self):
+            self.sets = ray.get(sets_ref)
+            self.threshold = threshold
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            jac = []
+            for a, b in zip(batch["id_a"], batch["id_b"]):
+                sa = self.sets.get(int(a), frozenset())
+                sb = self.sets.get(int(b), frozenset())
+                union = len(sa | sb)
+                jac.append(len(sa & sb) / union if union else 1.0)
+            out = batch.assign(jaccard=np.round(jac, 4))
+            return out[out["jaccard"] >= self.threshold]
 
     out = (
         rd.from_pandas(cand)
-        .map_batches(verify, fn_kwargs={"sets": sets},
-                     batch_format="pandas")
+        .map_batches(VerifyPairs, batch_format="pandas",
+                     concurrency=(1, 4))
         .to_pandas()
     )
     if out.empty:

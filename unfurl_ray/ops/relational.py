@@ -157,31 +157,75 @@ def tumbling_window(ds, ts_col: str, key_col: str, width_s: int,
 
 
 def sessionize(ds, ts_col: str, key_col: str, gap_s: int):
-    """Gap-based sessions per key: groupby(key).map_groups over sorted ts.
+    """Gap-based sessions per key, skew-safe in two phases.
 
-    Partitioning assumption: one key's events fit in one group (true for
-    user-level event streams; salt ultra-hot keys first if not).
+    Phase 1 (``map_batches``): each batch collapses its own events into
+    per-key session FRAGMENTS (key, n_events, start, end) — a fragment
+    is a maximal gap-connected run within the batch.  Phase 2
+    (``groupby(key).map_groups``): fragments interval-merge (a fragment
+    joins the running session when its start is within ``gap_s`` of the
+    session's max end), which yields exactly the event-level sessions:
+    fragment intervals cover their events and internal gaps are all
+    <= gap, so two fragments chain iff some pair of their events does.
+
+    The shuffle therefore carries session STUBS, never events — a key
+    holding many blocks' worth of events (a bot user, a hot tenant)
+    contributes one stub per (batch, session-run), not one row per
+    event, so no group scales with a key's event count.
     """
     gap_us = gap_s * 1_000_000
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(ts_col)
-        ts = _ts_us(g[ts_col])
-        new_session = (ts.diff() > gap_us).fillna(True)
-        session_ids = new_session.cumsum()
-        agg = g.assign(_sid=session_ids).groupby("_sid")
-        out = pd.DataFrame(
+    def fragments(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.sort_values([key_col, ts_col])
+        ts = _ts_us(g[ts_col]).to_numpy()
+        keys = g[key_col].to_numpy()
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = ~(
+                (keys[1:] == keys[:-1]) & ((ts[1:] - ts[:-1]) <= gap_us)
+            )
+        agg = g.assign(_fid=np.cumsum(new)).groupby("_fid", sort=True)
+        return pd.DataFrame(
             {
-                key_col: g[key_col].iloc[0],
-                "session_idx": np.arange(agg.ngroups, dtype="int64"),
-                "n_events": agg.size().to_numpy(),
+                key_col: agg[key_col].first().to_numpy(),
+                "n_events": agg.size().to_numpy().astype("int64"),
                 "session_start": agg[ts_col].min().to_numpy(),
                 "session_end": agg[ts_col].max().to_numpy(),
             }
         )
-        return out
 
-    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+    def merge_fragments(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["session_start", "session_end"])
+        start = _ts_us(g["session_start"]).to_numpy()
+        end = _ts_us(g["session_end"]).to_numpy()
+        n = len(g)
+        sid = np.zeros(n, dtype=np.int64)
+        run_end = end[0]
+        cur = 0
+        for i in range(1, n):  # O(fragments), not O(events)
+            if start[i] - run_end <= gap_us:
+                run_end = max(run_end, end[i])
+            else:
+                cur += 1
+                run_end = end[i]
+            sid[i] = cur
+        agg = g.assign(_sid=sid).groupby("_sid", sort=True)
+        return pd.DataFrame(
+            {
+                key_col: g[key_col].iloc[0],
+                "session_idx": np.arange(agg.ngroups, dtype="int64"),
+                "n_events": agg["n_events"].sum().to_numpy()
+                .astype("int64"),
+                "session_start": agg["session_start"].min().to_numpy(),
+                "session_end": agg["session_end"].max().to_numpy(),
+            }
+        )
+
+    frags = ds.map_batches(fragments, batch_format="pandas")
+    return frags.groupby(key_col).map_groups(
+        merge_fragments, batch_format="pandas"
+    )
 
 
 def hopping_window(ds, ts_col: str, key_col: str, width_s: int,

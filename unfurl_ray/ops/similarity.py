@@ -29,6 +29,15 @@ def _as_matrix(col) -> np.ndarray:
         return np.array(arr.to_pylist(), dtype=np.float32)
 
 
+def _strip_schema_metadata(batch: pa.Table) -> pa.Table:
+    """Parquet files written by pandas carry a b'pandas' schema-metadata
+    dict that makes ``hash(schema)`` raise, so every batch-sliced stage
+    downstream logs Ray's "Failed to hash the schemas (for
+    deduplication): unhashable type: 'dict'" warning per worker.
+    Dropping the metadata is zero-copy and silences it at the source."""
+    return batch.replace_schema_metadata(None)
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     m = m.astype(np.float64)
     norms = np.linalg.norm(m, axis=1, keepdims=True)
@@ -86,6 +95,8 @@ def knn_brute(ds, queries: np.ndarray, k: int = 10,
     # into the actor spec — an ObjectRef constructor arg triggers Ray's
     # actor-restart warning (ray#53727) and buys nothing at this size
     partials = ds.map_batches(
+        _strip_schema_metadata, batch_format="pyarrow", batch_size=None,
+    ).map_batches(
         BruteKnn,
         fn_constructor_kwargs={
             "query_ref": np.asarray(queries, dtype=np.float64), "k": k,
@@ -175,7 +186,21 @@ class IvfIndex:
         import os
         import shutil
 
-        # a rebuild must replace, not append to, an existing index
+        # a rebuild must replace, not append to, an existing index —
+        # but only ever delete something that IS a prior index (or an
+        # empty dir): a caller pointing index_path at an unrelated
+        # populated directory must not lose its contents
+        if os.path.isdir(path):
+            entries = os.listdir(path)
+            is_index = "centroids.npy" in entries or any(
+                e.startswith("centroid_id=") for e in entries
+            )
+            if entries and not is_index:
+                raise ValueError(
+                    f"refusing to overwrite {path!r}: exists and does "
+                    "not look like an IVF index (no centroids.npy / "
+                    "centroid_id=* partitions)"
+                )
         shutil.rmtree(path, ignore_errors=True)
         centroids = kmeans_centroids(ds, n_centroids)
         # assignment as plain TASKS, not a fixed actor pool: a pool
@@ -228,18 +253,27 @@ class IvfIndex:
 def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
             nprobe: int = 4, index_path: str | None = None):
     """IVF scale path: build (or reuse) the partitioned index, then
-    search only the ``nprobe`` probed partitions."""
+    search only the ``nprobe`` probed partitions.  Pass ``index_path``
+    to keep the index for later searches (the point of IVF); without
+    one, a throwaway index is built under /tmp and removed after the
+    search instead of leaking a full corpus copy per call."""
     import os
+    import shutil
     import tempfile
 
     if index_path and os.path.exists(
         os.path.join(index_path, "centroids.npy")
     ):
-        index = IvfIndex.load(index_path)
-    else:
-        index_path = index_path or tempfile.mkdtemp(prefix="ivf_index_")
+        return IvfIndex.load(index_path).search(queries, k=k, nprobe=nprobe)
+    tmp = None
+    if not index_path:
+        index_path = tmp = tempfile.mkdtemp(prefix="ivf_index_")
+    try:
         index = IvfIndex.build(ds, index_path, n_centroids)
-    return index.search(queries, k=k, nprobe=nprobe)
+        return index.search(queries, k=k, nprobe=nprobe)
+    finally:
+        if tmp:
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 class CosinePairs:
@@ -363,6 +397,8 @@ def cosine_pair_dedup(ds, threshold: float = 0.45, concurrency: int = 4):
     mat = _normalize(np.array(corpus["embedding"].tolist()))
     corpus_ref = ray.put((ids, mat))
     return ds.map_batches(
+        _strip_schema_metadata, batch_format="pyarrow", batch_size=None,
+    ).map_batches(
         CosinePairs,
         fn_constructor_kwargs={
             "corpus_ref": corpus_ref, "threshold": threshold,

@@ -42,6 +42,14 @@ def _hash64(values: "pa.Array | list") -> np.ndarray:
         arr = np.asarray(list(values))
     if arr.dtype == object or arr.dtype.kind in "USV":
         arr = np.array([str(v) for v in arr], dtype=object)
+    elif arr.dtype.kind in "iub":
+        # normalize dtype families so equal values hash equally: an
+        # int32 build side vs an int64 probe side must not produce
+        # Bloom false negatives (which would silently DROP rows from
+        # the exact semi join)
+        arr = arr.astype(np.int64)
+    elif arr.dtype.kind == "f":
+        arr = arr.astype(np.float64)
     h = pd.util.hash_array(arr, categorize=False).astype(np.uint64)
     with np.errstate(over="ignore"):  # uint64 wraparound is the point
         h = h + np.uint64(0x9E3779B97F4A7C15)
@@ -104,15 +112,32 @@ def hll_estimate(regs: np.ndarray) -> float:
 
 
 def hll_distinct(ds, column: str, p: int = 12) -> float:
-    """Approximate COUNT(DISTINCT column): per-batch fold, driver merge
-    of 4 KiB sketches (no key shuffle at any scale)."""
+    """Approximate COUNT(DISTINCT column): per-batch fold, then a
+    TREE-merge of the 4 KiB sketches (coalesce sketch rows into a few
+    blocks, OR-merge per block in workers) so the driver only ever
+    merges <=8 sketches — at 100 TB the fold emits ~one sketch per
+    input block and a flat driver loop over all of them would pull
+    hundreds of thousands of blobs through one process."""
     def fold(batch: pa.Table) -> pa.Table:
         regs = hll_fold(batch.column(column), p)
         return pa.table({"sketch": pa.array([regs.tobytes()], pa.binary())})
 
-    parts = ds.select_columns([column]).map_batches(
-        fold, batch_format="pyarrow"
-    ).to_pandas()
+    def merge_block(batch: pa.Table) -> pa.Table:
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        for blob in batch.column("sketch").to_pylist():
+            np.maximum(regs, np.frombuffer(blob, dtype=np.uint8),
+                       out=regs)
+        return pa.table(
+            {"sketch": pa.array([regs.tobytes()], pa.binary())}
+        )
+
+    parts = (
+        ds.select_columns([column])
+        .map_batches(fold, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(merge_block, batch_size=None, batch_format="pyarrow")
+        .to_pandas()
+    )
     merged = np.zeros(1 << p, dtype=np.uint8)
     for blob in parts["sketch"]:
         merged = hll_merge(merged, np.frombuffer(blob, dtype=np.uint8))
@@ -218,6 +243,8 @@ def _q_compress(vals: np.ndarray, weights: np.ndarray,
 
 def quantile_query(vals: np.ndarray, weights: np.ndarray,
                    q: float) -> float:
+    if len(vals) == 0:  # all-null input folds to an empty sketch
+        return float("nan")
     cum = np.cumsum(weights)
     total = cum[-1]
     idx = min(int(np.searchsorted(cum, q * total, side="left")),

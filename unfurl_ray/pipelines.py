@@ -529,7 +529,9 @@ def q_extract_meta(sf_dir: str):
         ExtractTurns,
         fn_constructor_kwargs={"keep_columns": ("doc_id",)},
         batch_format="pyarrow",
-        concurrency=4,
+        # autoscaling pool: a FIXED pool reserves every slot and can
+        # deadlock the upstream read task pool on small clusters
+        concurrency=(1, 4),
         num_cpus=1,
     )
     return extracted.select_columns(
@@ -655,8 +657,9 @@ def q_image_meta(sf_dir: str) -> pd.DataFrame:
 
 def q_conv_stats(sf_dir: str) -> pd.DataFrame:
     """Per-conversation turn counts with the skew drill: detect hot
-    conv_ids, salt them, aggregate per (conv, salt), merge.  Rows-only
-    check (conv assignment uses a non-SQL hash mixer)."""
+    conv_ids, salt them, aggregate per (conv, salt), merge.  Hash-exact
+    vs the DuckDB oracle (the conv hash is a multiplicative mix with a
+    HUGEINT SQL twin — see oracle_sql()["q_conv_stats"])."""
     from ray.data.aggregate import Count
 
     from unfurl_ray.ops.skew import add_salt, find_hot_keys
