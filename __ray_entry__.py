@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_window": p.q_events_window,
         "q_sessionize": p.q_sessionize,
         "q_asof_join": p.q_asof_join,
+        "q_asof_join_part": p.q_asof_join_part,
         "q_hopping_window": p.q_hopping_window,
         "q_topk_per_group": p.q_topk_per_group,
         "q_group_median": p.q_group_median,
@@ -241,6 +242,19 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         "q_asof_join": """
+            SELECT e.event_id, o.o_orderkey
+            FROM (SELECT event_id, user_id % 100 AS join_key, ts
+                  FROM events) e
+            ASOF LEFT JOIN (
+                SELECT join_key, o_orderdate,
+                       max(o_orderkey) AS o_orderkey
+                FROM (SELECT o_orderkey, o_custkey % 100 AS join_key,
+                             o_orderdate FROM orders)
+                GROUP BY join_key, o_orderdate) o
+              ON e.join_key = o.join_key AND e.ts >= o.o_orderdate
+        """,
+        # the range-partitioned path must produce the identical join
+        "q_asof_join_part": """
             SELECT e.event_id, o.o_orderkey
             FROM (SELECT event_id, user_id % 100 AS join_key, ts
                   FROM events) e

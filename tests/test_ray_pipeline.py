@@ -294,6 +294,70 @@ def test_sessionize_gap_logic(ray_session):
     assert sorted(out["n_events"].tolist()) == [2, 2]
 
 
+def test_sessionize_hot_key_multiblock(ray_session):
+    """Skew drill: one key's events span MANY blocks (the exact case
+    the old one-group-per-key sessionize could not hold at scale) —
+    the two-phase fragment merge must produce the same sessions a
+    single-partition pandas pass would."""
+    import ray.data as rd
+    from unfurl_ray.ops.relational import sessionize
+
+    rng = np.random.default_rng(7)
+    # 20k events for ONE user: bursts of ~5min activity separated by
+    # >30min gaps, plus a second small user as a control
+    n_sessions, per = 40, 500
+    starts = np.arange(n_sessions) * 10_000  # seconds, gaps >> 1800
+    ts = np.concatenate(
+        [s + np.sort(rng.integers(0, 300, per)) for s in starts]
+    )
+    df = pd.DataFrame(
+        {
+            "user_id": np.r_[np.full(len(ts), 1), [2, 2]],
+            "ts": pd.to_datetime(
+                np.r_[ts, [0, 50_000]], unit="s"
+            ),
+        }
+    )
+    # shuffle row order then split into many blocks so the hot key is
+    # scattered across batches
+    df = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    ds = rd.from_pandas(df).repartition(16)
+    out = sessionize(ds, "ts", "user_id", gap_s=1800).to_pandas()
+
+    hot = out[out["user_id"] == 1].sort_values("session_idx")
+    assert len(hot) == n_sessions
+    assert hot["n_events"].tolist() == [per] * n_sessions
+    # session bounds match the exact per-burst min/max
+    assert (
+        hot["session_start"].astype("int64").to_numpy() // 10**9
+        == [ts[i * per] for i in range(n_sessions)]
+    ).all()
+    assert len(out[out["user_id"] == 2]) == 2
+
+
+def test_grouped_quantile_sketch_all_null_key(ray_session):
+    """A key whose values are ALL null must not crash the job (empty
+    sketch -> NaN quantiles), mirroring approx_quantiles' guard."""
+    import ray.data as rd
+    from unfurl_ray.ops.sketch import grouped_approx_quantiles
+
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 5 + ["b"] * 5,
+            "v": [1.0, 2, 3, 4, 5] + [np.nan] * 5,
+        }
+    )
+    out = (
+        grouped_approx_quantiles(rd.from_pandas(df), "k", "v", qs=(0.5,))
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2
+    assert out.loc[0, "q_0.5"] == 3.0
+    assert np.isnan(out.loc[1, "q_0.5"])
+
+
 def test_multimodal_audio_and_frames(ray_session):
     import ray.data as rd
     from unfurl_ray.ops.multimodal import (

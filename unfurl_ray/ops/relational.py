@@ -228,6 +228,199 @@ def sessionize(ds, ts_col: str, key_col: str, gap_s: int):
     )
 
 
+def asof_join_partitioned(left_ds, right_ds, key_col: str, left_ts: str,
+                          right_ts: str, bucket_s: int,
+                          left_keep: list[str], right_keep: list[str],
+                          dtypes: dict[str, str] | None = None):
+    """Backward as-of join that range-partitions BOTH sides by
+    (key, time bucket) — the scale path when the right side is too
+    large to broadcast (the broadcast variant re-ships the whole right
+    table; see pipelines.q_asof_join).
+
+    Shape (no driver-side data, no broadcast of either side):
+
+    1. bucket both sides by ``floor(ts / bucket_s)``;
+    2. RIGHT MAXIMA: the latest right row per (key, bucket) — partial
+       max inside ``map_batches`` then a groupby over one-row-per-
+       (key,bucket) summaries (small);
+    3. CARRIES: per key, forward-fill the maxima across the LEFT's
+       buckets so every left bucket gets the latest right row from any
+       EARLIER bucket (one carry row per populated left bucket; the
+       per-key group holds one row per bucket, bounded by
+       time_range / bucket_s, never by event count);
+    4. union left rows, in-bucket right rows and carries, groupby
+       (key, bucket), ``pd.merge_asof`` within each group.
+
+    Requires the right side pre-deduped to one row per (key, ts) (same
+    contract as the broadcast path).  Output: ``left_keep`` columns +
+    ``right_keep`` columns (NA when no right row precedes).
+
+    ``dtypes`` maps any ``left_keep``/``right_keep`` column to the
+    pandas NULLABLE dtype used when the other side's rows fill it with
+    NA (default ``Int64``) — every block in the union must convert to
+    the same Arrow type or the shuffle can't unify schemas.
+    """
+    bucket_us = bucket_s * 1_000_000
+    dtypes = dict(dtypes or {})
+
+    def _na(n: int, col: str) -> pd.array:
+        return pd.array([pd.NA] * n, dtype=dtypes.get(col, "Int64"))
+
+    # every block in the unions must carry payload columns in the SAME
+    # (nullable) dtype, or the streaming executor logs a schema-change
+    # warning per block and Arrow unification does per-block casts
+    def _norm(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+        for c in cols:
+            df[c] = df[c].astype(dtypes.get(c, "Int64"))
+        return df
+
+    # internal int64-microsecond right timestamp so stubs/carries never
+    # need to reproduce the caller's datetime dtype
+    def bucket_right(batch: pd.DataFrame) -> pd.DataFrame:
+        rts = _ts_us(batch[right_ts]).to_numpy()
+        out = _norm(batch[[key_col] + right_keep].copy(), right_keep)
+        out["_rts"] = rts
+        out["_bucket"] = rts // bucket_us
+        return out
+
+    def partial_maxima(batch: pd.DataFrame) -> pd.DataFrame:
+        b = bucket_right(batch)
+        idx = b.groupby([key_col, "_bucket"])["_rts"].idxmax()
+        return b.loc[idx]
+
+    def final_maxima(group: pd.DataFrame) -> pd.DataFrame:
+        return group.loc[[group["_rts"].idxmax()]]
+
+    maxima = (
+        right_ds.map_batches(partial_maxima, batch_format="pandas")
+        .groupby([key_col, "_bucket"])
+        .map_groups(final_maxima, batch_format="pandas")
+    )
+
+    mx_cols = [key_col] + right_keep + ["_rts", "_bucket"]
+
+    # distinct (key, bucket) pairs present on the left, shaped to the
+    # maxima schema (payload columns NA) so the union blocks unify
+    def left_buckets(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                key_col: batch[key_col],
+                "_bucket": (
+                    _ts_us(batch[left_ts]).to_numpy() // bucket_us
+                ),
+            }
+        ).drop_duplicates()
+        return out
+
+    from ray.data.aggregate import Count
+
+    stub_keys = (
+        left_ds.map_batches(left_buckets, batch_format="pandas")
+        .groupby([key_col, "_bucket"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+    def shape_stub(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[[key_col, "_bucket"]].copy()
+        for c in right_keep:
+            out[c] = _na(len(out), c)
+        out["_rts"] = np.int64(-1)  # never surfaces (stub rows only
+        # contribute their bucket id in carries_per_key)
+        out["_is_stub"] = True
+        return out[mx_cols + ["_is_stub"]]
+
+    def shape_maxima(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[mx_cols].copy()
+        out["_is_stub"] = False
+        return out
+
+    def carries_per_key(group: pd.DataFrame) -> pd.DataFrame:
+        mx = (
+            group[~group["_is_stub"]]
+            .sort_values("_bucket")
+            .reset_index(drop=True)
+        )
+        sb = group.loc[group["_is_stub"], "_bucket"].unique()
+        if mx.empty or len(sb) == 0:
+            return mx.iloc[0:0].drop(columns=["_is_stub"])
+        # latest maxima row from any STRICTLY earlier bucket
+        pos = np.searchsorted(mx["_bucket"].to_numpy(), sb, "left") - 1
+        keep = pos >= 0
+        out = mx.iloc[pos[keep]].copy()
+        out["_bucket"] = sb[keep]
+        return out.drop(columns=["_is_stub"])
+
+    carries = (
+        maxima.map_batches(shape_maxima, batch_format="pandas")
+        .union(stub_keys.map_batches(shape_stub, batch_format="pandas"))
+        .groupby(key_col)
+        .map_groups(carries_per_key, batch_format="pandas")
+    )
+
+    # one union'd table: left rows + in-bucket right rows + carries,
+    # co-partitioned by (key, bucket)
+    all_cols = ([key_col, "_bucket", "_side", "_ts"]
+                + left_keep + right_keep)
+
+    def shape_left(batch: pd.DataFrame) -> pd.DataFrame:
+        lts = _ts_us(batch[left_ts]).to_numpy()
+        out = _norm(batch[[key_col] + left_keep].copy(), left_keep)
+        out["_bucket"] = lts // bucket_us
+        out["_side"] = np.int32(0)
+        out["_ts"] = lts
+        for c in right_keep:
+            out[c] = _na(len(out), c)
+        return out[all_cols]
+
+    def shape_right(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[[key_col, "_bucket"] + right_keep].copy()
+        out["_side"] = np.int32(1)
+        out["_ts"] = batch["_rts"].to_numpy()
+        for c in left_keep:
+            out[c] = _na(len(out), c)
+        return out[all_cols]
+
+    unioned = (
+        left_ds.map_batches(shape_left, batch_format="pandas")
+        .union(
+            right_ds.map_batches(bucket_right, batch_format="pandas")
+            .union(carries)
+            .map_batches(shape_right, batch_format="pandas")
+        )
+    )
+
+    out_cols = left_keep + right_keep
+
+    def _cast_out(df: pd.DataFrame) -> pd.DataFrame:
+        for c in out_cols:
+            df[c] = df[c].astype(dtypes.get(c, "Int64"))
+        return df[out_cols]
+
+    def merge_group(group: pd.DataFrame) -> pd.DataFrame:
+        lefts = (
+            group[group["_side"] == 0]
+            .sort_values("_ts")[["_ts"] + left_keep]
+        )
+        rights = (
+            group[group["_side"] == 1]
+            .sort_values("_ts")[["_ts"] + right_keep]
+        )
+        if rights.empty:
+            out = lefts.copy()
+            for c in right_keep:
+                out[c] = _na(len(out), c)
+            return _cast_out(out)
+        merged = pd.merge_asof(
+            lefts, rights, on="_ts", direction="backward"
+        )
+        return _cast_out(merged)
+
+    return unioned.groupby([key_col, "_bucket"]).map_groups(
+        merge_group, batch_format="pandas"
+    )
+
+
 def hopping_window(ds, ts_col: str, key_col: str, width_s: int,
                    step_s: int, value_col: str | None = None):
     """Overlapping (hopping) windows: each event lands in

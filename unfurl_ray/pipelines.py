@@ -333,7 +333,51 @@ def q_asof_join(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
 
 
-# -- documents / text -------------------------------------------------------
+def q_asof_join_part(sf_dir: str) -> pd.DataFrame:
+    """Same as-of join as ``q_asof_join`` via the RANGE-PARTITIONED
+    path (ops.relational.asof_join_partitioned): both sides bucketed by
+    (key, time), right-side per-bucket maxima forward-filled as carry
+    rows — the scale path when the right side is too large to
+    broadcast.  Shares q_asof_join's oracle (identical output)."""
+    from unfurl_ray.ops.relational import asof_join_partitioned
+
+    events = _parquet(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _parquet(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def key_left(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "join_key", pa.array(users % 100, pa.int64())
+        )
+
+    def key_right(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["join_key"] = (out["o_custkey"] % 100).astype("int64")
+        # partial max per batch; the groupby Max below finishes the
+        # global dedupe to one row per (key, date) — the same contract
+        # the broadcast path establishes driver-side
+        return (
+            out.groupby(["join_key", "o_orderdate"], as_index=False)
+            ["o_orderkey"].max()
+        )
+
+    from ray.data.aggregate import Max
+
+    left = events.map_batches(key_left, batch_format="pyarrow")
+    right = (
+        orders.map_batches(key_right, batch_format="pandas")
+        .groupby(["join_key", "o_orderdate"])
+        .aggregate(Max("o_orderkey", alias_name="o_orderkey"))
+    )
+    out = asof_join_partitioned(
+        left, right, "join_key", "ts", "o_orderdate",
+        bucket_s=30 * 86400,
+        left_keep=["event_id"], right_keep=["o_orderkey"],
+    ).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
 
 def q_doc_stats(sf_dir: str) -> pd.DataFrame:
     from unfurl_ray.ops.relational import pre_aggregate
