@@ -240,20 +240,30 @@ def asof_join_partitioned(left_ds, right_ds, key_col: str, left_ts: str,
     Shape (no driver-side data, no broadcast of either side):
 
     1. bucket both sides by ``floor(ts / bucket_s)``;
-    2. RIGHT MAXIMA: the latest right row per (key, bucket) — partial
-       max inside ``map_batches`` then a groupby over one-row-per-
-       (key,bucket) summaries (small);
+    2. RIGHT MAXIMA: the latest right row per (key, bucket) PER BATCH
+       (map_batches only — no shuffle; the per-key carry merge below
+       tolerates one partial-max row per batch per bucket);
     3. CARRIES: per key, forward-fill the maxima across the LEFT's
        buckets so every left bucket gets the latest right row from any
        EARLIER bucket (one carry row per populated left bucket; the
-       per-key group holds one row per bucket, bounded by
-       time_range / bucket_s, never by event count);
+       per-key group holds at most one row per (bucket, batch),
+       bounded by block count × time_range / bucket_s, never by
+       event count);
     4. union left rows, in-bucket right rows and carries, groupby
        (key, bucket), ``pd.merge_asof`` within each group.
 
-    Requires the right side pre-deduped to one row per (key, ts) (same
-    contract as the broadcast path).  Output: ``left_keep`` columns +
-    ``right_keep`` columns (NA when no right row precedes).
+    Only TWO shuffles total (the carry groupby over tiny summary rows
+    and the final (key, bucket) co-partition); steps 2–3 deliberately
+    skip exact global dedupes whose only effect would be shrinking the
+    already-tiny carry summaries.
+
+    Duplicate right rows per (key, ts) are allowed and resolved
+    deterministically: the row whose ``right_keep`` tuple sorts LAST
+    wins (so a caller wanting max-payload semantics only needs a cheap
+    per-batch partial dedupe, not a global shuffle; a pre-deduped
+    right side — the broadcast path's contract — behaves identically).
+    Output: ``left_keep`` columns + ``right_keep`` columns (NA when no
+    right row precedes).
 
     ``dtypes`` maps any ``left_keep``/``right_keep`` column to the
     pandas NULLABLE dtype used when the other side's rows fill it with
@@ -288,19 +298,16 @@ def asof_join_partitioned(left_ds, right_ds, key_col: str, left_ts: str,
         idx = b.groupby([key_col, "_bucket"])["_rts"].idxmax()
         return b.loc[idx]
 
-    def final_maxima(group: pd.DataFrame) -> pd.DataFrame:
-        return group.loc[[group["_rts"].idxmax()]]
-
-    maxima = (
-        right_ds.map_batches(partial_maxima, batch_format="pandas")
-        .groupby([key_col, "_bucket"])
-        .map_groups(final_maxima, batch_format="pandas")
-    )
+    # per-BATCH maxima only: cross-batch duplicates per (key, bucket)
+    # are resolved inside carries_per_key (sort + searchsorted picks
+    # the max-_rts row of the latest earlier bucket), so no shuffle is
+    # needed here
+    maxima = right_ds.map_batches(partial_maxima, batch_format="pandas")
 
     mx_cols = [key_col] + right_keep + ["_rts", "_bucket"]
 
-    # distinct (key, bucket) pairs present on the left, shaped to the
-    # maxima schema (payload columns NA) so the union blocks unify
+    # per-batch-distinct (key, bucket) pairs present on the left;
+    # cross-batch duplicates are fine — carries_per_key unique()s them
     def left_buckets(batch: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
             {
@@ -312,14 +319,7 @@ def asof_join_partitioned(left_ds, right_ds, key_col: str, left_ts: str,
         ).drop_duplicates()
         return out
 
-    from ray.data.aggregate import Count
-
-    stub_keys = (
-        left_ds.map_batches(left_buckets, batch_format="pandas")
-        .groupby([key_col, "_bucket"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
-    )
+    stub_keys = left_ds.map_batches(left_buckets, batch_format="pandas")
 
     def shape_stub(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[[key_col, "_bucket"]].copy()
@@ -336,9 +336,13 @@ def asof_join_partitioned(left_ds, right_ds, key_col: str, left_ts: str,
         return out
 
     def carries_per_key(group: pd.DataFrame) -> pd.DataFrame:
+        # sort by (_bucket, _rts): with per-batch partial maxima a
+        # bucket may appear once per source batch, and the row just
+        # before a strictly-later bucket is then the max-_rts row of
+        # the latest earlier bucket — exactly the carry we want
         mx = (
             group[~group["_is_stub"]]
-            .sort_values("_bucket")
+            .sort_values(["_bucket", "_rts"] + right_keep)
             .reset_index(drop=True)
         )
         sb = group.loc[group["_is_stub"], "_bucket"].unique()
@@ -402,9 +406,12 @@ def asof_join_partitioned(left_ds, right_ds, key_col: str, left_ts: str,
             group[group["_side"] == 0]
             .sort_values("_ts")[["_ts"] + left_keep]
         )
+        # merge_asof takes the LAST row among equal _ts, so sorting by
+        # (_ts, payload) makes the greatest right_keep tuple win —
+        # the documented duplicate-resolution rule
         rights = (
             group[group["_side"] == 1]
-            .sort_values("_ts")[["_ts"] + right_keep]
+            .sort_values(["_ts"] + right_keep)[["_ts"] + right_keep]
         )
         if rights.empty:
             out = lefts.copy()

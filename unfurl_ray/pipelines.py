@@ -355,22 +355,16 @@ def q_asof_join_part(sf_dir: str) -> pd.DataFrame:
     def key_right(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch.copy()
         out["join_key"] = (out["o_custkey"] % 100).astype("int64")
-        # partial max per batch; the groupby Max below finishes the
-        # global dedupe to one row per (key, date) — the same contract
-        # the broadcast path establishes driver-side
+        # PARTIAL max per batch only — no global dedupe shuffle:
+        # asof_join_partitioned resolves cross-batch duplicates by its
+        # greatest-payload-wins rule, which equals max(o_orderkey)
         return (
             out.groupby(["join_key", "o_orderdate"], as_index=False)
             ["o_orderkey"].max()
         )
 
-    from ray.data.aggregate import Max
-
     left = events.map_batches(key_left, batch_format="pyarrow")
-    right = (
-        orders.map_batches(key_right, batch_format="pandas")
-        .groupby(["join_key", "o_orderdate"])
-        .aggregate(Max("o_orderkey", alias_name="o_orderkey"))
-    )
+    right = orders.map_batches(key_right, batch_format="pandas")
     out = asof_join_partitioned(
         left, right, "join_key", "ts", "o_orderdate",
         bucket_s=30 * 86400,
