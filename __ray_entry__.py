@@ -60,9 +60,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fingerprint": p.q_fingerprint,
         "q_quality": p.q_quality,
         "q_langid": p.q_langid,
+        "q_bigram_counts": p.q_bigram_counts,
+        "q_stratified_sample": p.q_stratified_sample,
         # dedup families
         "q_minhash_dedup": p.q_minhash_dedup,
         "q_simhash": p.q_simhash,
+        "q_dedup_clusters": p.q_dedup_clusters,
         # embeddings / similarity
         "q_cosine_to_query": p.q_cosine_to_query,
         "q_embed_neardup": p.q_embed_neardup,
@@ -122,8 +125,48 @@ def oracle_sql() -> dict[str, str]:
                      * 10000 + 0.5) / 10000 AS quality
         FROM r
     """
+    # q_langid twin: the LangId heuristic IS SQL-expressible — per-lang
+    # stopword hits over the first 200 whitespace tokens, argmax with
+    # first-lang-wins ties (the cascading CASE mirrors the kernel's
+    # strict-> update over dict order), zh override, und when 0 hits.
+    _hit_cols = []
+    _case_arms = []
+    _langs = list(STOPWORDS)
+    for _lang in _langs:
+        _words = ", ".join(f"'{w}'" for w in sorted(STOPWORDS[_lang]))
+        _hit_cols.append(
+            f"len(list_filter(ws, x -> x IN ({_words}))) AS h_{_lang}"
+        )
+    for _i, _lang in enumerate(_langs):
+        _conds = " AND ".join(
+            f"h_{_lang} >= h_{o}" for o in _langs[_i + 1:]
+        )
+        _case_arms.append(
+            f"WHEN {_conds or 'TRUE'} THEN '{_lang}'"
+        )
+    _max_hits = "greatest(" + ", ".join(f"h_{l}" for l in _langs) + ")"
+    q_langid_sql = f"""
+        WITH w AS (
+            SELECT doc_id, text,
+                   list_slice(list_filter(regexp_split_to_array(
+                       lower(coalesce(text, '')), '[ \t\n\f\r]+'),
+                       x -> x <> ''), 1, 200) AS ws
+            FROM documents
+        ), hits AS (
+            SELECT doc_id, text, {", ".join(_hit_cols)}
+            FROM w
+        )
+        SELECT doc_id,
+               CASE WHEN coalesce(text, '') = '' THEN 'und'
+                    WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                    WHEN {_max_hits} <= 0 THEN 'und'
+                    {" ".join(_case_arms)}
+               END AS lang_pred
+        FROM hits
+    """
     return {
         "q_quality": q_quality_sql,
+        "q_langid": q_langid_sql,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -377,8 +420,62 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_turns
             FROM t GROUP BY 1
         """,
-        # q_langid / q_minhash_dedup / q_simhash / q_knn_ivf /
-        # q_hll_users / q_quantile_sketch / q_group_quantile_sketch /
+        # duplicate clustering: chunk fingerprints -> edges -> min-label
+        # connected components, twinned by a recursive CTE (label L is
+        # recorded at node v iff L reaches v; the r.label < e.v prune
+        # only drops labels dominated by v's own seed, so min() per
+        # node is exactly the component representative).
+        "q_dedup_clusters": """
+            WITH RECURSIVE feats AS (
+                SELECT doc_id,
+                       unnest([md5(substr(text, 64*g + 1, 64))
+                               for g in range(0, CAST(ceil(length(text)
+                                                          / 64.0)
+                                                   AS BIGINT))]) AS f
+                FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0
+            ), e AS (
+                SELECT a.doc_id AS u, b.doc_id AS v
+                FROM feats a JOIN feats b USING (f)
+                WHERE a.doc_id <> b.doc_id
+                GROUP BY 1, 2
+            ), reach AS (
+                SELECT doc_id AS node, doc_id AS label FROM documents
+                UNION
+                SELECT e.v, r.label
+                FROM reach r JOIN e ON e.u = r.node
+                WHERE r.label < e.v
+            )
+            SELECT node AS doc_id, min(label) AS component
+            FROM reach GROUP BY node ORDER BY doc_id
+        """,
+        "q_bigram_counts": """
+            WITH toks AS (
+                SELECT list_filter(regexp_split_to_array(
+                           lower(coalesce(text, '')), '[ \t\n\f\r]+'),
+                           x -> x <> '') AS ws
+                FROM documents
+            ), bg AS (
+                SELECT unnest([ws[g] || ' ' || ws[g+1]
+                               for g in range(1, len(ws))]) AS bigram
+                FROM toks WHERE len(ws) >= 2
+            )
+            SELECT bigram, count(*) AS n FROM bg
+            GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+        """,
+        "q_stratified_sample": """
+            SELECT event_type, event_id, h FROM (
+                SELECT event_type, event_id,
+                       md5(CAST(event_id AS VARCHAR)) AS h,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY md5(CAST(event_id AS VARCHAR)) DESC,
+                                    event_id) AS rn
+                FROM events)
+            WHERE rn <= 5
+        """,
+        # q_minhash_dedup / q_simhash / q_knn_ivf / q_hll_users /
+        # q_quantile_sketch / q_group_quantile_sketch /
         # q_embed_neardup_ann / q_transcript_types: heuristic, sketch-
         # based or multi-stage pipelines with no faithful single-
         # statement SQL twin -> rows-only checks.

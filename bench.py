@@ -105,6 +105,7 @@ def run_queries() -> dict:
         ("q_events_window", p.q_events_window),
         ("q_exact_dedup", p.q_exact_dedup),
         ("q_minhash_dedup", p.q_minhash_dedup),
+        ("q_dedup_clusters", p.q_dedup_clusters),
         ("q_knn_topk", p.q_knn_topk),
         ("q_extract_meta", p.q_extract_meta),
     ]:

@@ -726,3 +726,93 @@ def test_shrunk_input_prunes_stale_partitions(ray_session, tmp_path):
         pq.read_metadata(f).num_rows for f in (out / "final").glob("*.parquet")
     )
     assert rows_final == pq.read_metadata(shrunk[0]).num_rows
+
+
+def test_connected_components_basic(ray_session):
+    """Chain, triangle, singleton-with-self-edge, and a 2-node comp:
+    labels converge to the min node id of each component."""
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.graph import connected_components
+
+    # undirected edges given both directions: 1-2-3-4 chain (diameter 3
+    # exercises >1 propagation round), 10-11, triangle 20-21-22
+    und = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)]
+    edges = pd.DataFrame(
+        {"u": [a for a, b in und] + [b for a, b in und],
+         "v": [b for a, b in und] + [a for a, b in und]}
+    )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    # distributed fixpoint path (forced — the auto threshold would
+    # route a graph this small to the driver union-find)
+    labels = connected_components(
+        rd.from_pandas(edges), num_partitions=2, distributed=True
+    )
+    got = labels.to_pandas().sort_values("node").reset_index(drop=True)
+    assert dict(zip(got["node"], got["label"])) == want
+    # driver union-find path: identical output
+    uf = connected_components(rd.from_pandas(edges), distributed=False)
+    uf = uf.sort_values("node").reset_index(drop=True)
+    assert dict(zip(uf["node"], uf["label"])) == want
+
+
+def test_fingerprint_edges_and_assignment(ray_session):
+    """Docs sharing an aligned 64-char chunk become one cluster;
+    transitive sharing merges clusters; unrelated docs stay singletons."""
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.graph import (
+        assign_components, connected_components, fingerprint_edges,
+    )
+
+    blk_a = "a" * 64
+    blk_b = "b" * 64
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                blk_a + "tail zero",
+                blk_a + blk_b,      # shares chunk 0 with doc 0
+                blk_b + "unrelated suffix of doc two",  # chunk 0 = blk_b
+                "completely different text " * 4,
+                None,
+            ],
+        }
+    )
+    # doc2's chunk0 is blk_b; doc1's chunk1 is blk_b -> but alignment
+    # matters: doc1 chunk1 vs doc2 chunk0 are DIFFERENT positions yet
+    # identical content -> edges connect on content alone.
+    ds = rd.from_pandas(docs)
+    edges = fingerprint_edges(ds, chunk_size=64)
+    labels = connected_components(edges)
+    out = assign_components(ds, labels).to_pandas()
+    comp = dict(zip(out["doc_id"], out["component"]))
+    assert comp[0] == comp[1] == comp[2] == 0  # 0-1 share, 1-2 share
+    assert comp[3] == 3 and comp[4] == 4       # singletons keep own id
+
+
+def test_connected_components_capped_bucket(ray_session):
+    """bucket_cap keeps hot fingerprints subquadratic but still chains
+    every capped doc into one component."""
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.graph import (
+        assign_components, connected_components, fingerprint_edges,
+    )
+
+    shared = "x" * 64
+    docs = pd.DataFrame(
+        {"doc_id": list(range(20)),
+         "text": [shared + f"suffix {i}" for i in range(20)]}
+    )
+    ds = rd.from_pandas(docs)
+    edges = fingerprint_edges(ds, chunk_size=64, bucket_cap=5)
+    labels = connected_components(edges)
+    out = assign_components(ds, labels).to_pandas()
+    # capped: only the first 5 ids pair up; the rest are singletons —
+    # honest documented behavior of the cap (sampled chaining)
+    comp = dict(zip(out["doc_id"], out["component"]))
+    assert all(comp[i] == 0 for i in range(5))

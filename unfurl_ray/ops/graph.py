@@ -1,0 +1,280 @@
+"""Distributed graph ops: duplicate-cluster connected components.
+
+A near-dup pipeline at scale ends with *clustering*, not pairs: LSH /
+fingerprint buckets emit candidate edges, and the connected components
+of that graph are the duplicate clusters (one representative kept per
+component).  This module provides the Ray-Data-native pieces:
+
+- ``chunk_fingerprint_rows``: position-aligned substring fingerprints
+  per document (SQL-expressible, so the whole chain is oracle-checkable
+  end to end — unlike MinHash, whose permutations have no SQL twin).
+- ``fingerprint_edges``: LSH-style bucket join — docs sharing a
+  fingerprint become edges.  groupby(fingerprint) moves only
+  (fingerprint, doc_id) rows, never text.
+- ``connected_components``: iterative min-label propagation over an
+  edge Dataset — the standard distributed CC used by Spark GraphX /
+  Pregel.  Each round is one hash-partitioned join + one groupby-min
+  (both all-to-all over the EDGE graph only, which for dedup is orders
+  of magnitude smaller than the corpus); convergence is detected with
+  a one-scalar aggregate (labels only ever decrease, so the label sum
+  is strictly monotone until fixpoint).  Rounds needed = component
+  diameter; dup clusters are near-cliques, so 2-4 in practice (a
+  ``max_iters`` guard bounds pathological chains; large-star/small-star
+  contraction would make it O(log n) if ever needed).
+- ``assign_components``: map the corpus to its cluster representative.
+  The label table is O(docs-that-have-a-duplicate); it broadcasts via
+  one ``ray.put`` and each task does a vectorized dict probe.  For a
+  corpus where even the dup set is too big to broadcast, fall back to
+  a hash join on doc_id (same output, one more shuffle).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def chunk_fingerprint_rows(batch: pa.Table, column: str = "text",
+                           id_column: str = "doc_id",
+                           chunk_size: int = 64) -> pa.Table:
+    """Explode each doc into (id, fingerprint) rows: md5 of each
+    position-aligned ``chunk_size``-char slice of the raw text.  Docs
+    sharing any aligned chunk (copied prefixes, exact dups, shared
+    boilerplate blocks) land in the same bucket.  SQL twin:
+    ``md5(substr(text, 64*g+1, 64))`` over ``g in range(ceil(len/64))``.
+    """
+    ids = batch.column(id_column).to_pylist()
+    texts = batch.column(column).to_pylist()
+    out_ids, out_f = [], []
+    for doc_id, text in zip(ids, texts):
+        if not text:
+            continue
+        for start in range(0, len(text), chunk_size):
+            out_ids.append(doc_id)
+            out_f.append(
+                hashlib.md5(
+                    text[start: start + chunk_size].encode()
+                ).hexdigest()
+            )
+    return pa.table(
+        {
+            id_column: pa.array(out_ids, pa.int64()),
+            "f": pa.array(out_f, pa.string()),
+        }
+    )
+
+
+def fingerprint_edges(ds, column: str = "text", id_column: str = "doc_id",
+                      chunk_size: int = 64, bucket_cap: int | None = None):
+    """Bucket join: docs sharing a fingerprint become directed-symmetric
+    edges (u, v) AND (v, u).  Edges may repeat across fingerprints —
+    min-label propagation is idempotent, so dedup would buy nothing and
+    cost a shuffle.
+
+    ``bucket_cap`` guards the quadratic blowup of a hot fingerprint
+    (e.g. an empty-ish chunk shared by millions of docs): cap the
+    bucket at the smallest ``cap`` doc_ids — they still chain every
+    capped doc into one component transitively.  Default ``None``
+    (exact) to stay byte-equal with the SQL oracle; set it at scale.
+    """
+    rows = ds.map_batches(
+        lambda b: chunk_fingerprint_rows(b, column, id_column, chunk_size),
+        batch_format="pyarrow",
+    )
+
+    def pairs(group: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        ids = np.unique(group[id_column].to_numpy())
+        if bucket_cap is not None:
+            ids = ids[:bucket_cap]
+        n = len(ids)
+        if n < 2:
+            empty = np.array([], dtype=np.int64)
+            return empty, empty
+        iu, iv = np.triu_indices(n, k=1)
+        u, v = ids[iu], ids[iv]
+        return np.concatenate([u, v]), np.concatenate([v, u])
+
+    # one group per distinct fingerprint value would pay a Python
+    # dispatch per group (the round-1 minhash pathology) — group by a
+    # bounded hash bucket of the fingerprint instead and sub-group
+    # vectorized inside.
+    def bucketize(b: pa.Table) -> pa.Table:
+        # cheap stable bucket: first 4 hex chars of the md5 -> int
+        f = b.column("f").to_pylist()
+        buckets = pa.array(
+            [int(s[:4], 16) & 1023 for s in f], pa.int32()
+        )
+        return b.append_column("fb", buckets)
+
+    def pairs_in_bucket(group: pd.DataFrame) -> pa.Table:
+        # emit ARROW (even when empty, with a real schema): map_batches
+        # passes empty blocks through without calling the UDF, so an
+        # empty pandas block emitted here would survive any downstream
+        # to-arrow normalization and crash arrow/pandas block unions.
+        outs = [pairs(g) for _, g in group.groupby("f", sort=False)]
+        us = np.concatenate([u for u, _ in outs]) if outs else \
+            np.array([], dtype=np.int64)
+        vs = np.concatenate([v for _, v in outs]) if outs else \
+            np.array([], dtype=np.int64)
+        return pa.table(
+            {"u": pa.array(us, pa.int64()), "v": pa.array(vs, pa.int64())}
+        )
+
+    return (
+        rows.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("fb")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
+
+
+def connected_components(edges, num_partitions: int = 8,
+                         max_iters: int = 32,
+                         distributed: bool | None = None,
+                         driver_edge_limit: int = 5_000_000):
+    """Min-label propagation CC over an edge Dataset [(u, v), both
+    directions].  Returns (node, component) for every node that
+    appears in the edge set; component = min node id reachable.
+
+    Two paths, selected by edge count when ``distributed`` is None:
+
+    - **driver union-find** (edges <= ``driver_edge_limit``): the dup
+      graph of a typical corpus is orders of magnitude smaller than
+      the corpus, and the label table is broadcast driver-side by
+      ``assign_components`` anyway — so O(edges) on the driver is
+      already the operating assumption.  Path-compressed union-find,
+      exact same output.
+    - **distributed fixpoint** (big graphs / ``distributed=True``):
+      each round is one hash-partitioned join (edges x labels on u,
+      self-loops carry a node's own label) + groupby-min; convergence
+      is one scalar sum (labels only decrease, so the sum is strictly
+      monotone until fixpoint).  The iterated state is materialized
+      per round — it is O(edge endpoints), not O(corpus).  Rounds =
+      component diameter (dup clusters are near-cliques: 2-4)."""
+    from ray.data.aggregate import Min
+
+    if distributed is None:
+        distributed = edges.count() > driver_edge_limit
+    if not distributed:
+        df = edges.to_pandas()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(df["u"].astype("int64"), df["v"].astype("int64")):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                # union by value: smaller id becomes the root, so the
+                # representative IS the component min
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = sorted(set(df["u"].astype("int64"))
+                       | set(df["v"].astype("int64")))
+        return pd.DataFrame(
+            {"node": pd.Series(nodes, dtype="int64"),
+             "label": pd.Series([find(n) for n in nodes], dtype="int64")}
+        )
+
+    # seed: label[u] = min(u, min direct neighbor) in one groupby
+    def self_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"u": b.column("u"), "v": b.column("u")})
+
+    # normalize to Arrow blocks (map_groups upstream emits pandas
+    # blocks; union/join require one block type), add self-loops
+    # (u, u) so each round's messages carry a node's OWN label too —
+    # the round is then a single join + groupby-min with no union —
+    # and materialize: the edge set is reused every round
+    edges = edges.map_batches(
+        lambda b: b.select(["u", "v"]).cast(
+            pa.schema([("u", pa.int64()), ("v", pa.int64())])
+        ),
+        batch_format="pyarrow",
+    )
+    edges = edges.union(
+        edges.map_batches(self_rows, batch_format="pyarrow")
+    ).materialize()
+    # repartition before materializing: the sort-aggregate can emit
+    # EMPTY blocks with a zero-column schema, which the acero hash
+    # join rejects ("no match for key field node"); repartition
+    # coalesces them away.  labels is O(edge endpoints), so this
+    # per-round repartition moves only the small iterated state.
+    labels = (
+        edges.groupby("u")
+        .aggregate(Min("v", alias_name="label"))
+        .map_batches(
+            lambda b: pa.table(
+                {"node": b.column("u"), "label": b.column("label")}
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(num_partitions)
+        .materialize()
+    )
+    prev_sum = labels.sum("label")
+    for _ in range(max_iters):
+        labels = (
+            edges.join(
+                labels,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("u",),
+                right_on=("node",),
+            )
+            .map_batches(
+                lambda b: pa.table(
+                    {"node": b.column("v"), "label": b.column("label")}
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .repartition(num_partitions)
+            .materialize()
+        )
+        new_sum = labels.sum("label")
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
+def assign_components(ds, labels, id_column: str = "doc_id",
+                      out_column: str = "component"):
+    """Corpus -> (id, component): nodes in the label table get their
+    component, everything else is its own singleton.  Labels broadcast
+    once via ``ray.put`` (the dup set is small relative to the corpus);
+    use a hash join instead if it ever is not."""
+    import ray
+
+    if not isinstance(labels, pd.DataFrame):
+        labels = labels.to_pandas()
+    label_map = dict(
+        zip(labels["node"].astype("int64"), labels["label"].astype("int64"))
+    )
+    map_ref = ray.put(label_map)
+
+    class Assign:
+        def __init__(self):
+            self.map = ray.get(map_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_column).to_pylist()
+            comp = [self.map.get(i, i) for i in ids]
+            return pa.table(
+                {
+                    id_column: batch.column(id_column).cast(pa.int64()),
+                    out_column: pa.array(comp, pa.int64()),
+                }
+            )
+
+    return ds.select_columns([id_column]).map_batches(
+        Assign, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1
+    )

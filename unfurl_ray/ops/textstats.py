@@ -2,9 +2,9 @@
 
 All vectorized ``map_batches`` stages (pandas/numpy kernels, compiled
 regexes at module scope — loaded once per worker).  Each has a
-``queries()`` entry; the SQL-expressible ones (token counts,
-fingerprints) have DuckDB oracles, the heuristic ones (language-ID,
-quality) are rows-only checks.
+``queries()`` entry with a DuckDB oracle — including the heuristics:
+quality scoring mirrors the SQL's ASCII classes + half-up rounding,
+and language-ID's stopword-argmax has an exact CASE-cascade twin.
 """
 
 from __future__ import annotations

@@ -421,6 +421,9 @@ def q_quality(sf_dir: str):
 
 
 def q_langid(sf_dir: str):
+    """Stopword-argmax language ID (actor pool).  Hash-exact vs a SQL
+    twin: per-lang stopword hits over the first 200 tokens, cascading
+    CASE = the kernel's first-lang-wins tie rule."""
     from unfurl_ray.ops.textstats import LangId
 
     ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
@@ -853,3 +856,95 @@ def q_hash_sample(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Duplicate clustering end-to-end — the step a near-dup pipeline
+    needs AFTER pair generation: aligned 64-char chunk fingerprints ->
+    fingerprint-bucket edges -> distributed min-label connected
+    components -> per-doc cluster representative.  Every stage is
+    SQL-expressible (md5 chunks + a recursive-CTE min-label oracle),
+    so unlike MinHash the whole clustering chain is hash-checked."""
+    from unfurl_ray.ops.graph import (
+        assign_components, connected_components, fingerprint_edges,
+    )
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+    edges = fingerprint_edges(ds, chunk_size=64)
+    labels = connected_components(edges)
+    out = assign_components(ds, labels).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return out.astype({"doc_id": "int64", "component": "int64"})
+
+
+def q_bigram_counts(sf_dir: str) -> pd.DataFrame:
+    """Top-20 corpus bigrams: the bigram fan-out and a per-batch
+    partial count (combiner) stay inside ``map_batches``; the shuffle
+    carries one (bigram, n) row per batch per distinct bigram, then a
+    small groupby-sum and a driver top-k."""
+    import re as _re
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    _ws = _re.compile(r"[ \t\n\f\r]+")
+    ds = _parquet(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            ws = [w for w in _ws.split((text or "").lower()) if w]
+            counts.update(
+                f"{a} {b}" for a, b in zip(ws, ws[1:])
+            )
+        return pa.table(
+            {
+                "bigram": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return (
+        out.sort_values(["n", "bigram"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
+def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified sample: 5 events per event_type picked
+    by md5-rank (reproducible across runs and cluster sizes — unlike
+    random_sample — and oracle-checked row for row).  Rides the
+    partial-top-k kernel: only 5 rows per type per batch survive to
+    the driver merge."""
+    import hashlib as _hl
+
+    from unfurl_ray.ops.relational import topk_per_group
+
+    ds = _parquet(sf_dir, "events", ["event_id", "event_type"])
+
+    def add_h(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_pylist()
+        return batch.append_column(
+            "h",
+            pa.array(
+                [_hl.md5(str(i).encode()).hexdigest() for i in ids],
+                pa.string(),
+            ),
+        )
+
+    out = topk_per_group(
+        ds.map_batches(add_h, batch_format="pyarrow"),
+        key_col="event_type", order_col="h", k=5,
+        tiebreak_col="event_id",
+    )
+    out = out[["event_type", "event_id", "h"]]
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.reset_index(drop=True)
