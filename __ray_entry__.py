@@ -164,9 +164,41 @@ def oracle_sql() -> dict[str, str]:
                END AS lang_pred
         FROM hits
     """
+    # q_transcript_types twin: the generator's template routing is
+    # kind = splitmix64(doc_id) % 10 (transcripts._mix), and the
+    # extraction engine types each template family deterministically
+    # (kind 8 = PDF -> document, kind 9 = plain/empty -> link, all
+    # HTML kinds -> website).  splitmix64 in SQL needs 64-bit wrapping
+    # multiplication, which overflows INT128 — split each constant
+    # into 32-bit halves: (a*b) mod 2^64 =
+    # (alo*blo + ((alo*bhi + ahi*blo) mod 2^32) << 32) mod 2^64.
+    def _mulmod64(xcol: str, c: int) -> str:
+        lo, hi = c % (1 << 32), c >> 32
+        return (
+            f"((({xcol}) % 4294967296) * {lo}"
+            f" + ((((({xcol}) % 4294967296) * {hi}"
+            f" + (({xcol}) // 4294967296) * {lo}) % 4294967296)"
+            f" * 4294967296)) % 18446744073709551616"
+        )
+
+    _m1 = _mulmod64("xor(x, x >> 30)", 0xBF58476D1CE4E5B9)
+    _m2 = _mulmod64("xor(x, x >> 27)", 0x94D049BB133111EB)
+    q_transcript_types_sql = f"""
+        WITH x0 AS (
+            SELECT doc_id, CAST(doc_id AS HUGEINT) AS x FROM documents
+        ), x1 AS (SELECT doc_id, {_m1} AS x FROM x0),
+           x2 AS (SELECT doc_id, {_m2} AS x FROM x1),
+           x3 AS (SELECT doc_id, xor(x, x >> 31) % 10 AS kind FROM x2)
+        SELECT CASE WHEN kind = 8 THEN 'document'
+                    WHEN kind = 9 THEN 'link'
+                    ELSE 'website' END AS unfurl_type,
+               count(*) AS n
+        FROM x3 GROUP BY 1
+    """
     return {
         "q_quality": q_quality_sql,
         "q_langid": q_langid_sql,
+        "q_transcript_types": q_transcript_types_sql,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -476,7 +508,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # q_minhash_dedup / q_simhash / q_knn_ivf / q_hll_users /
         # q_quantile_sketch / q_group_quantile_sketch /
-        # q_embed_neardup_ann / q_transcript_types: heuristic, sketch-
-        # based or multi-stage pipelines with no faithful single-
-        # statement SQL twin -> rows-only checks.
+        # q_embed_neardup_ann: heuristic, sketch-based or multi-stage
+        # pipelines with no faithful single-statement SQL twin ->
+        # rows-only checks (each has a pytest bound or parity test).
     }

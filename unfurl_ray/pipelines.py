@@ -604,8 +604,12 @@ def q_main_text(sf_dir: str):
 
 
 def q_transcript_types(sf_dir: str) -> pd.DataFrame:
-    """Flagship transcript pipeline -> per-type counts (rows-only check;
-    the template-kind routing is not SQL-expressible)."""
+    """Flagship transcript pipeline -> per-type counts, hash-exact vs
+    a DuckDB twin that rederives the generator's template routing
+    (kind = splitmix64(doc_id) %% 10, written with 32-bit-split
+    wrapping multiplication) and the engine's deterministic typing of
+    each template family — an end-to-end check that extraction routes
+    every turn to the right Unfurl type."""
     from unfurl_ray.engine.pipeline import extract_turns, order_by_turn
     from unfurl_ray.ops.relational import pre_aggregate
     from unfurl_ray.sources.transcripts import build_transcripts
