@@ -495,6 +495,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, count(*) AS n FROM bg
             GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
         """,
+        # simhash twin: per-word hash = first 8 bytes of md5 (msb
+        # first), +-1 vote per bit position per word occurrence,
+        # bit set iff the vote sum is strictly positive, packed
+        # msb-first then shifted into signed int64 range (u - 2^63).
+        "q_simhash": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(
+                           lower(coalesce(text, '')), '[a-z0-9_]+')) AS w
+                FROM documents
+            ), bits AS (
+                SELECT doc_id, jj.j AS j,
+                       sum(CASE WHEN ((strpos('0123456789abcdef',
+                                       substr(md5(w), (jj.j // 4) + 1, 1))
+                                      - 1) >> (3 - (jj.j % 4))) & 1 = 1
+                           THEN 1 ELSE -1 END) AS s
+                FROM words
+                CROSS JOIN (SELECT unnest(range(0, 64)) AS j) jj
+                GROUP BY 1, 2
+            ), packed AS (
+                SELECT doc_id,
+                       sum(CASE WHEN s > 0
+                                THEN CAST(1 AS HUGEINT) << (63 - j)
+                                ELSE CAST(0 AS HUGEINT) END) AS u
+                FROM bits GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(p.u, 0) - 9223372036854775808 AS BIGINT)
+                       AS simhash
+            FROM documents d LEFT JOIN packed p USING (doc_id)
+            ORDER BY d.doc_id
+        """,
         "q_stratified_sample": """
             SELECT event_type, event_id, h FROM (
                 SELECT event_type, event_id,

@@ -816,3 +816,21 @@ def test_connected_components_capped_bucket(ray_session):
     # honest documented behavior of the cap (sampled chaining)
     comp = dict(zip(out["doc_id"], out["component"]))
     assert all(comp[i] == 0 for i in range(5))
+
+
+def test_simhash_scalar_batch_parity(ray_session):
+    """add_simhash (vectorized) is bit-identical to simhash64 (scalar)
+    modulo the int64 shift, including the empty-doc case."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from unfurl_ray.ops.dedup import add_simhash, simhash64
+
+    texts = ["hello world hello", "", None, "one two three four five",
+             "repeated repeated repeated word"]
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    got = add_simhash(batch).column("simhash").to_pylist()
+    for t, g in zip(texts, got):
+        # scalar returns unsigned; batch emits signed (u - 2^63)
+        assert g == simhash64(t or "") - (1 << 63)

@@ -302,15 +302,19 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, column: str = "text",
 # -- SimHash ----------------------------------------------------------------
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word features (crc-based, process-stable)."""
+    """64-bit SimHash over word features.  The per-word hash is the
+    first 8 bytes of md5 (big-endian): process-stable like the old
+    crc mix, but ALSO SQL-expressible, so q_simhash is hash-checked
+    against a DuckDB twin that recomputes the whole sketch."""
     words = normalize_words(text)
     if not words:
         return 0
     acc = np.zeros(64, dtype=np.int64)
     for w in words:
-        h = zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32)
         bits = np.unpackbits(
-            np.frombuffer(int(h).to_bytes(8, "big"), dtype=np.uint8)
+            np.frombuffer(
+                int(_simword_hash(w)).to_bytes(8, "big"), dtype=np.uint8
+            )
         ).astype(np.int64)
         acc += bits * 2 - 1
     out = 0
@@ -326,7 +330,9 @@ _simword_cache: dict = {}
 def _simword_hash(w: str) -> int:
     h = _simword_cache.get(w)
     if h is None:
-        h = zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32)
+        import hashlib
+
+        h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
         _simword_cache[w] = h
         if len(_simword_cache) > 1_000_000:
             _simword_cache.clear()
@@ -337,7 +343,7 @@ def add_simhash(batch: pa.Table, column: str = "text") -> pa.Table:
     """Batch SimHash, vectorized across the whole batch: factorize the
     token stream, hash+unpack bits once per UNIQUE word, then one
     ``np.add.at`` scatter accumulates every doc's 64 bit-counts.
-    Bit-identical to ``simhash64`` (same per-word crc mix, msb-first)."""
+    Bit-identical to ``simhash64`` (same md5 word hash, msb-first)."""
     texts = batch.column(column).to_pylist()
     words_all, lens = [], []
     for t in texts:
