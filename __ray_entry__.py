@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_minhash_dedup": p.q_minhash_dedup,
         "q_simhash": p.q_simhash,
         "q_dedup_clusters": p.q_dedup_clusters,
+        "q_curation": p.q_curation,
         # embeddings / similarity
         "q_cosine_to_query": p.q_cosine_to_query,
         "q_embed_neardup": p.q_embed_neardup,
@@ -195,10 +196,56 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n
         FROM x3 GROUP BY 1
     """
+    # q_curation twin: the full curation chain as ONE statement —
+    # quality filter >= 0.3, exact dedup (min doc_id per md5),
+    # chunk-fingerprint edges among the deduped survivors, recursive
+    # min-label components, keep only cluster representatives.
+    q_curation_sql = f"""
+        WITH RECURSIVE qual AS ({q_quality_sql}),
+        keep1 AS (
+            SELECT d.doc_id, d.text, q.quality
+            FROM documents d JOIN qual q USING (doc_id)
+            WHERE q.quality >= 0.3
+        ),
+        k2 AS (
+            SELECT min(doc_id) AS doc_id FROM keep1 GROUP BY md5(text)
+        ),
+        keep2 AS (
+            SELECT keep1.* FROM keep1 JOIN k2 USING (doc_id)
+        ),
+        feats AS (
+            SELECT doc_id,
+                   unnest([md5(substr(text, 64*g + 1, 64))
+                           for g in range(0, CAST(ceil(length(text)
+                                                       / 64.0)
+                                                AS BIGINT))]) AS f
+            FROM keep2 WHERE text IS NOT NULL AND length(text) > 0
+        ),
+        e AS (
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM feats a JOIN feats b USING (f)
+            WHERE a.doc_id <> b.doc_id GROUP BY 1, 2
+        ),
+        reach AS (
+            SELECT doc_id AS node, doc_id AS label FROM keep2
+            UNION
+            SELECT e.v, r.label FROM reach r JOIN e ON e.u = r.node
+            WHERE r.label < e.v
+        ),
+        comp AS (
+            SELECT node AS doc_id, min(label) AS component
+            FROM reach GROUP BY node
+        )
+        SELECT k.doc_id, k.quality
+        FROM keep2 k JOIN comp USING (doc_id)
+        WHERE comp.component = k.doc_id
+        ORDER BY k.doc_id
+    """
     return {
         "q_quality": q_quality_sql,
         "q_langid": q_langid_sql,
         "q_transcript_types": q_transcript_types_sql,
+        "q_curation": q_curation_sql,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -106,6 +106,7 @@ def run_queries() -> dict:
         ("q_exact_dedup", p.q_exact_dedup),
         ("q_minhash_dedup", p.q_minhash_dedup),
         ("q_dedup_clusters", p.q_dedup_clusters),
+        ("q_curation", p.q_curation),
         ("q_knn_topk", p.q_knn_topk),
         ("q_extract_meta", p.q_extract_meta),
     ]:

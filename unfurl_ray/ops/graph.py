@@ -155,6 +155,11 @@ def connected_components(edges, num_partitions: int = 8,
       component diameter (dup clusters are near-cliques: 2-4)."""
     from ray.data.aggregate import Min
 
+    # materialize the edge set up front: the auto-mode count, the
+    # driver path's collect, and every distributed round all re-read
+    # it — without this, each consumption re-executes the whole
+    # upstream fingerprint/bucket pipeline
+    edges = edges.materialize()
     if distributed is None:
         distributed = edges.count() > driver_edge_limit
     if not distributed:
@@ -192,14 +197,14 @@ def connected_components(edges, num_partitions: int = 8,
     # (u, u) so each round's messages carry a node's OWN label too —
     # the round is then a single join + groupby-min with no union —
     # and materialize: the edge set is reused every round
-    edges = edges.map_batches(
+    arrow_edges = edges.map_batches(
         lambda b: b.select(["u", "v"]).cast(
             pa.schema([("u", pa.int64()), ("v", pa.int64())])
         ),
         batch_format="pyarrow",
     )
-    edges = edges.union(
-        edges.map_batches(self_rows, batch_format="pyarrow")
+    edges = arrow_edges.union(
+        arrow_edges.map_batches(self_rows, batch_format="pyarrow")
     ).materialize()
     # repartition before materializing: the sort-aggregate can emit
     # EMPTY blocks with a zero-column schema, which the acero hash

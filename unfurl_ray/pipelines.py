@@ -952,3 +952,62 @@ def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
     out = out[["event_type", "event_id", "h"]]
     out["event_id"] = out["event_id"].astype("int64")
     return out.reset_index(drop=True)
+
+
+def q_curation(sf_dir: str) -> pd.DataFrame:
+    """End-to-end corpus curation — the composition a training-data
+    pipeline actually runs, hash-checked as ONE chain: quality filter
+    (>= 0.3) -> exact dedup (keep lowest doc_id per md5) -> chunk-
+    fingerprint near-dup clustering -> keep each cluster's
+    representative.  Stage shapes, at scale: the quality filter is
+    per-batch; the dedup keeper set arrives via hash JOIN (not a
+    broadcast — it is O(survivors)); only the CLUSTERED-DUP set (tiny
+    by construction) is broadcast for the final anti-filter."""
+    from unfurl_ray.ops.graph import connected_components, fingerprint_edges
+    from unfurl_ray.ops.textstats import quality_score_batch
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+
+    def keep_quality(batch: pd.DataFrame) -> pd.DataFrame:
+        q = quality_score_batch(batch)
+        out = batch[["doc_id", "text"]].copy()
+        out["quality"] = q["quality"].to_numpy()
+        return out[out["quality"] >= 0.3]
+
+    # materialized once: exact_dedup, the keeper join, and the final
+    # filter all consume this filtered corpus — without materializing,
+    # each consumer re-runs the read + quality scoring from scratch
+    survivors = ds.map_batches(
+        keep_quality, batch_format="pandas"
+    ).materialize()
+
+    # exact dedup: min doc_id per content hash; keeper ids come back
+    # through a hash-partitioned join (the keeper set is the same
+    # order of magnitude as the corpus — never broadcast it)
+    from unfurl_ray.ops.dedup import exact_dedup
+
+    keepers = exact_dedup(survivors).select_columns(["doc_id"])
+    kept = survivors.join(
+        keepers, join_type="inner", num_partitions=8,
+        on=("doc_id",), right_on=("doc_id",),
+    ).materialize()  # consumed by both edge-building and final filter
+
+    # near-dup clustering on the deduped survivors; only docs that
+    # LOST to a cluster representative (label != node: a tiny set)
+    # need to be known to filter — broadcast just those
+    edges = fingerprint_edges(kept, chunk_size=64)
+    labels = connected_components(edges)
+    if not isinstance(labels, pd.DataFrame):
+        labels = labels.to_pandas()
+    drop = set(
+        labels.loc[labels["label"] != labels["node"], "node"].astype(int)
+    )
+
+    def not_dropped(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        mask = pa.array([i not in drop for i in ids])
+        return batch.filter(mask).select(["doc_id", "quality"])
+
+    out = kept.map_batches(not_dropped, batch_format="pyarrow").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
