@@ -33,14 +33,18 @@ N_PERM = 128
 N_BANDS = 16
 ROWS_PER_BAND = N_PERM // N_BANDS
 # Shuffle granularity for LSH candidate generation: band rows group by
-# (band_id, band_hash % N_BUCKETS) so no map_groups group ever holds
-# one row per corpus document (grouping by band_id alone concentrates
-# the whole corpus's band rows into N_BANDS groups).  A group holds
-# ~corpus * N_BANDS / (N_BANDS * N_BUCKETS) rows of 3 ints; raise
-# N_BUCKETS with corpus size to keep that bounded (it only changes
-# shuffle granularity, never which pairs are emitted, because same
-# band_hash -> same bucket).
-N_BUCKETS = 4096
+# a hash bucket of (band_id, band_hash), with the bucket COUNT sized to
+# the corpus: ~TARGET_BUCKET_ROWS rows of 3 ints per map_groups group.
+# Granularity is decoupled from semantics — same band_hash always lands
+# in the same bucket, and the pairing inside a group sub-groups by
+# (band_id, band_hash) vectorized — so the bucket count changes neither
+# which pairs are emitted nor correctness, only (a) the per-group
+# Python-dispatch overhead when buckets are too many (65k near-empty
+# groups cost 8x at sf0.1) and (b) the group size when too few (one
+# group per band = one row per corpus doc cannot fit a worker at
+# 10^10 docs).
+TARGET_BUCKET_ROWS = 20_000
+MIN_BUCKETS = 16
 _MERSENNE = (1 << 61) - 1
 _rng = np.random.default_rng(42)
 _PERM_A = _rng.integers(1, _MERSENNE, size=N_PERM, dtype=np.int64)
@@ -122,10 +126,12 @@ def exact_dedup(ds, column: str = "text", id_column: str = "doc_id"):
 
 
 def minhash_band_rows(batch: pa.Table, column: str = "text",
-                      id_column: str = "doc_id") -> pa.Table:
+                      id_column: str = "doc_id",
+                      n_buckets: int = MIN_BUCKETS) -> pa.Table:
     """Explode each doc into N_BANDS (band_id, band_hash, band_bucket)
-    rows; ``band_bucket`` is the shuffle key fragmenting each band's
-    rows across N_BUCKETS groups (see N_BUCKETS note above)."""
+    rows; ``band_bucket`` is the shuffle key fragmenting the band rows
+    across ``n_buckets`` map_groups groups (see TARGET_BUCKET_ROWS
+    note above — granularity only, never semantics)."""
     ids = batch.column(id_column).to_pylist()
     texts = batch.column(column).to_pylist()
     out_ids, out_bands, out_hashes = [], [], []
@@ -143,7 +149,9 @@ def minhash_band_rows(batch: pa.Table, column: str = "text",
             "band_id": pa.array(out_bands, pa.int32()),
             "band_hash": pa.array(out_hashes, pa.int64()),
             "band_bucket": pa.array(
-                [h % N_BUCKETS for h in out_hashes], pa.int32()
+                [(h * 2654435761 + b) % n_buckets
+                 for h, b in zip(out_hashes, out_bands)],
+                pa.int32(),
             ),
         }
     )
@@ -160,34 +168,43 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 
 
 def minhash_candidate_pairs(ds, column: str = "text",
-                            id_column: str = "doc_id"):
+                            id_column: str = "doc_id",
+                            n_buckets: int | None = None):
     """LSH bucket join: docs sharing any band bucket become candidates.
 
     Returns a Dataset of (id_a, id_b) with id_a < id_b, deduped.
+
+    ``n_buckets`` (auto): sized so a map_groups group holds about
+    TARGET_BUCKET_ROWS (doc_id, band_id, band_hash) rows — neither
+    65k near-empty groups paying a Python dispatch each (measured 8x
+    at sf0.1) nor one group per band holding a row per corpus doc.
+    The (band_id, band_hash) separation happens VECTORIZED inside the
+    group, so the bucket count never changes which pairs come out.
     """
+    if n_buckets is None:
+        n_rows = ds.count() * N_BANDS  # parquet metadata count: cheap
+        n_buckets = max(MIN_BUCKETS, n_rows // TARGET_BUCKET_ROWS)
     bands = ds.map_batches(
-        lambda b: minhash_band_rows(b, column, id_column),
+        lambda b: minhash_band_rows(b, column, id_column, n_buckets),
         batch_format="pyarrow",
     )
 
     from itertools import combinations
 
-    def pairs_for_band(group: pd.DataFrame) -> pd.DataFrame:
-        # one call per (band, bucket) group — N_BANDS x N_BUCKETS groups
-        # total, each ~corpus/N_BUCKETS rows, so neither the per-group
-        # Python dispatch (round-1 pathology: one group per distinct
-        # band_hash) nor the group SIZE (round-2 pathology: one group
-        # per band = one row per corpus doc) scales with the corpus.
-        # Only buckets with >=2 docs can emit pairs — filter those
-        # vectorized, then combine within each (rare) duplicate bucket.
-        dup = group[group.duplicated("band_hash", keep=False)]
+    def pairs_for_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        # one call per shuffle bucket (~TARGET_BUCKET_ROWS rows); only
+        # (band_id, band_hash) cells with >=2 docs can emit pairs —
+        # filter those vectorized, then combine within each (rare)
+        # duplicate cell.
+        dup = group[group.duplicated(["band_id", "band_hash"],
+                                     keep=False)]
         if dup.empty:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64")})
         out_a, out_b = [], []
         cap = 200  # hot-bucket guard: buckets this big at scale mean a
         # degenerate band -> cap the quadratic blowup (log + sample)
-        for _, ids in dup.groupby("band_hash")[id_column]:
+        for _, ids in dup.groupby(["band_id", "band_hash"])[id_column]:
             uniq = sorted(ids.unique())[:cap]
             for a, b in combinations(uniq, 2):
                 out_a.append(a)
@@ -197,8 +214,8 @@ def minhash_candidate_pairs(ds, column: str = "text",
     # pairs may repeat across bands; dedupe at the consumer (a pandas
     # drop_duplicates once collected beats a second Ray shuffle for a
     # candidate set that is tiny relative to the corpus)
-    return bands.groupby(["band_id", "band_bucket"]).map_groups(
-        pairs_for_band, batch_format="pandas"
+    return bands.groupby("band_bucket").map_groups(
+        pairs_for_bucket, batch_format="pandas"
     )
 
 
