@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_langid": p.q_langid,
         "q_bigram_counts": p.q_bigram_counts,
         "q_stratified_sample": p.q_stratified_sample,
+        "q_tfidf_top_terms": p.q_tfidf_top_terms,
+        "q_inverted_index": p.q_inverted_index,
         # dedup families
         "q_minhash_dedup": p.q_minhash_dedup,
         "q_simhash": p.q_simhash,
@@ -573,6 +575,49 @@ def oracle_sql() -> dict[str, str]:
                        AS simhash
             FROM documents d LEFT JOIN packed p USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "q_tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           lower(coalesce(text, '')), '[ \t\n\f\r]+'),
+                           x -> x <> '') AS ws
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, w AS term, count(*) AS n
+                FROM (SELECT doc_id, unnest(ws) AS w FROM toks)
+                GROUP BY 1, 2
+            ), dfr AS (
+                SELECT term, count(DISTINCT doc_id) AS df
+                FROM tf GROUP BY term
+            ), nd AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term,
+                       floor(tf.n * ln(CAST(nd.n_docs AS DOUBLE)
+                                       / dfr.df) * 1e6 + 0.5) / 1e6
+                           AS tfidf
+                FROM tf JOIN dfr USING (term) CROSS JOIN nd
+            )
+            SELECT doc_id, term, tfidf FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY tfidf DESC, term) AS rn
+                FROM scored)
+            WHERE rn <= 3 ORDER BY doc_id, tfidf DESC, term
+        """,
+        "q_inverted_index": """
+            WITH tw AS (
+                SELECT DISTINCT doc_id, term FROM (
+                    SELECT doc_id,
+                           unnest(regexp_extract_all(
+                               lower(coalesce(text, '')),
+                               '[a-z0-9_]{6,}')) AS term
+                    FROM documents)
+            )
+            SELECT term, count(*) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM tw GROUP BY term ORDER BY term
         """,
         "q_stratified_sample": """
             SELECT event_type, event_id, h FROM (

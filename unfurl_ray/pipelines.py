@@ -1011,3 +1011,153 @@ def q_curation(sf_dir: str) -> pd.DataFrame:
     out = kept.map_batches(not_dropped, batch_format="pyarrow").to_pandas()
     out["doc_id"] = out["doc_id"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Top-3 TF-IDF terms per document.  Two passes, both bounded:
+    (1) document frequencies via per-batch UNIQUE-word fan-out ->
+    groupby count (the shuffle carries one (word, 1) row per distinct
+    word per batch, pre-aggregated); the vocabulary table is broadcast
+    once via ``ray.put``; (2) per-doc tf x idf scoring + top-3 inside
+    ``map_batches`` — no second shuffle.  Scores are half-up rounded
+    to 6 decimals on BOTH sides before ranking so ties break
+    identically in Ray and the SQL twin."""
+    import math
+    import re as _re
+
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    _ws = _re.compile(r"[ \t\n\f\r]+")
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata, no scan
+
+    def words_of(text: str) -> list[str]:
+        return [w for w in _ws.split((text or "").lower()) if w]
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: "Counter[str]" = Counter()
+        for text in batch.column("text").to_pylist():
+            c.update(set(words_of(text)))
+        return pa.table(
+            {"word": pa.array(list(c.keys()), pa.string()),
+             "df": pa.array(list(c.values()), pa.int64())}
+        )
+
+    vocab = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    idf = {
+        w: math.log(n_docs / d)
+        for w, d in zip(vocab["word"], vocab["df"].astype(int))
+    }
+    idf_ref = ray.put(idf)
+
+    class Score:
+        def __init__(self):
+            self.idf = ray.get(idf_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from collections import Counter
+
+            out_id, out_term, out_score = [], [], []
+            for doc_id, text in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("text").to_pylist(),
+            ):
+                tf = Counter(words_of(text))
+                scored = [
+                    (np.floor(n * self.idf[w] * 1e6 + 0.5) / 1e6, w)
+                    for w, n in tf.items()
+                ]
+                scored.sort(key=lambda t: (-t[0], t[1]))
+                for s, w in scored[:3]:
+                    out_id.append(doc_id)
+                    out_term.append(w)
+                    out_score.append(s)
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_id, pa.int64()),
+                    "term": pa.array(out_term, pa.string()),
+                    "tfidf": pa.array(out_score, pa.float64()),
+                }
+            )
+
+    out = ds.map_batches(
+        Score, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1
+    ).to_pandas()
+    return (
+        out.sort_values(["doc_id", "tfidf", "term"],
+                        ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+
+
+def q_inverted_index(sf_dir: str) -> pd.DataFrame:
+    """Inverted index over the long-word vocabulary (len >= 6): term ->
+    sorted posting list + df.  Postings group by a bounded HASH BUCKET
+    of the term (not by term — per-term map_groups would pay one
+    Python dispatch per vocabulary word) and the per-term list build
+    runs vectorized inside each bucket.  Posting lists serialize to a
+    comma-joined string so the value-hash compare (and parquet sinks
+    with strict schemas) see a flat column."""
+    import re as _re
+
+    _word = _re.compile(r"[a-z0-9_]{6,}")
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+
+    def postings_rows(batch: pa.Table) -> pa.Table:
+        out_w, out_d = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            for w in set(_word.findall((text or "").lower())):
+                out_w.append(w)
+                out_d.append(doc_id)
+        buckets = [hash_bucket(w) for w in out_w]
+        return pa.table(
+            {
+                "term": pa.array(out_w, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "bucket": pa.array(buckets, pa.int32()),
+            }
+        )
+
+    def hash_bucket(w: str, n: int = 64) -> int:
+        import zlib
+
+        return zlib.crc32(w.encode()) % n
+
+    def build_lists(group: pd.DataFrame) -> pa.Table:
+        agg = (
+            group.groupby("term")["doc_id"]
+            .apply(lambda s: sorted(set(int(x) for x in s)))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "term": pa.array(agg["term"], pa.string()),
+                "df": pa.array(
+                    [len(p) for p in agg["doc_id"]], pa.int64()
+                ),
+                "postings": pa.array(
+                    [",".join(map(str, p)) for p in agg["doc_id"]],
+                    pa.string(),
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(postings_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(build_lists, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("term").reset_index(drop=True)
