@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hopping_window": p.q_hopping_window,
         "q_topk_per_group": p.q_topk_per_group,
         "q_group_median": p.q_group_median,
+        "q_retention": p.q_retention,
         # documents / text analysis
         "q_doc_stats": p.q_doc_stats,
         "q_hash_sample": p.q_hash_sample,
@@ -575,6 +576,18 @@ def oracle_sql() -> dict[str, str]:
                        AS simhash
             FROM documents d LEFT JOIN packed p USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "q_retention": """
+            WITH uh AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 3600000000 AS hour
+                FROM events
+            )
+            SELECT a.hour, count(*) AS active,
+                   count(b.user_id) AS retained
+            FROM uh a LEFT JOIN uh b
+              ON b.user_id = a.user_id AND b.hour = a.hour + 1
+            GROUP BY a.hour ORDER BY a.hour
         """,
         "q_tfidf_top_terms": """
             WITH toks AS (

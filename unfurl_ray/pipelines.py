@@ -1161,3 +1161,82 @@ def q_inverted_index(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("term").reset_index(drop=True)
+
+
+def q_retention(sf_dir: str) -> pd.DataFrame:
+    """Hour-over-hour user retention: of the users active in hour h,
+    how many were also active in hour h+1.  Fully distributed — the
+    shifted self-join is rewritten as a tag fan-out + groupby: each
+    distinct (user, hour) emits (user, h, cur=1) and (user, h-1,
+    nxt=1); groupby (user, h) sums collapse to 0/1 flags; a final
+    per-hour sum yields active and retained.  The event stream is
+    pre-collapsed per batch, so shuffles carry distinct pairs only."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _parquet(sf_dir, "events", ["user_id", "ts"])
+
+    def user_hours(batch: pa.Table) -> pa.Table:
+        hours = pc.cast(
+            pc.divide(
+                pc.cast(batch.column("ts"), pa.int64()), 3_600_000_000
+            ),
+            pa.int64(),
+        )
+        t = pa.table(
+            {"user_id": batch.column("user_id"), "hour": hours}
+        )
+        # batch-local distinct: the shuffle carries (user, hour) once
+        # per batch, not once per event
+        return t.group_by(["user_id", "hour"]).aggregate([])
+
+    uh = (
+        ds.map_batches(user_hours, batch_format="pyarrow")
+        .groupby(["user_id", "hour"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def tag_fanout(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id")
+        hours = batch.column("hour")
+        n = len(batch)
+        return pa.table(
+            {
+                "user_id": pa.concat_arrays(
+                    [users.combine_chunks(), users.combine_chunks()]
+                ),
+                "h": pa.concat_arrays(
+                    [hours.combine_chunks(),
+                     pc.subtract(hours, pa.scalar(1)).combine_chunks()]
+                ),
+                "cur": pa.array([1] * n + [0] * n, pa.int64()),
+                "nxt": pa.array([0] * n + [1] * n, pa.int64()),
+            }
+        )
+
+    flags = (
+        uh.map_batches(tag_fanout, batch_format="pyarrow")
+        .groupby(["user_id", "h"])
+        .aggregate(Sum("cur", alias_name="cur"),
+                   Sum("nxt", alias_name="nxt"))
+    )
+
+    def per_hour(batch: pa.Table) -> pa.Table:
+        cur = batch.column("cur")
+        ret = pc.multiply(cur, batch.column("nxt"))
+        return pa.table(
+            {"hour": batch.column("h"), "active": cur, "retained": ret}
+        )
+
+    out = (
+        flags.map_batches(per_hour, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("active", alias_name="active"),
+                   Sum("retained", alias_name="retained"))
+        .to_pandas()
+    )
+    # rows where only nxt fired (h = min-1) have active 0 — they are
+    # not hours with activity; drop them like the oracle does
+    out = out[out["active"] > 0]
+    out["active"] = out["active"].astype("int64")
+    out["retained"] = out["retained"].astype("int64")
+    return out.sort_values("hour").reset_index(drop=True)
