@@ -834,3 +834,30 @@ def test_simhash_scalar_batch_parity(ray_session):
     for t, g in zip(texts, got):
         # scalar returns unsigned; batch emits signed (u - 2^63)
         assert g == simhash64(t or "") - (1 << 63)
+
+
+def test_connected_components_distributed_moderate_scale(ray_session):
+    """Distributed fixpoint on a 20k-node graph (4k clusters of 5 in a
+    ring, so diameter 2 via the symmetric closure): converges to the
+    per-cluster min and matches the driver union-find exactly."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.graph import connected_components
+
+    n_clusters, size = 4_000, 5
+    base = np.arange(n_clusters, dtype=np.int64) * size
+    u = np.concatenate([base + i for i in range(size)])
+    v = np.concatenate([base + ((i + 1) % size) for i in range(size)])
+    edges = pd.DataFrame(
+        {"u": np.concatenate([u, v]), "v": np.concatenate([v, u])}
+    )
+    ds = rd.from_pandas(edges)
+    dist = connected_components(ds, num_partitions=4, distributed=True)
+    dist = dist.to_pandas().sort_values("node").reset_index(drop=True)
+    want = (dist["node"].to_numpy() // size) * size
+    assert (dist["label"].to_numpy() == want).all()
+    uf = connected_components(rd.from_pandas(edges), distributed=False)
+    uf = uf.sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(dist, uf)

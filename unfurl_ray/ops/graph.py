@@ -68,7 +68,8 @@ def chunk_fingerprint_rows(batch: pa.Table, column: str = "text",
 
 
 def fingerprint_edges(ds, column: str = "text", id_column: str = "doc_id",
-                      chunk_size: int = 64, bucket_cap: int | None = None):
+                      chunk_size: int = 64, bucket_cap: int | None = None,
+                      n_buckets: int | None = None):
     """Bucket join: docs sharing a fingerprint become directed-symmetric
     edges (u, v) AND (v, u).  Edges may repeat across fingerprints —
     min-label propagation is idempotent, so dedup would buy nothing and
@@ -80,6 +81,15 @@ def fingerprint_edges(ds, column: str = "text", id_column: str = "doc_id",
     capped doc into one component transitively.  Default ``None``
     (exact) to stay byte-equal with the SQL oracle; set it at scale.
     """
+    # shuffle-bucket count sized to the data (same rule as the MinHash
+    # banding fix in ops/dedup.py): a FIXED count means group size
+    # grows with the corpus; too many means one near-empty Python
+    # dispatch per group.  ~1000 docs' worth of chunk rows per bucket.
+    # (count() on a raw parquet read is metadata-only; callers passing
+    # a transformed Dataset should materialize it first — q_curation
+    # does.)
+    if n_buckets is None:
+        n_buckets = max(16, ds.count() // 1000)
     rows = ds.map_batches(
         lambda b: chunk_fingerprint_rows(b, column, id_column, chunk_size),
         batch_format="pyarrow",
@@ -102,10 +112,10 @@ def fingerprint_edges(ds, column: str = "text", id_column: str = "doc_id",
     # bounded hash bucket of the fingerprint instead and sub-group
     # vectorized inside.
     def bucketize(b: pa.Table) -> pa.Table:
-        # cheap stable bucket: first 4 hex chars of the md5 -> int
+        # cheap stable bucket: first 8 hex chars of the md5 -> int
         f = b.column("f").to_pylist()
         buckets = pa.array(
-            [int(s[:4], 16) & 1023 for s in f], pa.int32()
+            [int(s[:8], 16) % n_buckets for s in f], pa.int32()
         )
         return b.append_column("fb", buckets)
 
