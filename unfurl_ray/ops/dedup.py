@@ -191,25 +191,31 @@ def minhash_candidate_pairs(ds, column: str = "text",
 
     from itertools import combinations
 
-    def pairs_for_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    def pairs_for_bucket(group: pd.DataFrame) -> pa.Table:
         # one call per shuffle bucket (~TARGET_BUCKET_ROWS rows); only
         # (band_id, band_hash) cells with >=2 docs can emit pairs —
         # filter those vectorized, then combine within each (rare)
-        # duplicate cell.
+        # duplicate cell.  Emits ARROW (typed even when empty): an
+        # empty pandas block has no schema and poisons downstream
+        # unions/joins (map_batches passes empty blocks through
+        # without calling the UDF).
+        out_a, out_b = [], []
         dup = group[group.duplicated(["band_id", "band_hash"],
                                      keep=False)]
-        if dup.empty:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64")})
-        out_a, out_b = [], []
-        cap = 200  # hot-bucket guard: buckets this big at scale mean a
-        # degenerate band -> cap the quadratic blowup (log + sample)
-        for _, ids in dup.groupby(["band_id", "band_hash"])[id_column]:
-            uniq = sorted(ids.unique())[:cap]
-            for a, b in combinations(uniq, 2):
-                out_a.append(a)
-                out_b.append(b)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+        if not dup.empty:
+            cap = 200  # hot-bucket guard: buckets this big at scale
+            # mean a degenerate band -> cap the quadratic blowup
+            for _, ids in dup.groupby(
+                ["band_id", "band_hash"]
+            )[id_column]:
+                uniq = sorted(ids.unique())[:cap]
+                for a, b in combinations(uniq, 2):
+                    out_a.append(a)
+                    out_b.append(b)
+        return pa.table(
+            {"id_a": pa.array(out_a, pa.int64()),
+             "id_b": pa.array(out_b, pa.int64())}
+        )
 
     # pairs may repeat across bands; dedupe at the consumer (a pandas
     # drop_duplicates once collected beats a second Ray shuffle for a
@@ -301,8 +307,14 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, column: str = "text",
             out = batch.assign(jaccard=np.round(jac, 4))
             return out[out["jaccard"] >= self.threshold]
 
+    # from_arrow with stripped pandas metadata: the metadata dict makes
+    # block schemas unhashable and spams "Failed to hash the schemas"
+    # per worker (same fix as the similarity stages)
+    cand_tbl = pa.Table.from_pandas(
+        cand, preserve_index=False
+    ).replace_schema_metadata(None)
     out = (
-        rd.from_pandas(cand)
+        rd.from_arrow(cand_tbl)
         .map_batches(VerifyPairs, batch_format="pandas",
                      concurrency=(1, 4))
         .to_pandas()
