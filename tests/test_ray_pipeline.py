@@ -861,3 +861,46 @@ def test_connected_components_distributed_moderate_scale(ray_session):
     uf = connected_components(rd.from_pandas(edges), distributed=False)
     uf = uf.sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(dist, uf)
+
+
+def test_read_transcripts_all_formats(ray_session, tmp_path):
+    """JSONL and CSV transcript dumps normalize to the exact schema and
+    values of the parquet path, and flow through extraction."""
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+
+    from unfurl_ray.engine.pipeline import extract_turns
+    from unfurl_ray.sources.formats import SCHEMA, read_transcripts
+    from unfurl_ray.sources.transcripts import build_transcripts
+
+    tbl = pa.Table.from_pandas(
+        build_transcripts(SF, shuffled=False).limit(40).to_pandas(),
+        preserve_index=False,
+    ).cast(SCHEMA)
+
+    pq_path = str(tmp_path / "t.parquet")
+    pq.write_table(tbl, pq_path)
+    csv_path = str(tmp_path / "t.csv")
+    pacsv.write_csv(tbl, csv_path)
+    json_path = str(tmp_path / "t.json")
+    tbl.to_pandas().assign(
+        ts=lambda d: d["ts"].dt.strftime("%Y-%m-%d %H:%M:%S")
+    ).to_json(json_path, orient="records", lines=True)
+
+    base = read_transcripts(pq_path, "parquet").to_pandas()
+    for fmt, path in (("csv", csv_path), ("jsonl", json_path)):
+        got = read_transcripts(path, fmt).to_pandas()
+        assert list(got.columns) == list(base.columns)
+        # second-resolution ts round-trip for json; compare on floor(s)
+        for col in ("conv_id", "turn_idx", "role", "text", "tool"):
+            assert got[col].tolist() == base[col].tolist(), (fmt, col)
+        assert (
+            got["ts"].dt.floor("s").tolist()
+            == base["ts"].dt.floor("s").tolist()
+        ), fmt
+    # and the normalized stream drives the real extraction stage
+    out = extract_turns(
+        read_transcripts(csv_path, "csv"), concurrency=1
+    ).to_pandas()
+    assert len(out) == 40 and "unfurl_type" in out.columns
