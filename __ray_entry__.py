@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_anti_join": p.q_anti_join,
         "q_bloom_semi_join": p.q_bloom_semi_join,
         "q_hll_users": p.q_hll_users,
+        "q_heavy_hitters": p.q_heavy_hitters,
         "q_quantile_sketch": p.q_quantile_sketch,
         "q_group_quantile_sketch": p.q_group_quantile_sketch,
         "q_distinct_event_types": p.q_distinct_event_types,
@@ -576,6 +577,20 @@ def oracle_sql() -> dict[str, str]:
                        AS simhash
             FROM documents d LEFT JOIN packed p USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        # heavy-hitters twin: valid because the corpus vocabulary fits
+        # the sketch capacity, so the summary never truncates and
+        # count_min == count_max == the exact count.
+        "q_heavy_hitters": """
+            WITH w AS (
+                SELECT unnest(list_filter(regexp_split_to_array(
+                           lower(coalesce(text, '')), '[ \t\n\f\r]+'),
+                           x -> x <> '')) AS value
+                FROM documents
+            )
+            SELECT value, count(*) AS count_min, count(*) AS count_max
+            FROM w GROUP BY value
+            ORDER BY count_min DESC, value LIMIT 20
         """,
         "q_retention": """
             WITH uh AS (

@@ -904,3 +904,30 @@ def test_read_transcripts_all_formats(ray_session, tmp_path):
         read_transcripts(csv_path, "csv"), concurrency=1
     ).to_pandas()
     assert len(out) == 40 and "unfurl_type" in out.columns
+
+
+def test_heavy_hitters_sketch(ray_session):
+    """Zipf-ish stream with planted heavy items over a domain larger
+    than the sketch capacity: the top-k recovered exactly, true counts
+    inside [count_min, count_max], state capped at `capacity`."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.sketch import heavy_hitters
+
+    rng = np.random.default_rng(11)
+    heavy = [f"hot{i}" for i in range(10)]
+    heavy_counts = {h: 3_000 - 200 * i for i, h in enumerate(heavy)}
+    tail = [f"cold{i}" for i in rng.integers(0, 50_000, size=40_000)]
+    stream = [h for h, n in heavy_counts.items() for _ in range(n)] + tail
+    rng.shuffle(stream)
+    ds = rd.from_pandas(pd.DataFrame({"item": stream})).repartition(16)
+
+    out = heavy_hitters(ds, "item", k=10, capacity=512)
+    assert list(out["value"]) == sorted(
+        heavy, key=lambda h: (-heavy_counts[h], h)
+    )
+    true = pd.Series(stream).value_counts()
+    for _, row in out.iterrows():
+        assert row["count_min"] <= true[row["value"]] <= row["count_max"]

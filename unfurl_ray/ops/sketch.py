@@ -358,3 +358,103 @@ def grouped_approx_quantiles(ds, key_col: str, value_col: str,
         .groupby(key_col)
         .map_groups(merge_key, batch_format="pandas")
     )
+
+
+# -- heavy hitters (SpaceSaving-style truncated counters) --------------------
+
+def _hh_truncate(counts: dict, capacity: int) -> tuple[dict, int]:
+    """Keep the ``capacity`` largest counters; the error bound is the
+    largest DROPPED count (any dropped item could have had up to that
+    many occurrences within this summary)."""
+    if len(counts) <= capacity:
+        return counts, 0
+    items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    kept = dict(items[:capacity])
+    err = items[capacity][1]
+    return kept, err
+
+
+def _hh_merge(a: tuple[dict, int], b: tuple[dict, int],
+              capacity: int) -> tuple[dict, int]:
+    """Merge two truncated summaries: counts add, errors add (each
+    side's dropped mass can hide at most its own error per item)."""
+    ca, ea = a
+    cb, eb = b
+    merged = dict(ca)
+    for k, v in cb.items():
+        merged[k] = merged.get(k, 0) + v
+    kept, err = _hh_truncate(merged, capacity)
+    return kept, err + ea + eb
+
+
+def heavy_hitters(ds, column: str, k: int = 20, capacity: int | None = None):
+    """Approximate top-k most frequent values with error bounds, for
+    item domains too large to groupby (trillions of distinct shingles
+    / URLs / domains).  Per batch: one vectorized ``value_counts``
+    truncated to ``capacity`` counters (SpaceSaving-style — the
+    largest dropped count is the summary's error).  Summaries are a
+    few KB each and tree-merge: ``repartition(8)`` -> per-block merge
+    -> <=8 summaries on the driver (the approx_quantiles pattern, NOT
+    one blob per input block).  Returns a DataFrame (value, count_min,
+    count_max) for the top k by count_min; an item's true count lies
+    in [count_min, count_max], and any item whose true count exceeds
+    the k-th count_min + total error must appear (Misra-Gries-style
+    bound — make ``capacity`` >> k to keep the error small).
+
+    For domains that DO fit a shuffle, prefer the exact partial-count
+    groupby (q_bigram_counts shape) — this sketch trades exactness for
+    a hard cap on state.
+    """
+    import json
+
+    import pyarrow as pa
+
+    if capacity is None:
+        capacity = max(8 * k, 256)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch.column(column).to_pylist())
+        vc = s.value_counts()
+        counts, err = _hh_truncate(
+            {str(k_): int(v) for k_, v in vc.items()}, capacity
+        )
+        return pa.table(
+            {
+                "summary": pa.array([json.dumps(counts)], pa.large_string()),
+                "err": pa.array([err], pa.int64()),
+            }
+        )
+
+    def merge_block(batch: pa.Table) -> pa.Table:
+        acc: tuple[dict, int] = ({}, 0)
+        for blob, err in zip(
+            batch.column("summary").to_pylist(),
+            batch.column("err").to_pylist(),
+        ):
+            acc = _hh_merge(acc, (json.loads(blob), int(err)), capacity)
+        return pa.table(
+            {
+                "summary": pa.array([json.dumps(acc[0])], pa.large_string()),
+                "err": pa.array([acc[1]], pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(merge_block, batch_format="pyarrow", batch_size=None)
+        .to_pandas()  # <= 8 rows
+    )
+    acc: tuple[dict, int] = ({}, 0)
+    for blob, err in zip(parts["summary"], parts["err"]):
+        acc = _hh_merge(acc, (json.loads(blob), int(err)), capacity)
+    counts, err = acc
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pd.DataFrame(
+        {
+            "value": [t[0] for t in top],
+            "count_min": pd.Series([t[1] for t in top], dtype="int64"),
+            "count_max": pd.Series([t[1] + err for t in top],
+                                   dtype="int64"),
+        }
+    )

@@ -1240,3 +1240,27 @@ def q_retention(sf_dir: str) -> pd.DataFrame:
     out["active"] = out["active"].astype("int64")
     out["retained"] = out["retained"].astype("int64")
     return out.sort_values("hour").reset_index(drop=True)
+
+
+def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Top-20 most frequent words via the mergeable heavy-hitters
+    sketch (ops/sketch.heavy_hitters).  On this corpus the vocabulary
+    fits the sketch capacity, so the summary never truncates and the
+    result is EXACT (count_min == count_max == true count) — which is
+    what makes the DuckDB oracle possible; the truncation/error-bound
+    behavior on domains larger than capacity is pytest-covered."""
+    import re as _re
+
+    from unfurl_ray.ops.sketch import heavy_hitters
+
+    _ws = _re.compile(r"[ \t\n\f\r]+")
+    ds = _parquet(sf_dir, "documents", ["text"])
+
+    def word_rows(batch: pa.Table) -> pa.Table:
+        out = []
+        for text in batch.column("text").to_pylist():
+            out.extend(w for w in _ws.split((text or "").lower()) if w)
+        return pa.table({"value": pa.array(out, pa.string())})
+
+    words = ds.map_batches(word_rows, batch_format="pyarrow")
+    return heavy_hitters(words, "value", k=20, capacity=4096)
