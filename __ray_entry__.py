@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_stratified_sample": p.q_stratified_sample,
         "q_tfidf_top_terms": p.q_tfidf_top_terms,
         "q_inverted_index": p.q_inverted_index,
+        "q_lm_score": p.q_lm_score,
         # dedup families
         "q_minhash_dedup": p.q_minhash_dedup,
         "q_simhash": p.q_simhash,
@@ -632,6 +633,32 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY tfidf DESC, term) AS rn
                 FROM scored)
             WHERE rn <= 3 ORDER BY doc_id, tfidf DESC, term
+        """,
+        "q_lm_score": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           lower(coalesce(text, '')), '[ \t\n\f\r]+'),
+                           x -> x <> '') AS ws
+                FROM documents
+            ), w AS (
+                SELECT doc_id, unnest(ws) AS word FROM toks
+            ), vocab AS (
+                SELECT word, count(*) AS n FROM w GROUP BY word
+            ), tot AS (SELECT sum(n) AS t FROM vocab),
+            per_doc AS (
+                SELECT w.doc_id,
+                       sum(ln(CAST(vocab.n AS DOUBLE) / tot.t)) AS s,
+                       count(*) AS m
+                FROM w JOIN vocab USING (word) CROSS JOIN tot
+                GROUP BY w.doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN p.m IS NULL THEN NULL
+                        ELSE floor(p.s / p.m * 1e6 + 0.5) / 1e6
+                   END AS lm_score
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "q_inverted_index": """
             WITH tw AS (

@@ -1264,3 +1264,79 @@ def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
 
     words = ds.map_batches(word_rows, batch_format="pyarrow")
     return heavy_hitters(words, "value", k=20, capacity=4096)
+
+
+def q_lm_score(sf_dir: str) -> pd.DataFrame:
+    """Unigram language-model score per document — the cheap
+    perplexity-style quality signal training pipelines filter on:
+    mean log p(word) under the corpus unigram distribution.  Pass 1
+    builds the vocabulary counts (pre-aggregated fan-out, same shape
+    as q_tfidf); the distribution broadcasts once; pass 2 scores each
+    doc inside the batch — no second shuffle.  Rounded half-up at 6
+    decimals on both sides for the value-exact oracle."""
+    import math
+    import re as _re
+
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    _ws = _re.compile(r"[ \t\n\f\r]+")
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+
+    def words_of(text: str) -> list[str]:
+        return [w for w in _ws.split((text or "").lower()) if w]
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: "Counter[str]" = Counter()
+        for text in batch.column("text").to_pylist():
+            c.update(words_of(text))
+        return pa.table(
+            {"word": pa.array(list(c.keys()), pa.string()),
+             "n": pa.array(list(c.values()), pa.int64())}
+        )
+
+    vocab = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    total = int(vocab["n"].sum())
+    logp = {
+        w: math.log(int(n) / total)
+        for w, n in zip(vocab["word"], vocab["n"])
+    }
+    logp_ref = ray.put(logp)
+
+    class Score:
+        def __init__(self):
+            self.logp = ray.get(logp_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, scores = [], []
+            for doc_id, text in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("text").to_pylist(),
+            ):
+                ws = words_of(text)
+                if ws:
+                    mean_lp = sum(self.logp[w] for w in ws) / len(ws)
+                    s = np.floor(mean_lp * 1e6 + 0.5) / 1e6
+                else:
+                    s = None
+                ids.append(doc_id)
+                scores.append(s)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "lm_score": pa.array(scores, pa.float64()),
+                }
+            )
+
+    out = ds.map_batches(
+        Score, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
