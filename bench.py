@@ -80,7 +80,7 @@ def run_headline() -> dict:
         ds = rd.read_parquet(path, override_num_blocks=4 * NUM_CPUS)
         t0 = time.time()
         extracted = extract_turns(
-            ds, concurrency=max(2, NUM_CPUS - 2), batch_size=256
+            ds, concurrency=(1, max(2, NUM_CPUS - 2)), batch_size=256
         )
         ordered = order_by_turn(extracted)
         n = (

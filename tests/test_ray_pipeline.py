@@ -888,9 +888,14 @@ def test_read_transcripts_all_formats(ray_session, tmp_path):
         ts=lambda d: d["ts"].dt.strftime("%Y-%m-%d %H:%M:%S")
     ).to_json(json_path, orient="records", lines=True)
 
-    base = read_transcripts(pq_path, "parquet").to_pandas()
+    def _canon(df):
+        # parallel reads return blocks in nondeterministic order; the
+        # source guarantees VALUES, not row order
+        return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    base = _canon(read_transcripts(pq_path, "parquet").to_pandas())
     for fmt, path in (("csv", csv_path), ("jsonl", json_path)):
-        got = read_transcripts(path, fmt).to_pandas()
+        got = _canon(read_transcripts(path, fmt).to_pandas())
         assert list(got.columns) == list(base.columns)
         # second-resolution ts round-trip for json; compare on floor(s)
         for col in ("conv_id", "turn_idx", "role", "text", "tool"):
@@ -931,3 +936,66 @@ def test_heavy_hitters_sketch(ray_session):
     true = pd.Series(stream).value_counts()
     for _, row in out.iterrows():
         assert row["count_min"] <= true[row["value"]] <= row["count_max"]
+
+
+def test_repetition_metrics(ray_session):
+    """Known-answer docs: a fully repeated doc, a no-repeat doc, a
+    single word, and empty/null text."""
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.textstats import repetition_batch
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "spam spam spam spam",   # all one word
+                "a b c d",               # no repetition
+                "solo",                  # one word, no bigrams
+                "",                      # empty
+                None,                    # null
+            ],
+        }
+    )
+    out = (
+        rd.from_pandas(docs)
+        .repartition(3)
+        .map_batches(repetition_batch, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_words"].tolist() == [4, 4, 1, 0, 0]
+    assert out["dup_word_frac"].tolist() == [0.75, 0.0, 0.0, 0.0, 0.0]
+    assert out["top_word_frac"].tolist() == [1.0, 0.25, 1.0, 0.0, 0.0]
+    # "spam spam" fills all 3 bigram slots; distinct words have 1/3
+    assert out["top_bigram_frac"].tolist() == [1.0, 0.3333, 0.0, 0.0, 0.0]
+
+
+def test_pii_scrub_redacts_all_occurrences(ray_session):
+    """Multiple emails/phones in one doc are all counted and all
+    redacted (md5 of the expected redacted string matches)."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.textstats import pii_scrub_batch
+
+    text = "mail a@b.com then b@c.org call +1-555-1234 or 44-555-0000"
+    docs = pd.DataFrame({"doc_id": [7], "text": [text]})
+    out = (
+        rd.from_pandas(docs)
+        .map_batches(pii_scrub_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    row = out.iloc[0]
+    # +2 synthetic: the op appends ' contact: user7@example.com or
+    # +1-555-0007' on every doc
+    assert row["n_emails"] == 3 and row["n_phones"] == 3
+    expect = (
+        "mail <EMAIL> then <EMAIL> call <PHONE> or <PHONE>"
+        " contact: <EMAIL> or <PHONE>"
+    )
+    assert row["scrubbed_md5"] == hashlib.md5(expect.encode()).hexdigest()
