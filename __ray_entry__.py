@@ -23,7 +23,7 @@ def entry() -> Any:
     from unfurl_ray.sources.transcripts import build_transcripts
 
     ds = build_transcripts("/root/testdata/sf0.001")
-    extracted = extract_turns(ds, concurrency=4)
+    extracted = extract_turns(ds, concurrency=(1, 4))
     return order_by_turn(extracted)
 
 
@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fingerprint": p.q_fingerprint,
         "q_quality": p.q_quality,
         "q_langid": p.q_langid,
+        "q_repetition": p.q_repetition,
+        "q_pii_scrub": p.q_pii_scrub,
         "q_bigram_counts": p.q_bigram_counts,
         "q_stratified_sample": p.q_stratified_sample,
         "q_tfidf_top_terms": p.q_tfidf_top_terms,
@@ -246,9 +248,73 @@ def oracle_sql() -> dict[str, str]:
         WHERE comp.component = k.doc_id
         ORDER BY k.doc_id
     """
+    from unfurl_ray.ops.textstats import EMAIL_RE, PHONE_RE
+
+    # q_repetition parity: same ASCII-whitespace tokenization +
+    # half-up float64 rounding as q_quality; bigram list-comprehension
+    # mirrors q_bigram_counts.  Single-word docs have no bigram rows
+    # (top_bc NULL), so the (nw - 1) = 0 divisor is never reached.
+    q_repetition_sql = """
+        WITH toks AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(
+                       lower(coalesce(text, '')), '[ \t\n\f\r]+'),
+                       x -> x <> '') AS ws
+            FROM documents
+        ), words AS (
+            SELECT doc_id, unnest(ws) AS w FROM toks
+        ), wc AS (
+            SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2
+        ), wagg AS (
+            SELECT doc_id, sum(c) AS nw, count(*) AS nd,
+                   max(c) AS top_c
+            FROM wc GROUP BY 1
+        ), bg AS (
+            SELECT doc_id, unnest([ws[g] || ' ' || ws[g+1]
+                                   for g in range(1, len(ws))]) AS b
+            FROM toks WHERE len(ws) >= 2
+        ), bc AS (
+            SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2
+        ), bagg AS (
+            SELECT doc_id, max(c) AS top_bc FROM bc GROUP BY 1
+        )
+        SELECT t.doc_id,
+               CAST(coalesce(w.nw, 0) AS BIGINT) AS n_words,
+               floor(coalesce(1.0 - w.nd / CAST(w.nw AS DOUBLE), 0)
+                     * 10000 + 0.5) / 10000 AS dup_word_frac,
+               floor(coalesce(w.top_c / CAST(w.nw AS DOUBLE), 0)
+                     * 10000 + 0.5) / 10000 AS top_word_frac,
+               floor(coalesce(b.top_bc / CAST(w.nw - 1 AS DOUBLE), 0)
+                     * 10000 + 0.5) / 10000 AS top_bigram_frac
+        FROM toks t
+        LEFT JOIN wagg w USING (doc_id)
+        LEFT JOIN bagg b USING (doc_id)
+    """
+    # q_pii_scrub: the synthetic contact line and both RE2 patterns
+    # are shared verbatim with the kernel (module constants), so the
+    # counts and the scrubbed md5 are byte-exact.
+    q_pii_scrub_sql = f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   coalesce(text, '') || ' contact: user'
+                   || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-'
+                   || printf('%04d', doc_id % 10000) AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{EMAIL_RE}'))
+                    AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t, '{PHONE_RE}'))
+                    AS BIGINT) AS n_phones,
+               md5(regexp_replace(
+                       regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+        FROM aug
+    """
     return {
         "q_quality": q_quality_sql,
         "q_langid": q_langid_sql,
+        "q_repetition": q_repetition_sql,
+        "q_pii_scrub": q_pii_scrub_sql,
         "q_transcript_types": q_transcript_types_sql,
         "q_curation": q_curation_sql,
         "q1_pricing_summary": """

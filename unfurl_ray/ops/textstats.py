@@ -140,6 +140,115 @@ class LangId:
         return out
 
 
+def repetition_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Gopher-style repetition signals per document.
+
+    ``dup_word_frac``  = 1 - distinct/total words (how much of the doc
+    is re-used vocabulary), ``top_word_frac`` = occurrences of the most
+    frequent word / total words, ``top_bigram_frac`` = occurrences of
+    the most frequent word bigram / total bigram slots.  High values
+    flag template/boilerplate docs for curation filters.
+
+    Tokenization (lowercase, ASCII-whitespace split, empties dropped)
+    and half-up rounding mirror the DuckDB oracle exactly, so
+    q_repetition is hash-checked.  Fully vectorized: one explode +
+    groupby per batch, cross-doc bigrams masked at doc boundaries —
+    no per-document Python loop.
+    """
+    import numpy as np
+
+    texts = batch["text"].fillna("").str.lower()
+    words_list = texts.map(_WORD_SPLIT_RE.findall)
+    n_words = words_list.map(len).to_numpy(dtype=np.int64)
+    n = len(batch)
+    total = int(n_words.sum())
+    dup_frac = np.zeros(n, dtype=np.float64)
+    top_word = np.zeros(n, dtype=np.float64)
+    top_bigram = np.zeros(n, dtype=np.float64)
+    if total:
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), n_words)
+        all_words = np.concatenate(
+            [np.asarray(ws, dtype=object) for ws in words_list if ws]
+        )
+        ex = pd.DataFrame({"i": doc_idx, "w": all_words})
+        wc = ex.groupby(["i", "w"], sort=False).size()
+        per_doc = wc.groupby(level="i")
+        distinct = per_doc.size()
+        top_c = per_doc.max()
+        idx = distinct.index.to_numpy()
+        nw = n_words[idx].astype(np.float64)
+        dup_frac[idx] = 1.0 - distinct.to_numpy() / nw
+        top_word[idx] = top_c.to_numpy() / nw
+        # bigrams: adjacent pairs within a doc (mask doc boundaries)
+        same = doc_idx[:-1] == doc_idx[1:]
+        if same.any():
+            bg = pd.DataFrame(
+                {
+                    "i": doc_idx[:-1][same],
+                    "b": all_words[:-1][same] + " " + all_words[1:][same],
+                }
+            )
+            bc = bg.groupby(["i", "b"], sort=False).size()
+            top_bc = bc.groupby(level="i").max()
+            bidx = top_bc.index.to_numpy()
+            top_bigram[bidx] = top_bc.to_numpy() / (
+                n_words[bidx].astype(np.float64) - 1.0
+            )
+    out = batch[["doc_id"]].copy()
+    out["n_words"] = n_words
+    out["dup_word_frac"] = _half_up(dup_frac, 4)
+    out["top_word_frac"] = _half_up(top_word, 4)
+    out["top_bigram_frac"] = _half_up(top_bigram, 4)
+    return out
+
+
+# RE2 patterns shared verbatim with the DuckDB oracle (both engines
+# are RE2, so match spans are identical).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub_batch(batch: pa.Table) -> pa.Table:
+    """Redact emails/phone numbers; emit per-doc counts + a scrubbed-
+    text digest.
+
+    The testdata corpus carries no contact strings, so the op appends
+    a deterministic synthetic contact line derived from doc_id (the
+    oracle appends the identical line in SQL) — the regex count and
+    replace kernels therefore run against real matches, and the md5
+    digest hash-checks the byte-exact redacted output.  Counting and
+    replacing are Arrow RE2 kernels; only the md5 is per-row (cheap,
+    and the oracle contract is md5-per-row)."""
+    ids = batch.column("doc_id").to_pylist()
+    base = pc.fill_null(batch.column("text"), "")
+    contact = pa.array(
+        [
+            f" contact: user{i}@example.com or +1-555-{i % 10000:04d}"
+            for i in ids
+        ],
+        pa.string(),
+    )
+    text = pc.binary_join_element_wise(base, contact, "")
+    n_email = pc.cast(pc.count_substring_regex(text, EMAIL_RE), pa.int64())
+    n_phone = pc.cast(pc.count_substring_regex(text, PHONE_RE), pa.int64())
+    scrubbed = pc.replace_substring_regex(
+        pc.replace_substring_regex(text, EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    digests = [
+        hashlib.md5(s.encode()).hexdigest() for s in scrubbed.to_pylist()
+    ]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_emails": n_email,
+            "n_phones": n_phone,
+            "scrubbed_md5": pa.array(digests, pa.string()),
+        }
+    )
+
+
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Deterministic document fingerprints: md5 of normalized text
     (SQL-oracle-able) + a 64-bit rolling hash (Karp-Rabin over words)."""

@@ -420,6 +420,26 @@ def q_quality(sf_dir: str):
     return ds.map_batches(quality_score_batch, batch_format="pandas")
 
 
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition metrics (dup-word / top-word /
+    top-bigram fractions) per document; hash-exact vs a DuckDB twin
+    that re-derives the same counts from unnested tokens."""
+    from unfurl_ray.ops.textstats import repetition_batch
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(repetition_batch, batch_format="pandas")
+
+
+def q_pii_scrub(sf_dir: str):
+    """Email/phone redaction with per-doc counts and a byte-exact
+    scrubbed-text md5 (synthetic deterministic contact line appended
+    on both sides — the corpus itself has no PII)."""
+    from unfurl_ray.ops.textstats import pii_scrub_batch
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(pii_scrub_batch, batch_format="pyarrow")
+
+
 def q_langid(sf_dir: str):
     """Stopword-argmax language ID (actor pool).  Hash-exact vs a SQL
     twin: per-lang stopword hits over the first 200 tokens, cascading
@@ -615,7 +635,7 @@ def q_transcript_types(sf_dir: str) -> pd.DataFrame:
     from unfurl_ray.sources.transcripts import build_transcripts
 
     ds = build_transcripts(sf_dir)
-    extracted = extract_turns(ds, concurrency=4)
+    extracted = extract_turns(ds, concurrency=(1, 4))
     out = pre_aggregate(
         extracted, ["unfurl_type"], {"n": ("unfurl_type", "count")}
     ).to_pandas()
