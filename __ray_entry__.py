@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quality": p.q_quality,
         "q_langid": p.q_langid,
         "q_repetition": p.q_repetition,
+        "q_decontaminate": p.q_decontaminate,
         "q_pii_scrub": p.q_pii_scrub,
         "q_bigram_counts": p.q_bigram_counts,
         "q_stratified_sample": p.q_stratified_sample,
@@ -314,6 +315,34 @@ def oracle_sql() -> dict[str, str]:
         "q_quality": q_quality_sql,
         "q_langid": q_langid_sql,
         "q_repetition": q_repetition_sql,
+        # trigram join against the % 97 'benchmark' slice; same
+        # tokenizer + list-comprehension n-grams as q_repetition
+        "q_decontaminate": """
+            WITH toks AS (
+                SELECT doc_id, list_filter(regexp_split_to_array(
+                           lower(coalesce(text, '')), '[ \t\n\f\r]+'),
+                           x -> x <> '') AS ws
+                FROM documents
+            ), tg AS (
+                SELECT doc_id,
+                       unnest([ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2]
+                               for g in range(1, len(ws) - 1)]) AS t
+                FROM toks WHERE len(ws) >= 3
+            ), bench AS (
+                SELECT DISTINCT t FROM tg WHERE doc_id % 97 = 0
+            ), hits AS (
+                SELECT doc_id, count(DISTINCT t) AS n_hits
+                FROM tg JOIN bench USING (t)
+                WHERE doc_id % 97 <> 0
+                GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 97 <> 0
+            ORDER BY d.doc_id
+        """,
         "q_pii_scrub": q_pii_scrub_sql,
         "q_transcript_types": q_transcript_types_sql,
         "q_curation": q_curation_sql,

@@ -999,3 +999,40 @@ def test_pii_scrub_redacts_all_occurrences(ray_session):
         " contact: <EMAIL> or <PHONE>"
     )
     assert row["scrubbed_md5"] == hashlib.md5(expect.encode()).hexdigest()
+
+
+def test_ngram_decontaminate(ray_session):
+    """Planted overlap: docs sharing a trigram with the benchmark are
+    flagged with the right distinct-hit count; others are clean."""
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.dedup import ngram_decontaminate
+
+    bench = pd.DataFrame(
+        {"doc_id": [100], "text": ["the quick brown fox jumps"]}
+    )
+    corpus = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                # shares 'the quick brown' and 'quick brown fox'
+                "saw the quick brown fox yesterday",
+                "the quick brown",        # exactly one trigram, a hit
+                "quick brown wolf runs",  # no full trigram overlap
+                "to be or not to be",     # disjoint
+            ],
+        }
+    )
+    out = (
+        ngram_decontaminate(
+            rd.from_pandas(corpus).repartition(2),
+            rd.from_pandas(bench),
+            n=3,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_hits"].tolist() == [2, 1, 0, 0]
+    assert out["contaminated"].tolist() == [True, True, False, False]

@@ -463,3 +463,110 @@ def snippet_dedup(ds, column: str = "text", capacity: int = 100_000,
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+# --- benchmark n-gram decontamination -------------------------------
+
+class _NgramProbe:
+    """map_batches UDF: flag docs sharing any word n-gram with the
+    broadcast benchmark set (fetched once per actor in __init__)."""
+
+    def __init__(self, grams_ref, n: int, id_col: str, text_col: str):
+        import ray
+
+        grams = (
+            ray.get(grams_ref)
+            if isinstance(grams_ref, ray.ObjectRef)
+            else grams_ref
+        )
+        # pandas Index -> O(1) hashed membership, built once per actor
+        self.grams = pd.Index(grams)
+        self.n = n
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, grams = _doc_ngrams(batch, self.n, self.id_col,
+                                 self.text_col)
+        n_rows = len(batch)
+        hits = np.zeros(n_rows, dtype=np.int64)
+        if len(grams):
+            pairs = pd.DataFrame({"i": ids, "g": grams})
+            pairs = pairs[pairs["g"].isin(self.grams)]
+            # distinct contaminated n-grams per doc
+            hc = pairs.drop_duplicates().groupby("i").size()
+            hits[hc.index.to_numpy()] = hc.to_numpy()
+        out = batch[[self.id_col]].copy()
+        out["n_hits"] = hits
+        out["contaminated"] = hits > 0
+        return out
+
+
+def _doc_ngrams(batch: pd.DataFrame, n: int, id_col: str,
+                text_col: str):
+    """(row_idx, ngram_string) arrays for every word n-gram in the
+    batch — vectorized: one token explode, n-1 shifted object-array
+    concats, doc boundaries masked.  Tokenization = lowercase ASCII-
+    whitespace split (the repo-wide SQL-parity tokenizer)."""
+    from unfurl_ray.ops.textstats import _WORD_SPLIT_RE
+
+    texts = batch[text_col].fillna("").str.lower()
+    words_list = texts.map(_WORD_SPLIT_RE.findall)
+    n_words = words_list.map(len).to_numpy(dtype=np.int64)
+    if int(n_words.sum()) < n:
+        return np.empty(0, np.int64), np.empty(0, object)
+    doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), n_words)
+    words = np.concatenate(
+        [np.asarray(ws, dtype=object) for ws in words_list if ws]
+    )
+    m = len(words) - n + 1
+    if m <= 0:
+        return np.empty(0, np.int64), np.empty(0, object)
+    grams = words[:m].copy()
+    for k in range(1, n):
+        grams = grams + " "
+        grams = grams + words[k:m + k]
+    valid = doc_idx[:m] == doc_idx[n - 1:]
+    return doc_idx[:m][valid], grams[valid]
+
+
+def benchmark_ngrams(bench_ds, n: int = 3, text_col: str = "text",
+                     id_col: str = "doc_id") -> np.ndarray:
+    """Distinct word n-grams of a (small) benchmark Dataset.
+
+    Per-batch distinct runs distributed; only the deduped gram strings
+    reach the driver.  Benchmark sets (eval suites) are tiny relative
+    to the corpus, so a driver set + one ``ray.put`` is the right
+    broadcast shape; for huge reference sets swap in a Bloom filter
+    (ops.sketch.BloomFilter) behind the same probe stage."""
+    def distinct(batch: pd.DataFrame) -> pd.DataFrame:
+        _, grams = _doc_ngrams(batch, n, id_col, text_col)
+        return pd.DataFrame({"gram": pd.unique(grams)})
+
+    parts = bench_ds.map_batches(distinct, batch_format="pandas")
+    return pd.unique(parts.to_pandas()["gram"].to_numpy())
+
+
+def ngram_decontaminate(docs_ds, bench_ds, n: int = 3,
+                        id_col: str = "doc_id",
+                        text_col: str = "text",
+                        concurrency: int = 8):
+    """Flag corpus docs that share any word n-gram with a benchmark
+    set (training-data decontamination, Gopher/GPT-3 style — those use
+    8-13-grams; n is a knob).
+
+    Corpus streams through a vectorized membership probe; the
+    benchmark gram set is broadcast ONCE via ``ray.put``.  Output:
+    one row per corpus doc with the distinct-hit count."""
+    import ray
+
+    grams = benchmark_ngrams(bench_ds, n=n, text_col=text_col,
+                             id_col=id_col)
+    ref = ray.put(grams)
+    return docs_ds.map_batches(
+        _NgramProbe,
+        fn_constructor_kwargs={"grams_ref": ref, "n": n,
+                               "id_col": id_col, "text_col": text_col},
+        batch_format="pandas",
+        concurrency=(1, concurrency),
+    )

@@ -440,6 +440,27 @@ def q_pii_scrub(sf_dir: str):
     return ds.map_batches(pii_scrub_batch, batch_format="pyarrow")
 
 
+def q_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    trigram with a held-out 'benchmark' slice (doc_id % 97 == 0 stands
+    in for an eval suite).  Hash-exact vs a DuckDB twin that unnests
+    the same trigrams and joins."""
+    from unfurl_ray.ops.dedup import ngram_decontaminate
+
+    def split(keep_bench: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids % 97 == 0) == keep_bench
+            return batch.filter(pa.array(mask))
+        return f
+
+    docs = _parquet(sf_dir, "documents", ["doc_id", "text"])
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    corpus = docs.map_batches(split(False), batch_format="pyarrow")
+    out = ngram_decontaminate(corpus, bench, n=3).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_langid(sf_dir: str):
     """Stopword-argmax language ID (actor pool).  Hash-exact vs a SQL
     twin: per-lang stopword hits over the first 200 tokens, cascading
