@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_curation": p.q_curation,
         # embeddings / similarity
         "q_cosine_to_query": p.q_cosine_to_query,
+        "q_quantize_embeddings": p.q_quantize_embeddings,
+        "q_pca": p.q_pca,
         "q_embed_neardup": p.q_embed_neardup,
         "q_embed_neardup_ann": p.q_embed_neardup_ann,
         "q_knn_topk": p.q_knn_topk,
@@ -526,6 +528,31 @@ def oracle_sql() -> dict[str, str]:
                         FROM embeddings WHERE vec_id = 0)
                    ) AS DOUBLE), 4) AS cosine
             FROM embeddings
+        """,
+        # zipped unnests pair each dim index with its value; all
+        # arithmetic CAST to DOUBLE to match the kernel's float64 path
+        "q_quantize_embeddings": """
+            WITH vals AS (
+                SELECT vec_id,
+                       unnest(range(1, len(embedding) + 1)) AS d,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings
+            ), stats AS (
+                SELECT d, min(x) AS mn,
+                       CASE WHEN max(x) = min(x) THEN 1.0
+                            ELSE max(x) - min(x) END AS span
+                FROM vals GROUP BY d
+            ), q AS (
+                SELECT vec_id,
+                       CAST(least(greatest(
+                           floor((x - mn) / span * 255 + 0.5),
+                           0), 255) AS BIGINT) - 128 AS c
+                FROM vals JOIN stats USING (d)
+            )
+            SELECT vec_id,
+                   CAST(sum(c) AS BIGINT) AS q_sum,
+                   CAST(sum(abs(c)) AS BIGINT) AS q_l1
+            FROM q GROUP BY vec_id ORDER BY vec_id
         """,
         "q_embed_neardup": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

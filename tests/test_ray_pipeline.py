@@ -1036,3 +1036,74 @@ def test_ngram_decontaminate(ray_session):
     )
     assert out["n_hits"].tolist() == [2, 1, 0, 0]
     assert out["contaminated"].tolist() == [True, True, False, False]
+
+
+def test_pca_matches_numpy(ray_session):
+    """Distributed-moments PCA == single-process numpy PCA (same
+    sign convention) on a random low-rank-ish matrix."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.similarity import pca_fit, pca_project
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(400, 3)) @ rng.normal(size=(3, 16))
+    x = (base + 0.01 * rng.normal(size=(400, 16))).astype(np.float32)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(400), "embedding": list(x)}
+    )
+    ds = rd.from_pandas(df).repartition(8)
+
+    model = pca_fit(ds, k=3)
+    xc = x.astype(np.float64) - x.astype(np.float64).mean(axis=0)
+    w, v = np.linalg.eigh(np.cov(x.T.astype(np.float64), bias=True))
+    order = np.argsort(w)[::-1][:3]
+    ref = v[:, order]
+    for j in range(3):
+        i = np.argmax(np.abs(ref[:, j]))
+        if ref[i, j] < 0:
+            ref[:, j] = -ref[:, j]
+    assert np.allclose(model["components"], ref, atol=1e-8)
+    assert np.allclose(
+        model["explained_variance"], np.sort(w)[::-1][:3], atol=1e-8
+    )
+    out = (
+        pca_project(ds, model)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    proj = xc @ ref
+    assert np.allclose(out[["pc1", "pc2", "pc3"]].to_numpy(), proj,
+                       atol=1e-8)
+
+
+def test_quantize_embeddings_roundtrip(ray_session):
+    """int8 codes reconstruct within half a quantization step per dim,
+    and extremes map to the code range ends."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(300, 8)).astype(np.float32)
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(300), "embedding": list(x)})
+    ).repartition(4)
+    out = (
+        quantize_embeddings(ds)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    q = np.stack(out["qvec"].to_numpy()).astype(np.int64)
+    assert q.min() == -128 and q.max() == 127  # extremes hit the ends
+    mn = x.min(axis=0).astype(np.float64)
+    span = (x.max(axis=0) - x.min(axis=0)).astype(np.float64)
+    recon = mn + (q + 128) / 255.0 * span
+    assert np.abs(recon - x.astype(np.float64)).max() <= (
+        span.max() / 255.0 / 2 + 1e-12
+    )

@@ -407,3 +407,215 @@ def cosine_pair_dedup(ds, threshold: float = 0.45, concurrency: int = 4):
         batch_size=1024,
         concurrency=(1, concurrency),
     )
+
+
+# --- embedding compression: scalar quantization + PCA ----------------
+
+def _dim_minmax(ds, column: str = "embedding") -> tuple[np.ndarray,
+                                                        np.ndarray]:
+    """Per-dimension (min, max) over the corpus — per-batch partials
+    (two d-length rows each), tree-merged via repartition so the
+    driver reduces a handful of rows, never one per batch."""
+    def fold(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch.column(column))
+        return pa.table(
+            {
+                "mn": pa.array([m.min(axis=0).tobytes()], pa.binary()),
+                "mx": pa.array([m.max(axis=0).tobytes()], pa.binary()),
+            }
+        )
+
+    def merge_block(batch: pa.Table) -> pa.Table:
+        mns = np.stack(
+            [np.frombuffer(b, dtype=np.float32)
+             for b in batch.column("mn").to_pylist()]
+        )
+        mxs = np.stack(
+            [np.frombuffer(b, dtype=np.float32)
+             for b in batch.column("mx").to_pylist()]
+        )
+        return pa.table(
+            {
+                "mn": pa.array([mns.min(axis=0).tobytes()], pa.binary()),
+                "mx": pa.array([mxs.max(axis=0).tobytes()], pa.binary()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(merge_block, batch_format="pyarrow")
+        .to_pandas()
+    )
+    mn = np.stack([np.frombuffer(b, np.float32) for b in parts["mn"]])
+    mx = np.stack([np.frombuffer(b, np.float32) for b in parts["mx"]])
+    return mn.min(axis=0), mx.max(axis=0)
+
+
+class _Quantize:
+    """map_batches UDF: int8 scalar quantization against broadcast
+    per-dimension (min, max) ranges (fetched once per actor)."""
+
+    def __init__(self, ranges_ref, column: str, id_col: str):
+        import ray
+
+        mn, mx = (
+            ray.get(ranges_ref)
+            if isinstance(ranges_ref, ray.ObjectRef)
+            else ranges_ref
+        )
+        # float64 throughout: the SQL oracle promotes FLOAT to DOUBLE
+        self.mn = mn.astype(np.float64)
+        span = mx.astype(np.float64) - self.mn
+        span[span == 0] = 1.0
+        self.span = span
+        self.column = column
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch.column(self.column)).astype(np.float64)
+        # half-up rounding (floor(x+0.5)) matches the DuckDB twin
+        code = np.floor((m - self.mn) / self.span * 255.0 + 0.5)
+        code = np.clip(code, 0.0, 255.0).astype(np.int64) - 128
+        q = code.astype(np.int8)
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "qvec": pa.array(list(q), pa.list_(pa.int8())),
+                "q_sum": pa.array(code.sum(axis=1), pa.int64()),
+                "q_l1": pa.array(
+                    np.abs(code).sum(axis=1), pa.int64()
+                ),
+            }
+        )
+
+
+def quantize_embeddings(ds, column: str = "embedding",
+                        id_col: str = "vec_id", concurrency: int = 8):
+    """Int8 scalar quantization of an embedding column (4x smaller
+    than float32; the standard first compression step before ANN
+    indexing at corpus scale).
+
+    Two streaming passes: (1) per-dimension min/max via tree-merged
+    partials, (2) quantize per batch against the broadcast ranges.
+    Emits the int8 vectors plus integer digests (q_sum, q_l1) that
+    make the op hash-checkable without list-typed compare."""
+    import ray
+
+    mn, mx = _dim_minmax(ds, column)
+    ref = ray.put((mn, mx))
+    return ds.map_batches(
+        _Quantize,
+        fn_constructor_kwargs={"ranges_ref": ref, "column": column,
+                               "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )
+
+
+def _moments(ds, column: str = "embedding"):
+    """Streaming (n, sum, X'X) partials, tree-merged — the driver sees
+    a handful of (d + d*d)-float blocks, never the corpus."""
+    def fold(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch.column(column)).astype(np.float64)
+        return pa.table(
+            {
+                "n": pa.array([m.shape[0]], pa.int64()),
+                "s": pa.array([m.sum(axis=0).tobytes()], pa.binary()),
+                "xx": pa.array([(m.T @ m).tobytes()], pa.binary()),
+            }
+        )
+
+    def merge_block(batch: pa.Table) -> pa.Table:
+        n = int(pa.compute.sum(batch.column("n")).as_py())
+        s = np.sum(
+            [np.frombuffer(b, np.float64)
+             for b in batch.column("s").to_pylist()], axis=0,
+        )
+        xx = np.sum(
+            [np.frombuffer(b, np.float64)
+             for b in batch.column("xx").to_pylist()], axis=0,
+        )
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "s": pa.array([s.tobytes()], pa.binary()),
+                "xx": pa.array([xx.tobytes()], pa.binary()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(merge_block, batch_format="pyarrow")
+        .to_pandas()
+    )
+    n = int(parts["n"].sum())
+    s = np.sum([np.frombuffer(b, np.float64) for b in parts["s"]],
+               axis=0)
+    xx = np.sum([np.frombuffer(b, np.float64) for b in parts["xx"]],
+                axis=0)
+    d = len(s)
+    return n, s, xx.reshape(d, d)
+
+
+def pca_fit(ds, column: str = "embedding", k: int = 2) -> dict:
+    """Top-k principal components from distributed moments.
+
+    Covariance = X'X/n - mean mean' accumulates as mergeable partials
+    (one matmul per batch); only the d x d Gram matrix reaches the
+    driver, where a d x d eigendecomposition is O(d^3) — independent
+    of corpus size.  Sign convention: each component's
+    largest-|loading| entry is made positive (deterministic across
+    numerical libraries)."""
+    n, s, xx = _moments(ds, column)
+    mean = s / n
+    cov = xx / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order]
+    for j in range(comps.shape[1]):
+        i = np.argmax(np.abs(comps[:, j]))
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    return {"mean": mean, "components": comps,
+            "explained_variance": w[order], "n": n}
+
+
+class _PcaProject:
+    def __init__(self, model_ref, column: str, id_col: str):
+        import ray
+
+        model = (
+            ray.get(model_ref)
+            if isinstance(model_ref, ray.ObjectRef)
+            else model_ref
+        )
+        self.mean = model["mean"]
+        self.comps = model["components"]
+        self.column = column
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch.column(self.column)).astype(np.float64)
+        proj = (m - self.mean) @ self.comps
+        cols = {self.id_col: batch.column(self.id_col)}
+        for j in range(proj.shape[1]):
+            cols[f"pc{j + 1}"] = pa.array(proj[:, j], pa.float64())
+        return pa.table(cols)
+
+
+def pca_project(ds, model: dict, column: str = "embedding",
+                id_col: str = "vec_id", concurrency: int = 8):
+    """Project embeddings onto fitted components (broadcast model,
+    one matmul per batch)."""
+    import ray
+
+    ref = ray.put(model)
+    return ds.map_batches(
+        _PcaProject,
+        fn_constructor_kwargs={"model_ref": ref, "column": column,
+                               "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )

@@ -664,6 +664,33 @@ def q_transcript_types(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_quantize_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Int8 scalar quantization of the embeddings table.  Hash-exact
+    vs a DuckDB twin on the integer digests (q_sum, q_l1) — the full
+    int8 vector is emitted by the op but summarized for compare
+    (list-typed columns don't value-hash portably)."""
+    from unfurl_ray.ops.similarity import quantize_embeddings
+
+    ds = _parquet(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = quantize_embeddings(ds).select_columns(
+        ["vec_id", "q_sum", "q_l1"]
+    ).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def q_pca(sf_dir: str) -> pd.DataFrame:
+    """PCA via distributed moments (per-batch X'X partials, tree
+    merge, d x d eigh on the driver) + broadcast projection.
+    Rows-only check; numerical parity vs single-process numpy PCA is
+    pytest-verified (test_pca_matches_numpy)."""
+    from unfurl_ray.ops.similarity import pca_fit, pca_project
+
+    ds = _parquet(sf_dir, "embeddings", ["vec_id", "embedding"])
+    model = pca_fit(ds, k=2)
+    out = pca_project(ds, model).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_embed_neardup(sf_dir: str) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs (exact brute baseline;
     broadcast normalized corpus, per-batch matmul -> only matching
