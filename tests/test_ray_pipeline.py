@@ -1107,3 +1107,29 @@ def test_quantize_embeddings_roundtrip(ray_session):
     assert np.abs(recon - x.astype(np.float64)).max() <= (
         span.max() / 255.0 / 2 + 1e-12
     )
+
+
+def test_connected_components_long_chain(ray_session):
+    """A 512-node path graph (diameter 511) must converge within the
+    32-round cap — only pointer jumping (O(log d) rounds) can; plain
+    min-label propagation would need 511 rounds."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.graph import connected_components
+
+    n = 512
+    u = np.arange(n - 1, dtype=np.int64)
+    edges = pd.DataFrame(
+        {"u": np.concatenate([u, u + 1]),
+         "v": np.concatenate([u + 1, u])}
+    )
+    labels = connected_components(
+        rd.from_pandas(edges).repartition(4),
+        num_partitions=4,
+        max_iters=12,
+        distributed=True,
+    ).to_pandas()
+    assert len(labels) == n
+    assert (labels["label"] == 0).all()

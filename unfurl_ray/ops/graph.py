@@ -143,7 +143,8 @@ def fingerprint_edges(ds, column: str = "text", id_column: str = "doc_id",
 def connected_components(edges, num_partitions: int = 8,
                          max_iters: int = 32,
                          distributed: bool | None = None,
-                         driver_edge_limit: int = 5_000_000):
+                         driver_edge_limit: int = 5_000_000,
+                         pointer_jump: bool = True):
     """Min-label propagation CC over an edge Dataset [(u, v), both
     directions].  Returns (node, component) for every node that
     appears in the edge set; component = min node id reachable.
@@ -161,8 +162,11 @@ def connected_components(edges, num_partitions: int = 8,
       self-loops carry a node's own label) + groupby-min; convergence
       is one scalar sum (labels only decrease, so the sum is strictly
       monotone until fixpoint).  The iterated state is materialized
-      per round — it is O(edge endpoints), not O(corpus).  Rounds =
-      component diameter (dup clusters are near-cliques: 2-4)."""
+      per round — it is O(edge endpoints), not O(corpus).  With
+      ``pointer_jump`` (default) each round also doubles label
+      pointers, so rounds = O(log diameter) — long dup CHAINS (A~B~
+      C~...) converge too, not just the near-clique clusters (2-4
+      rounds) typical of dup graphs."""
     from ray.data.aggregate import Min
 
     # materialize the edge set up front: the auto-mode count, the
@@ -254,6 +258,39 @@ def connected_components(edges, num_partitions: int = 8,
             .repartition(num_partitions)
             .materialize()
         )
+        if pointer_jump:
+            # pointer doubling: label <- label[label].  One self-join
+            # of the SMALL label table per round turns O(diameter)
+            # convergence into O(log diameter) — a 4096-node chain
+            # closes in ~11 rounds instead of 4096.  label[x] is a
+            # node id and every endpoint has a labels row, so the
+            # inner join is total; labels only decrease, preserving
+            # the monotone-sum convergence test.
+            jump = labels.map_batches(
+                lambda b: pa.table(
+                    {"jnode": b.column("node"),
+                     "jlabel": b.column("label")}
+                ),
+                batch_format="pyarrow",
+            )
+            labels = (
+                labels.join(
+                    jump,
+                    join_type="inner",
+                    num_partitions=num_partitions,
+                    on=("label",),
+                    right_on=("jnode",),
+                )
+                .map_batches(
+                    lambda b: pa.table(
+                        {"node": b.column("node"),
+                         "label": b.column("jlabel")}
+                    ),
+                    batch_format="pyarrow",
+                )
+                .repartition(num_partitions)
+                .materialize()
+            )
         new_sum = labels.sum("label")
         if new_sum == prev_sum:
             break
