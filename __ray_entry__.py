@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_langid": p.q_langid,
         "q_repetition": p.q_repetition,
         "q_decontaminate": p.q_decontaminate,
+        "q_pack_shards": p.q_pack_shards,
         "q_pii_scrub": p.q_pii_scrub,
         "q_bigram_counts": p.q_bigram_counts,
         "q_stratified_sample": p.q_stratified_sample,
@@ -500,6 +501,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((CAST(doc_id AS HUGEINT) * 2654435761)
                    % 18446744073709551616) % 100 < 10
             ORDER BY doc_id
+        """,
+        # same token count as q_token_count, same HUGEINT hash bucket
+        # as q_hash_sample; start offsets via a window sum, integer //
+        "q_pack_shards": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\s+'))
+                            END AS BIGINT) AS n_tokens,
+                       CAST(((CAST(doc_id AS HUGEINT) * 2654435761)
+                             % 18446744073709551616) % 8 AS BIGINT)
+                           AS bucket
+                FROM documents
+            ), c AS (
+                SELECT doc_id, bucket, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                           PARTITION BY bucket ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT)
+                           AS start
+                FROM t
+            )
+            SELECT doc_id, bucket, n_tokens,
+                   start // 2000 AS shard_idx,
+                   start - (start // 2000) * 2000 AS shard_offset
+            FROM c ORDER BY doc_id
         """,
         "q_token_count": r"""
             SELECT doc_id,

@@ -1133,3 +1133,26 @@ def test_connected_components_long_chain(ray_session):
     ).to_pandas()
     assert len(labels) == n
     assert (labels["label"] == 0).all()
+
+
+def test_pack_shards_offset_split(ray_session):
+    """Offset-split packing: a row starting at offset c goes to shard
+    c // budget; boundary rows spill rather than opening a new shard."""
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.relational import pack_shards
+
+    df = pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3], "w": [900, 900, 900, 300]}
+    )
+    out = (
+        pack_shards(rd.from_pandas(df).repartition(2), "w",
+                    budget=1000, n_buckets=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["shard_idx"].tolist() == [0, 0, 1, 2]
+    assert out["shard_offset"].tolist() == [0, 900, 800, 700]
+    assert (out["bucket"] == 0).all()

@@ -502,3 +502,51 @@ def group_quantile_disc(ds, key_col: str, value_col: str, q: float):
         )
 
     return ds.groupby(key_col).map_groups(quant, batch_format="pandas")
+
+
+def pack_shards(ds, weight_col: str, budget: int,
+                id_col: str = "doc_id", n_buckets: int = 8):
+    """Assign rows to training-output shards by cumulative weight
+    (token budget) — the "pack documents into ~N-token files" step of
+    a training-data pipeline, deterministic across runs and cluster
+    sizes.
+
+    Rows hash-bucket by id (buckets are independent packing streams —
+    size ``n_buckets`` to the corpus so one bucket's ROWS fit a
+    worker; the shuffle carries only (id, bucket, weight), never the
+    payload).  Within a bucket, rows pack in id order; a row starting
+    at cumulative offset c lands in shard c // budget, so every shard
+    holds ~budget weight (the boundary row may spill past it — the
+    offset-split rule, chosen over greedy fit because it is a pure
+    window function: exactly SQL-expressible and splittable).
+
+    Output: (id, bucket, weight, shard_idx, shard_offset); a writer
+    can then ``groupby(bucket, shard_idx)`` to emit one file per
+    shard, resumably.
+    """
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        with np.errstate(over="ignore"):
+            bucket = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+                % np.uint64(n_buckets)
+        out = batch[[id_col, weight_col]].copy()
+        out["bucket"] = bucket.astype(np.int64)
+        return out
+
+    def pack(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(id_col).reset_index(drop=True)
+        w = g[weight_col].to_numpy(dtype=np.int64)
+        start = np.concatenate(([0], np.cumsum(w)[:-1]))
+        g["shard_idx"] = start // budget
+        g["shard_offset"] = start - g["shard_idx"] * budget
+        # typed Arrow even for empty groups: a schemaless empty pandas
+        # block breaks downstream unions/joins
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pack, batch_format="pandas")
+    )

@@ -440,6 +440,22 @@ def q_pii_scrub(sf_dir: str):
     return ds.map_batches(pii_scrub_batch, batch_format="pyarrow")
 
 
+def q_pack_shards(sf_dir: str) -> pd.DataFrame:
+    """Token-budget shard packing: docs hash-bucket by id, pack in id
+    order at 2000 tokens/shard (offset-split rule).  Hash-exact vs a
+    window-function DuckDB twin."""
+    from unfurl_ray.ops.relational import pack_shards
+    from unfurl_ray.ops.textstats import token_count_batch
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+    toks = ds.map_batches(
+        token_count_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_tokens"])
+    out = pack_shards(toks, "n_tokens", budget=2000,
+                      n_buckets=8).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_decontaminate(sf_dir: str) -> pd.DataFrame:
     """Benchmark decontamination: flag corpus docs sharing any word
     trigram with a held-out 'benchmark' slice (doc_id % 97 == 0 stands
