@@ -54,6 +54,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_topk_per_group": p.q_topk_per_group,
         "q_group_median": p.q_group_median,
         "q_retention": p.q_retention,
+        "q_event_deltas": p.q_event_deltas,
+        "q_ntile_curriculum": p.q_ntile_curriculum,
+        "q_vocab_spectrum": p.q_vocab_spectrum,
         # documents / text analysis
         "q_doc_stats": p.q_doc_stats,
         "q_hash_sample": p.q_hash_sample,
@@ -754,6 +757,48 @@ def oracle_sql() -> dict[str, str]:
             FROM uh a LEFT JOIN uh b
               ON b.user_id = a.user_id AND b.hour = a.hour + 1
             GROUP BY a.hour ORDER BY a.hour
+        """,
+        # exact window functions: int64 delta + copied-double max need
+        # no rounding to hash-match
+        "q_event_deltas": """
+            SELECT event_id, user_id,
+                   coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1)
+                       AS delta_us,
+                   max(value) OVER (
+                       w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                       AS roll_max
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id
+        """,
+        # same whitespace token count as q_token_count
+        "q_ntile_curriculum": r"""
+            WITH t AS (
+                SELECT doc_id, lang,
+                       CAST(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\s+'))
+                            END AS BIGINT) AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, lang, n_tokens,
+                   CAST(ntile(4) OVER (
+                       PARTITION BY lang ORDER BY n_tokens, doc_id
+                   ) AS BIGINT) AS bucket
+            FROM t ORDER BY doc_id
+        """,
+        # same lowercase-whitespace tokenizer as q_bigram_counts
+        "q_vocab_spectrum": """
+            WITH toks AS (
+                SELECT unnest(list_filter(regexp_split_to_array(
+                           lower(coalesce(text, '')), '[ \t\n\f\r]+'),
+                           x -> x <> '')) AS w
+                FROM documents
+            ), wc AS (
+                SELECT w, count(*) AS n FROM toks GROUP BY w
+            )
+            SELECT n AS freq, count(*) AS n_words
+            FROM wc GROUP BY n ORDER BY freq
         """,
         "q_tfidf_top_terms": """
             WITH toks AS (

@@ -1156,3 +1156,68 @@ def test_pack_shards_offset_split(ray_session):
     assert out["shard_idx"].tolist() == [0, 0, 1, 2]
     assert out["shard_offset"].tolist() == [0, 900, 800, 700]
     assert (out["bucket"] == 0).all()
+
+
+def test_lag_rolling_per_key(ray_session):
+    """LAG delta and trailing rolling max follow the (ts, id) order
+    within each key; the first event of a key gets delta_us = -1."""
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.relational import lag_rolling
+
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "user_id": [7, 7, 7, 8, 8],
+            "ts": pd.to_datetime(
+                [10, 25, 31, 5, 9], unit="s"
+            ),
+            "value": [3.0, 1.0, 2.0, 9.0, 4.0],
+        }
+    )
+    out = (
+        lag_rolling(rd.from_pandas(df).repartition(3), "user_id", "ts",
+                    "value", "event_id", roll_n=2)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out["delta_us"].tolist() == [
+        -1, 15_000_000, 6_000_000, -1, 4_000_000
+    ]
+    assert out["roll_max"].tolist() == [3.0, 3.0, 2.0, 9.0, 9.0]
+
+
+def test_ntile_by_matches_sql_ntile(ray_session):
+    """The histogram-offset rank reproduces SQL NTILE bucket sizes:
+    first n%k buckets get ceil(n/k) rows, ties break by id, and no
+    group ever holds a whole partition."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.relational import ntile_by
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(403),
+            "lang": rng.choice(["en", "de", "fr"], 403),
+            "n_tokens": rng.randint(0, 25, 403),  # heavy tie classes
+        }
+    )
+    got = (
+        ntile_by(rd.from_pandas(df).repartition(4), "lang", "n_tokens",
+                 "doc_id", k=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        """SELECT doc_id, ntile(4) OVER (
+               PARTITION BY lang ORDER BY n_tokens, doc_id) AS bucket
+           FROM df ORDER BY doc_id"""
+    ).df()
+    assert got["bucket"].tolist() == want["bucket"].tolist()

@@ -550,3 +550,129 @@ def pack_shards(ds, weight_col: str, budget: int,
         .groupby("bucket")
         .map_groups(pack, batch_format="pandas")
     )
+
+
+def lag_rolling(ds, key_col: str, ts_col: str, value_col: str,
+                id_col: str, roll_n: int = 3):
+    """Per-key ordered window functions: LAG time-delta and a trailing
+    ``roll_n``-row rolling max, one ``groupby(key).map_groups`` pass
+    over the (ts, id)-sorted key stream.
+
+    The input should be projected to (id, key, ts, value) BEFORE this
+    op so the shuffle never carries payload columns.  One key's rows
+    land in one group — the standard window-function partitioning
+    contract (Spark's ``Window.partitionBy`` has the identical
+    constraint); key streams here are per-user event logs, bounded in
+    practice.  Both outputs are exact (an int64 difference and a copy
+    of an input double), so the DuckDB twin hash-matches bit-for-bit
+    with no rounding.
+
+    Output: (id, key, delta_us, roll_max) with delta_us = -1 for the
+    first event of a key (COALESCE'd identically in the oracle).
+    """
+    def windows(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values([ts_col, id_col]).reset_index(drop=True)
+        ts = _ts_us(g[ts_col]).to_numpy()
+        delta = np.empty(len(g), dtype=np.int64)
+        delta[0] = -1
+        delta[1:] = ts[1:] - ts[:-1]
+        roll = (
+            g[value_col].rolling(roll_n, min_periods=1).max().to_numpy()
+        )
+        return pa.table(
+            {
+                id_col: pa.array(g[id_col], pa.int64()),
+                key_col: pa.array(g[key_col], pa.int64()),
+                "delta_us": pa.array(delta, pa.int64()),
+                "roll_max": pa.array(roll, pa.float64()),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(windows, batch_format="pandas")
+
+
+def ntile_by(ds, part_col: str, order_col: str, id_col: str, k: int):
+    """Distributed exact NTILE(k) OVER (PARTITION BY part ORDER BY
+    order, id) — without ever putting one partition's rows in one
+    worker.
+
+    Rank decomposes as rank = offset[(part, order_val)] + position
+    among the partition's rows SHARING the order value: the
+    (part, order_val) histogram is tiny (it collapses duplicates), so
+    it is aggregated distributed, cumulated on the driver, and
+    broadcast via ``ray.put``; the per-tie position comes from a
+    ``groupby(part, order_val)`` whose granularity is one ORDER VALUE
+    per group, not one partition — skew appears only if a single
+    (part, order_val) pair dominates the corpus.  Bucket then follows
+    from rank alone via the exact NTILE rule: the FIRST n%k buckets
+    get ceil(n/k) rows, the rest floor(n/k) — note this front-loads
+    the remainder, unlike ``rank*k//n`` which spreads it evenly.
+
+    Output: input columns + ``bucket`` (1-based, like SQL NTILE).
+    """
+    import ray
+
+    hist = (
+        ds.groupby([part_col, order_col])
+        .count()
+        .to_pandas()
+        .sort_values([part_col, order_col])
+        .reset_index(drop=True)
+    )
+    counts = hist["count()"].to_numpy(dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    part_first = ~hist[part_col].duplicated().to_numpy()
+    # offset within the partition: global cumsum minus the partition's
+    # own starting cumsum (broadcast per partition via ffill)
+    part_base = pd.Series(
+        np.where(part_first, starts, np.nan)
+    ).ffill().to_numpy(dtype=np.int64)
+    offsets = {
+        (p, o): int(s - b)
+        for p, o, s, b in zip(
+            hist[part_col], hist[order_col], starts, part_base
+        )
+    }
+    totals = hist.groupby(part_col)["count()"].sum().to_dict()
+    side = ray.put((offsets, totals))
+
+    def bucketize(group: pd.DataFrame) -> pa.Table:
+        # map_groups has no actor __init__ to fetch broadcasts in, so
+        # memo the deserialized side table per worker process — one
+        # ray.get per worker, not one per group
+        offs, tots = _broadcast_fetch(side)
+        g = group.sort_values(id_col).reset_index(drop=True)
+        part = g[part_col].iloc[0]
+        base = offs[(part, g[order_col].iloc[0])]
+        rank = base + np.arange(len(g), dtype=np.int64)
+        n = int(tots[part])
+        q, m = n // k, n % k
+        head = m * (q + 1)  # ranks below this sit in the big buckets
+        if q == 0:  # fewer rows than buckets: one row per bucket
+            g["bucket"] = rank + 1
+        else:
+            g["bucket"] = np.where(
+                rank < head, rank // (q + 1), m + (rank - head) // q
+            ) + 1
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return ds.groupby([part_col, order_col]).map_groups(
+        bucketize, batch_format="pandas"
+    )
+
+
+_BROADCAST_CACHE: dict[str, Any] = {}
+
+
+def _broadcast_fetch(ref):
+    """Per-worker-process memo for ``ray.put`` side tables consumed by
+    plain-function stages (map_groups has no actor ``__init__``)."""
+    import ray
+
+    key = ref.hex()
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE.clear()  # one live side table per worker
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]

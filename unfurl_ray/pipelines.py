@@ -276,6 +276,105 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_event_deltas(sf_dir: str) -> pd.DataFrame:
+    """Per-user ordered window functions: LAG time delta + trailing
+    3-row rolling max, via one groupby(user).map_groups pass over the
+    (ts, event_id)-sorted stream.  Both outputs are exact (an int64
+    difference; a copied input double), so the DuckDB window twin
+    hash-matches with no rounding."""
+    from unfurl_ray.ops.relational import lag_rolling
+
+    ds = _parquet(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = lag_rolling(
+        ds, key_col="user_id", ts_col="ts", value_col="value",
+        id_col="event_id", roll_n=3,
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_ntile_curriculum(sf_dir: str) -> pd.DataFrame:
+    """Length-based curriculum buckets: NTILE(4) per language over
+    (n_tokens, doc_id).  Exact distributed rank via ntile_by's
+    histogram-offset decomposition — no group ever holds one
+    language's rows, only one (lang, n_tokens) tie-class."""
+    import pyarrow.compute as pc
+
+    from unfurl_ray.ops.relational import ntile_by
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch.column("text"), "")
+        n = pc.cast(pc.count_substring_regex(col, r"\S+"), pa.int64())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "n_tokens": n,
+            }
+        )
+
+    out = ntile_by(
+        ds.map_batches(toks, batch_format="pyarrow"),
+        part_col="lang", order_col="n_tokens", id_col="doc_id", k=4,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_vocab_spectrum(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary frequency spectrum (frequency-of-frequencies, the
+    Zipf tail profile): per-batch partial word counts -> word groupby
+    sum -> per-batch partial spectrum -> tiny freq groupby.  Shuffle 1
+    carries one row per distinct word per batch (never the text);
+    shuffle 2 one row per distinct frequency per block."""
+    import re as _re
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    _ws = _re.compile(r"[ \t\n\f\r]+")
+    ds = _parquet(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            counts.update(
+                w for w in _ws.split((text or "").lower()) if w
+            )
+        return pa.table(
+            {
+                "word": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    word_counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def spectrum(batch: pa.Table) -> pa.Table:
+        freq, n_words = np.unique(
+            batch.column("n").to_numpy(), return_counts=True
+        )
+        return pa.table(
+            {
+                "freq": pa.array(freq.astype(np.int64), pa.int64()),
+                "n_words": pa.array(n_words.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        word_counts.map_batches(spectrum, batch_format="pyarrow")
+        .groupby("freq")
+        .aggregate(Sum("n_words", alias_name="n_words"))
+        .to_pandas()
+    )
+    out["n_words"] = out["n_words"].astype("int64")
+    return out.sort_values("freq").reset_index(drop=True)
+
+
 def q_asof_join(sf_dir: str) -> pd.DataFrame:
     """As-of join: each event matched to the latest order of its
     (user_id % 100)-keyed customer with o_orderdate <= ts.
