@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embed_neardup_ann": p.q_embed_neardup_ann,
         "q_knn_topk": p.q_knn_topk,
         "q_knn_ivf": p.q_knn_ivf,
+        "q_kmeans_sample": p.q_kmeans_sample,
         # multimodal plumbing
         "q_image_meta": p.q_image_meta,
         # extraction (the reference's core capability)

@@ -1221,3 +1221,53 @@ def test_ntile_by_matches_sql_ntile(ray_session):
            FROM df ORDER BY doc_id"""
     ).df()
     assert got["bucket"].tolist() == want["bucket"].tolist()
+
+
+def test_kmeans_fit_matches_numpy_reference(ray_session):
+    """Distributed Lloyd's (partial-sum reduce) converges to the same
+    centroids as a single-process numpy run with the same seed rows and
+    iteration count, and the diversity sample is cluster-balanced."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.similarity import (
+        kmeans_diversity_sample,
+        kmeans_fit,
+    )
+
+    rng = np.random.RandomState(3)
+    blobs = np.concatenate(
+        [rng.normal(c, 0.05, size=(40, 8)) for c in (-1.0, 0.0, 1.0)]
+    )
+    df = pd.DataFrame(
+        {"vec_id": np.arange(len(blobs)), "embedding": list(blobs)}
+    )
+    ds = rd.from_pandas(df).repartition(5)
+    got = kmeans_fit(ds, k=3, iters=4, concurrency=2)
+
+    def norm(m):
+        return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    m = norm(blobs.astype(np.float64))
+    want = m[:3].copy()  # same deterministic init: 3 smallest vec_ids
+    for _ in range(4):
+        assign = (m @ want.T).argmax(axis=1)
+        for c in range(3):
+            members = m[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                want[c] = v / np.linalg.norm(v)
+    assert np.allclose(got, want, atol=1e-9)
+
+    sample = kmeans_diversity_sample(ds, got, m=4, concurrency=2)
+    assert len(sample) == 12
+    assert sample.groupby("cluster").size().tolist() == [4, 4, 4]
+    # every sampled vector really is among its cluster's 4 nearest
+    sims = m @ got.T
+    assign = sims.argmax(axis=1)
+    best = sims[np.arange(len(m)), assign]
+    for c in range(3):
+        ids = np.flatnonzero(assign == c)
+        nearest = ids[np.lexsort((ids, -best[ids]))][:4]
+        assert set(sample[sample["cluster"] == c]["vec_id"]) == set(nearest)

@@ -619,3 +619,169 @@ def pca_project(ds, model: dict, column: str = "embedding",
         batch_format="pyarrow",
         concurrency=(1, concurrency),
     )
+
+
+def kmeans_fit(ds, k: int = 8, iters: int = 4,
+               column: str = "embedding", id_col: str = "vec_id",
+               concurrency: int = 8) -> np.ndarray:
+    """Full-corpus distributed Lloyd's (spherical k-means on normalized
+    vectors) — unlike ``kmeans_centroids`` above, which fits on a
+    driver-side sample, every iteration here is ONE streaming pass over
+    the whole dataset.
+
+    Init is deterministic and shuffle-free: the k smallest ids via a
+    per-batch partial bottom-k + driver merge (same pattern as
+    ``BruteKnn``'s partial top-k).  Each iteration broadcasts the
+    centroid matrix (``ray.put``, fetched in actor ``__init__``) and
+    emits per-batch PARTIAL SUMS — a (k x d) float64 matrix and k
+    counts, ~4 KB per batch — so the reduce moves k rows per batch,
+    never a vector.  Empty clusters keep their previous centroid.
+    The projected input is materialized once: an iterative algorithm
+    re-consumes its input ``iters`` times, and a lazy Dataset would
+    re-run the upstream read per pass.
+    """
+    proj = ds.select_columns([id_col, column]).materialize()
+
+    def bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        take = np.argsort(ids)[:k]
+        return batch.take(pa.array(take))
+
+    seed = (
+        proj.map_batches(bottomk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(id_col)
+        .head(k)
+    )
+    centroids = _normalize(
+        np.array(seed[column].tolist(), dtype=np.float64)
+    )
+
+    import ray
+
+    # plain tasks, not an actor pool: a pool would respawn every
+    # iteration (centroids change), and the broadcast here is a k x d
+    # float64 matrix — a node-local plasma get per task, ~4 KB
+    def partial_sums(batch: pa.Table, centroid_ref=None) -> pa.Table:
+        cents = ray.get(centroid_ref)
+        m = _normalize(_as_matrix(batch.column(column))
+                       .astype(np.float64))
+        assign = (m @ cents.T).argmax(axis=1)
+        d = m.shape[1]
+        sums = np.zeros((len(cents), d), dtype=np.float64)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for c in range(len(cents)):  # k iterations, vectorized sum
+            members = assign == c
+            n = int(members.sum())
+            if n:
+                sums[c] = m[members].sum(axis=0)
+                counts[c] = n
+        return pa.table(
+            {
+                "cid": pa.array(np.arange(len(cents)), pa.int64()),
+                "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    for _ in range(iters):
+        ref = ray.put(centroids)
+        parts = proj.map_batches(
+            partial_sums,
+            fn_kwargs={"centroid_ref": ref},
+            batch_format="pyarrow",
+        )
+
+        def merge_cid(group: pd.DataFrame) -> pa.Table:
+            vs = np.array(group["vsum"].tolist(), dtype=np.float64)
+            return pa.table(
+                {
+                    "cid": pa.array([int(group["cid"].iloc[0])],
+                                    pa.int64()),
+                    "vsum": pa.array([vs.sum(axis=0)],
+                                     pa.list_(pa.float64())),
+                    "n": pa.array([int(group["n"].sum())], pa.int64()),
+                }
+            )
+
+        agg = (
+            parts.groupby("cid")
+            .map_groups(merge_cid, batch_format="pandas")
+            .to_pandas()
+        )
+        new = centroids.copy()
+        for _, row in agg.iterrows():
+            if row["n"] > 0:
+                v = np.asarray(row["vsum"], dtype=np.float64)
+                nrm = np.linalg.norm(v)
+                if nrm > 0:
+                    new[int(row["cid"])] = v / nrm
+        centroids = new
+    return centroids
+
+
+class _ClusterTopM:
+    """Per-batch partial: the m rows closest to their own centroid,
+    per cluster — the driver merge then sees at most m * k * n_blocks
+    stub rows (id, cluster, sim), never an embedding."""
+
+    def __init__(self, centroid_ref, column: str, id_col: str, m: int):
+        import ray
+
+        self.c = ray.get(centroid_ref)
+        self.column = column
+        self.id_col = id_col
+        self.m = m
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_as_matrix(batch.column(self.column))
+                       .astype(np.float64))
+        sims = m @ self.c.T
+        assign = sims.argmax(axis=1)
+        best = sims[np.arange(len(m)), assign]
+        ids = batch.column(self.id_col).to_numpy()
+        keep_ids, keep_cl, keep_sim = [], [], []
+        for c in np.unique(assign):
+            members = np.flatnonzero(assign == c)
+            # stable (sim desc, id asc) order via lexsort
+            order = members[np.lexsort((ids[members], -best[members]))]
+            top = order[: self.m]
+            keep_ids.append(ids[top])
+            keep_cl.append(np.full(len(top), c, dtype=np.int64))
+            keep_sim.append(best[top])
+        return pa.table(
+            {
+                self.id_col: pa.array(np.concatenate(keep_ids),
+                                      pa.int64()),
+                "cluster": pa.array(np.concatenate(keep_cl), pa.int64()),
+                "sim": pa.array(np.concatenate(keep_sim), pa.float64()),
+            }
+        )
+
+
+def kmeans_diversity_sample(ds, centroids: np.ndarray, m: int = 10,
+                            column: str = "embedding",
+                            id_col: str = "vec_id",
+                            concurrency: int = 8) -> pd.DataFrame:
+    """Cluster-balanced coreset: the m vectors nearest their own
+    centroid, per cluster — the standard diversity-sampling step after
+    k-means curation.  Partial per-batch top-m keeps the driver merge
+    at stub rows only (same decomposition as ``knn_brute``)."""
+    import ray
+
+    ref = ray.put(centroids)
+    stubs = ds.map_batches(
+        _ClusterTopM,
+        fn_constructor_kwargs={"centroid_ref": ref, "column": column,
+                               "id_col": id_col, "m": m},
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    ).to_pandas()
+    out = (
+        stubs.sort_values(["cluster", "sim", id_col],
+                          ascending=[True, False, True])
+        .groupby("cluster", as_index=False)
+        .head(m)
+        .reset_index(drop=True)
+    )
+    return out

@@ -684,6 +684,25 @@ def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_kmeans_sample(sf_dir: str) -> pd.DataFrame:
+    """Cluster-balanced diversity sample: distributed Lloyd's (k=8,
+    4 full-corpus passes, per-batch partial sums so the reduce carries
+    k stub rows per batch) then the 5 vectors nearest their own
+    centroid per cluster.  Rows-only driver check — an iterative float
+    reduction has no single-statement SQL twin; pytest asserts parity
+    with a single-process numpy reference instead."""
+    from unfurl_ray.ops.similarity import (
+        kmeans_diversity_sample,
+        kmeans_fit,
+    )
+
+    ds = _parquet(sf_dir, "embeddings", ["vec_id", "embedding"])
+    centroids = kmeans_fit(ds, k=8, iters=4)
+    out = kmeans_diversity_sample(ds, centroids, m=5)
+    out["sim"] = out["sim"].round(6)
+    return out.sort_values(["cluster", "vec_id"]).reset_index(drop=True)
+
+
 # -- extraction -------------------------------------------------------------
 
 def _esc_attr(s: str) -> str:
