@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_topk_per_group": p.q_topk_per_group,
         "q_group_median": p.q_group_median,
         "q_retention": p.q_retention,
+        "q_rollup_revenue": p.q_rollup_revenue,
+        "q_bucketed_join": p.q_bucketed_join,
         "q_event_deltas": p.q_event_deltas,
         "q_ntile_curriculum": p.q_ntile_curriculum,
         "q_vocab_spectrum": p.q_vocab_spectrum,
@@ -758,6 +760,23 @@ def oracle_sql() -> dict[str, str]:
             FROM uh a LEFT JOIN uh b
               ON b.user_id = a.user_id AND b.hour = a.hour + 1
             GROUP BY a.hour ORDER BY a.hour
+        """,
+        "q_bucketed_join": """
+            SELECT o_orderstatus, count(*) AS n_items,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        # collapsed rollup levels labeled 'ALL' on both sides; the
+        # double sum rounds at 2dp like q1
+        "q_rollup_revenue": """
+            SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders
+            GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+            ORDER BY 1, 2
         """,
         # exact window functions: int64 delta + copied-double max need
         # no rounding to hash-match

@@ -109,6 +109,9 @@ def run_queries() -> dict:
         ("q_curation", p.q_curation),
         ("q_knn_topk", p.q_knn_topk),
         ("q_extract_meta", p.q_extract_meta),
+        ("q_vocab_spectrum", p.q_vocab_spectrum),
+        ("q_ntile_curriculum", p.q_ntile_curriculum),
+        ("q_kmeans_sample", p.q_kmeans_sample),
     ]:
         t0 = time.time()
         result = fn(SF_DIR)

@@ -1271,3 +1271,74 @@ def test_kmeans_fit_matches_numpy_reference(ray_session):
         ids = np.flatnonzero(assign == c)
         nearest = ids[np.lexsort((ids, -best[ids]))][:4]
         assert set(sample[sample["cluster"] == c]["vec_id"]) == set(nearest)
+
+
+def test_rollup_aggregate_levels(ray_session):
+    """One-shuffle ROLLUP: detail rows, per-prefix subtotals, and the
+    grand total all come out of a single groupby over fanned-out
+    partials."""
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.relational import rollup_aggregate
+
+    df = pd.DataFrame(
+        {
+            "a": ["x", "x", "y", "y"],
+            "b": ["p", "q", "p", "p"],
+            "v": [1, 2, 4, 8],
+        }
+    )
+    out = (
+        rollup_aggregate(
+            rd.from_pandas(df).repartition(2), ["a", "b"],
+            {"n": ("v", "count"), "s": ("v", "sum")},
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "a": ["ALL", "x", "x", "x", "y", "y"],
+            "b": ["ALL", "ALL", "p", "q", "ALL", "p"],
+            "n": [4, 2, 1, 1, 2, 2],
+            "s": [15, 3, 1, 2, 12, 12],
+        }
+    )
+    assert out[["a", "b"]].values.tolist() == want[["a", "b"]].values.tolist()
+    assert out["n"].astype(int).tolist() == want["n"].tolist()
+    assert out["s"].astype(int).tolist() == want["s"].tolist()
+
+
+def test_bucketed_layout_join(ray_session, tmp_path):
+    """Co-located bucket join equals a plain hash join, including
+    layouts with empty buckets (n_buckets > distinct keys)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.layout import bucketed_join, write_bucketed
+
+    left = pd.DataFrame({"k": [1, 2, 3, 5], "a": ["w", "x", "y", "z"]})
+    right = pd.DataFrame(
+        {"k": [1, 1, 2, 4], "b": [10.0, 11.0, 20.0, 40.0]}
+    )
+    nb = 8
+    write_bucketed(rd.from_pandas(left).repartition(2), "k",
+                   str(tmp_path / "l"), nb)
+    write_bucketed(rd.from_pandas(right).repartition(2), "k",
+                   str(tmp_path / "r"), nb)
+    got = (
+        bucketed_join(str(tmp_path / "l"), str(tmp_path / "r"), "k", nb)
+        .to_pandas()
+        .sort_values(["k", "b"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, on="k")
+        .sort_values(["k", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["k", "a", "b"]], want[["k", "a", "b"]]
+    )

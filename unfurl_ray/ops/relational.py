@@ -676,3 +676,56 @@ def _broadcast_fetch(ref):
         _BROADCAST_CACHE.clear()  # one live side table per worker
         _BROADCAST_CACHE[key] = ray.get(ref)
     return _BROADCAST_CACHE[key]
+
+
+def rollup_aggregate(ds, keys: list[str],
+                     aggs: dict[str, tuple[str, str]],
+                     all_label: str = "ALL"):
+    """GROUP BY ROLLUP(keys...) in ONE shuffle.
+
+    Each batch fans out one PARTIAL row per rollup level (all keys,
+    then each prefix with trailing keys collapsed to ``all_label``,
+    down to the grand total), pre-aggregated inside the batch — so the
+    shuffle carries (#levels x distinct key tuples per batch) stub
+    rows, never input rows, and every level shares the single groupby.
+    Keys must be string-typed (the collapsed levels are labeled).
+    ``aggs`` follows ``pre_aggregate``: out_col -> (in_col, fn) with
+    fn in {sum, count, min, max}; finish means downstream.
+    """
+    def fan_out(batch: pd.DataFrame) -> pd.DataFrame:
+        pieces = []
+        for level in range(len(keys), -1, -1):
+            b = batch.copy()
+            for k in keys[level:]:
+                b[k] = all_label
+            g = b.groupby(keys, as_index=False, sort=False)
+            merged = None
+            for out_col, (in_col, fn) in aggs.items():
+                if fn == "count":
+                    piece = g.size().rename(columns={"size": out_col})
+                else:
+                    piece = getattr(g[in_col], fn)().rename(
+                        columns={in_col: out_col}
+                    )
+                merged = (
+                    piece if merged is None
+                    else merged.merge(piece, on=keys)
+                )
+            pieces.append(merged)
+        return pd.concat(pieces, ignore_index=True)
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    finishers = []
+    for out_col, (_in, fn) in aggs.items():
+        if fn in ("sum", "count"):
+            finishers.append(Sum(out_col, alias_name=out_col))
+        elif fn == "min":
+            finishers.append(Min(out_col, alias_name=out_col))
+        elif fn == "max":
+            finishers.append(Max(out_col, alias_name=out_col))
+    return (
+        ds.map_batches(fan_out, batch_format="pandas")
+        .groupby(keys)
+        .aggregate(*finishers)
+    )

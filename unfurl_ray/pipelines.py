@@ -276,6 +276,84 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_bucketed_join(sf_dir: str) -> pd.DataFrame:
+    """Shuffle-free co-located join on a shared bucketed layout: both
+    tables are materialized ONCE hive-partitioned by
+    hash(orderkey) % 16 (the write is the only exchange, cached across
+    calls like the IVF index); the join itself is one task per bucket
+    reading only its own directories — at 100 TB this is the layout
+    you write once and join against forever."""
+    import hashlib
+    import os
+    import tempfile
+
+    from unfurl_ray.ops.layout import bucketed_join, write_bucketed
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    nb = 16
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{nb}|v1".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"unfurl_ray_layout_{tag}")
+    orders_path = os.path.join(root, "orders")
+    items_path = os.path.join(root, "lineitem")
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["o_orderkey", "l_quantity"])
+
+    if not os.path.isdir(orders_path):
+        write_bucketed(
+            _parquet(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]),
+            "o_orderkey", orders_path + ".tmp", nb,
+        )
+        os.rename(orders_path + ".tmp", orders_path)
+    if not os.path.isdir(items_path):
+        write_bucketed(
+            _parquet(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+            .map_batches(rekey, batch_format="pyarrow"),
+            "o_orderkey", items_path + ".tmp", nb,
+        )
+        os.rename(items_path + ".tmp", items_path)
+
+    joined = bucketed_join(orders_path, items_path, "o_orderkey", nb)
+    out = pre_aggregate(
+        joined, ["o_orderstatus"],
+        {
+            "n_items": ("l_quantity", "count"),
+            "sum_qty": ("l_quantity", "sum"),
+        },
+    ).to_pandas()
+    out["n_items"] = out["n_items"].astype("int64")
+    out["sum_qty"] = out["sum_qty"].round(2)
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+def q_rollup_revenue(sf_dir: str) -> pd.DataFrame:
+    """OLAP rollup in ONE shuffle: GROUP BY ROLLUP(o_orderpriority,
+    o_orderstatus) — each batch fans out partial rows for every level
+    (detail, per-priority subtotal, grand total), so the shuffle moves
+    stub rows only and all levels share a single groupby."""
+    from unfurl_ray.ops.relational import rollup_aggregate
+
+    ds = _parquet(
+        sf_dir, "orders",
+        ["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+    out = rollup_aggregate(
+        ds,
+        ["o_orderpriority", "o_orderstatus"],
+        {
+            "n_orders": ("o_totalprice", "count"),
+            "sum_price": ("o_totalprice", "sum"),
+        },
+    ).to_pandas()
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["sum_price"] = out["sum_price"].round(2)
+    return out.sort_values(
+        ["o_orderpriority", "o_orderstatus"]
+    ).reset_index(drop=True)
+
+
 def q_event_deltas(sf_dir: str) -> pd.DataFrame:
     """Per-user ordered window functions: LAG time delta + trailing
     3-row rolling max, via one groupby(user).map_groups pass over the
