@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_retention": p.q_retention,
         "q_rollup_revenue": p.q_rollup_revenue,
         "q_bucketed_join": p.q_bucketed_join,
+        "q_stream_dedup": p.q_stream_dedup,
         "q_event_deltas": p.q_event_deltas,
         "q_ntile_curriculum": p.q_ntile_curriculum,
         "q_vocab_spectrum": p.q_vocab_spectrum,
@@ -760,6 +761,24 @@ def oracle_sql() -> dict[str, str]:
             FROM uh a LEFT JOIN uh b
               ON b.user_id = a.user_id AND b.hour = a.hour + 1
             GROUP BY a.hour ORDER BY a.hour
+        """,
+        # cross-run dedup admission counts: day 2 admits only hashes
+        # unseen in day 1 (even doc_ids = day 1, odd = day 2)
+        "q_stream_dedup": """
+            WITH h AS (
+                SELECT doc_id % 2 AS parity, md5(text) AS h
+                FROM documents
+            ), d1 AS (SELECT h FROM h WHERE parity = 0),
+               d2 AS (SELECT h FROM h WHERE parity = 1)
+            SELECT 1 AS day,
+                   (SELECT count(*) FROM d1) AS n_in,
+                   (SELECT count(DISTINCT h) FROM d1) AS n_new
+            UNION ALL
+            SELECT 2,
+                   (SELECT count(*) FROM d2),
+                   (SELECT count(DISTINCT h) FROM d2
+                    WHERE h NOT IN (SELECT h FROM d1))
+            ORDER BY day
         """,
         "q_bucketed_join": """
             SELECT o_orderstatus, count(*) AS n_items,

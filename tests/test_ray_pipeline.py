@@ -1342,3 +1342,29 @@ def test_bucketed_layout_join(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got[["k", "a", "b"]], want[["k", "a", "b"]]
     )
+
+
+def test_sharded_dedup_index_incremental(ray_session):
+    """Exactly-one admission per content hash, within a run (batches
+    racing across shards) and across sequential runs (day 2 dedups
+    against day 1's persistent index)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.stream_dedup import ShardedDedupIndex
+
+    texts1 = [f"doc {i % 7}" for i in range(50)]  # 7 uniques, heavy dup
+    texts2 = [f"doc {i % 7}" for i in range(10)] + ["fresh a", "fresh b"]
+    day1 = rd.from_pandas(
+        pd.DataFrame({"doc_id": range(50), "text": texts1})
+    ).repartition(8)
+    day2 = rd.from_pandas(
+        pd.DataFrame({"doc_id": range(12), "text": texts2})
+    ).repartition(4)
+
+    index = ShardedDedupIndex(n_shards=3)
+    kept1 = index.filter_new(day1).to_pandas()
+    assert sorted(kept1["text"]) == sorted({f"doc {i}" for i in range(7)})
+    kept2 = index.filter_new(day2).to_pandas()
+    assert sorted(kept2["text"]) == ["fresh a", "fresh b"]
+    assert sum(index.sizes()) == 9

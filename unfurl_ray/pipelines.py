@@ -276,6 +276,38 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_stream_dedup(sf_dir: str) -> pd.DataFrame:
+    """Incremental cross-run dedup through the sharded index: even
+    doc_ids ingest as 'day 1', odd as 'day 2'; each day reports rows
+    seen vs rows admitted.  Exactly-one-admission-per-hash makes the
+    counts deterministic even though batches race, so the oracle is
+    exact SQL over md5(text)."""
+    from unfurl_ray.ops.stream_dedup import ShardedDedupIndex
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+
+    def day_slice(parity: int):
+        def f(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(
+                pc.bit_wise_and(batch.column("doc_id"), 1), parity
+            )
+            return batch.filter(keep)
+
+        return f
+
+    index = ShardedDedupIndex(n_shards=4)
+    rows = []
+    for day in (1, 2):  # day 1 fully ingested before day 2 starts
+        day_ds = ds.map_batches(
+            day_slice(day - 1), batch_format="pyarrow"
+        )
+        n_in = day_ds.count()
+        n_new = index.filter_new(day_ds).count()
+        rows.append({"day": day, "n_in": n_in, "n_new": n_new})
+    out = pd.DataFrame(rows)
+    return out.astype({"day": "int64", "n_in": "int64", "n_new": "int64"})
+
+
 def q_bucketed_join(sf_dir: str) -> pd.DataFrame:
     """Shuffle-free co-located join on a shared bucketed layout: both
     tables are materialized ONCE hive-partitioned by
