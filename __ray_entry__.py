@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_repetition": p.q_repetition,
         "q_decontaminate": p.q_decontaminate,
         "q_pack_shards": p.q_pack_shards,
+        "q_pack_write": p.q_pack_write,
         "q_pii_scrub": p.q_pii_scrub,
         "q_bigram_counts": p.q_bigram_counts,
         "q_stratified_sample": p.q_stratified_sample,
@@ -535,6 +536,32 @@ def oracle_sql() -> dict[str, str]:
                    start // 2000 AS shard_idx,
                    start - (start // 2000) * 2000 AS shard_offset
             FROM c ORDER BY doc_id
+        """,
+        # the pack_shards assignment aggregated to shard manifests
+        "q_pack_write": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\s+'))
+                            END AS BIGINT) AS n_tokens,
+                       CAST(((CAST(doc_id AS HUGEINT) * 2654435761)
+                             % 18446744073709551616) % 8 AS BIGINT)
+                           AS bucket
+                FROM documents
+            ), c AS (
+                SELECT bucket, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                           PARTITION BY bucket ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT)
+                           AS start
+                FROM t
+            )
+            SELECT bucket, start // 2000 AS shard_idx,
+                   count(*) AS n_rows, sum(n_tokens) AS weight
+            FROM c GROUP BY bucket, start // 2000
+            ORDER BY bucket, shard_idx
         """,
         "q_token_count": r"""
             SELECT doc_id,

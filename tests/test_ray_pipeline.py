@@ -1368,3 +1368,38 @@ def test_sharded_dedup_index_incremental(ray_session):
     kept2 = index.filter_new(day2).to_pandas()
     assert sorted(kept2["text"]) == ["fresh a", "fresh b"]
     assert sum(index.sizes()) == 9
+
+
+def test_write_packed_shards_resume(ray_session, tmp_path):
+    """Shard files land one-per-(bucket, shard) with the offset-split
+    weights; a second run recomputes identical shards and skips every
+    existing file; rows round-trip."""
+    import pandas as pd
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    from unfurl_ray.ops.relational import write_packed_shards
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(20),
+            "text": [f"payload {i}" for i in range(20)],
+            "w": [600] * 20,
+        }
+    )
+    out = str(tmp_path / "shards")
+    m1 = write_packed_shards(
+        rd.from_pandas(df).repartition(4), "w", budget=1000,
+        out_dir=out, n_buckets=2,
+    )
+    assert not m1["skipped"].any()
+    assert (m1["weight"] >= 600).all()
+    m2 = write_packed_shards(
+        rd.from_pandas(df).repartition(4), "w", budget=1000,
+        out_dir=out, n_buckets=2,
+    )
+    assert m2["skipped"].all()
+    assert m1.drop(columns=["skipped"]).equals(m2.drop(columns=["skipped"]))
+    back = pds.dataset(out, format="parquet").to_table().to_pandas()
+    assert sorted(back["doc_id"]) == list(range(20))
+    assert sorted(back["text"]) == sorted(df["text"])

@@ -729,3 +729,79 @@ def rollup_aggregate(ds, keys: list[str],
         .groupby(keys)
         .aggregate(*finishers)
     )
+
+
+def write_packed_shards(ds, weight_col: str, budget: int, out_dir: str,
+                        id_col: str = "doc_id", n_buckets: int = 8):
+    """Terminal sink for ``pack_shards``: write each shard as ONE
+    parquet file under ``out_dir/bucket=B/shard_SSSSS.parquet`` and
+    return the manifest (bucket, shard_idx, n_rows, weight, skipped).
+
+    Resumable by construction: the offset-split rule makes shard
+    membership a pure function of the bucket's sorted (id, weight)
+    stream, so a re-run recomputes identical shards and SKIPS files
+    that already exist (crash-safe via tmp+rename).  Unlike
+    ``pack_shards`` this shuffle necessarily carries the payload —
+    that is the one co-locating move any engine must make to emit
+    shard files; size ``n_buckets`` so one bucket's rows fit a worker.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        with np.errstate(over="ignore"):
+            out["bucket"] = (
+                (batch[id_col].to_numpy().astype(np.uint64)
+                 * np.uint64(2654435761)) % np.uint64(n_buckets)
+            ).astype(np.int64)
+        return out
+
+    def write_bucket(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(id_col).reset_index(drop=True)
+        b = int(g["bucket"].iloc[0])
+        w = g[weight_col].to_numpy(dtype=np.int64)
+        start = np.concatenate(([0], np.cumsum(w)[:-1]))
+        shard = start // budget
+        bdir = os.path.join(out_dir, f"bucket={b}")
+        os.makedirs(bdir, exist_ok=True)
+        rows = {"bucket": [], "shard_idx": [], "n_rows": [],
+                "weight": [], "skipped": []}
+        for s in np.unique(shard):
+            sub = g[shard == s].drop(columns=["bucket"])
+            path = os.path.join(bdir, f"shard_{int(s):05d}.parquet")
+            skipped = os.path.exists(path)
+            if not skipped:
+                tmp = path + ".tmp"
+                pq.write_table(
+                    pa.Table.from_pandas(sub, preserve_index=False)
+                    .replace_schema_metadata(None),
+                    tmp,
+                )
+                os.rename(tmp, path)
+            rows["bucket"].append(b)
+            rows["shard_idx"].append(int(s))
+            rows["n_rows"].append(len(sub))
+            rows["weight"].append(int(sub[weight_col].sum()))
+            rows["skipped"].append(skipped)
+        return pa.table(
+            {
+                "bucket": pa.array(rows["bucket"], pa.int64()),
+                "shard_idx": pa.array(rows["shard_idx"], pa.int64()),
+                "n_rows": pa.array(rows["n_rows"], pa.int64()),
+                "weight": pa.array(rows["weight"], pa.int64()),
+                "skipped": pa.array(rows["skipped"], pa.bool_()),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(write_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["bucket", "shard_idx"])
+        .reset_index(drop=True)
+    )

@@ -665,6 +665,39 @@ def q_pack_shards(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_pack_write(sf_dir: str) -> pd.DataFrame:
+    """The packed-shard SINK over real payload: documents (text kept)
+    pack at 2000 tokens/shard into one parquet file per shard under a
+    cached /tmp layout — re-runs skip finished shards, which is the
+    resume demo.  Returns the manifest; its (bucket, shard) row/weight
+    totals hash-match the window-function oracle."""
+    import hashlib
+    import os
+    import tempfile
+
+    from unfurl_ray.ops.relational import write_packed_shards
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+
+    def with_tokens(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch.column("text"), "")
+        n = pc.cast(pc.count_substring_regex(col, r"\S+"), pa.int64())
+        return batch.append_column("n_tokens", n)
+
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|v1".encode()
+    ).hexdigest()[:10]
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"unfurl_ray_shards_{tag}"
+    )
+    manifest = write_packed_shards(
+        ds.map_batches(with_tokens, batch_format="pyarrow"),
+        weight_col="n_tokens", budget=2000, out_dir=out_dir,
+        n_buckets=8,
+    )
+    return manifest.drop(columns=["skipped"])
+
+
 def q_decontaminate(sf_dir: str) -> pd.DataFrame:
     """Benchmark decontamination: flag corpus docs sharing any word
     trigram with a held-out 'benchmark' slice (doc_id % 97 == 0 stands
