@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rollup_revenue": p.q_rollup_revenue,
         "q_bucketed_join": p.q_bucketed_join,
         "q_stream_dedup": p.q_stream_dedup,
+        "q_distinct_users": p.q_distinct_users,
+        "q_pivot_events": p.q_pivot_events,
         "q_event_deltas": p.q_event_deltas,
         "q_ntile_curriculum": p.q_ntile_curriculum,
         "q_vocab_spectrum": p.q_vocab_spectrum,
@@ -788,6 +790,19 @@ def oracle_sql() -> dict[str, str]:
             FROM uh a LEFT JOIN uh b
               ON b.user_id = a.user_id AND b.hour = a.hour + 1
             GROUP BY a.hour ORDER BY a.hour
+        """,
+        "q_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q_pivot_events": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click')    AS n_click,
+                   count(*) FILTER (event_type = 'error')    AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup')   AS n_signup,
+                   count(*) FILTER (event_type = 'view')     AS n_view
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         # cross-run dedup admission counts: day 2 admits only hashes
         # unseen in day 1 (even doc_ids = day 1, odd = day 2)

@@ -1403,3 +1403,52 @@ def test_write_packed_shards_resume(ray_session, tmp_path):
     back = pds.dataset(out, format="parquet").to_table().to_pandas()
     assert sorted(back["doc_id"]) == list(range(20))
     assert sorted(back["text"]) == sorted(df["text"])
+
+
+def test_distinct_count_by_two_level(ray_session):
+    """Grouped COUNT DISTINCT via pair collapse: duplicates within and
+    across blocks count once; no per-key set materializes."""
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.relational import distinct_count_by
+
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 6 + ["b"] * 3,
+            "v": [1, 1, 2, 2, 3, 3, 7, 7, 7],
+        }
+    )
+    out = (
+        distinct_count_by(rd.from_pandas(df).repartition(4), "k", "v")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == ["a", "b"]
+    assert out["n_distinct"].astype(int).tolist() == [3, 1]
+
+
+def test_pivot_counts_crosstab(ray_session):
+    """Crosstab fan-out: per-key counts per named category, zero-filled
+    for keys that never hit a category."""
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.relational import pivot_counts
+
+    df = pd.DataFrame(
+        {
+            "u": [1, 1, 1, 2, 2, 3],
+            "t": ["x", "x", "y", "y", "y", "x"],
+        }
+    )
+    out = (
+        pivot_counts(rd.from_pandas(df).repartition(3), "u", "t",
+                     ["x", "y"])
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    assert out["n_x"].astype(int).tolist() == [2, 0, 1]
+    assert out["n_y"].astype(int).tolist() == [1, 2, 0]

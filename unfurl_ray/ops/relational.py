@@ -805,3 +805,58 @@ def write_packed_shards(ds, weight_col: str, budget: int, out_dir: str,
         .sort_values(["bucket", "shard_idx"])
         .reset_index(drop=True)
     )
+
+
+def distinct_count_by(ds, key_col: str, value_col: str,
+                      out_col: str = "n_distinct"):
+    """Exact COUNT(DISTINCT value) per key, two-level: batches
+    pre-distinct locally, the shuffle carries each (key, value) pair
+    once per batch, the groupby collapses pairs, and a second tiny
+    pre-agg counts per key.  No per-key value set ever materializes in
+    one place — memory is bounded by distinct pairs per batch."""
+    def local_distinct(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[[key_col, value_col]].drop_duplicates()
+
+    pairs = (
+        ds.map_batches(local_distinct, batch_format="pandas")
+        .groupby([key_col, value_col])
+        .count()
+        .drop_columns(["count()"])
+    )
+    return pre_aggregate(
+        pairs, [key_col], {out_col: (value_col, "count")}
+    )
+
+
+def pivot_counts(ds, key_col: str, pivot_col: str, categories: list[str]):
+    """Crosstab: one row per key, one count column per category of
+    ``pivot_col`` (categories fixed up front — at scale you name the
+    columns you want, you don't discover them in the same pass).
+    Fan-out happens vectorized inside each batch; the shuffle carries
+    one partial row per key per batch with len(categories) int columns.
+    """
+    cols = {c: f"n_{c}" for c in categories}
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(key_col, as_index=False, sort=False)
+        out = g.size().rename(columns={"size": "_total"})
+        for cat, out_col in cols.items():
+            hits = (
+                batch[batch[pivot_col] == cat]
+                .groupby(key_col, as_index=False, sort=False)
+                .size()
+                .rename(columns={"size": out_col})
+            )
+            out = out.merge(hits, on=key_col, how="left")
+        out = out.drop(columns=["_total"]).fillna(0)
+        for out_col in cols.values():
+            out[out_col] = out[out_col].astype("int64")
+        return out
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(key_col)
+        .aggregate(*[Sum(c, alias_name=c) for c in cols.values()])
+    )

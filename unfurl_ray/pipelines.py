@@ -276,6 +276,33 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Exact grouped COUNT DISTINCT, two-level: batches pre-distinct,
+    the shuffle carries (event_type, user_id) pairs once per batch,
+    never a per-key user set."""
+    from unfurl_ray.ops.relational import distinct_count_by
+
+    ds = _parquet(sf_dir, "events", ["event_type", "user_id"])
+    out = distinct_count_by(
+        ds, "event_type", "user_id", "n_users"
+    ).to_pandas()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_pivot_events(sf_dir: str) -> pd.DataFrame:
+    """Per-user crosstab of the five event types — fan-out vectorized
+    in-batch, one partial row per (user, batch) through the shuffle."""
+    from unfurl_ray.ops.relational import pivot_counts
+
+    cats = ["click", "error", "purchase", "signup", "view"]
+    ds = _parquet(sf_dir, "events", ["user_id", "event_type"])
+    out = pivot_counts(ds, "user_id", "event_type", cats).to_pandas()
+    for c in cats:
+        out[f"n_{c}"] = out[f"n_{c}"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_stream_dedup(sf_dir: str) -> pd.DataFrame:
     """Incremental cross-run dedup through the sharded index: even
     doc_ids ingest as 'day 1', odd as 'day 2'; each day reports rows
