@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rollup_revenue": p.q_rollup_revenue,
         "q_bucketed_join": p.q_bucketed_join,
         "q_stream_dedup": p.q_stream_dedup,
+        "q_range_join": p.q_range_join,
+        "q_group_hll_users": p.q_group_hll_users,
         "q_distinct_users": p.q_distinct_users,
         "q_pivot_events": p.q_pivot_events,
         "q_event_deltas": p.q_event_deltas,
@@ -790,6 +792,17 @@ def oracle_sql() -> dict[str, str]:
             FROM uh a LEFT JOIN uh b
               ON b.user_id = a.user_id AND b.hour = a.hour + 1
             GROUP BY a.hour ORDER BY a.hour
+        """,
+        # overlapping tier bands: one event can match two tiers
+        "q_range_join": """
+            WITH tiers(tier, lo, hi) AS (VALUES
+                ('low', 0.0, 10.0), ('mid', 10.0, 100.0),
+                ('high', 100.0, 1e12), ('promo', 50.0, 150.0))
+            SELECT tier, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events JOIN tiers
+              ON value >= lo AND value < hi
+            GROUP BY tier ORDER BY tier
         """,
         "q_distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users

@@ -1452,3 +1452,54 @@ def test_pivot_counts_crosstab(ray_session):
     )
     assert out["n_x"].astype(int).tolist() == [2, 0, 1]
     assert out["n_y"].astype(int).tolist() == [1, 2, 0]
+
+
+def test_range_join_overlapping_intervals(ray_session):
+    """Many-to-many interval join: a value inside two overlapping
+    bands lands in both; values outside every band drop (inner)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.relational import range_join
+
+    tiers = pd.DataFrame(
+        {"tier": ["a", "b"], "lo": [0.0, 5.0], "hi": [10.0, 15.0]}
+    )
+    df = pd.DataFrame(
+        {"event_id": [1, 2, 3], "value": [7.0, 12.0, 99.0]}
+    )
+    out = (
+        range_join(rd.from_pandas(df).repartition(2), tiers, "value",
+                   concurrency=2)
+        .to_pandas()
+        .sort_values(["event_id", "tier"])
+        .reset_index(drop=True)
+    )
+    assert list(zip(out["event_id"], out["tier"])) == [
+        (1, "a"), (1, "b"), (2, "b")
+    ]
+
+
+def test_grouped_hll_matches_exact_within_bound(ray_session):
+    """Grouped HLL estimates track the exact grouped distinct counts
+    within the p=12 sketch error (~1.6% relative, allow 5%)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.sketch import grouped_hll_distinct
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["x", "y", "z"], 30_000),
+            "v": rng.randint(0, 5_000, 30_000),
+        }
+    )
+    got = grouped_hll_distinct(
+        rd.from_pandas(df).repartition(6), "k", "v"
+    )
+    exact = df.groupby("k")["v"].nunique()
+    for _, row in got.iterrows():
+        e = exact[row["k"]]
+        assert abs(row["n_distinct_est"] - e) / e < 0.05

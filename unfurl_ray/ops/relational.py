@@ -860,3 +860,48 @@ def pivot_counts(ds, key_col: str, pivot_col: str, categories: list[str]):
         .groupby(key_col)
         .aggregate(*[Sum(c, alias_name=c) for c in cols.values()])
     )
+
+
+def range_join(ds, intervals: pd.DataFrame, value_col: str,
+               lo_col: str = "lo", hi_col: str = "hi",
+               concurrency: int = 8):
+    """Range (interval) join: each row matches every interval with
+    ``lo <= value < hi`` — many-to-many, overlapping intervals
+    included.  The interval table is the broadcast small side (one
+    ``ray.put``, fetched in actor ``__init__``); the probe is one
+    vectorized mask per interval per batch, so cost is
+    O(batch x intervals) with no shuffle.  Interval tables are small
+    by nature (tiers, buckets, SLA bands); thousands of
+    NON-overlapping intervals should switch to np.searchsorted binning
+    — noted in-line, same broadcast shape.
+    """
+    import ray
+
+    class RangeProbe:
+        def __init__(self, ref):
+            self.iv = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            v = batch[value_col].to_numpy()
+            out = []
+            for _, row in self.iv.iterrows():
+                mask = (v >= row[lo_col]) & (v < row[hi_col])
+                if mask.any():
+                    hit = batch[mask].copy()
+                    for c in self.iv.columns:
+                        hit[c] = row[c]
+                    out.append(hit)
+            if not out:
+                empty = batch.head(0).copy()
+                for c in self.iv.columns:
+                    empty[c] = pd.Series(dtype=self.iv[c].dtype)
+                return empty
+            return pd.concat(out, ignore_index=True)
+
+    ref = ray.put(intervals)
+    return ds.map_batches(
+        RangeProbe,
+        fn_constructor_kwargs={"ref": ref},
+        batch_format="pandas",
+        concurrency=(1, concurrency),
+    )

@@ -458,3 +458,55 @@ def heavy_hitters(ds, column: str, k: int = 20, capacity: int | None = None):
                                    dtype="int64"),
         }
     )
+
+
+def grouped_hll_distinct(ds, key_col: str, value_col: str,
+                         p: int = 12) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT value) PER KEY — the sketch scale
+    path paired with ``relational.distinct_count_by``'s exact one:
+    exact pair-collapse shuffles every distinct (key, value) pair;
+    this shuffles one 4 KiB sketch per (batch, key) regardless of how
+    many distinct values a key holds.  Same shape as
+    ``grouped_approx_quantiles``: per-batch fold keyed by group, then
+    a sketch OR-merge per key in ``groupby(key).map_groups``.
+    """
+    def fold(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                key_col: batch.column(key_col).to_pandas(),
+                value_col: batch.column(value_col).to_pandas(),
+            }
+        )
+        keys, blobs = [], []
+        for k, sub in df.groupby(key_col, sort=False):
+            keys.append(k)
+            blobs.append(hll_fold(sub[value_col].to_numpy(), p).tobytes())
+        return pa.table(
+            {
+                key_col: pa.array(keys),
+                "sketch": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    def merge_key(group: pd.DataFrame) -> pa.Table:
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        for blob in group["sketch"]:
+            np.maximum(regs, np.frombuffer(blob, dtype=np.uint8),
+                       out=regs)
+        return pa.table(
+            {
+                key_col: pa.array([group[key_col].iloc[0]]),
+                "n_distinct_est": pa.array(
+                    [float(hll_estimate(regs))], pa.float64()
+                ),
+            }
+        )
+
+    out = (
+        ds.select_columns([key_col, value_col])
+        .map_batches(fold, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(merge_key, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(key_col).reset_index(drop=True)

@@ -276,6 +276,44 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_group_hll_users(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type distinct users ESTIMATED by grouped HLL — the
+    sketch scale path of q_distinct_users (whose exact pair-collapse
+    this pytest-checks against within the sketch error bound).
+    Rows-only: sketch estimates have no SQL twin."""
+    from unfurl_ray.ops.sketch import grouped_hll_distinct
+
+    ds = _parquet(sf_dir, "events", ["event_type", "user_id"])
+    out = grouped_hll_distinct(ds, "event_type", "user_id")
+    out["n_distinct_est"] = out["n_distinct_est"].round(1)
+    return out
+
+
+def q_range_join(sf_dir: str) -> pd.DataFrame:
+    """Interval join of event values against OVERLAPPING tier bands
+    (the 'promo' band straddles mid/high, so one event can land in two
+    tiers — true many-to-many range-join semantics), aggregated per
+    tier.  The tier table is the broadcast side."""
+    from unfurl_ray.ops.relational import pre_aggregate, range_join
+
+    tiers = pd.DataFrame(
+        {
+            "tier": ["low", "mid", "high", "promo"],
+            "lo": [0.0, 10.0, 100.0, 50.0],
+            "hi": [10.0, 100.0, 1e12, 150.0],
+        }
+    )
+    ds = _parquet(sf_dir, "events", ["event_id", "value"])
+    joined = range_join(ds, tiers, "value")
+    out = pre_aggregate(
+        joined, ["tier"],
+        {"n_events": ("value", "count"), "sum_value": ("value", "sum")},
+    ).to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values("tier").reset_index(drop=True)
+
+
 def q_distinct_users(sf_dir: str) -> pd.DataFrame:
     """Exact grouped COUNT DISTINCT, two-level: batches pre-distinct,
     the shuffle carries (event_type, user_id) pairs once per batch,
