@@ -133,6 +133,16 @@ def pre_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]]):
     return partials.groupby(keys).aggregate(*finishers)
 
 
+
+def _arrow(df: pd.DataFrame) -> pa.Table:
+    """Typed Arrow block (pandas metadata stripped): blocks that feed a
+    groupby/union must be Arrow — pandas blocks pay a per-row Python
+    sort cost in the shuffle and can't unify empty schemas."""
+    return pa.Table.from_pandas(
+        df, preserve_index=False
+    ).replace_schema_metadata(None)
+
+
 def _ts_us(series: pd.Series) -> pd.Series:
     """Timestamp series of any datetime64 unit -> int64 microseconds."""
     dtype = str(series.dtype)
@@ -192,14 +202,14 @@ def sessionize(ds, ts_col: str, key_col: str, gap_s: int):
                 (keys[1:] == keys[:-1]) & ((ts[1:] - ts[:-1]) <= gap_us)
             )
         agg = g.assign(_fid=np.cumsum(new)).groupby("_fid", sort=True)
-        return pd.DataFrame(
+        return _arrow(pd.DataFrame(
             {
                 key_col: agg[key_col].first().to_numpy(),
                 "n_events": agg.size().to_numpy().astype("int64"),
                 "session_start": agg[ts_col].min().to_numpy(),
                 "session_end": agg[ts_col].max().to_numpy(),
             }
-        )
+        ))
 
     def merge_fragments(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["session_start", "session_end"])
@@ -334,12 +344,12 @@ def asof_join_partitioned(left_ds, right_ds, key_col: str, left_ts: str,
         out["_rts"] = np.int64(-1)  # never surfaces (stub rows only
         # contribute their bucket id in carries_per_key)
         out["_is_stub"] = True
-        return out[mx_cols + ["_is_stub"]]
+        return _arrow(out[mx_cols + ["_is_stub"]])
 
-    def shape_maxima(batch: pd.DataFrame) -> pd.DataFrame:
+    def shape_maxima(batch: pd.DataFrame) -> pa.Table:
         out = batch[mx_cols].copy()
         out["_is_stub"] = False
-        return out
+        return _arrow(out)
 
     def carries_per_key(group: pd.DataFrame) -> pd.DataFrame:
         # sort by (_bucket, _rts): with per-batch partial maxima a
@@ -353,13 +363,13 @@ def asof_join_partitioned(left_ds, right_ds, key_col: str, left_ts: str,
         )
         sb = group.loc[group["_is_stub"], "_bucket"].unique()
         if mx.empty or len(sb) == 0:
-            return mx.iloc[0:0].drop(columns=["_is_stub"])
+            return _arrow(mx.iloc[0:0].drop(columns=["_is_stub"]))
         # latest maxima row from any STRICTLY earlier bucket
         pos = np.searchsorted(mx["_bucket"].to_numpy(), sb, "left") - 1
         keep = pos >= 0
         out = mx.iloc[pos[keep]].copy()
         out["_bucket"] = sb[keep]
-        return out.drop(columns=["_is_stub"])
+        return _arrow(out.drop(columns=["_is_stub"]))
 
     carries = (
         maxima.map_batches(shape_maxima, batch_format="pandas")
@@ -381,7 +391,7 @@ def asof_join_partitioned(left_ds, right_ds, key_col: str, left_ts: str,
         out["_ts"] = lts
         for c in right_keep:
             out[c] = _na(len(out), c)
-        return out[all_cols]
+        return _arrow(out[all_cols])
 
     def shape_right(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[[key_col, "_bucket"] + right_keep].copy()
@@ -389,7 +399,7 @@ def asof_join_partitioned(left_ds, right_ds, key_col: str, left_ts: str,
         out["_ts"] = batch["_rts"].to_numpy()
         for c in left_keep:
             out[c] = _na(len(out), c)
-        return out[all_cols]
+        return _arrow(out[all_cols])
 
     unioned = (
         left_ds.map_batches(shape_left, batch_format="pandas")
@@ -537,7 +547,7 @@ def pack_shards(ds, weight_col: str, budget: int,
                 % np.uint64(n_buckets)
         out = batch[[id_col, weight_col]].copy()
         out["bucket"] = bucket.astype(np.int64)
-        return out
+        return _arrow(out)
 
     def pack(group: pd.DataFrame) -> pa.Table:
         g = group.sort_values(id_col).reset_index(drop=True)
@@ -718,7 +728,7 @@ def rollup_aggregate(ds, keys: list[str],
                     else merged.merge(piece, on=keys)
                 )
             pieces.append(merged)
-        return pd.concat(pieces, ignore_index=True)
+        return _arrow(pd.concat(pieces, ignore_index=True))
 
     from ray.data.aggregate import Max, Min, Sum
 
@@ -757,14 +767,14 @@ def write_packed_shards(ds, weight_col: str, budget: int, out_dir: str,
 
     os.makedirs(out_dir, exist_ok=True)
 
-    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+    def bucketize(batch: pd.DataFrame) -> pa.Table:
         out = batch.copy()
         with np.errstate(over="ignore"):
             out["bucket"] = (
                 (batch[id_col].to_numpy().astype(np.uint64)
                  * np.uint64(2654435761)) % np.uint64(n_buckets)
             ).astype(np.int64)
-        return out
+        return _arrow(out)
 
     def write_bucket(group: pd.DataFrame) -> pa.Table:
         g = group.sort_values(id_col).reset_index(drop=True)
