@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_simhash": p.q_simhash,
         "q_dedup_clusters": p.q_dedup_clusters,
         "q_curation": p.q_curation,
+        "q_training_prep": p.q_training_prep,
         # embeddings / similarity
         "q_cosine_to_query": p.q_cosine_to_query,
         "q_quantize_embeddings": p.q_quantize_embeddings,
@@ -326,7 +327,85 @@ def oracle_sql() -> dict[str, str]:
                        '{PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
         FROM aug
     """
+    q_training_prep_sql = f"""
+        WITH w AS (
+            SELECT doc_id, text,
+                   length(coalesce(text, '')) AS n_chars,
+                   len(list_filter(regexp_split_to_array(
+                       coalesce(text, ''), '[ \t\n\f\r]+'),
+                       x -> x <> '')) AS n_words,
+                   len(regexp_extract_all(coalesce(text, ''),
+                       '[^A-Za-z0-9_ \t\n\f\r]')) AS n_punct,
+                   len(list_filter(regexp_split_to_array(
+                       coalesce(text, ''), '[ \t\n\f\r]+'),
+                       x -> lower(x) IN ({stops}))) AS n_stop
+            FROM documents
+        ), r AS (
+            SELECT doc_id, text, n_words,
+                   floor(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)
+                         * 10000 + 0.5) / 10000 AS punct_ratio,
+                   floor(CAST(n_stop AS DOUBLE) / greatest(n_words, 1)
+                         * 10000 + 0.5) / 10000 AS stopword_ratio
+            FROM w
+        ), base AS (
+            SELECT doc_id, text FROM r
+            WHERE doc_id % 97 <> 0
+              AND floor(((least(n_words, 200) / 200.0) * 0.4
+                         + (1 - least(punct_ratio, 1.0)) * 0.2
+                         + least(stopword_ratio, 0.5) * 2 * 0.4)
+                        * 10000 + 0.5) / 10000 >= 0.3
+        ), toks AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(
+                       lower(coalesce(text, '')), '[ \t\n\f\r]+'),
+                       x -> x <> '') AS ws
+            FROM base
+        ), btoks AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(
+                       lower(coalesce(text, '')), '[ \t\n\f\r]+'),
+                       x -> x <> '') AS ws
+            FROM documents WHERE doc_id % 97 = 0
+        ), tg AS (
+            SELECT doc_id,
+                   unnest([ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2]
+                           for g in range(1, len(ws) - 1)]) AS t
+            FROM toks WHERE len(ws) >= 3
+        ), bench AS (
+            SELECT DISTINCT
+                   unnest([ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2]
+                           for g in range(1, len(ws) - 1)]) AS t
+            FROM btoks WHERE len(ws) >= 3
+        ), contaminated AS (
+            SELECT DISTINCT tg.doc_id FROM tg JOIN bench USING (t)
+        ), clean AS (
+            SELECT doc_id, text FROM base
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ), dedup AS (
+            SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)
+        ), t AS (
+            SELECT c.doc_id,
+                   CAST(CASE WHEN trim(c.text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(c.text),
+                                                       '\\s+'))
+                        END AS BIGINT) AS n_tokens,
+                   CAST(((CAST(c.doc_id AS HUGEINT) * 2654435761)
+                         % 18446744073709551616) % 8 AS BIGINT)
+                       AS bucket
+            FROM clean c JOIN dedup USING (doc_id)
+        ), cum AS (
+            SELECT doc_id, bucket, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY bucket ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT) AS start
+            FROM t
+        )
+        SELECT doc_id, bucket, n_tokens,
+               start // 2000 AS shard_idx,
+               start - (start // 2000) * 2000 AS shard_offset
+        FROM cum ORDER BY doc_id
+    """
     return {
+        "q_training_prep": q_training_prep_sql,
         "q_quality": q_quality_sql,
         "q_langid": q_langid_sql,
         "q_repetition": q_repetition_sql,

@@ -107,6 +107,7 @@ def run_queries() -> dict:
         ("q_minhash_dedup", p.q_minhash_dedup),
         ("q_dedup_clusters", p.q_dedup_clusters),
         ("q_curation", p.q_curation),
+        ("q_training_prep", p.q_training_prep),
         ("q_knn_topk", p.q_knn_topk),
         ("q_extract_meta", p.q_extract_meta),
         ("q_vocab_spectrum", p.q_vocab_spectrum),

@@ -471,7 +471,8 @@ class _NgramProbe:
     """map_batches UDF: flag docs sharing any word n-gram with the
     broadcast benchmark set (fetched once per actor in __init__)."""
 
-    def __init__(self, grams_ref, n: int, id_col: str, text_col: str):
+    def __init__(self, grams_ref, n: int, id_col: str, text_col: str,
+                 keep_cols: tuple = ()):
         import ray
 
         grams = (
@@ -484,6 +485,7 @@ class _NgramProbe:
         self.n = n
         self.id_col = id_col
         self.text_col = text_col
+        self.keep_cols = list(keep_cols)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         ids, grams = _doc_ngrams(batch, self.n, self.id_col,
@@ -496,7 +498,7 @@ class _NgramProbe:
             # distinct contaminated n-grams per doc
             hc = pairs.drop_duplicates().groupby("i").size()
             hits[hc.index.to_numpy()] = hc.to_numpy()
-        out = batch[[self.id_col]].copy()
+        out = batch[[self.id_col, *self.keep_cols]].copy()
         out["n_hits"] = hits
         out["contaminated"] = hits > 0
         return out
@@ -550,7 +552,8 @@ def benchmark_ngrams(bench_ds, n: int = 3, text_col: str = "text",
 def ngram_decontaminate(docs_ds, bench_ds, n: int = 3,
                         id_col: str = "doc_id",
                         text_col: str = "text",
-                        concurrency: int = 8):
+                        concurrency: int = 8,
+                        keep_cols: tuple = ()):
     """Flag corpus docs that share any word n-gram with a benchmark
     set (training-data decontamination, Gopher/GPT-3 style — those use
     8-13-grams; n is a knob).
@@ -566,7 +569,8 @@ def ngram_decontaminate(docs_ds, bench_ds, n: int = 3,
     return docs_ds.map_batches(
         _NgramProbe,
         fn_constructor_kwargs={"grams_ref": ref, "n": n,
-                               "id_col": id_col, "text_col": text_col},
+                               "id_col": id_col, "text_col": text_col,
+                               "keep_cols": keep_cols},
         batch_format="pandas",
         concurrency=(1, concurrency),
     )

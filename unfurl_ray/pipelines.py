@@ -1423,6 +1423,75 @@ def q_curation(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_training_prep(sf_dir: str) -> pd.DataFrame:
+    """The full prep chain a training-data run makes before writing
+    shards, hash-checked as ONE oracle: quality filter (>= 0.3) ->
+    benchmark decontamination (drop docs sharing a word trigram with
+    the doc_id % 97 held-out slice) -> exact dedup (min doc_id per
+    md5) -> token counting -> token-budget shard packing.
+
+    Stage shapes at scale: quality + decontaminate are per-batch with
+    one broadcast gram set; the dedup keeper set returns via hash JOIN
+    (O(survivors), never broadcast); packing shuffles (id, bucket,
+    n_tokens) stubs only."""
+    from unfurl_ray.ops.dedup import exact_dedup, ngram_decontaminate
+    from unfurl_ray.ops.relational import pack_shards
+    from unfurl_ray.ops.textstats import quality_score_batch
+
+    docs = _parquet(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(keep_bench: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids % 97 == 0) == keep_bench
+            return batch.filter(pa.array(mask))
+
+        return f
+
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+
+    def keep_quality(batch: pd.DataFrame) -> pd.DataFrame:
+        q = quality_score_batch(batch)
+        out = batch[["doc_id", "text"]].copy()
+        return out[q["quality"].to_numpy() >= 0.3]
+
+    corpus = (
+        docs.map_batches(split(False), batch_format="pyarrow")
+        .map_batches(keep_quality, batch_format="pandas")
+    )
+
+    def keep_clean(batch: pd.DataFrame) -> pa.Table:
+        kept = batch.loc[~batch["contaminated"], ["doc_id", "text"]]
+        return pa.Table.from_pandas(
+            kept, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    clean = (
+        ngram_decontaminate(corpus, bench, n=3, keep_cols=("text",))
+        .map_batches(keep_clean, batch_format="pandas")
+        # consumed twice (dedup keepers + the keeper join)
+        .materialize()
+    )
+    keepers = exact_dedup(clean).select_columns(["doc_id"])
+    kept = clean.join(
+        keepers, join_type="inner", num_partitions=8,
+        on=("doc_id",), right_on=("doc_id",),
+    )
+
+    def with_tokens(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch.column("text"), "")
+        n = pc.cast(pc.count_substring_regex(col, r"\S+"), pa.int64())
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "n_tokens": n}
+        )
+
+    toks = kept.map_batches(with_tokens, batch_format="pyarrow")
+    out = pack_shards(toks, "n_tokens", budget=2000, n_buckets=8)
+    return (
+        out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def q_tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
     """Top-3 TF-IDF terms per document.  Two passes, both bounded:
     (1) document frequencies via per-batch UNIQUE-word fan-out ->
