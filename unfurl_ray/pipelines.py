@@ -26,7 +26,18 @@ def _rd():
 
 
 def _parquet(sf_dir: str, table: str, columns=None):
-    return _rd().read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    """Pruned read with an explicit METADATA-FREE schema: the testdata
+    parquet files embed a pandas-metadata dict, which Ray can't hash
+    for schema dedup — every read/reduce task then logs "Failed to
+    hash the schemas", burying real warnings."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{table}.parquet"
+    full = pq.read_schema(path).remove_metadata()
+    schema = (
+        pa.schema([full.field(c) for c in columns]) if columns else full
+    )
+    return _rd().read_parquet(path, columns=columns, schema=schema)
 
 
 # -- relational core --------------------------------------------------------
