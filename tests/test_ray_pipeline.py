@@ -1503,3 +1503,29 @@ def test_grouped_hll_matches_exact_within_bound(ray_session):
     for _, row in got.iterrows():
         e = exact[row["k"]]
         assert abs(row["n_distinct_est"] - e) / e < 0.05
+
+
+def test_bucketed_join_left_keeps_unmatched(ray_session, tmp_path):
+    """how='left' keeps left rows with typed nulls when the right side
+    has no match — including buckets the right never wrote at all."""
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.layout import bucketed_join, write_bucketed
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "a": ["w", "x", "y", "z"]})
+    right = pd.DataFrame({"k": [2], "b": [20.0]})
+    nb = 8
+    write_bucketed(rd.from_pandas(left).repartition(2), "k",
+                   str(tmp_path / "l"), nb)
+    write_bucketed(rd.from_pandas(right), "k", str(tmp_path / "r"), nb)
+    got = (
+        bucketed_join(str(tmp_path / "l"), str(tmp_path / "r"), "k", nb,
+                      how="left")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist() == [1, 2, 3, 4]
+    assert got["b"].notna().tolist() == [False, True, False, False]
+    assert got.loc[1, "b"] == 20.0

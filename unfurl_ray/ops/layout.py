@@ -95,19 +95,38 @@ def bucketed_join(path_a: str, path_b: str, key_col: str,
         out = []
         for b in batch["bucket"]:
             ta = _read_bucket(path_a, int(b))
-            tb = _read_bucket(path_b, int(b))
-            if ta is None or tb is None:
+            if ta is None:
                 continue
+            tb = _read_bucket(path_b, int(b))
             da = ta.to_pandas().drop(columns=["bucket"], errors="ignore")
-            db = tb.to_pandas().drop(columns=["bucket"], errors="ignore")
+            if tb is None:
+                # a left join must keep left rows even when the right
+                # side wrote no bucket directory at all
+                if how != "left":
+                    continue
+                db = pd.DataFrame(
+                    {
+                        f.name: pd.Series(dtype=f.type.to_pandas_dtype())
+                        for f in empty.schema
+                        if f.name == key_col or f.name not in da.columns
+                    }
+                )
+            else:
+                db = tb.to_pandas().drop(
+                    columns=["bucket"], errors="ignore"
+                )
             out.append(
                 da.merge(db, on=key_col, how=how, suffixes=("", suffix))
             )
         if not out:
             return empty
         merged = pd.concat(out, ignore_index=True)
+        # enforce the derived schema: left-join NA fills upcast int
+        # columns to float64 in pandas; from_pandas with an explicit
+        # schema maps NaN back to typed nulls so blocks stay uniform
         return pa.Table.from_pandas(
-            merged[empty.column_names], preserve_index=False
+            merged[empty.column_names], schema=empty.schema,
+            preserve_index=False,
         ).replace_schema_metadata(None)
 
     buckets = rd.from_pandas(
