@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_group_median": p.q_group_median,
         "q_retention": p.q_retention,
         "q_rollup_revenue": p.q_rollup_revenue,
+        "q_skew_join": p.q_skew_join,
         "q_bucketed_join": p.q_bucketed_join,
         "q_stream_dedup": p.q_stream_dedup,
         "q_range_join": p.q_range_join,
@@ -913,6 +914,14 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(DISTINCT h) FROM d2
                     WHERE h NOT IN (SELECT h FROM d1))
             ORDER BY day
+        """,
+        # same join as q_bucketed_join but exercised via the hybrid
+        # hot-broadcast/cold-shuffle path
+        "q_skew_join": """
+            SELECT o_orderstatus, count(*) AS n_items,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         "q_bucketed_join": """
             SELECT o_orderstatus, count(*) AS n_items,

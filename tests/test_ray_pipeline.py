@@ -1529,3 +1529,75 @@ def test_bucketed_join_left_keeps_unmatched(ray_session, tmp_path):
     assert got["k"].tolist() == [1, 2, 3, 4]
     assert got["b"].notna().tolist() == [False, True, False, False]
     assert got.loc[1, "b"] == 20.0
+
+
+def test_skew_join_matches_plain_join(ray_session):
+    """Hybrid hot-broadcast/cold-shuffle join returns exactly the
+    plain inner join's rows, with hot keys (freq >= threshold) taking
+    the broadcast path."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.skew import skew_join
+
+    rng = np.random.RandomState(5)
+    left = pd.DataFrame(
+        {
+            # key 7 is Zipf-hot (60 rows); the rest have 1-3
+            "k": np.concatenate([[7] * 60, rng.randint(0, 7, 30)]),
+            "v": np.arange(90),
+        }
+    )
+    right = pd.DataFrame({"rk": np.arange(8), "label": list("abcdefgh")})
+    got = (
+        skew_join(
+            rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right).repartition(2),
+            on="k", right_on="rk", hot_threshold=10, concurrency=2,
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, left_on="k", right_on="rk")
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    assert got["v"].tolist() == want["v"].tolist()
+    assert got["label"].tolist() == want["label"].tolist()
+
+
+def test_bucketed_aggregate_matches_pre_aggregate(ray_session):
+    """High-cardinality aggregate via hash-bucket merge: same results
+    as a pandas groupby over min/max/sum/count."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.relational import bucketed_aggregate
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame(
+        {"k": rng.randint(0, 5000, 20_000), "v": rng.randint(0, 100, 20_000)}
+    )
+    got = (
+        bucketed_aggregate(
+            rd.from_pandas(df).repartition(6), ["k"],
+            {"n": ("v", "count"), "s": ("v", "sum"),
+             "lo": ("v", "min"), "hi": ("v", "max")},
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby("k", as_index=False)
+        .agg(n=("v", "count"), s=("v", "sum"), lo=("v", "min"),
+             hi=("v", "max"))
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    for c in ["k", "n", "s", "lo", "hi"]:
+        assert got[c].astype("int64").tolist() == want[c].tolist()

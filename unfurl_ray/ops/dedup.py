@@ -111,17 +111,21 @@ def exact_dedup(ds, column: str = "text", id_column: str = "doc_id"):
     groupby moves only (hash, id) — drop the payload before the shuffle
     and rejoin by id downstream if the text is needed.
     """
-    from ray.data.aggregate import Count, Min
+    from unfurl_ray.ops.relational import bucketed_aggregate
 
     hashed = ds.map_batches(
         lambda b: add_content_hash(b, column), batch_format="pyarrow"
     ).select_columns(["content_hash", id_column])
 
-    # native groupby aggregate, not map_groups: keep-first over millions
-    # of 1-row hash groups must not pay one Python dispatch per group
-    return hashed.groupby("content_hash").aggregate(
-        Min(id_column, alias_name=id_column),
-        Count(alias_name="dup_count"),
+    # bucketed merge, not Ray's builtin aggregate OR per-hash
+    # map_groups: hash count grows with the corpus, the builtin reduce
+    # combines per key in Python (~40 s / 150k keys measured) and
+    # per-group dispatch pays Python per hash — the hash-bucket
+    # shuffle + one vectorized pandas groupby per bucket pays neither
+    return bucketed_aggregate(
+        hashed, ["content_hash"],
+        {id_column: (id_column, "min"),
+         "dup_count": (id_column, "count")},
     )
 
 

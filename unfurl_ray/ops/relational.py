@@ -943,3 +943,140 @@ def range_join(ds, intervals: pd.DataFrame, value_col: str,
         batch_format="pandas",
         concurrency=(1, concurrency),
     )
+
+
+def bucketed_aggregate(ds, keys: list[str],
+                       aggs: dict[str, tuple[str, str]],
+                       n_buckets: int = 64):
+    """``pre_aggregate`` for HIGH-CARDINALITY keys.
+
+    Ray's builtin ``groupby().aggregate()`` reduce combines per key in
+    Python — measured ~40 s for 150k int keys on 600k rows, regardless
+    of block format.  Same per-batch partial as ``pre_aggregate``, but
+    the shuffle key is ``hash(keys) % n_buckets`` and each bucket
+    merges with ONE vectorized pandas groupby — 40 s -> ~2 s on the
+    same input.  Use pre_aggregate when keys are few (its output
+    feeds Ray-native aggregates cleanly); use this when key count
+    grows with the data (ids, content hashes, vocabulary).
+    ``aggs``: out_col -> (in_col, fn), fn in {sum, count, min, max};
+    means finish downstream.
+    """
+    merge_fn = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        g = batch.groupby(keys, as_index=False, sort=False)
+        merged = None
+        for out_col, (in_col, fn) in aggs.items():
+            if fn == "count":
+                piece = g.size().rename(columns={"size": out_col})
+            else:
+                piece = getattr(g[in_col], fn)().rename(
+                    columns={in_col: out_col}
+                )
+            merged = piece if merged is None else merged.merge(
+                piece, on=keys
+            )
+        merged["_bucket"] = (
+            pd.util.hash_pandas_object(merged[keys], index=False)
+            .to_numpy() % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return _arrow(merged)
+
+    spec = {
+        out_col: merge_fn[fn] for out_col, (_in, fn) in aggs.items()
+    }
+
+    def merge_bucket(group: pd.DataFrame) -> pa.Table:
+        out = (
+            group.drop(columns=["_bucket"])
+            .groupby(keys, as_index=False, sort=False)
+            .agg(spec)
+        )
+        return _arrow(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+    )
+
+
+def bucketed_hash_join(left_ds, right_ds, on: str, right_on: str,
+                       n_buckets: int = 32):
+    """Inner hash join as one bucket-co-partitioned shuffle: both
+    sides tag, pad to a shared schema with TYPED nulls, union, group
+    by ``hash(key) % n_buckets``, and each bucket merges with one
+    vectorized pandas join.
+
+    Exists because ``Dataset.join`` fails with ArrowInvalid when a
+    hash partition receives zero rows from one side (sparse key
+    spaces, filtered inputs) and because its per-partition acero calls
+    inherit the builtin-aggregate sensitivity to partition count.
+    Size ``n_buckets`` so one bucket of the LARGER side fits a worker.
+    """
+    lschema = pa.schema(
+        [f for f in left_ds.schema().base_schema]
+    )
+    rfields = [
+        pa.field(on if f.name == right_on else f.name, f.type)
+        for f in right_ds.schema().base_schema
+    ]
+    lnames = {f.name for f in lschema}
+    clash = {f.name for f in rfields if f.name in lnames} - {on}
+    if clash:  # keep padding simple: rename before joining
+        raise ValueError(f"non-key column name collision: {clash}")
+    unified = list(lschema) + [f for f in rfields if f.name != on]
+    target = pa.schema(unified + [pa.field("_side", pa.int8())])
+    out_names = [f.name for f in unified]
+
+    def pad(side: int, key: str):
+        def f(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            cols = []
+            for fld in target:
+                if fld.name == "_side":
+                    cols.append(
+                        pa.array(np.full(n, side, dtype=np.int8()),
+                                 pa.int8())
+                    )
+                elif fld.name == on and side == 1:
+                    cols.append(batch.column(key).cast(fld.type))
+                elif fld.name in batch.column_names and (
+                    (side == 0) == (fld.name in lnames)
+                ):
+                    cols.append(batch.column(fld.name).cast(fld.type))
+                else:
+                    cols.append(pa.nulls(n, fld.type))
+            return pa.table(dict(zip([f.name for f in target], cols)))
+
+        return f
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        key = batch.column(on).to_pandas()
+        b = (
+            pd.util.hash_array(key.to_numpy()) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return batch.append_column("_bucket", pa.array(b, pa.int64()))
+
+    unioned = (
+        left_ds.map_batches(pad(0, on), batch_format="pyarrow")
+        .union(right_ds.map_batches(pad(1, right_on),
+                                    batch_format="pyarrow"))
+        .map_batches(bucket, batch_format="pyarrow")
+    )
+
+    lcols = [f.name for f in lschema]
+    rcols = [on] + [f.name for f in unified if f.name not in lnames]
+
+    def merge_bucket(group: pd.DataFrame) -> pa.Table:
+        lrows = group.loc[group["_side"] == 0, lcols]
+        rrows = group.loc[group["_side"] == 1, rcols]
+        merged = lrows.merge(rrows, on=on, how="inner")
+        return pa.Table.from_pandas(
+            merged[out_names], schema=pa.schema(unified),
+            preserve_index=False,
+        ).replace_schema_metadata(None)
+
+    return unioned.groupby("_bucket").map_groups(
+        merge_bucket, batch_format="pandas"
+    )

@@ -436,6 +436,32 @@ def q_bucketed_join(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderstatus").reset_index(drop=True)
 
 
+def q_skew_join(sf_dir: str) -> pd.DataFrame:
+    """Hybrid skew-safe join: lineitems of orders with >= 6 items
+    ('hot' keys) join by broadcast, the rest through the hash join;
+    results aggregate per order status.  Same rows as a plain SQL
+    join, so the oracle is exact."""
+    from unfurl_ray.ops.relational import pre_aggregate
+    from unfurl_ray.ops.skew import skew_join
+
+    items = _parquet(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _parquet(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    joined = skew_join(
+        items, orders, on="l_orderkey", right_on="o_orderkey",
+        hot_threshold=6,
+    )
+    out = pre_aggregate(
+        joined, ["o_orderstatus"],
+        {
+            "n_items": ("l_quantity", "count"),
+            "sum_qty": ("l_quantity", "sum"),
+        },
+    ).to_pandas()
+    out["n_items"] = out["n_items"].astype("int64")
+    out["sum_qty"] = out["sum_qty"].round(2)
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
 def q_rollup_revenue(sf_dir: str) -> pd.DataFrame:
     """OLAP rollup in ONE shuffle: GROUP BY ROLLUP(o_orderpriority,
     o_orderstatus) — each batch fans out partial rows for every level
