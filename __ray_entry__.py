@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_distinct_users": p.q_distinct_users,
         "q_pivot_events": p.q_pivot_events,
         "q_event_deltas": p.q_event_deltas,
+        "q_rolling_range": p.q_rolling_range,
         "q_ntile_curriculum": p.q_ntile_curriculum,
         "q_vocab_spectrum": p.q_vocab_spectrum,
         # documents / text analysis
@@ -70,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hash_sample": p.q_hash_sample,
         "q_token_count": p.q_token_count,
         "q_exact_dedup": p.q_exact_dedup,
+        "q_substring_dedup": p.q_substring_dedup,
         "q_fingerprint": p.q_fingerprint,
         "q_quality": p.q_quality,
         "q_langid": p.q_langid,
@@ -660,6 +662,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS dup_count
             FROM documents GROUP BY md5(text)
         """,
+        # duplicated 5-gram spans: md5 gram identity on both sides,
+        # same lowercase-whitespace tokenizer as q_vocab_spectrum
+        "q_substring_dedup": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           lower(coalesce(text, '')), '[ \t\n\f\r]+'),
+                           x -> x <> '') AS t
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       substr(md5(array_to_string(t[i:i+4], ' ')),
+                              1, 16) AS h
+                FROM toks,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, len(t) - 4)) AS i) s
+            ), dup AS (
+                SELECT h FROM grams GROUP BY h HAVING count(*) >= 2
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams
+            FROM grams WHERE h IN (SELECT h FROM dup)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
         "q_fingerprint": r"""
             SELECT doc_id,
                    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
@@ -951,6 +976,20 @@ def oracle_sql() -> dict[str, str]:
                        AS roll_max
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id
+        """,
+        # skew-safe RANGE frame: integer cents sum is order-
+        # independent, so the hash matches bit-for-bit
+        "q_rolling_range": """
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER w AS BIGINT) AS cnt_w,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w
+                        AS BIGINT) AS sum_cents_w
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 300 SECOND PRECEDING
+                          AND CURRENT ROW)
             ORDER BY event_id
         """,
         # same whitespace token count as q_token_count

@@ -1601,3 +1601,136 @@ def test_bucketed_aggregate_matches_pre_aggregate(ray_session):
     )
     for c in ["k", "n", "s", "lo", "hi"]:
         assert got[c].astype("int64").tolist() == want[c].tolist()
+
+
+def test_rolling_range_window_matches_pandas(ray_session):
+    """RANGE-frame rolling count/sum over [t-W, t] matches a
+    single-partition pandas reference, including ts ties (peers are
+    all included, per SQL RANGE semantics)."""
+    import ray.data as rd
+
+    from unfurl_ray.ops.relational import rolling_range_window
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 20, n),
+            "ts": pd.to_datetime(
+                rng.integers(0, 36_000, n), unit="s"
+            ),
+            "value": rng.normal(10, 5, n).round(3),
+        }
+    )
+    out = (
+        rolling_range_window(
+            rd.from_pandas(df).repartition(8), "user_id", "ts",
+            "value", "event_id", width_s=300, n_shards=16,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == n
+
+    ts_us = df["ts"].astype("int64") // 1000
+    cents = np.floor(df["value"].to_numpy() * 100.0).astype(np.int64)
+    ref = df.assign(_t=ts_us, _c=cents)
+    w = 300 * 1_000_000
+    exp_cnt, exp_sum = {}, {}
+    for _, g in ref.groupby("user_id"):
+        g = g.sort_values("_t")
+        t = g["_t"].to_numpy()
+        c = g["_c"].to_numpy()
+        csum = np.concatenate([[0], np.cumsum(c)])
+        lo = np.searchsorted(t, t - w, side="left")
+        hi = np.searchsorted(t, t, side="right")
+        for eid, a, b in zip(g["event_id"], lo, hi):
+            exp_cnt[eid] = b - a
+            exp_sum[eid] = csum[b] - csum[a]
+    assert out["cnt_w"].tolist() == [exp_cnt[e] for e in out["event_id"]]
+    assert out["sum_cents_w"].tolist() == [
+        exp_sum[e] for e in out["event_id"]
+    ]
+
+
+def test_rolling_range_window_hot_key(ray_session):
+    """Skew drill: ONE key holds 50k events across 16 blocks; the
+    (key, time-bucket) decomposition must still be exact, and no
+    group depends on the key's total stream length."""
+    import ray.data as rd
+
+    from unfurl_ray.ops.relational import rolling_range_window
+
+    rng = np.random.default_rng(5)
+    n = 50_000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": np.zeros(n, dtype=np.int64),
+            "ts": pd.to_datetime(np.sort(rng.integers(0, 100_000, n)),
+                                 unit="s"),
+            "value": np.ones(n),
+        }
+    )
+    out = (
+        rolling_range_window(
+            rd.from_pandas(df.sample(frac=1.0, random_state=2))
+            .repartition(16),
+            "user_id", "ts", "value", "event_id",
+            width_s=600, n_shards=64,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == n
+    # count == sum of 100-cent rows / 100 everywhere (value is 1.0)
+    assert (out["sum_cents_w"] == out["cnt_w"] * 100).all()
+    # exact spot-check against a brute interval count on the sorted ts
+    t = (df["ts"].astype("int64") // 1000).to_numpy()
+    w = 600 * 1_000_000
+    lo = np.searchsorted(t, t - w, side="left")
+    hi = np.searchsorted(t, t, side="right")
+    exp = (hi - lo).astype(np.int64)
+    got = out.set_index("event_id")["cnt_w"]
+    assert (got.loc[df["event_id"]].to_numpy() == exp).all()
+
+
+def test_duplicate_ngram_spans(ray_session):
+    """Docs sharing a 5-token window are flagged with the exact count
+    of duplicated positions; within-doc repeats count too; unique
+    docs are absent from the output."""
+    import ray.data as rd
+
+    from unfurl_ray.ops.dedup import duplicate_ngram_spans
+
+    boiler = "the quick brown fox jumps"
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                f"{boiler} over the lazy dog",      # shares gram w/ 2
+                f"intro words here {boiler}",        # shares gram w/ 1
+                f"{boiler} and {boiler} again ok",   # self-repeat
+                "totally unique text with no overlap at all",
+            ],
+        }
+    )
+    out = (
+        duplicate_ngram_spans(
+            rd.from_pandas(df).repartition(3), n=5, n_buckets=8
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 4 has no duplicated grams -> absent
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    # doc 1: only the boiler gram at position 0 duplicates
+    assert out.loc[0, "n_dup_grams"] == 1
+    # doc 2: boiler gram at the tail duplicates
+    assert out.loc[1, "n_dup_grams"] == 1
+    # doc 3: both copies of the boiler gram count
+    assert out.loc[2, "n_dup_grams"] == 2

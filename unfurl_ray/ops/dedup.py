@@ -578,3 +578,97 @@ def ngram_decontaminate(docs_ds, bench_ds, n: int = 3,
         batch_format="pandas",
         concurrency=(1, concurrency),
     )
+
+
+def duplicate_ngram_spans(ds, n: int = 5, column: str = "text",
+                          id_column: str = "doc_id",
+                          n_buckets: int | None = None):
+    """Exact substring-level dedup signal (the distributed core of
+    suffix-array training-data dedup a la "Deduplicating Training
+    Data Makes Language Models Better"): for every document, count
+    the token positions whose ``n``-gram occurs MORE THAN ONCE in the
+    whole corpus (including a second time in the same document).
+
+    Stages:
+      1. map_batches: tokenize (lowercase, whitespace — the same
+         tokenizer as the vocab/bigram ops), hash each n-gram with
+         md5 (the oracle contract, like ``fingerprint_batch``; a
+         rolling 128-bit hash is the drop-in at scale), pre-collapse
+         repeats within a doc, and emit (h, doc, cnt) tagged with
+         ``hash(h) % n_buckets``.  The shuffle carries 16-byte gram
+         keys + two ints per DISTINCT (gram, doc) — never the text.
+      2. groupby(bucket): all copies of a gram land in one bucket
+         (the bucket is a function of h), so one vectorized pandas
+         transform finds grams with corpus count >= 2 and folds the
+         per-doc duplicated-position counts.
+      3. bucketed_aggregate(doc): sums the per-bucket partials into
+         one row per affected document.
+
+    No group ever holds a corpus-sized frame: buckets are auto-sized
+    to ~TARGET rows, and a degenerate gram (e.g. a boilerplate
+    sentence in every doc) costs its bucket one group of
+    one-row-per-containing-doc — the same bound LSH banding accepts.
+    """
+    import hashlib
+    import re
+    from collections import Counter
+
+    if n_buckets is None:
+        # ~one shuffle row per distinct (gram, doc); tokens per doc
+        # estimated from the first block's mean is overkill — a flat
+        # per-doc estimate only changes group COUNT, not results
+        n_buckets = max(32, (ds.count() * 256) // 200_000)
+
+    ws = re.compile(r"[ \t\n\f\r]+")
+
+    def gram_rows(batch: pd.DataFrame) -> pa.Table:
+        hs, docs, cnts = [], [], []
+        for doc_id, text in zip(batch[id_column], batch[column]):
+            toks = [t for t in ws.split((text or "").lower()) if t]
+            if len(toks) < n:
+                continue
+            c = Counter(
+                " ".join(toks[i:i + n])
+                for i in range(len(toks) - n + 1)
+            )
+            for gram, k in c.items():
+                hs.append(
+                    hashlib.md5(gram.encode("utf-8")).hexdigest()[:16]
+                )
+                docs.append(doc_id)
+                cnts.append(k)
+        h_arr = pa.array(hs, pa.string())
+        bucket = (
+            pd.util.hash_array(np.asarray(hs, dtype=object))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "h": h_arr,
+                id_column: pa.array(docs, pa.int64()),
+                "cnt": pa.array(cnts, pa.int64()),
+                "_bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    def dup_partials(group: pd.DataFrame) -> pa.Table:
+        total = group.groupby("h")["cnt"].transform("sum")
+        dup = group[total >= 2]
+        out = dup.groupby(id_column, as_index=False)["cnt"].sum()
+        return pa.table(
+            {
+                id_column: pa.array(out[id_column], pa.int64()),
+                "n_dup_grams": pa.array(out["cnt"], pa.int64()),
+            }
+        )
+
+    from unfurl_ray.ops.relational import bucketed_aggregate
+
+    partials = (
+        ds.map_batches(gram_rows, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(dup_partials, batch_format="pandas")
+    )
+    return bucketed_aggregate(
+        partials, [id_column], {"n_dup_grams": ("n_dup_grams", "sum")},
+    )

@@ -1080,3 +1080,128 @@ def bucketed_hash_join(left_ds, right_ds, on: str, right_on: str,
     return unioned.groupby("_bucket").map_groups(
         merge_bucket, batch_format="pandas"
     )
+
+
+def rolling_range_window(ds, key_col: str, ts_col: str, value_col: str,
+                         id_col: str, width_s: int,
+                         n_shards: int | None = None):
+    """Per-key time-RANGE rolling window — for every row, the COUNT
+    and exact integer SUM (``floor(value*100)`` cents) of the key's
+    rows with ``ts`` in ``[t - W, t]`` — with NO one-key-per-group
+    assumption (the skew-safe sibling of ``lag_rolling``; SQL twin is
+    ``... OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN W
+    PRECEDING AND CURRENT ROW)``).
+
+    Skew decomposition: a row at time ``t`` can only be preceded
+    within ``W`` by rows in its own width-``W`` time bucket or the
+    one before, so each row is shipped to its own bucket plus a
+    carried copy to the NEXT bucket.  Grouping on ``(key,
+    time_bucket)`` then co-locates every window, and a group holds at
+    most two W-widths of ONE key's stream — bounded by event rate x
+    window width, never by key cardinality.  A bot user with 10^9
+    events shards across its time buckets instead of landing in one
+    worker.
+
+    Shuffle granularity: groups are hash-sharded (``hash(key,
+    bucket) % n_shards``, auto-sized to ~TARGET rows/shard) so Ray
+    pays one map_groups dispatch per shard, not per (key, bucket)
+    cell; the per-cell window math runs vectorized inside the shard
+    (prefix sums + searchsorted per cell).
+
+    Sum exactness: values are floored to int64 cents BEFORE summing,
+    so the result is order-independent and hash-matches the DuckDB
+    twin bit-for-bit (double summation would round differently under
+    a different addition order).
+    """
+    w_us = int(width_s) * 1_000_000
+    if n_shards is None:
+        n_shards = max(32, (ds.count() * 2) // 200_000)
+
+    def fan_out(batch: pd.DataFrame) -> pa.Table:
+        ts = _ts_us(batch[ts_col]).to_numpy()
+        cents = np.floor(
+            batch[value_col].to_numpy(dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        ids = batch[id_col].to_numpy(dtype=np.int64)
+        keys = batch[key_col].to_numpy(dtype=np.int64)
+        b = ts // w_us
+        n = len(batch)
+        own = np.concatenate(
+            [np.ones(n, dtype=np.bool_), np.zeros(n, dtype=np.bool_)]
+        )
+        keys2 = np.concatenate([keys, keys])
+        bucket2 = np.concatenate([b, b + 1])
+        shard = (
+            pd.util.hash_array(keys2 * np.int64(1_000_003) + bucket2)
+            % np.uint64(n_shards)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate([ids, ids]), pa.int64()),
+                key_col: pa.array(keys2, pa.int64()),
+                "_ts": pa.array(np.concatenate([ts, ts]), pa.int64()),
+                "_cents": pa.array(
+                    np.concatenate([cents, cents]), pa.int64()
+                ),
+                "_bucket": pa.array(bucket2, pa.int64()),
+                "_own": pa.array(own, pa.bool_()),
+                "_shard": pa.array(shard, pa.int64()),
+            }
+        )
+
+    def windows_in_shard(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values([key_col, "_bucket", "_ts", id_col])
+        keys = g[key_col].to_numpy()
+        bucket = g["_bucket"].to_numpy()
+        ts = g["_ts"].to_numpy()
+        cents = g["_cents"].to_numpy()
+        own = g["_own"].to_numpy()
+        ids = g[id_col].to_numpy()
+        # (key, bucket) cell boundaries on the sorted stream
+        cell_change = np.empty(len(g), dtype=np.bool_)
+        cell_change[0] = True
+        cell_change[1:] = (keys[1:] != keys[:-1]) | (
+            bucket[1:] != bucket[:-1]
+        )
+        starts = np.flatnonzero(cell_change)
+        ends = np.append(starts[1:], len(g))
+        out_id, out_key, out_cnt, out_sum = [], [], [], []
+        for s, e in zip(starts, ends):
+            t = ts[s:e]
+            c = cents[s:e]
+            mine = own[s:e]
+            if not mine.any():
+                continue
+            csum = np.concatenate([[0], np.cumsum(c)])
+            tq = t[mine]
+            lo = np.searchsorted(t, tq - w_us, side="left")
+            hi = np.searchsorted(t, tq, side="right")
+            out_id.append(ids[s:e][mine])
+            out_key.append(keys[s:e][mine])
+            out_cnt.append((hi - lo).astype(np.int64))
+            out_sum.append(csum[hi] - csum[lo])
+        if not out_id:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    key_col: pa.array([], pa.int64()),
+                    "cnt_w": pa.array([], pa.int64()),
+                    "sum_cents_w": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id), pa.int64()),
+                key_col: pa.array(np.concatenate(out_key), pa.int64()),
+                "cnt_w": pa.array(np.concatenate(out_cnt), pa.int64()),
+                "sum_cents_w": pa.array(
+                    np.concatenate(out_sum), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(fan_out, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(windows_in_shard, batch_format="pandas")
+    )

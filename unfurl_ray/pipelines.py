@@ -1856,3 +1856,31 @@ def q_lm_score(sf_dir: str) -> pd.DataFrame:
         Score, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_rolling_range(sf_dir: str) -> pd.DataFrame:
+    """Per-user time-RANGE rolling window (count + exact cents sum
+    over the trailing 300 s) via the skew-safe (key, time-bucket)
+    decomposition — no group ever holds one user's whole stream, only
+    two window-widths of it.  Integer cents make the sum
+    order-independent, so the DuckDB RANGE-frame twin hash-matches."""
+    from unfurl_ray.ops.relational import rolling_range_window
+
+    ds = _parquet(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = rolling_range_window(
+        ds, key_col="user_id", ts_col="ts", value_col="value",
+        id_col="event_id", width_s=300,
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_substring_dedup(sf_dir: str) -> pd.DataFrame:
+    """Duplicated 5-gram span counts per document — the exact
+    substring-dedup signal (docs whose token windows repeat anywhere
+    in the corpus).  md5 gram identity on both sides makes the DuckDB
+    twin hash-exact even in the (negligible) collision case."""
+    from unfurl_ray.ops.dedup import duplicate_ngram_spans
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+    out = duplicate_ngram_spans(ds, n=5).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
