@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_token_count": p.q_token_count,
         "q_exact_dedup": p.q_exact_dedup,
         "q_substring_dedup": p.q_substring_dedup,
+        "q_chunk_docs": p.q_chunk_docs,
         "q_fingerprint": p.q_fingerprint,
         "q_quality": p.q_quality,
         "q_langid": p.q_langid,
@@ -684,6 +685,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams
             FROM grams WHERE h IN (SELECT h FROM dup)
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        # sliding-window chunking: same explicit ASCII whitespace
+        # tokenizer as q_substring_dedup; window 64, stride 48; the
+        # tail chunk is short, never dropped; 1-based list_slice
+        # [start+1 : start+64] == tokens[start : start+64]
+        "q_chunk_docs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           coalesce(text, ''), '[ \t\n\f\r]+'),
+                           x -> x <> '') AS t
+                FROM documents
+            ), spans AS (
+                SELECT doc_id, t, unnest(generate_series(
+                           0, len(t) - 1, 48)) AS start
+                FROM toks WHERE len(t) > 0
+            )
+            SELECT doc_id,
+                   CAST(start // 48 AS BIGINT) AS chunk_id,
+                   CAST(least(64, len(t) - start) AS BIGINT) AS n_tokens,
+                   array_to_string(t[start + 1 : start + 64], ' ')
+                       AS chunk_text
+            FROM spans ORDER BY doc_id, chunk_id
         """,
         "q_fingerprint": r"""
             SELECT doc_id,

@@ -1734,3 +1734,40 @@ def test_duplicate_ngram_spans(ray_session):
     assert out.loc[1, "n_dup_grams"] == 1
     # doc 3: both copies of the boiler gram count
     assert out.loc[2, "n_dup_grams"] == 2
+
+
+def test_chunk_by_tokens(ray_session):
+    """Sliding-window chunking: full windows every stride, short tail
+    kept, empty docs emit nothing, every token covered >= once."""
+    import ray.data as rd
+
+    from unfurl_ray.ops.chunk import chunk_by_tokens
+
+    toks = [f"t{i}" for i in range(10)]
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [" ".join(toks), "only three  tokens", "  "],
+        }
+    )
+    out = (
+        chunk_by_tokens(
+            rd.from_pandas(df).repartition(2),
+            text_col="text", id_col="doc_id", window=4, stride=3,
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    # doc 1: starts 0,3,6,9 -> windows of 4,4,4 and tail of 1
+    d1 = out[out["doc_id"] == 1]
+    assert d1["chunk_id"].tolist() == [0, 1, 2, 3]
+    assert d1["n_tokens"].tolist() == [4, 4, 4, 1]
+    assert d1["chunk_text"].iloc[0] == "t0 t1 t2 t3"
+    assert d1["chunk_text"].iloc[1] == "t3 t4 t5 t6"  # overlap of 1
+    assert d1["chunk_text"].iloc[3] == "t9"
+    # doc 2: one short chunk; double space collapses
+    d2 = out[out["doc_id"] == 2]
+    assert d2["chunk_text"].tolist() == ["only three tokens"]
+    # doc 3 (whitespace only) absent entirely
+    assert 3 not in out["doc_id"].tolist()

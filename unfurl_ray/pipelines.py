@@ -1884,3 +1884,19 @@ def q_substring_dedup(sf_dir: str) -> pd.DataFrame:
     ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
     out = duplicate_ngram_spans(ds, n=5).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_chunk_docs(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window chunking: every document split into 64-token
+    windows every 48 tokens (16-token overlap) — the step between
+    cleaning and embedding/pretraining tokenization.  Pure flat
+    map_batches (no shuffle); the ASCII-whitespace token rule is shared
+    with the DuckDB generate_series oracle, so chunk text hash-matches
+    byte for byte."""
+    from unfurl_ray.ops.chunk import chunk_by_tokens
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+    out = chunk_by_tokens(
+        ds, text_col="text", id_col="doc_id", window=64, stride=48
+    ).to_pandas()
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
