@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pii_scrub": p.q_pii_scrub,
         "q_bigram_counts": p.q_bigram_counts,
         "q_stratified_sample": p.q_stratified_sample,
+        "q_weighted_sample": p.q_weighted_sample,
+        "q_mixture_sample": p.q_mixture_sample,
         "q_tfidf_top_terms": p.q_tfidf_top_terms,
         "q_inverted_index": p.q_inverted_index,
         "q_lm_score": p.q_lm_score,
@@ -1124,6 +1126,42 @@ def oracle_sql() -> dict[str, str]:
                                     event_id) AS rn
                 FROM events)
             WHERE rn <= 5
+        """,
+        # A-ES weighted sampling: identical ln(u)/w key on both sides
+        # (u = first-8-hex md5 of the id, shifted off 0), rounded to 9
+        # decimals with an id tiebreak so libm/numpy ulp noise can't
+        # flip the selection
+        "q_weighted_sample": """
+            SELECT source, doc_id, n_chars, skey FROM (
+                SELECT source, doc_id, n_chars,
+                       round(ln((CAST(('0x' || substr(
+                                 md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS UBIGINT) + 1) / 4294967297.0)
+                             / n_chars, 9) AS skey,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY round(ln((CAST(('0x' || substr(
+                                 md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS UBIGINT) + 1) / 4294967297.0)
+                             / n_chars, 9) DESC, doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 3 ORDER BY source, doc_id
+        """,
+        # domain-mixture resampling: quota = round(total * weight) per
+        # listed domain, filled ascending by md5 rank
+        "q_mixture_sample": """
+            SELECT source, doc_id, h FROM (
+                SELECT source, doc_id,
+                       md5(CAST(doc_id AS VARCHAR)) AS h,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                    doc_id) AS rn
+                FROM documents
+                WHERE source IN ('src0', 'src1', 'src2'))
+            WHERE rn <= CASE source
+                WHEN 'src0' THEN 20 WHEN 'src1' THEN 12 ELSE 8 END
+            ORDER BY source, doc_id
         """,
         # q_minhash_dedup / q_simhash / q_knn_ivf / q_hll_users /
         # q_quantile_sketch / q_group_quantile_sketch /

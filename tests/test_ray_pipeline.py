@@ -1771,3 +1771,62 @@ def test_chunk_by_tokens(ray_session):
     assert d2["chunk_text"].tolist() == ["only three tokens"]
     # doc 3 (whitespace only) absent entirely
     assert 3 not in out["doc_id"].tolist()
+
+
+def test_weighted_sample_per_group(ray_session):
+    """A-ES: selection is deterministic, k per group, and heavily
+    weighted rows dominate the sample."""
+    import ray.data as rd
+
+    from unfurl_ray.ops.sampling import weighted_sample_per_group
+
+    # group 'a': ids 0..99, one id (7) with 1000x the weight of the rest
+    df = pd.DataFrame(
+        {
+            "grp": ["a"] * 100 + ["b"] * 10,
+            "rid": list(range(100)) + list(range(100, 110)),
+            "w": [1000.0 if i == 7 else 1.0 for i in range(100)]
+            + [1.0] * 10,
+        }
+    )
+    out = weighted_sample_per_group(
+        rd.from_pandas(df).repartition(4),
+        key_col="grp", id_col="rid", weight_col="w", k=3,
+    )
+    assert (out.groupby("grp").size() == 3).all()
+    # the 1000x row is essentially always in a 3-of-100 sample
+    assert 7 in out[out["grp"] == "a"]["rid"].tolist()
+    # determinism across block layouts
+    out2 = weighted_sample_per_group(
+        rd.from_pandas(df).repartition(9),
+        key_col="grp", id_col="rid", weight_col="w", k=3,
+    )
+    assert sorted(out["rid"]) == sorted(out2["rid"])
+
+
+def test_mixture_sample_quotas(ray_session):
+    """Exact per-domain quotas, unlisted domains excluded, md5-rank
+    selection stable across block layouts."""
+    import ray.data as rd
+
+    from unfurl_ray.ops.sampling import mixture_sample
+
+    df = pd.DataFrame(
+        {
+            "src": ["x"] * 50 + ["y"] * 50 + ["z"] * 50,
+            "rid": range(150),
+        }
+    )
+    out = mixture_sample(
+        rd.from_pandas(df).repartition(5),
+        key_col="src", id_col="rid",
+        target_weights={"x": 0.75, "y": 0.25}, total=20,
+    )
+    counts = out.groupby("src").size()
+    assert counts.to_dict() == {"x": 15, "y": 5}
+    out2 = mixture_sample(
+        rd.from_pandas(df).repartition(11),
+        key_col="src", id_col="rid",
+        target_weights={"x": 0.75, "y": 0.25}, total=20,
+    )
+    assert sorted(out["rid"]) == sorted(out2["rid"])

@@ -1900,3 +1900,39 @@ def q_chunk_docs(sf_dir: str) -> pd.DataFrame:
         ds, text_col="text", id_col="doc_id", window=64, stride=48
     ).to_pandas()
     return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+def q_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Length-weighted document sample, 3 per source, without
+    replacement (Efraimidis-Spirakis A-ES on a deterministic id hash):
+    longer documents are proportionally likelier, and the identical
+    ln(u)/w key in the DuckDB window twin verifies the selection row
+    for row."""
+    from unfurl_ray.ops.sampling import weighted_sample_per_group
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    out = weighted_sample_per_group(
+        ds, key_col="source", id_col="doc_id", weight_col="n_chars", k=3
+    )
+    out = out[["source", "doc_id", "n_chars", "skey"]]
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+
+def q_mixture_sample(sf_dir: str) -> pd.DataFrame:
+    """Domain-mixture resampling: pull a 40-doc corpus at 50 % src0,
+    30 % src1, 20 % src2 by md5-rank — the "train on X% web, Y% code"
+    curation step.  Quotas are exact counts; selection is reproducible
+    on any block layout and window-checked in SQL."""
+    from unfurl_ray.ops.sampling import mixture_sample
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "source"])
+    out = mixture_sample(
+        ds, key_col="source", id_col="doc_id",
+        target_weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        total=40,
+    )
+    out = out[["source", "doc_id", "h"]]
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
