@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_stratified_sample": p.q_stratified_sample,
         "q_weighted_sample": p.q_weighted_sample,
         "q_mixture_sample": p.q_mixture_sample,
+        "q_quarantine": p.q_quarantine,
         "q_tfidf_top_terms": p.q_tfidf_top_terms,
         "q_inverted_index": p.q_inverted_index,
         "q_lm_score": p.q_lm_score,
@@ -1162,6 +1163,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= CASE source
                 WHEN 'src0' THEN 20 WHEN 'src1' THEN 12 ELSE 8 END
             ORDER BY source, doc_id
+        """,
+        # poison-pill quarantine: the UDF raises ZeroDivisionError on
+        # k = 50; quarantined rows carry the id + exception name with
+        # null outputs. int(100 / (k-50)) truncates like DuckDB's //
+        "q_quarantine": r"""
+            WITH x AS (
+                SELECT event_id,
+                       CAST(regexp_extract(props, '"k": (\d+)', 1)
+                            AS BIGINT) AS k
+                FROM events)
+            SELECT event_id,
+                   CASE WHEN k <> 50 THEN k END AS k,
+                   CASE WHEN k <> 50 THEN 100 // (k - 50) END AS inv,
+                   CASE WHEN k = 50 THEN 'error' ELSE 'ok' END AS status,
+                   CASE WHEN k = 50 THEN 'ZeroDivisionError' ELSE '' END
+                       AS error
+            FROM x ORDER BY event_id
         """,
         # q_minhash_dedup / q_simhash / q_knn_ivf / q_hll_users /
         # q_quantile_sketch / q_group_quantile_sketch /

@@ -1830,3 +1830,44 @@ def test_mixture_sample_quotas(ray_session):
         target_weights={"x": 0.75, "y": 0.25}, total=20,
     )
     assert sorted(out["rid"]) == sorted(out2["rid"])
+
+
+def test_quarantine_map_isolation(ray_session):
+    """Raising rows are isolated via bisection (not whole-batch loss),
+    clean rows match a plain map, all-error batches keep the schema."""
+    import ray.data as rd
+
+    from unfurl_ray.ops.robust import quarantine_map
+
+    df = pd.DataFrame({"rid": range(20), "v": range(20)})
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        # raises on v % 7 == 3 (rows 3, 10, 17)
+        out["inv"] = [1 if v % 7 != 3 else 1 // 0 for v in out["v"]]
+        return out
+
+    out = (
+        quarantine_map(
+            rd.from_pandas(df).repartition(3), fn, id_cols=["rid"],
+            out_schema={"rid": "int64", "v": "Int64", "inv": "Int64"},
+        )
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 20
+    bad = out[out["status"] == "error"]
+    assert bad["rid"].tolist() == [3, 10, 17]
+    assert (bad["error"] == "ZeroDivisionError").all()
+    assert bad["inv"].isna().all()
+    ok = out[out["status"] == "ok"]
+    assert (ok["inv"] == 1).all() and (ok["error"] == "").all()
+    # an all-error partition still emits the contracted schema
+    all_bad = pd.DataFrame({"rid": [100, 101], "v": [3, 10]})
+    out2 = quarantine_map(
+        rd.from_pandas(all_bad), fn, id_cols=["rid"],
+        out_schema={"rid": "int64", "v": "Int64", "inv": "Int64"},
+    ).to_pandas()
+    assert list(out2.columns) == ["rid", "v", "inv", "status", "error"]
+    assert (out2["status"] == "error").all()

@@ -1936,3 +1936,35 @@ def q_mixture_sample(sf_dir: str) -> pd.DataFrame:
     out = out[["source", "doc_id", "h"]]
     out["doc_id"] = out["doc_id"].astype("int64")
     return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+
+def q_quarantine(sf_dir: str) -> pd.DataFrame:
+    """Poison-pill isolation: a per-batch UDF that raises on ~1 % of
+    rows (ZeroDivisionError when the props key k = 50) runs under
+    quarantine_map — failing rows land in an auditable quarantine
+    stream with the exception name, clean rows are untouched, and the
+    job never dies.  The SQL twin derives the identical ok/error split
+    and truncating division, so this is hash-checked end to end."""
+    import json
+
+    from unfurl_ray.ops.robust import quarantine_map
+
+    ds = _parquet(sf_dir, "events", ["event_id", "props"])
+
+    def risky(batch: pd.DataFrame) -> pd.DataFrame:
+        # vectorized-per-batch JSON decode + a computation that RAISES
+        # on k = 50 (truncating int() matches DuckDB's // semantics)
+        ks = [json.loads(p)["k"] for p in batch["props"]]
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"].to_numpy(),
+                "k": ks,
+                "inv": [int(100 / (k - 50)) for k in ks],
+            }
+        )
+
+    out = quarantine_map(
+        ds, risky, id_cols=["event_id"],
+        out_schema={"event_id": "int64", "k": "Int64", "inv": "Int64"},
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
