@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pivot_events": p.q_pivot_events,
         "q_event_deltas": p.q_event_deltas,
         "q_rolling_range": p.q_rolling_range,
+        "q_resample_locf": p.q_resample_locf,
         "q_ntile_curriculum": p.q_ntile_curriculum,
         "q_vocab_spectrum": p.q_vocab_spectrum,
         # documents / text analysis
@@ -1163,6 +1164,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= CASE source
                 WHEN 'src0' THEN 20 WHEN 'src1' THEN 12 ELSE 8 END
             ORDER BY source, doc_id
+        """,
+        # LOCF resample: epoch-aligned 6-hour grid per user between the
+        # corpus min/max ts; ASOF LEFT JOIN carries the latest earlier
+        # value; exact-ts duplicate events resolve to max(value) on
+        # both sides
+        "q_resample_locf": """
+            WITH bounds AS (
+                SELECT CAST(ceil(epoch(min(ts)) / 21600) * 21600
+                            AS BIGINT) AS s,
+                       CAST(floor(epoch(max(ts)) / 21600) * 21600
+                            AS BIGINT) AS e
+                FROM events),
+            users AS (SELECT DISTINCT user_id FROM events),
+            grid AS (
+                SELECT user_id, unnest(generate_series(s, e, 21600))
+                           AS gsec
+                FROM users, bounds),
+            ev AS (
+                SELECT user_id, epoch_us(ts) AS tus,
+                       max(value) AS value
+                FROM events GROUP BY user_id, epoch_us(ts))
+            SELECT g.user_id, g.gsec, round(e.value, 2) AS value
+            FROM grid g ASOF LEFT JOIN ev e
+              ON g.user_id = e.user_id AND e.tus <= g.gsec * 1000000
+            ORDER BY g.user_id, g.gsec
         """,
         # poison-pill quarantine: the UDF raises ZeroDivisionError on
         # k = 50; quarantined rows carry the id + exception name with

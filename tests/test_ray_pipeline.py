@@ -1871,3 +1871,37 @@ def test_quarantine_map_isolation(ray_session):
     ).to_pandas()
     assert list(out2.columns) == ["rid", "v", "inv", "status", "error"]
     assert (out2["status"] == "error").all()
+
+
+def test_resample_locf_semantics(ray_session, tmp_path):
+    """Grid points before a user's first event are null; values carry
+    forward across empty buckets; exact-ts grid points include the
+    event (backward <= semantics)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from unfurl_ray.pipelines import q_resample_locf
+
+    ts = pd.to_datetime(
+        ["2024-01-01 05:00:00", "2024-01-03 01:00:00",
+         "2024-01-01 00:00:00"]
+    )
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "ts": ts,
+            "value": [10.0, 20.0, 5.0],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "events.parquet")
+    out = q_resample_locf(str(tmp_path))
+    # grid: 2024-01-01 00:00 .. 2024-01-03 00:00 every 6 h = 9 points
+    assert out["gsec"].nunique() == 9
+    u1 = out[out["user_id"] == 1].reset_index(drop=True)
+    # first event at 05:00 -> grid 00:00 null, 06:00.. carries 10.0
+    assert pd.isna(u1["value"].iloc[0])
+    assert u1["value"].iloc[1] == 10.0
+    assert u1["value"].iloc[8] == 10.0  # 2024-01-03 00:00 < 01:00
+    u2 = out[out["user_id"] == 2].reset_index(drop=True)
+    # event exactly ON the first grid point is included (<=)
+    assert (u2["value"] == 5.0).all()

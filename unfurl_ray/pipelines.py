@@ -1968,3 +1968,78 @@ def q_quarantine(sf_dir: str) -> pd.DataFrame:
         out_schema={"event_id": "int64", "k": "Int64", "inv": "Int64"},
     ).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_resample_locf(sf_dir: str) -> pd.DataFrame:
+    """Time-series resampling: every user's event stream sampled onto
+    a regular 6-hour epoch-aligned grid with last-observation-carried-
+    forward — the "regular bars from irregular ticks" op.  The grid is
+    generated distributed (distinct users via one bucketed aggregate,
+    then a per-batch flat-map; no driver loop), and the carry is the
+    range-partitioned as-of join (ops.relational.asof_join_partitioned)
+    — both sides bucketed by (user, 2-day window), so no broadcast and
+    no per-user whole-stream group.  DuckDB ASOF LEFT JOIN is the
+    hash-exact twin."""
+    import math
+
+    from unfurl_ray.ops.relational import (
+        asof_join_partitioned,
+        bucketed_aggregate,
+    )
+
+    STEP = 21600  # 6 h
+
+    ev = _parquet(sf_dir, "events", ["user_id", "ts", "value"])
+    # consumed three times (bounds, users, right side): materialize the
+    # 3-column slice once instead of re-reading per consumer
+    ev = ev.materialize()
+
+    from ray.data.aggregate import Max, Min
+
+    bounds = ev.aggregate(Min("ts"), Max("ts"))
+    t_min = pd.Timestamp(bounds["min(ts)"]).value / 1e9  # float sec
+    t_max = pd.Timestamp(bounds["max(ts)"]).value / 1e9
+    s = int(math.ceil(t_min / STEP)) * STEP
+    e = int(math.floor(t_max / STEP)) * STEP
+
+    users = bucketed_aggregate(
+        ev, ["user_id"], {"n": ("user_id", "count")}
+    )
+
+    gsecs = np.arange(s, e + 1, STEP, dtype=np.int64)
+
+    def to_grid(batch: pd.DataFrame) -> pa.Table:
+        uids = batch["user_id"].to_numpy()
+        rep_u = np.repeat(uids, len(gsecs))
+        rep_g = np.tile(gsecs, len(uids))
+        return pa.table(
+            {
+                "user_id": pa.array(rep_u, pa.int64()),
+                "guser": pa.array(rep_u, pa.int64()),
+                "gsec": pa.array(rep_g, pa.int64()),
+                "gts_us": pa.array(rep_g * 1_000_000, pa.int64()),
+            }
+        )
+
+    grid = users.map_batches(to_grid, batch_format="pandas")
+
+    def reduce_ties(batch: pd.DataFrame) -> pd.DataFrame:
+        # per-batch max(value) per (user, ts); cross-batch ties resolve
+        # to max(value) via the join's sorts-last-wins rule
+        return batch.groupby(["user_id", "ts"], as_index=False)[
+            "value"
+        ].max()
+
+    right = ev.map_batches(reduce_ties, batch_format="pandas")
+    out = asof_join_partitioned(
+        grid, right, "user_id", "gts_us", "ts", bucket_s=2 * 86400,
+        left_keep=["guser", "gsec"], right_keep=["value"],
+        dtypes={"guser": "Int64", "gsec": "Int64", "value": "Float64"},
+    ).to_pandas()
+    out = out.rename(columns={"guser": "user_id"})
+    out["value"] = out["value"].astype("Float64").round(2)
+    return (
+        out[["user_id", "gsec", "value"]]
+        .sort_values(["user_id", "gsec"])
+        .reset_index(drop=True)
+    )
