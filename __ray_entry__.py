@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_segment_revenue": p.q_segment_revenue,
         "q_nation_balance": p.q_nation_balance,
         "q_order_lineitem_join": p.q_order_lineitem_join,
+        "q_star_join": p.q_star_join,
         "q_semi_join": p.q_semi_join,
         "q_anti_join": p.q_anti_join,
         "q_bloom_semi_join": p.q_bloom_semi_join,
@@ -76,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_chunk_docs": p.q_chunk_docs,
         "q_fingerprint": p.q_fingerprint,
         "q_quality": p.q_quality,
+        "q_percent_rank": p.q_percent_rank,
         "q_langid": p.q_langid,
         "q_repetition": p.q_repetition,
         "q_decontaminate": p.q_decontaminate,
@@ -415,6 +417,18 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q_training_prep": q_training_prep_sql,
         "q_quality": q_quality_sql,
+        # percent_rank = (rank-1)/(n-1): strictly-smaller count over
+        # the same 4-decimal quality expression
+        "q_percent_rank": f"""
+            WITH qual AS ({q_quality_sql}),
+            d AS (
+                SELECT q.doc_id, s.source, q.quality
+                FROM qual q JOIN documents s USING (doc_id))
+            SELECT doc_id, source, quality,
+                   round(percent_rank() OVER (
+                       PARTITION BY source ORDER BY quality), 6) AS pr
+            FROM d ORDER BY doc_id
+        """,
         "q_langid": q_langid_sql,
         "q_repetition": q_repetition_sql,
         # trigram join against the % 97 'benchmark' slice; same
@@ -1164,6 +1178,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= CASE source
                 WHEN 'src0' THEN 20 WHEN 'src1' THEN 12 ELSE 8 END
             ORDER BY source, doc_id
+        """,
+        "q_star_join": """
+            SELECT r_name,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders, customer, nation, region
+            WHERE o_custkey = c_custkey
+              AND c_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
         """,
         # LOCF resample: epoch-aligned 6-hour grid per user between the
         # corpus min/max ts; ASOF LEFT JOIN carries the latest earlier

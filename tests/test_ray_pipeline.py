@@ -1905,3 +1905,40 @@ def test_resample_locf_semantics(ray_session, tmp_path):
     u2 = out[out["user_id"] == 2].reset_index(drop=True)
     # event exactly ON the first grid point is included (<=)
     assert (u2["value"] == 5.0).all()
+
+
+def test_percent_rank_by(ray_session):
+    """Histogram percent_rank matches pandas rank(method='min') math,
+    handles ties and single-row groups."""
+    import ray.data as rd
+
+    from unfurl_ray.ops.relational import percent_rank_by
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 500 + ["b"] * 10 + ["c"],  # heavy skew on 'a'
+            "v": np.concatenate(
+                [rng.integers(0, 20, 500),  # many ties
+                 rng.integers(0, 5, 10), [3]]
+            ).astype("float64"),
+            "rid": range(511),
+        }
+    )
+    out = (
+        percent_rank_by(
+            rd.from_pandas(df).repartition(4), key_col="k", value_col="v"
+        )
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.groupby("k")["v"]
+        .transform(lambda s: (s.rank(method="min") - 1)
+                   / max(len(s) - 1, 1))
+        .round(6)
+    )
+    assert np.allclose(out["pr"].to_numpy(), exp.to_numpy())
+    # single-row group -> 0
+    assert out.loc[out["k"] == "c", "pr"].iloc[0] == 0.0

@@ -1205,3 +1205,51 @@ def rolling_range_window(ds, key_col: str, ts_col: str, value_col: str,
         .groupby("_shard")
         .map_groups(windows_in_shard, batch_format="pandas")
     )
+
+
+def percent_rank_by(ds, key_col: str, value_col: str,
+                    out_col: str = "pr", ndigits: int = 6,
+                    num_partitions: int = 8):
+    """Exact SQL ``percent_rank() OVER (PARTITION BY key ORDER BY
+    value)`` — (rows strictly smaller) / (n - 1) — without ever
+    grouping a key's ROWS together: the shuffle carries the (key,
+    value) HISTOGRAM (one row per distinct value per key), the per-key
+    cumsum runs over that histogram, and the tiny mapping joins back
+    to the rows by (key, value).
+
+    Skew contract: a group is bounded by the key's DISTINCT-value
+    count, not its row count — safe for discretized scores (rounded
+    floats, integer bins) under any row skew.  For unbounded-precision
+    values, bin first.
+
+    ``ds`` is consumed twice (histogram + the mapping join's probe
+    side) and is materialized here so its upstream runs once — pass a
+    PRUNED projection (key, value, ids only), not wide rows.
+    """
+    ds = ds.materialize()
+    hist = bucketed_aggregate(
+        ds, [key_col, value_col], {"cnt": (value_col, "count")}
+    )
+
+    def cum(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(value_col)
+        counts = g["cnt"].to_numpy(dtype=np.int64)
+        n = counts.sum()
+        before = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pr = (
+            np.round(before / (n - 1), ndigits)
+            if n > 1 else np.zeros(len(g))
+        )
+        return pa.table(
+            {
+                key_col: pa.array(g[key_col].to_numpy()),
+                value_col: pa.array(g[value_col].to_numpy()),
+                out_col: pa.array(pr, pa.float64()),
+            }
+        )
+
+    mapping = hist.groupby(key_col).map_groups(cum, batch_format="pandas")
+    return ds.join(
+        mapping, join_type="inner", num_partitions=num_partitions,
+        on=(key_col, value_col),
+    )

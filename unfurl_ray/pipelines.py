@@ -2043,3 +2043,97 @@ def q_resample_locf(sf_dir: str) -> pd.DataFrame:
         .sort_values(["user_id", "gsec"])
         .reset_index(drop=True)
     )
+
+
+def q_star_join(sf_dir: str) -> pd.DataFrame:
+    """Star-schema rollup: orders (fact) x customer (large dim, hash
+    join) x nation x region (fixed-size dims, broadcast into the
+    customer map) -> revenue per region.  The dimension chain collapses
+    to ONE byte-partitioned hash join plus a broadcast lookup — the
+    nation/region tables are constant-size in TPC-H no matter the SF,
+    so shipping them inside the task closure is the 100 TB plan, not a
+    shortcut."""
+    import os
+
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    nation = _parquet(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = _parquet(sf_dir, "region", ["r_regionkey", "r_name"])
+    r_name = {
+        r["r_regionkey"]: r["r_name"] for r in region.take_all()
+    }
+    nat_region = {
+        n["n_nationkey"]: r_name[n["n_regionkey"]]
+        for n in nation.take_all()
+    }
+
+    customer = _parquet(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def add_region(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        names = pa.array([nat_region[int(k)] for k in nk], pa.string())
+        return pa.table(
+            {"c_custkey": batch.column("c_custkey"), "r_name": names}
+        )
+
+    cust_region = customer.map_batches(add_region, batch_format="pyarrow")
+
+    in_bytes = sum(
+        os.stat(f"{sf_dir}/{t}.parquet").st_size
+        for t in ("orders", "customer")
+    )
+    orders = _parquet(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = orders.join(
+        cust_region,
+        join_type="inner",
+        num_partitions=int(max(8, in_bytes // (256 << 20))),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    out = pre_aggregate(
+        joined, ["r_name"],
+        {"revenue": ("o_totalprice", "sum"),
+         "n_orders": ("o_totalprice", "count")},
+    ).to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+def q_percent_rank(sf_dir: str) -> pd.DataFrame:
+    """Per-domain score normalization: exact percent_rank of each
+    document's quality score within its source, via the histogram
+    decomposition (ops.relational.percent_rank_by) — the shuffle
+    carries one row per distinct (source, quality), never a source's
+    documents, so a million-doc domain costs the same as a ten-doc
+    one.  Quality scores are 4-decimal-rounded, bounding the histogram
+    at 10k rows per source."""
+    from unfurl_ray.ops.relational import percent_rank_by
+    from unfurl_ray.ops.textstats import quality_score_batch
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def score(batch: pd.DataFrame) -> pa.Table:
+        q = quality_score_batch(batch)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    batch["doc_id"].to_numpy(), pa.int64()
+                ),
+                "source": pa.array(batch["source"], pa.string()),
+                "quality": pa.array(
+                    q["quality"].to_numpy(), pa.float64()
+                ),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pandas")
+    out = percent_rank_by(
+        scored, key_col="source", value_col="quality"
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return (
+        out[["doc_id", "source", "quality", "pr"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
