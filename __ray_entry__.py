@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pack_shards": p.q_pack_shards,
         "q_pack_write": p.q_pack_write,
         "q_pii_scrub": p.q_pii_scrub,
+        "q_k_anon": p.q_k_anon,
         "q_bigram_counts": p.q_bigram_counts,
         "q_stratified_sample": p.q_stratified_sample,
         "q_weighted_sample": p.q_weighted_sample,
@@ -1178,6 +1179,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= CASE source
                 WHEN 'src0' THEN 20 WHEN 'src1' THEN 12 ELSE 8 END
             ORDER BY source, doc_id
+        """,
+        # k-anonymity: (source, lang) tuples with < 5 rows suppressed
+        "q_k_anon": """
+            WITH c AS (
+                SELECT source, lang, count(*) AS group_n
+                FROM documents GROUP BY source, lang)
+            SELECT doc_id,
+                   CASE WHEN group_n >= 5 THEN d.source ELSE '*' END
+                       AS source,
+                   CASE WHEN group_n >= 5 THEN d.lang ELSE '*' END
+                       AS lang,
+                   group_n
+            FROM documents d JOIN c USING (source, lang)
+            ORDER BY doc_id
         """,
         "q_star_join": """
             SELECT r_name,

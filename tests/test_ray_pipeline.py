@@ -1942,3 +1942,33 @@ def test_percent_rank_by(ray_session):
     assert np.allclose(out["pr"].to_numpy(), exp.to_numpy())
     # single-row group -> 0
     assert out.loc[out["k"] == "c", "pr"].iloc[0] == 0.0
+
+
+def test_k_anonymize(ray_session):
+    """Rare tuples suppressed to '*', frequent ones untouched, and the
+    released table is k-anonymous by construction."""
+    import ray.data as rd
+
+    from unfurl_ray.ops.privacy import k_anonymize
+
+    df = pd.DataFrame(
+        {
+            "rid": range(10),
+            "a": ["x"] * 6 + ["y"] * 3 + ["z"],
+            "b": ["p"] * 6 + ["q"] * 3 + ["r"],
+        }
+    )
+    out = (
+        k_anonymize(
+            rd.from_pandas(df).repartition(3), ["a", "b"], k=3
+        )
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    assert (out.loc[out["rid"] < 9, "a"] != "*").all()
+    assert out.loc[9, "a"] == "*" and out.loc[9, "b"] == "*"
+    assert out.loc[9, "group_n"] == 1
+    # every released tuple (ignoring the sentinel class) appears >= k
+    released = out[out["a"] != "*"].groupby(["a", "b"]).size()
+    assert (released >= 3).all()

@@ -1,0 +1,51 @@
+"""Dataset-level privacy operators (column combination suppression).
+
+``pii_scrub_batch`` (ops/textstats.py) redacts WITHIN a text column;
+this module handles the complementary risk: quasi-identifier column
+COMBINATIONS rare enough to re-identify a row.  k-anonymity demands
+every released (col1, .., colN) tuple appear at least k times.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def k_anonymize(ds, quasi_cols: list[str], k: int,
+                sentinel: str = "*"):
+    """Suppress quasi-identifier tuples seen fewer than ``k`` times:
+    every ``quasi_cols`` value of a rare tuple's rows is replaced by
+    ``sentinel`` (full-tuple suppression — partial generalization
+    would need a taxonomy).  Adds ``group_n``, the tuple's original
+    frequency, for auditability.
+
+    Scale shape: tuple frequencies via ``bucketed_aggregate`` (one
+    histogram row per distinct tuple crosses the shuffle), then a
+    hash join back to the rows — the rare SET is never driver-side or
+    broadcast, so a long tail of millions of rare tuples costs one
+    co-partitioned join, same as percent_rank_by.
+    """
+    from unfurl_ray.ops.relational import bucketed_aggregate
+
+    ds = ds.materialize()  # consumed twice: histogram + probe side
+    hist = bucketed_aggregate(
+        ds, quasi_cols, {"group_n": (quasi_cols[0], "count")}
+    )
+    joined = ds.join(
+        hist, join_type="inner", num_partitions=8,
+        on=tuple(quasi_cols),
+    )
+
+    def suppress(batch: pd.DataFrame) -> pd.DataFrame:
+        rare = (batch["group_n"] < k).to_numpy()
+        out = batch.copy()
+        for c in quasi_cols:
+            vals = out[c].to_numpy(dtype=object, copy=True)
+            vals[rare] = sentinel
+            out[c] = vals
+        out["group_n"] = out["group_n"].astype("int64")
+        return out
+
+    return joined.map_batches(suppress, batch_format="pandas")

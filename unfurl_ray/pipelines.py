@@ -2137,3 +2137,21 @@ def q_percent_rank(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def q_k_anon(sf_dir: str) -> pd.DataFrame:
+    """k-anonymity release: (source, lang) tuples appearing < 5 times
+    are suppressed to '*' so no released row's quasi-identifiers match
+    fewer than 5 documents.  Tuple frequencies ride the bucketed
+    histogram + hash-join shape (ops.privacy.k_anonymize) — no rare
+    set on the driver."""
+    from unfurl_ray.ops.privacy import k_anonymize
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "source", "lang"])
+    out = k_anonymize(ds, quasi_cols=["source", "lang"], k=5).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return (
+        out[["doc_id", "source", "lang", "group_n"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
