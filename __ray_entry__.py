@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decontaminate": p.q_decontaminate,
         "q_pack_shards": p.q_pack_shards,
         "q_pack_write": p.q_pack_write,
+        "q_export_jsonl": p.q_export_jsonl,
         "q_pii_scrub": p.q_pii_scrub,
         "q_k_anon": p.q_k_anon,
         "q_bigram_counts": p.q_bigram_counts,
@@ -1179,6 +1180,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= CASE source
                 WHEN 'src0' THEN 20 WHEN 'src1' THEN 12 ELSE 8 END
             ORDER BY source, doc_id
+        """,
+        # JSONL export manifest: same Knuth multiplicative hash bucket
+        # rule as q_pack_write
+        "q_export_jsonl": """
+            SELECT CAST(((CAST(doc_id AS HUGEINT) * 2654435761)
+                         % 18446744073709551616) % 8 AS BIGINT)
+                       AS bucket,
+                   count(*) AS n_rows
+            FROM documents GROUP BY 1 ORDER BY 1
         """,
         # k-anonymity: (source, lang) tuples with < 5 rows suppressed
         "q_k_anon": """

@@ -113,6 +113,9 @@ def run_queries() -> dict:
         ("q_vocab_spectrum", p.q_vocab_spectrum),
         ("q_ntile_curriculum", p.q_ntile_curriculum),
         ("q_kmeans_sample", p.q_kmeans_sample),
+        ("q_chunk_docs", p.q_chunk_docs),
+        ("q_resample_locf", p.q_resample_locf),
+        ("q_percent_rank", p.q_percent_rank),
     ]:
         t0 = time.time()
         result = fn(SF_DIR)

@@ -1972,3 +1972,39 @@ def test_k_anonymize(ray_session):
     # every released tuple (ignoring the sentinel class) appears >= k
     released = out[out["a"] != "*"].groupby(["a", "b"]).size()
     assert (released >= 3).all()
+
+
+def test_write_jsonl_shards_resume(ray_session, tmp_path):
+    """Files are valid JSONL sorted by id; a second run skips all
+    existing parts; content round-trips."""
+    import json as _json
+
+    import ray.data as rd
+
+    from unfurl_ray.ops.layout import write_jsonl_shards
+
+    df = pd.DataFrame(
+        {"doc_id": range(40), "txt": [f"d{i}" for i in range(40)]}
+    )
+    out = str(tmp_path / "jsonl")
+    m1 = write_jsonl_shards(
+        rd.from_pandas(df).repartition(4), out, id_col="doc_id",
+        n_buckets=4,
+    )
+    assert m1["n_rows"].sum() == 40 and not m1["skipped"].any()
+    # every line is JSON; ids ascend within a file
+    import glob
+
+    total = 0
+    for f in sorted(glob.glob(out + "/part-*.jsonl")):
+        ids = [_json.loads(ln)["doc_id"] for ln in open(f)]
+        assert ids == sorted(ids)
+        total += len(ids)
+    assert total == 40
+    # resume: all parts skipped, manifest identical counts
+    m2 = write_jsonl_shards(
+        rd.from_pandas(df).repartition(7), out, id_col="doc_id",
+        n_buckets=4,
+    )
+    assert m2["skipped"].all()
+    assert m2["n_rows"].tolist() == m1["n_rows"].tolist()

@@ -133,3 +133,60 @@ def bucketed_join(path_a: str, path_b: str, key_col: str,
         pd.DataFrame({"bucket": np.arange(n_buckets, dtype=np.int64)})
     ).repartition(n_buckets)
     return buckets.map_batches(join_bucket, batch_format="pandas")
+
+
+def write_jsonl_shards(ds, out_dir: str, id_col: str = "doc_id",
+                       n_buckets: int = 8):
+    """JSONL egress: write the dataset as ``out_dir/part-BBBBB.jsonl``
+    (one file per hash bucket of ``id_col``, rows sorted by id inside)
+    and return the manifest (bucket, n_rows, n_bytes, skipped) —
+    the hand-off format external tokenizers / labeling tools expect.
+
+    Deterministic + resumable like write_packed_shards: bucket
+    membership is a pure function of the id, files land tmp+rename,
+    and a re-run SKIPS buckets whose file already exists.  The groupby
+    is the one payload co-locating shuffle an export needs; the JSON
+    encoding is pandas' C serializer, not a Python loop.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["_bucket"] = bucket_of(
+            batch[id_col].to_numpy(), n_buckets
+        ).astype(np.int64)
+        return out
+
+    def write_one(group: pd.DataFrame) -> pa.Table:
+        b = int(group["_bucket"].iloc[0])
+        g = (
+            group.drop(columns=["_bucket"])
+            .sort_values(id_col)
+            .reset_index(drop=True)
+        )
+        path = os.path.join(out_dir, f"part-{b:05d}.jsonl")
+        skipped = os.path.exists(path)
+        if not skipped:
+            tmp = path + ".tmp"
+            g.to_json(tmp, orient="records", lines=True,
+                      force_ascii=False)
+            os.rename(tmp, path)
+        return pa.table(
+            {
+                "bucket": pa.array([b], pa.int64()),
+                "n_rows": pa.array([len(g)], pa.int64()),
+                "n_bytes": pa.array(
+                    [os.stat(path).st_size], pa.int64()
+                ),
+                "skipped": pa.array([skipped], pa.bool_()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(write_one, batch_format="pandas")
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )

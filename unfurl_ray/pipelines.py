@@ -2155,3 +2155,25 @@ def q_k_anon(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def q_export_jsonl(sf_dir: str) -> pd.DataFrame:
+    """JSONL corpus export (8 hash-bucketed part files under /tmp,
+    resumable, deterministic) -> the manifest's (bucket, n_rows),
+    hash-checked against the same multiplicative-hash bucketing in
+    SQL.  File bytes and skip flags are audited by pytest, not the
+    oracle (they are filesystem facts, not SQL facts)."""
+    import shutil
+    import tempfile
+
+    from unfurl_ray.ops.layout import write_jsonl_shards
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    out_dir = tempfile.mkdtemp(prefix="unfurl_jsonl_")
+    try:
+        manifest = write_jsonl_shards(
+            ds, out_dir, id_col="doc_id", n_buckets=8
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return manifest[["bucket", "n_rows"]].reset_index(drop=True)
