@@ -247,7 +247,8 @@ def sessionize(ds, ts_col: str, key_col: str, gap_s: int):
 def asof_join_partitioned(left_ds, right_ds, key_col: str, left_ts: str,
                           right_ts: str, bucket_s: int,
                           left_keep: list[str], right_keep: list[str],
-                          dtypes: dict[str, str] | None = None):
+                          dtypes: dict[str, str] | None = None,
+                          n_merge_buckets: int | None = None):
     """Backward as-of join that range-partitions BOTH sides by
     (key, time bucket) — the scale path when the right side is too
     large to broadcast (the broadcast variant re-ships the whole right
@@ -417,17 +418,39 @@ def asof_join_partitioned(left_ds, right_ds, key_col: str, left_ts: str,
             df[c] = df[c].astype(dtypes.get(c, "Int64"))
         return df[out_cols]
 
-    def merge_group(group: pd.DataFrame) -> pd.DataFrame:
+    # shuffle granularity is DECOUPLED from the (key, bucket) merge
+    # semantics (the map_groups-dispatch rule, see ops/dedup.py): one
+    # Python group per (key, bucket) cell cost 22 s at 1.5k keys x 15
+    # buckets; instead hash cells onto ~TARGET-row shuffle buckets and
+    # let merge_asof(by=[key, bucket]) separate cells VECTORIZED inside
+    if n_merge_buckets is None:
+        n_merge_buckets = 256  # callers with cheap counts should size
+        # this to ~20k union rows per bucket (floor 16)
+
+    def add_sb(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(
+            batch[[key_col, "_bucket"]], index=False
+        ).to_numpy()
+        batch["_sb"] = (h % np.uint64(n_merge_buckets)).astype(np.int64)
+        return _arrow(batch)
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        by = [key_col, "_bucket"]
         lefts = (
             group[group["_side"] == 0]
-            .sort_values("_ts")[["_ts"] + left_keep]
+            .sort_values("_ts")[["_ts"] + by + left_keep]
         )
-        # merge_asof takes the LAST row among equal _ts, so sorting by
-        # (_ts, payload) makes the greatest right_keep tuple win —
-        # the documented duplicate-resolution rule
+        if lefts.empty:
+            out = lefts.copy()
+            for c in right_keep:
+                out[c] = _na(0, c)
+            return _cast_out(out)
+        # merge_asof takes the LAST row among equal _ts per by-cell, so
+        # the stable (_ts, payload) sort makes the greatest right_keep
+        # tuple win — the documented duplicate-resolution rule
         rights = (
             group[group["_side"] == 1]
-            .sort_values(["_ts"] + right_keep)[["_ts"] + right_keep]
+            .sort_values(["_ts"] + right_keep)[["_ts"] + by + right_keep]
         )
         if rights.empty:
             out = lefts.copy()
@@ -435,12 +458,14 @@ def asof_join_partitioned(left_ds, right_ds, key_col: str, left_ts: str,
                 out[c] = _na(len(out), c)
             return _cast_out(out)
         merged = pd.merge_asof(
-            lefts, rights, on="_ts", direction="backward"
+            lefts, rights, on="_ts", by=by, direction="backward"
         )
         return _cast_out(merged)
 
-    return unioned.groupby([key_col, "_bucket"]).map_groups(
-        merge_group, batch_format="pandas"
+    return (
+        unioned.map_batches(add_sb, batch_format="pandas")
+        .groupby("_sb")
+        .map_groups(merge_bucket, batch_format="pandas")
     )
 
 

@@ -676,10 +676,13 @@ def q_asof_join_part(sf_dir: str) -> pd.DataFrame:
 
     left = events.map_batches(key_left, batch_format="pyarrow")
     right = orders.map_batches(key_right, batch_format="pandas")
+    # events.count() is parquet-metadata-cheap; sizes the merge shuffle
+    n_merge = max(16, 2 * events.count() // 20_000)
     out = asof_join_partitioned(
         left, right, "join_key", "ts", "o_orderdate",
         bucket_s=30 * 86400,
         left_keep=["event_id"], right_keep=["o_orderkey"],
+        n_merge_buckets=n_merge,
     ).to_pandas()
     out["event_id"] = out["event_id"].astype("int64")
     return out.sort_values("event_id").reset_index(drop=True)
@@ -2031,10 +2034,14 @@ def q_resample_locf(sf_dir: str) -> pd.DataFrame:
         ].max()
 
     right = ev.map_batches(reduce_ties, batch_format="pandas")
+    # merge-shuffle granularity sized to data: ev.count() is free on
+    # the materialized slice; grid rows are the same order of magnitude
+    n_merge = max(16, 2 * ev.count() // 20_000)
     out = asof_join_partitioned(
         grid, right, "user_id", "gts_us", "ts", bucket_s=2 * 86400,
         left_keep=["guser", "gsec"], right_keep=["value"],
         dtypes={"guser": "Int64", "gsec": "Int64", "value": "Float64"},
+        n_merge_buckets=n_merge,
     ).to_pandas()
     out = out.rename(columns={"guser": "user_id"})
     out["value"] = out["value"].astype("Float64").round(2)
