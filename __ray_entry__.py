@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_distinct_event_types": p.q_distinct_event_types,
         "q_events_window": p.q_events_window,
         "q_sessionize": p.q_sessionize,
+        "q_funnel": p.q_funnel,
+        "q_zscore": p.q_zscore,
         "q_asof_join": p.q_asof_join,
         "q_asof_join_part": p.q_asof_join_part,
         "q_hopping_window": p.q_hopping_window,
@@ -73,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hash_sample": p.q_hash_sample,
         "q_token_count": p.q_token_count,
         "q_exact_dedup": p.q_exact_dedup,
+        "q_dataset_diff": p.q_dataset_diff,
         "q_substring_dedup": p.q_substring_dedup,
         "q_chunk_docs": p.q_chunk_docs,
         "q_fingerprint": p.q_fingerprint,
@@ -1180,6 +1183,64 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= CASE source
                 WHEN 'src0' THEN 20 WHEN 'src1' THEN 12 ELSE 8 END
             ORDER BY source, doc_id
+        """,
+        # snapshot diff: simulated re-crawl (drop %7, edit %11, add a
+        # +1e6-id copy of %13); unchanged pairs excluded
+        "q_dataset_diff": """
+            WITH old AS (
+                SELECT doc_id, md5(text) AS fp FROM documents),
+            new AS (
+                SELECT doc_id,
+                       md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+                                ELSE text END) AS fp
+                FROM documents WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000, md5(text)
+                FROM documents WHERE doc_id % 13 = 0),
+            j AS (
+                SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                       o.fp AS ofp, n.fp AS nfp
+                FROM old o FULL OUTER JOIN new n
+                  ON o.doc_id = n.doc_id)
+            SELECT doc_id,
+                   CASE WHEN ofp IS NULL THEN 'added'
+                        WHEN nfp IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM j
+            WHERE ofp IS NULL OR nfp IS NULL OR ofp <> nfp
+            ORDER BY doc_id
+        """,
+        # grouped z-score: population stddev; 6-decimal round absorbs
+        # summation-order noise between the two-pass moments and
+        # DuckDB's single-pass stddev_pop
+        "q_zscore": """
+            SELECT event_id, event_type, value,
+                   round((value - avg(value) OVER w)
+                         / stddev_pop(value) OVER w, 6) AS z
+            FROM events
+            WINDOW w AS (PARTITION BY event_type)
+            ORDER BY event_id
+        """,
+        # first-touch funnel: each step strictly after the user's first
+        # qualifying previous step
+        "q_funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'signup' GROUP BY 1),
+            s2 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s1
+                  ON e.user_id = s1.user_id AND e.ts > s1.t
+                WHERE e.event_type = 'click' GROUP BY 1),
+            s3 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s2
+                  ON e.user_id = s2.user_id AND e.ts > s2.t
+                WHERE e.event_type = 'purchase' GROUP BY 1)
+            SELECT 'signup' AS step,
+                   (SELECT count(*) FROM s1) AS n_users
+            UNION ALL SELECT 'click', (SELECT count(*) FROM s2)
+            UNION ALL SELECT 'purchase', (SELECT count(*) FROM s3)
         """,
         # JSONL export manifest: same Knuth multiplicative hash bucket
         # rule as q_pack_write

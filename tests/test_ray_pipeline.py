@@ -2008,3 +2008,80 @@ def test_write_jsonl_shards_resume(ray_session, tmp_path):
     )
     assert m2["skipped"].all()
     assert m2["n_rows"].tolist() == m1["n_rows"].tolist()
+
+
+def test_funnel_counts_ordering(ray_session):
+    """Only strictly-after events count; first-touch anchors."""
+    import ray.data as rd
+
+    from unfurl_ray.ops.relational import funnel_counts
+
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 00:00", "2024-01-01 01:00", "2024-01-01 02:00",
+            # u2: B before A -> not converted past step A
+            "2024-01-02 00:00", "2024-01-01 23:00",
+            # u3: A only
+            "2024-01-03 00:00",
+        ]
+    )
+    df = pd.DataFrame(
+        {
+            "u": [1, 1, 1, 2, 2, 3],
+            "ts": ts,
+            "t": ["A", "B", "C", "A", "B", "A"],
+        }
+    )
+    out = funnel_counts(
+        rd.from_pandas(df).repartition(3), key_col="u", ts_col="ts",
+        type_col="t", steps=["A", "B", "C"],
+    )
+    assert out["n_users"].tolist() == [3, 1, 1]
+
+
+def test_zscore_by(ray_session):
+    """Matches per-group population z-scores; constant group -> NaN."""
+    import ray.data as rd
+
+    from unfurl_ray.ops.relational import zscore_by
+
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 4 + ["b"] * 3,
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0, 5.0, 5.0],
+            "rid": range(7),
+        }
+    )
+    out = (
+        zscore_by(rd.from_pandas(df).repartition(3), "k", "v")
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    exp_a = (df[df.k == "a"].v - 2.5) / np.std([1, 2, 3, 4])
+    assert np.allclose(out.loc[:3, "z"], np.round(exp_a, 6))
+    assert out.loc[4:, "z"].isna().all()  # zero variance
+
+
+def test_dataset_diff(ray_session):
+    """added / removed / changed classified; unchanged dropped."""
+    import ray.data as rd
+
+    from unfurl_ray.ops.diff import dataset_diff
+
+    old = pd.DataFrame({"doc_id": [1, 2, 3], "fp": ["x", "y", "z"]})
+    new = pd.DataFrame({"doc_id": [2, 3, 4], "fp": ["y", "Z2", "w"]})
+    out = (
+        dataset_diff(
+            rd.from_pandas(old), rd.from_pandas(new),
+            id_col="doc_id", fp_col="fp",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.to_dict("records") == [
+        {"doc_id": 1, "status": "removed"},
+        {"doc_id": 3, "status": "changed"},
+        {"doc_id": 4, "status": "added"},
+    ]

@@ -16,6 +16,7 @@ from typing import Any
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 class BroadcastJoin:
@@ -1278,3 +1279,87 @@ def percent_rank_by(ds, key_col: str, value_col: str,
         mapping, join_type="inner", num_partitions=num_partitions,
         on=(key_col, value_col),
     )
+
+
+def funnel_counts(ds, key_col: str, ts_col: str, type_col: str,
+                  steps: list[str]) -> pd.DataFrame:
+    """Ordered-funnel analysis: how many keys performed step[0], then
+    step[1] STRICTLY AFTER their first step[0], then step[2] after
+    that first qualifying step[1], ... (first-touch semantics).
+
+    Scale shape, per step: one bucketed min-aggregate over the
+    filtered events (histogram-sized output: one row per surviving
+    key) and one hash join of the next step's events against that
+    mapping — no per-key event streams are ever grouped, so a bot key
+    with 10^9 events costs its share of batch work, nothing more.
+    The tiny (key, first_ts) mapping is materialized per step because
+    it feeds both the join and the count.
+    """
+    frontier = None  # Dataset[(key, _t)] of keys alive at this step
+    counts: list[int] = []
+    for i, step in enumerate(steps):
+        stage = ds.map_batches(
+            lambda b, s=step: b.filter(
+                pc.equal(b.column(type_col), pa.scalar(s))
+            ),
+            batch_format="pyarrow",
+        )
+        if i > 0:
+            # bucketed_hash_join, not Dataset.join: funnel tails can
+            # leave hash partitions empty on one side (ArrowInvalid)
+            stage = bucketed_hash_join(
+                stage, frontier, on=key_col, right_on=key_col,
+                n_buckets=16,
+            ).map_batches(
+                lambda b: b.filter(
+                    pc.greater(b.column(ts_col), b.column("_t"))
+                ).drop_columns(["_t"]),
+                batch_format="pyarrow",
+            )
+        frontier = bucketed_aggregate(
+            stage, [key_col], {"_t": (ts_col, "min")}
+        ).materialize()
+        counts.append(frontier.count())
+    return pd.DataFrame({"step": steps, "n_users": counts})
+
+
+def zscore_by(ds, key_col: str, value_col: str, out_col: str = "z",
+              ndigits: int = 6):
+    """Grouped z-score normalization: (v - mean_g) / stddev_pop_g.
+
+    Two passes, no row shuffle: pass 1 pre-aggregates (sum, sumsq,
+    count) per key — one tiny row per key crosses the wire — and the
+    moments table broadcasts back into a stateless map (keys here are
+    categorical; for key counts too large to broadcast, join like
+    percent_rank_by instead).  Zero-variance groups emit NaN, matching
+    SQL division by a zero stddev -> NULL... cast side note: DuckDB
+    returns NULL, we emit NaN; the oracle canon unifies them.
+    """
+    def with_sq(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[[key_col, value_col]].copy()
+        v = batch[value_col].to_numpy(dtype=np.float64)
+        out["_v2"] = v * v
+        return out
+
+    moments = pre_aggregate(
+        ds.map_batches(with_sq, batch_format="pandas"),
+        [key_col],
+        {"_s": (value_col, "sum"), "_s2": ("_v2", "sum"),
+         "_n": (value_col, "count")},
+    ).to_pandas()
+    moments["_mean"] = moments["_s"] / moments["_n"]
+    var = moments["_s2"] / moments["_n"] - moments["_mean"] ** 2
+    moments["_std"] = np.sqrt(np.maximum(var, 0.0))
+    side = moments[[key_col, "_mean", "_std"]]
+
+    def apply_z(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.merge(side, on=key_col, how="left")
+        std = out["_std"].to_numpy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (out[value_col].to_numpy() - out["_mean"].to_numpy()) / std
+        out[out_col] = np.round(z, ndigits)
+        return out.drop(columns=["_mean", "_std"])
+
+    # categorical-key moments ride the task closure (bytes); a large
+    # key space should use broadcast_join (ray.put once) instead
+    return ds.map_batches(apply_z, batch_format="pandas")

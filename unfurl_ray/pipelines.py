@@ -2184,3 +2184,92 @@ def q_export_jsonl(sf_dir: str) -> pd.DataFrame:
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     return manifest[["bucket", "n_rows"]].reset_index(drop=True)
+
+
+def q_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered conversion funnel signup -> click -> purchase with
+    first-touch semantics (each step counted only strictly after the
+    user's first qualifying previous step).  Per step: one bucketed
+    min-aggregate + one hash join against the surviving-keys mapping —
+    no per-user event stream is ever grouped (ops.relational.
+    funnel_counts)."""
+    from unfurl_ray.ops.relational import funnel_counts
+
+    ds = _parquet(sf_dir, "events", ["user_id", "ts", "event_type"])
+    out = funnel_counts(
+        ds, key_col="user_id", ts_col="ts", type_col="event_type",
+        steps=["signup", "click", "purchase"],
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+def q_zscore(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type z-score normalization of event values — the
+    feature-scaling step before anomaly thresholds or model input.
+    Two passes: per-key (sum, sumsq, count) pre-aggregate, then a
+    stateless map; no row shuffle (ops.relational.zscore_by)."""
+    from unfurl_ray.ops.relational import zscore_by
+
+    ds = _parquet(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = zscore_by(ds, key_col="event_type", value_col="value").to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    return (
+        out[["event_id", "event_type", "value", "z"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_dataset_diff(sf_dir: str) -> pd.DataFrame:
+    """Snapshot delta detection: documents vs a simulated re-crawl
+    (every 7th doc gone, every 11th edited, every 13th duplicated
+    under a new id) -> added / removed / changed ids only.  Narrow
+    (id, md5) projections into one full-outer join; unchanged rows
+    never leave the classify map (ops.diff.dataset_diff)."""
+    import hashlib as _hl
+
+    from unfurl_ray.ops.diff import dataset_diff
+
+    def fp_batch(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fp": pa.array(
+                    [_hl.md5((t or "").encode()).hexdigest()
+                     for t in texts],
+                    pa.string(),
+                ),
+            }
+        )
+
+    old = _parquet(sf_dir, "documents", ["doc_id", "text"])
+
+    def simulate_new(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").to_pylist(), np.int64)
+        texts = batch.column("text").to_pylist()
+        out_id, out_txt = [], []
+        for i, t in zip(ids, texts):
+            if i % 7 != 0:
+                out_id.append(int(i))
+                out_txt.append(t + " v2" if i % 11 == 0 else t)
+            if i % 13 == 0:
+                out_id.append(int(i) + 1_000_000)
+                out_txt.append(t)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "text": pa.array(out_txt, pa.string()),
+            }
+        )
+
+    new = _parquet(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        simulate_new, batch_format="pyarrow"
+    )
+    out = dataset_diff(
+        old.map_batches(fp_batch, batch_format="pyarrow"),
+        new.map_batches(fp_batch, batch_format="pyarrow"),
+        id_col="doc_id", fp_col="fp",
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
