@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sessionize": p.q_sessionize,
         "q_funnel": p.q_funnel,
         "q_zscore": p.q_zscore,
+        "q_transitions": p.q_transitions,
         "q_asof_join": p.q_asof_join,
         "q_asof_join_part": p.q_asof_join_part,
         "q_hopping_window": p.q_hopping_window,
@@ -1183,6 +1184,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= CASE source
                 WHEN 'src0' THEN 20 WHEN 'src1' THEN 12 ELSE 8 END
             ORDER BY source, doc_id
+        """,
+        # Markov transition counts over (ts, event_id)-ordered streams
+        "q_transitions": """
+            WITH o AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+                FROM events)
+            SELECT prev AS src, event_type AS dst, count(*) AS n
+            FROM o WHERE prev IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # snapshot diff: simulated re-crawl (drop %7, edit %11, add a
         # +1e6-id copy of %13); unchanged pairs excluded

@@ -1363,3 +1363,44 @@ def zscore_by(ds, key_col: str, value_col: str, out_col: str = "z",
     # categorical-key moments ride the task closure (bytes); a large
     # key space should use broadcast_join (ray.put once) instead
     return ds.map_batches(apply_z, batch_format="pandas")
+
+
+def transition_counts(ds, key_col: str, ts_col: str, type_col: str,
+                      id_col: str):
+    """First-order Markov transition counts over each key's
+    (ts, id)-ordered event stream — the sequence statistic behind
+    next-event models and curriculum ordering.
+
+    Per-key map_groups pre-aggregates transitions INSIDE the group
+    (the shuffle output is at most |types|^2 rows per key, the global
+    reduce is tiny).  Same partitioning contract as lag_rolling: one
+    key's stream in one group; project to (id, key, ts, type) first so
+    the shuffle carries no payload.
+    """
+    def trans(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values([ts_col, id_col])
+        t = g[type_col].to_numpy()
+        if len(t) < 2:
+            return pa.table(
+                {"src": pa.array([], pa.string()),
+                 "dst": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        pairs = (
+            pd.DataFrame({"src": t[:-1], "dst": t[1:]})
+            .groupby(["src", "dst"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.table(
+            {
+                "src": pa.array(pairs["src"], pa.string()),
+                "dst": pa.array(pairs["dst"], pa.string()),
+                "n": pa.array(pairs["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    per_key = ds.groupby(key_col).map_groups(
+        trans, batch_format="pandas"
+    )
+    return pre_aggregate(per_key, ["src", "dst"], {"n": ("n", "sum")})

@@ -2273,3 +2273,20 @@ def q_dataset_diff(sf_dir: str) -> pd.DataFrame:
         id_col="doc_id", fp_col="fp",
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_transitions(sf_dir: str) -> pd.DataFrame:
+    """Event-type transition matrix (first-order Markov counts over
+    each user's time-ordered stream) — 25 cells from 5 event types;
+    per-user streams pre-aggregate inside their group, so the global
+    reduce sees |types|^2 rows per user, not events."""
+    from unfurl_ray.ops.relational import transition_counts
+
+    ds = _parquet(sf_dir, "events",
+                  ["event_id", "user_id", "ts", "event_type"])
+    out = transition_counts(
+        ds, key_col="user_id", ts_col="ts", type_col="event_type",
+        id_col="event_id",
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
