@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_funnel": p.q_funnel,
         "q_zscore": p.q_zscore,
         "q_transitions": p.q_transitions,
+        "q_drift_kl": p.q_drift_kl,
+        "q_trending": p.q_trending,
         "q_asof_join": p.q_asof_join,
         "q_asof_join_part": p.q_asof_join_part,
         "q_hopping_window": p.q_hopping_window,
@@ -1184,6 +1186,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= CASE source
                 WHEN 'src0' THEN 20 WHEN 'src1' THEN 12 ELSE 8 END
             ORDER BY source, doc_id
+        """,
+        # per-day KL divergence vs the global event-type mix
+        "q_drift_kl": """
+            WITH c AS (
+                SELECT date_trunc('day', ts) AS day, event_type,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2),
+            tq AS (
+                SELECT event_type,
+                       CAST(sum(n) AS DOUBLE)
+                           / (SELECT sum(n) FROM c) AS q
+                FROM c GROUP BY 1),
+            tp AS (
+                SELECT day, event_type,
+                       CAST(n AS DOUBLE)
+                           / sum(n) OVER (PARTITION BY day) AS p
+                FROM c)
+            SELECT day, round(sum(p * ln(p / q)), 6) AS kl
+            FROM tp JOIN tq USING (event_type)
+            GROUP BY day ORDER BY day
+        """,
+        # top-2 event types per day (count desc, type asc ties)
+        "q_trending": """
+            SELECT day, event_type, n FROM (
+                SELECT date_trunc('day', ts) AS day, event_type,
+                       count(*) AS n,
+                       row_number() OVER (
+                           PARTITION BY date_trunc('day', ts)
+                           ORDER BY count(*) DESC, event_type) AS rn
+                FROM events GROUP BY 1, 2)
+            WHERE rn <= 2 ORDER BY day, event_type
         """,
         # Markov transition counts over (ts, event_id)-ordered streams
         "q_transitions": """

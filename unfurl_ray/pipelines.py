@@ -2290,3 +2290,67 @@ def q_transitions(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+def q_drift_kl(sf_dir: str) -> pd.DataFrame:
+    """Distribution-drift monitor: KL(day's event-type mix || global
+    mix) per day — the alarm a streaming ingest pipeline runs to catch
+    upstream behavior changes.  One (day, type) pre-aggregated count
+    shuffle; the 30x5 histogram finishes on the driver."""
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    ds = _parquet(sf_dir, "events", ["ts", "event_type"])
+
+    def day_of(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["day"] = batch["ts"].dt.floor("D")
+        return out[["day", "event_type"]]
+
+    counts = pre_aggregate(
+        ds.map_batches(day_of, batch_format="pandas"),
+        ["day", "event_type"],
+        {"n": ("event_type", "count")},
+    ).to_pandas()
+    total = counts.groupby("event_type")["n"].sum()
+    q = (total / total.sum()).rename("q")
+    counts["p"] = counts["n"] / counts.groupby("day")["n"].transform(
+        "sum"
+    )
+    counts = counts.merge(q, left_on="event_type", right_index=True)
+    counts["term"] = counts["p"] * np.log(counts["p"] / counts["q"])
+    out = (
+        counts.groupby("day", as_index=False)["term"].sum()
+        .rename(columns={"term": "kl"})
+    )
+    out["kl"] = out["kl"].round(6)
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def q_trending(sf_dir: str) -> pd.DataFrame:
+    """Top-2 event types per day by count — windowed trending terms.
+    The heavy reduce is the pre-aggregated (day, type) count; the
+    top-k runs on the tiny histogram (partial top-k per batch)."""
+    from unfurl_ray.ops.relational import pre_aggregate, topk_per_group
+
+    ds = _parquet(sf_dir, "events", ["ts", "event_type"])
+
+    def day_of(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["day"] = batch["ts"].dt.floor("D")
+        return out[["day", "event_type"]]
+
+    counts = pre_aggregate(
+        ds.map_batches(day_of, batch_format="pandas"),
+        ["day", "event_type"],
+        {"n": ("event_type", "count")},
+    )
+    out = topk_per_group(
+        counts, key_col="day", order_col="n", k=2,
+        tiebreak_col="event_type",
+    )
+    out["n"] = out["n"].astype("int64")
+    return (
+        out[["day", "event_type", "n"]]
+        .sort_values(["day", "event_type"])
+        .reset_index(drop=True)
+    )
