@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bucketed_join": p.q_bucketed_join,
         "q_stream_dedup": p.q_stream_dedup,
         "q_range_join": p.q_range_join,
+        "q_window_join": p.q_window_join,
         "q_group_hll_users": p.q_group_hll_users,
         "q_distinct_users": p.q_distinct_users,
         "q_pivot_events": p.q_pivot_events,
@@ -1186,6 +1187,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= CASE source
                 WHEN 'src0' THEN 20 WHEN 'src1' THEN 12 ELSE 8 END
             ORDER BY source, doc_id
+        """,
+        # stream-stream windowed join: click 0-1 h after a view
+        "q_window_join": """
+            SELECT v.event_id AS left_id, c.event_id AS right_id
+            FROM events v JOIN events c
+              ON v.user_id = c.user_id
+             AND v.event_type = 'view' AND c.event_type = 'click'
+             AND c.ts > v.ts
+             AND c.ts <= v.ts + INTERVAL 1 HOUR
+            ORDER BY 1, 2
         """,
         # per-day KL divergence vs the global event-type mix
         "q_drift_kl": """

@@ -2085,3 +2085,43 @@ def test_dataset_diff(ray_session):
         {"doc_id": 3, "status": "changed"},
         {"doc_id": 4, "status": "added"},
     ]
+
+
+def test_windowed_pair_join(ray_session):
+    """Pairs across bucket boundaries found once; (0, W] bounds are
+    strict-exclusive / inclusive; other keys never match."""
+    import ray.data as rd
+
+    from unfurl_ray.ops.relational import windowed_pair_join
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # u1: view at t=0; clicks at +1s (in), +3600s (boundary, in),
+        # +3601s (out), -5s (before, out)
+        (1, 1, base, "view"),
+        (2, 1, base + pd.Timedelta(seconds=1), "click"),
+        (3, 1, base + pd.Timedelta(seconds=3600), "click"),
+        (4, 1, base + pd.Timedelta(seconds=3601), "click"),
+        (5, 1, base - pd.Timedelta(seconds=5), "click"),
+        # u2 click inside u1's window: different key, no match
+        (6, 2, base + pd.Timedelta(seconds=10), "click"),
+        # u1 second view late in a bucket, click early in the next one
+        (7, 1, base + pd.Timedelta(seconds=3599), "view"),
+        (8, 1, base + pd.Timedelta(seconds=3650), "click"),
+    ]
+    df = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    out = (
+        windowed_pair_join(
+            rd.from_pandas(df).repartition(3),
+            key_col="user_id", ts_col="ts", id_col="event_id",
+            type_col="event_type", left_type="view",
+            right_type="click", width_s=3600, n_merge_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["left_id", "right_id"])
+        .reset_index(drop=True)
+    )
+    got = list(map(tuple, out.to_numpy()))
+    assert got == [(1, 2), (1, 3), (7, 3), (7, 4), (7, 8)]

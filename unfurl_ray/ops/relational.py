@@ -1404,3 +1404,83 @@ def transition_counts(ds, key_col: str, ts_col: str, type_col: str,
         trans, batch_format="pandas"
     )
     return pre_aggregate(per_key, ["src", "dst"], {"n": ("n", "sum")})
+
+
+def windowed_pair_join(ds, key_col: str, ts_col: str, id_col: str,
+                       type_col: str, left_type: str, right_type: str,
+                       width_s: int, n_merge_buckets: int = 64):
+    """Event-time stream-stream join: all (left, right) pairs with the
+    same key and ``0 < right.ts - left.ts <= width_s`` — "click within
+    an hour AFTER a view".  Differs from the as-of join (ALL pairs,
+    not the latest) and from range_join (no broadcast side).
+
+    Shape: lefts land in their time bucket (floor(ts / width)); rights
+    replicate to their own AND the previous bucket, so every valid
+    pair co-locates in the left's bucket exactly once — a 2x fan-out
+    of one side instead of any per-key stream grouping.  (key, bucket)
+    cells then hash onto ~fixed shuffle buckets and each group joins
+    its cells vectorized (the same dispatch-decoupling as the as-of
+    merge).  Per-group memory is bounded by the pair count of its
+    cells — the true output size, irreducible for an all-pairs join.
+    """
+    width_us = width_s * 1_000_000
+
+    def shape(batch: pd.DataFrame) -> pa.Table:
+        us = _ts_us(batch[ts_col]).to_numpy()
+        b = us // width_us
+        t = batch[type_col].to_numpy()
+        base = pd.DataFrame(
+            {
+                key_col: batch[key_col].to_numpy(),
+                "_ts": us,
+                id_col: batch[id_col].to_numpy(),
+                "_bucket": b,
+            }
+        )
+        lefts = base[t == left_type].copy()
+        lefts["_side"] = np.int8(0)
+        rights = base[t == right_type]
+        r0 = rights.copy()
+        r0["_side"] = np.int8(1)
+        r1 = rights.copy()
+        r1["_bucket"] = r1["_bucket"] - 1  # reach lefts one bucket back
+        r1["_side"] = np.int8(1)
+        out = pd.concat([lefts, r0, r1], ignore_index=True)
+        h = pd.util.hash_pandas_object(
+            out[[key_col, "_bucket"]], index=False
+        ).to_numpy()
+        out["_sb"] = (h % np.uint64(n_merge_buckets)).astype(np.int64)
+        return _arrow(out)
+
+    def join_cells(group: pd.DataFrame) -> pa.Table:
+        on = [key_col, "_bucket"]
+        lefts = group[group["_side"] == 0]
+        rights = group[group["_side"] == 1]
+        empty = pa.table(
+            {"left_id": pa.array([], pa.int64()),
+             "right_id": pa.array([], pa.int64())}
+        )
+        if lefts.empty or rights.empty:
+            return empty
+        pairs = lefts[on + ["_ts", id_col]].merge(
+            rights[on + ["_ts", id_col]], on=on,
+            suffixes=("_l", "_r"),
+        )
+        dt = pairs["_ts_r"] - pairs["_ts_l"]
+        keep = pairs[(dt > 0) & (dt <= width_us)]
+        return pa.table(
+            {
+                "left_id": pa.array(
+                    keep[f"{id_col}_l"].to_numpy(), pa.int64()
+                ),
+                "right_id": pa.array(
+                    keep[f"{id_col}_r"].to_numpy(), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(shape, batch_format="pandas")
+        .groupby("_sb")
+        .map_groups(join_cells, batch_format="pandas")
+    )

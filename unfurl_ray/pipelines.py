@@ -2354,3 +2354,22 @@ def q_trending(sf_dir: str) -> pd.DataFrame:
         .sort_values(["day", "event_type"])
         .reset_index(drop=True)
     )
+
+
+def q_window_join(sf_dir: str) -> pd.DataFrame:
+    """All (view, click) pairs per user with the click 0-1 h after the
+    view — event-time stream-stream join via bucket fan-out
+    (ops.relational.windowed_pair_join); no per-user stream ever
+    groups, rights fan out 2x instead."""
+    from unfurl_ray.ops.relational import windowed_pair_join
+
+    ds = _parquet(sf_dir, "events",
+                  ["event_id", "user_id", "ts", "event_type"])
+    out = windowed_pair_join(
+        ds, key_col="user_id", ts_col="ts", id_col="event_id",
+        type_col="event_type", left_type="view", right_type="click",
+        width_s=3600,
+    ).to_pandas()
+    return (
+        out.sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    )
