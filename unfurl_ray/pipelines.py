@@ -25,11 +25,18 @@ def _rd():
     return rd
 
 
-def _parquet(sf_dir: str, table: str, columns=None):
+def _parquet(sf_dir: str, table: str, columns=None, num_blocks=None):
     """Pruned read with an explicit METADATA-FREE schema: the testdata
     parquet files embed a pandas-metadata dict, which Ray can't hash
     for schema dedup — every read/reduce task then logs "Failed to
-    hash the schemas", burying real warnings."""
+    hash the schemas", burying real warnings.
+
+    ``num_blocks``: shuffle-heavy consumers should size blocks by
+    BYTES (Ray's sort makes #input-blocks range partitions and
+    blocks^2 store fragments — see BASELINE.md "fragment pathology");
+    pass e.g. ``max(8, file_bytes // (64 << 20))``.  CPU-heavy
+    map-only consumers should leave the default (more blocks = more
+    task parallelism)."""
     import pyarrow.parquet as pq
 
     path = f"{sf_dir}/{table}.parquet"
@@ -37,7 +44,32 @@ def _parquet(sf_dir: str, table: str, columns=None):
     schema = (
         pa.schema([full.field(c) for c in columns]) if columns else full
     )
-    return _rd().read_parquet(path, columns=columns, schema=schema)
+    kw = {"override_num_blocks": num_blocks} if num_blocks else {}
+    return _rd().read_parquet(path, columns=columns, schema=schema, **kw)
+
+
+def _footer_ts_bounds(sf_dir: str, table: str, col: str):
+    """(min, max) of a timestamp column from parquet FOOTER statistics
+    — a metadata-only read (row-group stats), no data scan.  At 100 TB
+    this touches one footer per file instead of every row.  Returns
+    None when any row group lacks stats (caller falls back to an
+    aggregate)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata
+    lo = hi = None
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for i in range(rg.num_columns):
+            c = rg.column(i)
+            if c.path_in_schema != col:
+                continue
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    return None if lo is None else (lo, hi)
 
 
 # -- relational core --------------------------------------------------------
@@ -650,11 +682,20 @@ def q_asof_join_part(sf_dir: str) -> pd.DataFrame:
     (key, time), right-side per-bucket maxima forward-filled as carry
     rows — the scale path when the right side is too large to
     broadcast.  Shares q_asof_join's oracle (identical output)."""
+    import os
+
     from unfurl_ray.ops.relational import asof_join_partitioned
 
-    events = _parquet(sf_dir, "events", ["event_id", "user_id", "ts"])
+    # shuffle-bound: byte-sized blocks (see _parquet's num_blocks note)
+    def _nb(table: str) -> int:
+        sz = os.path.getsize(f"{sf_dir}/{table}.parquet")
+        return max(8, sz // (64 << 20))
+
+    events = _parquet(sf_dir, "events", ["event_id", "user_id", "ts"],
+                      num_blocks=_nb("events"))
     orders = _parquet(
-        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
+        num_blocks=_nb("orders"),
     )
 
     def key_left(batch: pa.Table) -> pa.Table:
@@ -1984,6 +2025,7 @@ def q_resample_locf(sf_dir: str) -> pd.DataFrame:
     no per-user whole-stream group.  DuckDB ASOF LEFT JOIN is the
     hash-exact twin."""
     import math
+    import os
 
     from unfurl_ray.ops.relational import (
         asof_join_partitioned,
@@ -1992,16 +2034,27 @@ def q_resample_locf(sf_dir: str) -> pd.DataFrame:
 
     STEP = 21600  # 6 h
 
-    ev = _parquet(sf_dir, "events", ["user_id", "ts", "value"])
-    # consumed three times (bounds, users, right side): materialize the
-    # 3-column slice once instead of re-reading per consumer
+    # byte-sized blocks: this query is shuffle-bound (three all-to-alls
+    # downstream), and sort partitions / store fragments scale with the
+    # input block count — see _parquet's num_blocks note
+    n_blocks = max(
+        8, os.path.getsize(f"{sf_dir}/events.parquet") // (64 << 20)
+    )
+    ev = _parquet(sf_dir, "events", ["user_id", "ts", "value"],
+                  num_blocks=n_blocks)
+    # consumed twice (users, right side): materialize the 3-column
+    # slice once instead of re-reading per consumer
     ev = ev.materialize()
 
-    from ray.data.aggregate import Max, Min
+    fb = _footer_ts_bounds(sf_dir, "events", "ts")
+    if fb is not None:  # metadata-only, no scan
+        t_min, t_max = (pd.Timestamp(b).value / 1e9 for b in fb)
+    else:
+        from ray.data.aggregate import Max, Min
 
-    bounds = ev.aggregate(Min("ts"), Max("ts"))
-    t_min = pd.Timestamp(bounds["min(ts)"]).value / 1e9  # float sec
-    t_max = pd.Timestamp(bounds["max(ts)"]).value / 1e9
+        bounds = ev.aggregate(Min("ts"), Max("ts"))
+        t_min = pd.Timestamp(bounds["min(ts)"]).value / 1e9
+        t_max = pd.Timestamp(bounds["max(ts)"]).value / 1e9
     s = int(math.ceil(t_min / STEP)) * STEP
     e = int(math.floor(t_max / STEP)) * STEP
 
