@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_stream_dedup": p.q_stream_dedup,
         "q_range_join": p.q_range_join,
         "q_window_join": p.q_window_join,
+        "q_mad": p.q_mad,
+        "q_new_users": p.q_new_users,
         "q_group_hll_users": p.q_group_hll_users,
         "q_distinct_users": p.q_distinct_users,
         "q_pivot_events": p.q_pivot_events,
@@ -1197,6 +1199,44 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts > v.ts
              AND c.ts <= v.ts + INTERVAL 1 HOUR
             ORDER BY 1, 2
+        """,
+        # grouped median / MAD / 3-MAD outliers in exact integer cents
+        "q_mad": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(floor(value * 100) AS BIGINT) AS v
+                FROM events),
+            m AS (
+                SELECT event_type, quantile_disc(v, 0.5) AS med,
+                       count(*) AS n
+                FROM c GROUP BY 1),
+            d AS (
+                SELECT c.event_type, abs(c.v - m.med) AS ad
+                FROM c JOIN m USING (event_type)),
+            s AS (
+                SELECT event_type, quantile_disc(ad, 0.5) AS mad
+                FROM d GROUP BY 1)
+            SELECT m.event_type,
+                   m.med / 100.0 AS median,
+                   s.mad / 100.0 AS mad,
+                   m.n AS n,
+                   count(*) FILTER (WHERE d.ad > 3.0 * s.mad)
+                       AS n_outliers
+            FROM d
+            JOIN m USING (event_type)
+            JOIN s USING (event_type)
+            GROUP BY 1, m.med, s.mad, m.n
+            ORDER BY 1
+        """,
+        # daily first-seen user counts (first-touch attribution)
+        "q_new_users": """
+            SELECT first_day, count(*) AS new_users
+            FROM (
+                SELECT user_id,
+                       min(strftime(ts, '%Y-%m-%d')) AS first_day
+                FROM events GROUP BY user_id)
+            GROUP BY first_day
+            ORDER BY first_day
         """,
         # per-day KL divergence vs the global event-type mix
         "q_drift_kl": """

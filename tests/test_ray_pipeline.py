@@ -2125,3 +2125,37 @@ def test_windowed_pair_join(ray_session):
     )
     got = list(map(tuple, out.to_numpy()))
     assert got == [(1, 2), (1, 3), (7, 3), (7, 4), (7, 8)]
+
+
+def test_mad_outliers_by(ray_session):
+    """Median/MAD in integer cents with quantile_disc (lower-median)
+    semantics; outliers counted strictly beyond z*MAD; a key whose
+    rows span many blocks never groups raw rows."""
+    import ray.data as rd
+
+    from unfurl_ray.ops.relational import mad_outliers_by
+
+    # key 'a': values 1..9 plus a wild 100 -> med of floor-cents
+    # [100..900, 10000] (n=10, lower median = 500), MAD hist of
+    # |c-500|: [400,300,200,100,0,100,200,300,400,9500] -> sorted
+    # lower-median = 200; outliers: |c-500| > 600 -> only 10000.
+    rows = [("a", float(v)) for v in range(1, 10)] + [("a", 100.0)]
+    # key 'b': constant -> mad 0, every deviation 0, no outliers
+    rows += [("b", 2.5)] * 5
+    df = pd.DataFrame(rows, columns=["k", "v"])
+    out = (
+        mad_outliers_by(
+            rd.from_pandas(df).repartition(4), key_col="k",
+            value_col="v", z=3.0,
+        )
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    a = out[out["k"] == "a"].iloc[0]
+    assert (a["median"], a["mad"], a["n"], a["n_outliers"]) == (
+        5.0, 2.0, 10, 1
+    )
+    b = out[out["k"] == "b"].iloc[0]
+    assert (b["median"], b["mad"], b["n"], b["n_outliers"]) == (
+        2.5, 0.0, 5, 0
+    )

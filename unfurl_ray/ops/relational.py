@@ -1235,7 +1235,8 @@ def rolling_range_window(ds, key_col: str, ts_col: str, value_col: str,
 
 def percent_rank_by(ds, key_col: str, value_col: str,
                     out_col: str = "pr", ndigits: int = 6,
-                    num_partitions: int = 8):
+                    num_partitions: int = 8,
+                    broadcast_threshold: int = 2_000_000):
     """Exact SQL ``percent_rank() OVER (PARTITION BY key ORDER BY
     value)`` — (rows strictly smaller) / (n - 1) — without ever
     grouping a key's ROWS together: the shuffle carries the (key,
@@ -1274,7 +1275,31 @@ def percent_rank_by(ds, key_col: str, value_col: str,
             }
         )
 
-    mapping = hist.groupby(key_col).map_groups(cum, batch_format="pandas")
+    mapping = hist.groupby(key_col).map_groups(
+        cum, batch_format="pandas"
+    ).materialize()
+    # the mapping is histogram-sized (distinct values per key, not
+    # rows); when it fits a worker heap, broadcast it once via ray.put
+    # and map-side merge — no third all-to-all.  Past the threshold
+    # (many keys x fine-grained values) fall back to the hash join.
+    if mapping.count() <= broadcast_threshold:
+        import ray as _ray
+
+        ref = _ray.put(mapping.to_pandas())
+
+        class PrLookup:
+            def __init__(self):
+                self.mp = _ray.get(ref)
+
+            def __call__(self, batch: pd.DataFrame) -> pa.Table:
+                return _arrow(
+                    batch.merge(self.mp, on=[key_col, value_col],
+                                how="inner")
+                )
+
+        return ds.map_batches(
+            PrLookup, batch_format="pandas", concurrency=(1, 8)
+        )
     return ds.join(
         mapping, join_type="inner", num_partitions=num_partitions,
         on=(key_col, value_col),
@@ -1484,3 +1509,145 @@ def windowed_pair_join(ds, key_col: str, ts_col: str, id_col: str,
         .groupby("_sb")
         .map_groups(join_cells, batch_format="pandas")
     )
+
+
+def hist_median_by(hist, key_col: str, value_col: str, cnt_col: str,
+                   out_col: str, n_buckets: int = 32):
+    """Exact per-key discrete median (DuckDB ``quantile_disc(0.5)``:
+    the element at ``floor(0.5 * (n-1))`` of the sorted values) from a
+    (key, value, count) HISTOGRAM dataset — group size is bounded by a
+    key's DISTINCT-value count, never its row count.
+
+    Keys hash onto ``n_buckets`` shuffle buckets; inside a bucket the
+    rank selection is one vectorized pass (sort + per-key cumsum +
+    boolean pick), no Python loop per key.
+    """
+    def pick(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values([key_col, value_col]).reset_index(
+            drop=True
+        )
+        cnt = g[cnt_col].to_numpy(dtype=np.int64)
+        grp = g.groupby(key_col, sort=False)
+        n = grp[cnt_col].transform("sum").to_numpy(dtype=np.int64)
+        cum = grp[cnt_col].cumsum().to_numpy(dtype=np.int64)
+        before = cum - cnt  # values strictly below this row
+        target = (n - 1) // 2  # floor(0.5 * (n-1))
+        hit = (before <= target) & (target < cum)
+        out = g.loc[hit, [key_col, value_col]].rename(
+            columns={value_col: out_col}
+        )
+        out["n"] = n[hit]
+        return _arrow(out)
+
+    def bucketize(batch: pd.DataFrame) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            batch[key_col], index=False
+        ).to_numpy()
+        batch["_mb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return _arrow(batch)
+
+    return (
+        hist.map_batches(bucketize, batch_format="pandas")
+        .groupby("_mb")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+def mad_outliers_by(ds, key_col: str, value_col: str,
+                    z: float = 3.0, n_buckets: int = 64):
+    """Robust per-key outlier profile: discrete median, MAD (median
+    absolute deviation) and the count of rows with
+    ``|v - median| > z * MAD``, over values discretized to integer
+    CENTS (``floor(value * 100)``) so every comparison is exact
+    integer arithmetic on both the Ray and SQL sides.
+
+    Scale shape: two histogram rounds (value histogram -> median;
+    absolute-deviation histogram -> MAD) + one counting pass.  Every
+    shuffle carries (key, cents, count) histogram rows — bounded by
+    distinct cents per key — and the per-key median/MAD tables are
+    broadcast once via ``ray.put`` (they hold ONE row per key; for
+    key cardinalities past worker memory, swap the broadcast for
+    ``bucketed_hash_join``).  No key's raw rows are ever grouped.
+    Output: key, median, mad, n, n_outliers (medians back in value
+    units).
+    """
+    import ray as _ray
+
+    def to_cents(batch: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame(
+            {
+                key_col: batch[key_col],
+                "_c": np.floor(
+                    batch[value_col].to_numpy(dtype=np.float64) * 100.0
+                ).astype(np.int64),
+            }
+        )
+        return _arrow(out)
+
+    cents = ds.map_batches(to_cents, batch_format="pandas")
+    cents = cents.materialize()  # consumed 3x (hist, dev hist, count)
+
+    hist = bucketed_aggregate(
+        cents, [key_col, "_c"], {"cnt": ("_c", "count")},
+        n_buckets=n_buckets,
+    )
+    med = hist_median_by(hist, key_col, "_c", "cnt", "_med")
+    med_ref = _ray.put(med.to_pandas()[[key_col, "_med", "n"]])
+
+    class Dev:
+        def __init__(self):
+            self.med = _ray.get(med_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pa.Table:
+            m = batch.merge(self.med, on=key_col, how="inner")
+            m["_ad"] = np.abs(
+                m["_c"].to_numpy() - m["_med"].to_numpy()
+            )
+            return _arrow(m[[key_col, "_ad"]])
+
+    dev = cents.map_batches(Dev, batch_format="pandas",
+                            concurrency=(1, 8))
+    dev_hist = bucketed_aggregate(
+        dev, [key_col, "_ad"], {"cnt": ("_ad", "count")},
+        n_buckets=n_buckets,
+    )
+    mad = hist_median_by(dev_hist, key_col, "_ad", "cnt", "_mad")
+    stats = med.to_pandas().merge(
+        mad.to_pandas()[[key_col, "_mad"]], on=key_col
+    )
+    stats_ref = _ray.put(stats)
+
+    class Count:
+        def __init__(self):
+            self.st = _ray.get(stats_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pa.Table:
+            m = batch.merge(self.st, on=key_col, how="inner")
+            # z * MAD in integer cents; > keeps the comparison exact
+            # (z * int is a float, but both sides compute it as
+            # double * int64 -> double compare)
+            out_mask = (
+                np.abs(m["_c"].to_numpy() - m["_med"].to_numpy())
+                > z * m["_mad"].to_numpy()
+            )
+            part = (
+                m.loc[out_mask]
+                .groupby(key_col, as_index=False)
+                .size()
+                .rename(columns={"size": "n_outliers"})
+            )
+            return _arrow(part)
+
+    outl = pre_aggregate(
+        cents.map_batches(Count, batch_format="pandas",
+                          concurrency=(1, 8)),
+        [key_col], {"n_outliers": ("n_outliers", "sum")},
+    ).to_pandas()
+
+    out = stats.merge(outl, on=key_col, how="left")
+    out["n_outliers"] = (
+        out["n_outliers"].fillna(0).astype("int64")
+    )
+    out["median"] = out["_med"].to_numpy() / 100.0
+    out["mad"] = out["_mad"].to_numpy() / 100.0
+    return out[[key_col, "median", "mad", "n", "n_outliers"]]

@@ -48,6 +48,22 @@ def _parquet(sf_dir: str, table: str, columns=None, num_blocks=None):
     return _rd().read_parquet(path, columns=columns, schema=schema, **kw)
 
 
+def _parquet_sh(sf_dir: str, table: str, columns=None):
+    """_parquet with BYTE-sized blocks (64 MB target, floor 8) for
+    shuffle-bound consumers: Ray's auto-parallelism splits small files
+    into ~2xCPU micro-blocks, and every downstream sort then pays
+    #blocks range partitions and #blocks^2 store fragments.  At 100 TB
+    the same formula yields thousands of blocks, so nothing is lost at
+    scale.  Keep plain _parquet for CPU-heavy map stages (shingling,
+    scoring) where task parallelism matters more than sort overhead."""
+    import os
+
+    sz = os.path.getsize(f"{sf_dir}/{table}.parquet")
+    return _parquet(
+        sf_dir, table, columns, num_blocks=max(8, sz // (64 << 20))
+    )
+
+
 def _footer_ts_bounds(sf_dir: str, table: str, col: str):
     """(min, max) of a timestamp column from parquet FOOTER statistics
     — a metadata-only read (row-group stats), no data scan.  At 100 TB
@@ -146,7 +162,7 @@ def _sum_scalar(ds, col: str) -> float:
 
 def q_top_orders(sf_dir: str) -> pd.DataFrame:
     """Top-15 orders by totalprice (tie-broken), via sort+limit."""
-    ds = _parquet(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    ds = _parquet_sh(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     out = (
         ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
         .limit(15)
@@ -163,7 +179,7 @@ def q_segment_revenue(sf_dir: str) -> pd.DataFrame:
     customer = _parquet(
         sf_dir, "customer", ["c_custkey", "c_mktsegment"]
     ).to_pandas().rename(columns={"c_custkey": "o_custkey"})
-    orders = _parquet(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    orders = _parquet_sh(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     joined = broadcast_join(orders, customer, on="o_custkey")
     out = pre_aggregate(
         joined, ["c_mktsegment"],
@@ -216,8 +232,8 @@ def q_order_lineitem_join(sf_dir: str) -> pd.DataFrame:
         for t in ("lineitem", "orders")
     )
     num_partitions = max(8, in_bytes // (256 << 20))
-    lineitem = _parquet(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
-    orders = _parquet(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    lineitem = _parquet_sh(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _parquet_sh(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
     joined = lineitem.join(
         orders,
         join_type="inner",
@@ -239,7 +255,7 @@ def q_semi_join(sf_dir: str) -> pd.DataFrame:
     """Orders having any lineitem with quantity >= 49 (broadcast semi)."""
     from unfurl_ray.ops.relational import pre_aggregate, semi_join
 
-    lineitem = _parquet(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    lineitem = _parquet_sh(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
     keys = (
         lineitem.map_batches(
             lambda b: b.filter(
@@ -249,7 +265,7 @@ def q_semi_join(sf_dir: str) -> pd.DataFrame:
         )
         .unique("l_orderkey")
     )
-    orders = _parquet(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    orders = _parquet_sh(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
     hits = semi_join(orders, keys, on="o_orderkey")
     out = pre_aggregate(
         hits, ["o_orderstatus"], {"n_orders": ("o_orderkey", "count")}
@@ -262,8 +278,8 @@ def q_anti_join(sf_dir: str) -> pd.DataFrame:
     """Customers with no orders (broadcast anti join) -> count."""
     from unfurl_ray.ops.relational import semi_join
 
-    order_custs = _parquet(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
-    customer = _parquet(sf_dir, "customer", ["c_custkey"])
+    order_custs = _parquet_sh(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+    customer = _parquet_sh(sf_dir, "customer", ["c_custkey"])
     lonely = semi_join(
         customer.map_batches(
             lambda b: b.rename_columns(["o_custkey"]), batch_format="pyarrow"
@@ -276,7 +292,7 @@ def q_anti_join(sf_dir: str) -> pd.DataFrame:
 
 
 def q_distinct_event_types(sf_dir: str) -> pd.DataFrame:
-    ds = _parquet(sf_dir, "events", ["event_type"])
+    ds = _parquet_sh(sf_dir, "events", ["event_type"])
     values = sorted(ds.unique("event_type"))
     return pd.DataFrame({"event_type": values})
 
@@ -285,7 +301,7 @@ def q_events_window(sf_dir: str) -> pd.DataFrame:
     """Tumbling 1-hour windows per event_type: counts + sums."""
     from unfurl_ray.ops.relational import tumbling_window
 
-    ds = _parquet(sf_dir, "events", ["ts", "event_type", "value"])
+    ds = _parquet_sh(sf_dir, "events", ["ts", "event_type", "value"])
     out = tumbling_window(
         ds, ts_col="ts", key_col="event_type", width_s=3600,
         value_col="value",
@@ -299,7 +315,7 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
     """30-minute-gap sessions per user -> sessions per user."""
     from unfurl_ray.ops.relational import sessionize
 
-    ds = _parquet(sf_dir, "events", ["user_id", "ts"])
+    ds = _parquet_sh(sf_dir, "events", ["user_id", "ts"])
     sessions = sessionize(ds, ts_col="ts", key_col="user_id", gap_s=1800)
 
     def per_user(group: pd.DataFrame) -> pd.DataFrame:
@@ -326,7 +342,7 @@ def q_group_hll_users(sf_dir: str) -> pd.DataFrame:
     Rows-only: sketch estimates have no SQL twin."""
     from unfurl_ray.ops.sketch import grouped_hll_distinct
 
-    ds = _parquet(sf_dir, "events", ["event_type", "user_id"])
+    ds = _parquet_sh(sf_dir, "events", ["event_type", "user_id"])
     out = grouped_hll_distinct(ds, "event_type", "user_id")
     out["n_distinct_est"] = out["n_distinct_est"].round(1)
     return out
@@ -346,7 +362,7 @@ def q_range_join(sf_dir: str) -> pd.DataFrame:
             "hi": [10.0, 100.0, 1e12, 150.0],
         }
     )
-    ds = _parquet(sf_dir, "events", ["event_id", "value"])
+    ds = _parquet_sh(sf_dir, "events", ["event_id", "value"])
     joined = range_join(ds, tiers, "value")
     out = pre_aggregate(
         joined, ["tier"],
@@ -363,7 +379,7 @@ def q_distinct_users(sf_dir: str) -> pd.DataFrame:
     never a per-key user set."""
     from unfurl_ray.ops.relational import distinct_count_by
 
-    ds = _parquet(sf_dir, "events", ["event_type", "user_id"])
+    ds = _parquet_sh(sf_dir, "events", ["event_type", "user_id"])
     out = distinct_count_by(
         ds, "event_type", "user_id", "n_users"
     ).to_pandas()
@@ -377,7 +393,7 @@ def q_pivot_events(sf_dir: str) -> pd.DataFrame:
     from unfurl_ray.ops.relational import pivot_counts
 
     cats = ["click", "error", "purchase", "signup", "view"]
-    ds = _parquet(sf_dir, "events", ["user_id", "event_type"])
+    ds = _parquet_sh(sf_dir, "events", ["user_id", "event_type"])
     out = pivot_counts(ds, "user_id", "event_type", cats).to_pandas()
     for c in cats:
         out[f"n_{c}"] = out[f"n_{c}"].astype("int64")
@@ -443,13 +459,13 @@ def q_bucketed_join(sf_dir: str) -> pd.DataFrame:
 
     if not os.path.isdir(orders_path):
         write_bucketed(
-            _parquet(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]),
+            _parquet_sh(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]),
             "o_orderkey", orders_path + ".tmp", nb,
         )
         os.rename(orders_path + ".tmp", orders_path)
     if not os.path.isdir(items_path):
         write_bucketed(
-            _parquet(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+            _parquet_sh(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
             .map_batches(rekey, batch_format="pyarrow"),
             "o_orderkey", items_path + ".tmp", nb,
         )
@@ -476,8 +492,8 @@ def q_skew_join(sf_dir: str) -> pd.DataFrame:
     from unfurl_ray.ops.relational import pre_aggregate
     from unfurl_ray.ops.skew import skew_join
 
-    items = _parquet(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
-    orders = _parquet(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    items = _parquet_sh(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _parquet_sh(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
     joined = skew_join(
         items, orders, on="l_orderkey", right_on="o_orderkey",
         hot_threshold=6,
@@ -528,7 +544,7 @@ def q_event_deltas(sf_dir: str) -> pd.DataFrame:
     hash-matches with no rounding."""
     from unfurl_ray.ops.relational import lag_rolling
 
-    ds = _parquet(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    ds = _parquet_sh(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
     out = lag_rolling(
         ds, key_col="user_id", ts_col="ts", value_col="value",
         id_col="event_id", roll_n=3,
@@ -626,7 +642,7 @@ def q_asof_join(sf_dir: str) -> pd.DataFrame:
     Ray shape: tag+union both sides, groupby key, pd.merge_asof per
     group (ray_guide "As-of / range join").  Oracle: DuckDB ASOF JOIN.
     """
-    events = _parquet(sf_dir, "events", ["event_id", "user_id", "ts"])
+    events = _parquet_sh(sf_dir, "events", ["event_id", "user_id", "ts"])
     orders = _parquet(
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
     ).to_pandas()
@@ -682,20 +698,13 @@ def q_asof_join_part(sf_dir: str) -> pd.DataFrame:
     (key, time), right-side per-bucket maxima forward-filled as carry
     rows — the scale path when the right side is too large to
     broadcast.  Shares q_asof_join's oracle (identical output)."""
-    import os
-
     from unfurl_ray.ops.relational import asof_join_partitioned
 
     # shuffle-bound: byte-sized blocks (see _parquet's num_blocks note)
-    def _nb(table: str) -> int:
-        sz = os.path.getsize(f"{sf_dir}/{table}.parquet")
-        return max(8, sz // (64 << 20))
-
-    events = _parquet(sf_dir, "events", ["event_id", "user_id", "ts"],
-                      num_blocks=_nb("events"))
-    orders = _parquet(
-        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
-        num_blocks=_nb("orders"),
+    events = _parquet_sh(sf_dir, "events",
+                         ["event_id", "user_id", "ts"])
+    orders = _parquet_sh(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
     )
 
     def key_left(batch: pa.Table) -> pa.Table:
@@ -731,7 +740,7 @@ def q_asof_join_part(sf_dir: str) -> pd.DataFrame:
 def q_doc_stats(sf_dir: str) -> pd.DataFrame:
     from unfurl_ray.ops.relational import pre_aggregate
 
-    ds = _parquet(sf_dir, "documents", ["lang", "n_chars"])
+    ds = _parquet_sh(sf_dir, "documents", ["lang", "n_chars"])
     out = pre_aggregate(
         ds, ["lang"],
         {"n_docs": ("n_chars", "count"), "sum_chars": ("n_chars", "sum")},
@@ -1167,7 +1176,7 @@ def q_image_meta(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    ds = _parquet(sf_dir, "documents", ["doc_id"])
+    ds = _parquet_sh(sf_dir, "documents", ["doc_id"])
     out = (
         ds.map_batches(to_png, batch_format="pyarrow")
         .map_batches(
@@ -1224,7 +1233,7 @@ def q_hopping_window(sf_dir: str) -> pd.DataFrame:
     2 windows; fan-out stays inside the batch, pre-aggregated)."""
     from unfurl_ray.ops.relational import hopping_window
 
-    ds = _parquet(sf_dir, "events", ["ts", "event_type", "value"])
+    ds = _parquet_sh(sf_dir, "events", ["ts", "event_type", "value"])
     out = hopping_window(
         ds, ts_col="ts", key_col="event_type", width_s=7200,
         step_s=3600, value_col="value",
@@ -1256,7 +1265,7 @@ def q_group_median(sf_dir: str) -> pd.DataFrame:
     from unfurl_ray.ops.relational import group_quantile_disc
 
     out = group_quantile_disc(
-        _parquet(sf_dir, "orders", ["o_orderstatus", "o_totalprice"]),
+        _parquet_sh(sf_dir, "orders", ["o_orderstatus", "o_totalprice"]),
         key_col="o_orderstatus", value_col="o_totalprice", q=0.5,
     ).to_pandas()
     out["quantile_value"] = out["quantile_value"].round(2)
@@ -1270,7 +1279,7 @@ def q_hll_users(sf_dir: str) -> pd.DataFrame:
     check — the estimate is within ~2% of exact but not equal."""
     from unfurl_ray.ops.sketch import hll_distinct
 
-    ds = _parquet(sf_dir, "events", ["user_id"])
+    ds = _parquet_sh(sf_dir, "events", ["user_id"])
     est = hll_distinct(ds, "user_id", p=12)
     return pd.DataFrame({"approx_distinct_users": [round(est)]})
 
@@ -1282,7 +1291,7 @@ def q_quantile_sketch(sf_dir: str) -> pd.DataFrame:
     not equal)."""
     from unfurl_ray.ops.sketch import approx_quantiles
 
-    ds = _parquet(sf_dir, "events", ["value"])
+    ds = _parquet_sh(sf_dir, "events", ["value"])
     est = approx_quantiles(ds, "value", qs=(0.5, 0.95, 0.99))
     return pd.DataFrame(
         {
@@ -1300,7 +1309,7 @@ def q_group_quantile_sketch(sf_dir: str) -> pd.DataFrame:
     rows-only check)."""
     from unfurl_ray.ops.sketch import grouped_approx_quantiles
 
-    ds = _parquet(sf_dir, "events", ["event_type", "value"])
+    ds = _parquet_sh(sf_dir, "events", ["event_type", "value"])
     out = grouped_approx_quantiles(
         ds, "event_type", "value", qs=(0.5, 0.95)
     ).to_pandas()
@@ -1315,11 +1324,11 @@ def q_bloom_semi_join(sf_dir: str) -> pd.DataFrame:
     from unfurl_ray.ops.sketch import bloom_semi_join
 
     cust = (
-        _parquet(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        _parquet_sh(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
         .to_pandas()
     )
     keys = cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"]
-    orders = _parquet(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    orders = _parquet_sh(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     out = (
         bloom_semi_join(orders, set(keys.tolist()), on="o_custkey")
         .to_pandas()
@@ -1337,7 +1346,7 @@ def q_hash_sample(sf_dir: str) -> pd.DataFrame:
     (reproducible across runs/cluster sizes, unlike random_sample) and
     keep bucket < 10 of 100.  The same predicate is exactly
     SQL-expressible, so the sample is oracle-checked row for row."""
-    ds = _parquet(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    ds = _parquet_sh(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
 
     def pick(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -1423,7 +1432,7 @@ def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
 
     from unfurl_ray.ops.relational import topk_per_group
 
-    ds = _parquet(sf_dir, "events", ["event_id", "event_type"])
+    ds = _parquet_sh(sf_dir, "events", ["event_id", "event_type"])
 
     def add_h(batch: pa.Table) -> pa.Table:
         ids = batch.column("event_id").to_pylist()
@@ -1733,7 +1742,7 @@ def q_retention(sf_dir: str) -> pd.DataFrame:
     pre-collapsed per batch, so shuffles carry distinct pairs only."""
     from ray.data.aggregate import Count, Sum
 
-    ds = _parquet(sf_dir, "events", ["user_id", "ts"])
+    ds = _parquet_sh(sf_dir, "events", ["user_id", "ts"])
 
     def user_hours(batch: pa.Table) -> pa.Table:
         hours = pc.cast(
@@ -1910,7 +1919,7 @@ def q_rolling_range(sf_dir: str) -> pd.DataFrame:
     order-independent, so the DuckDB RANGE-frame twin hash-matches."""
     from unfurl_ray.ops.relational import rolling_range_window
 
-    ds = _parquet(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    ds = _parquet_sh(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
     out = rolling_range_window(
         ds, key_col="user_id", ts_col="ts", value_col="value",
         id_col="event_id", width_s=300,
@@ -1954,7 +1963,7 @@ def q_weighted_sample(sf_dir: str) -> pd.DataFrame:
     for row."""
     from unfurl_ray.ops.sampling import weighted_sample_per_group
 
-    ds = _parquet(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    ds = _parquet_sh(sf_dir, "documents", ["doc_id", "source", "n_chars"])
     out = weighted_sample_per_group(
         ds, key_col="source", id_col="doc_id", weight_col="n_chars", k=3
     )
@@ -1971,7 +1980,7 @@ def q_mixture_sample(sf_dir: str) -> pd.DataFrame:
     on any block layout and window-checked in SQL."""
     from unfurl_ray.ops.sampling import mixture_sample
 
-    ds = _parquet(sf_dir, "documents", ["doc_id", "source"])
+    ds = _parquet_sh(sf_dir, "documents", ["doc_id", "source"])
     out = mixture_sample(
         ds, key_col="source", id_col="doc_id",
         target_weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
@@ -1993,7 +2002,7 @@ def q_quarantine(sf_dir: str) -> pd.DataFrame:
 
     from unfurl_ray.ops.robust import quarantine_map
 
-    ds = _parquet(sf_dir, "events", ["event_id", "props"])
+    ds = _parquet_sh(sf_dir, "events", ["event_id", "props"])
 
     def risky(batch: pd.DataFrame) -> pd.DataFrame:
         # vectorized-per-batch JSON decode + a computation that RAISES
@@ -2025,7 +2034,6 @@ def q_resample_locf(sf_dir: str) -> pd.DataFrame:
     no per-user whole-stream group.  DuckDB ASOF LEFT JOIN is the
     hash-exact twin."""
     import math
-    import os
 
     from unfurl_ray.ops.relational import (
         asof_join_partitioned,
@@ -2037,11 +2045,7 @@ def q_resample_locf(sf_dir: str) -> pd.DataFrame:
     # byte-sized blocks: this query is shuffle-bound (three all-to-alls
     # downstream), and sort partitions / store fragments scale with the
     # input block count — see _parquet's num_blocks note
-    n_blocks = max(
-        8, os.path.getsize(f"{sf_dir}/events.parquet") // (64 << 20)
-    )
-    ev = _parquet(sf_dir, "events", ["user_id", "ts", "value"],
-                  num_blocks=n_blocks)
+    ev = _parquet_sh(sf_dir, "events", ["user_id", "ts", "value"])
     # consumed twice (users, right side): materialize the 3-column
     # slice once instead of re-reading per consumer
     ev = ev.materialize()
@@ -2127,7 +2131,7 @@ def q_star_join(sf_dir: str) -> pd.DataFrame:
         for n in nation.take_all()
     }
 
-    customer = _parquet(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    customer = _parquet_sh(sf_dir, "customer", ["c_custkey", "c_nationkey"])
 
     def add_region(batch: pa.Table) -> pa.Table:
         nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
@@ -2142,7 +2146,7 @@ def q_star_join(sf_dir: str) -> pd.DataFrame:
         os.stat(f"{sf_dir}/{t}.parquet").st_size
         for t in ("orders", "customer")
     )
-    orders = _parquet(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    orders = _parquet_sh(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     joined = orders.join(
         cust_region,
         join_type="inner",
@@ -2207,7 +2211,7 @@ def q_k_anon(sf_dir: str) -> pd.DataFrame:
     set on the driver."""
     from unfurl_ray.ops.privacy import k_anonymize
 
-    ds = _parquet(sf_dir, "documents", ["doc_id", "source", "lang"])
+    ds = _parquet_sh(sf_dir, "documents", ["doc_id", "source", "lang"])
     out = k_anonymize(ds, quasi_cols=["source", "lang"], k=5).to_pandas()
     out["doc_id"] = out["doc_id"].astype("int64")
     return (
@@ -2228,7 +2232,7 @@ def q_export_jsonl(sf_dir: str) -> pd.DataFrame:
 
     from unfurl_ray.ops.layout import write_jsonl_shards
 
-    ds = _parquet(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    ds = _parquet_sh(sf_dir, "documents", ["doc_id", "source", "n_chars"])
     out_dir = tempfile.mkdtemp(prefix="unfurl_jsonl_")
     try:
         manifest = write_jsonl_shards(
@@ -2248,7 +2252,7 @@ def q_funnel(sf_dir: str) -> pd.DataFrame:
     funnel_counts)."""
     from unfurl_ray.ops.relational import funnel_counts
 
-    ds = _parquet(sf_dir, "events", ["user_id", "ts", "event_type"])
+    ds = _parquet_sh(sf_dir, "events", ["user_id", "ts", "event_type"])
     out = funnel_counts(
         ds, key_col="user_id", ts_col="ts", type_col="event_type",
         steps=["signup", "click", "purchase"],
@@ -2264,7 +2268,7 @@ def q_zscore(sf_dir: str) -> pd.DataFrame:
     stateless map; no row shuffle (ops.relational.zscore_by)."""
     from unfurl_ray.ops.relational import zscore_by
 
-    ds = _parquet(sf_dir, "events", ["event_id", "event_type", "value"])
+    ds = _parquet_sh(sf_dir, "events", ["event_id", "event_type", "value"])
     out = zscore_by(ds, key_col="event_type", value_col="value").to_pandas()
     out["event_id"] = out["event_id"].astype("int64")
     return (
@@ -2335,7 +2339,7 @@ def q_transitions(sf_dir: str) -> pd.DataFrame:
     reduce sees |types|^2 rows per user, not events."""
     from unfurl_ray.ops.relational import transition_counts
 
-    ds = _parquet(sf_dir, "events",
+    ds = _parquet_sh(sf_dir, "events",
                   ["event_id", "user_id", "ts", "event_type"])
     out = transition_counts(
         ds, key_col="user_id", ts_col="ts", type_col="event_type",
@@ -2352,7 +2356,7 @@ def q_drift_kl(sf_dir: str) -> pd.DataFrame:
     shuffle; the 30x5 histogram finishes on the driver."""
     from unfurl_ray.ops.relational import pre_aggregate
 
-    ds = _parquet(sf_dir, "events", ["ts", "event_type"])
+    ds = _parquet_sh(sf_dir, "events", ["ts", "event_type"])
 
     def day_of(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch.copy()
@@ -2385,7 +2389,7 @@ def q_trending(sf_dir: str) -> pd.DataFrame:
     top-k runs on the tiny histogram (partial top-k per batch)."""
     from unfurl_ray.ops.relational import pre_aggregate, topk_per_group
 
-    ds = _parquet(sf_dir, "events", ["ts", "event_type"])
+    ds = _parquet_sh(sf_dir, "events", ["ts", "event_type"])
 
     def day_of(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch.copy()
@@ -2416,7 +2420,7 @@ def q_window_join(sf_dir: str) -> pd.DataFrame:
     groups, rights fan out 2x instead."""
     from unfurl_ray.ops.relational import windowed_pair_join
 
-    ds = _parquet(sf_dir, "events",
+    ds = _parquet_sh(sf_dir, "events",
                   ["event_id", "user_id", "ts", "event_type"])
     out = windowed_pair_join(
         ds, key_col="user_id", ts_col="ts", id_col="event_id",
@@ -2426,3 +2430,52 @@ def q_window_join(sf_dir: str) -> pd.DataFrame:
     return (
         out.sort_values(["left_id", "right_id"]).reset_index(drop=True)
     )
+
+
+def q_mad(sf_dir: str) -> pd.DataFrame:
+    """Robust per-type value profile: discrete median, MAD, and the
+    count of 3-MAD outliers per event_type, all in exact integer
+    cents (ops.relational.mad_outliers_by) — two histogram shuffles
+    plus one counting pass; no event_type's rows ever group."""
+    from unfurl_ray.ops.relational import mad_outliers_by
+
+    ds = _parquet_sh(sf_dir, "events", ["event_type", "value"])
+    out = mad_outliers_by(ds, key_col="event_type",
+                          value_col="value", z=3.0)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_new_users(sf_dir: str) -> pd.DataFrame:
+    """Daily acquisition: number of users whose FIRST event falls on
+    each day.  One bucketed min-aggregate per user (shuffle carries
+    (user, day) partials, pre-reduced per batch) and one small count
+    per day — the first-touch attribution shape."""
+    from unfurl_ray.ops.relational import (
+        bucketed_aggregate,
+        pre_aggregate,
+    )
+
+    ds = _parquet_sh(sf_dir, "events", ["user_id", "ts"])
+
+    def day(batch: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    batch["user_id"].to_numpy(), pa.int64()
+                ),
+                "day": pa.array(
+                    batch["ts"].dt.strftime("%Y-%m-%d"), pa.string()
+                ),
+            }
+        )
+
+    firsts = bucketed_aggregate(
+        ds.map_batches(day, batch_format="pandas"),
+        ["user_id"], {"first_day": ("day", "min")},
+    )
+    out = pre_aggregate(
+        firsts, ["first_day"], {"new_users": ("user_id", "count")}
+    ).to_pandas()
+    out["new_users"] = out["new_users"].astype("int64")
+    return out.sort_values("first_day").reset_index(drop=True)
