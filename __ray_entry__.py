@@ -68,6 +68,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_window_join": p.q_window_join,
         "q_mad": p.q_mad,
         "q_new_users": p.q_new_users,
+        "q_bm25": p.q_bm25,
+        "q_conv_assemble": p.q_conv_assemble,
+        "q_sft_pairs": p.q_sft_pairs,
         "q_group_hll_users": p.q_group_hll_users,
         "q_distinct_users": p.q_distinct_users,
         "q_pivot_events": p.q_pivot_events,
@@ -1237,6 +1240,70 @@ def oracle_sql() -> dict[str, str]:
                 FROM events GROUP BY user_id)
             GROUP BY first_day
             ORDER BY first_day
+        """,
+        # BM25 top-20 for the fixed query {hash, merge, vector}
+        "q_bm25": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           lower(coalesce(text, '')), '[ \t\n\f\r]+'),
+                           x -> x <> '') AS ws
+                FROM documents
+            ), docs AS (
+                SELECT doc_id, len(ws) AS dl FROM toks
+            ), stats AS (
+                SELECT count(*) AS n_docs,
+                       CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                FROM docs
+            ), tf AS (
+                SELECT doc_id, w AS term, count(*) AS n
+                FROM (SELECT doc_id, unnest(ws) AS w FROM toks)
+                WHERE w IN ('hash', 'merge', 'vector')
+                GROUP BY 1, 2
+            ), df AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), scored AS (
+                SELECT tf.doc_id,
+                       sum(ln((stats.n_docs - df.df + 0.5)
+                              / (df.df + 0.5) + 1.0)
+                           * tf.n * (1.2 + 1.0)
+                           / (tf.n + 1.2 * (1.0 - 0.75
+                              + 0.75 * docs.dl / stats.avgdl)))
+                           AS s
+                FROM tf
+                JOIN df USING (term)
+                JOIN docs USING (doc_id)
+                CROSS JOIN stats
+                GROUP BY tf.doc_id
+            )
+            SELECT doc_id, floor(s * 1e6 + 0.5) / 1e6 AS bm25
+            FROM scored
+            ORDER BY bm25 DESC, doc_id
+            LIMIT 20
+        """,
+        # transcript assembly: 8-doc convs stitched in turn order
+        "q_conv_assemble": """
+            SELECT printf('%08d', doc_id // 8) AS conv_id,
+                   string_agg(text, chr(10) ORDER BY doc_id)
+                       AS full_text,
+                   count(*) AS n_turns
+            FROM documents
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        # SFT pairs: context = earlier turns, target = this turn
+        "q_sft_pairs": """
+            SELECT conv_id, turn_idx, context, target FROM (
+                SELECT printf('%08d', doc_id // 8) AS conv_id,
+                       doc_id % 8 AS turn_idx,
+                       string_agg(text, chr(10)) OVER (
+                           PARTITION BY doc_id // 8 ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS context,
+                       text AS target
+                FROM documents)
+            WHERE context IS NOT NULL
+            ORDER BY conv_id, turn_idx
         """,
         # per-day KL divergence vs the global event-type mix
         "q_drift_kl": """

@@ -271,3 +271,109 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
             "fingerprint_rolling": pa.array(rollings, pa.int64()),
         }
     )
+
+
+_WS_SPLIT_RE = re.compile(r"[ \t\n\f\r]+")
+
+
+def bm25_topk(ds, terms: list[str], k: int = 20,
+              k1: float = 1.2, b: float = 0.75):
+    """Top-k documents for a bag-of-terms query under BM25 (Lucene
+    idf: ``ln((N - df + 0.5) / (df + 0.5) + 1)``).
+
+    ONE pass over the text: each batch tokenizes once and emits a
+    compact per-doc row (doc_id, dl, tf per query term) — the corpus
+    payload never crosses a shuffle again.  Corpus stats (N, sum dl,
+    per-term df) fold from tiny per-batch partials on the driver;
+    scoring is a second vectorized pass over the COMPACT table with
+    the stats in the task closure (a handful of floats), and top-k
+    merges per-batch partial top-ks.  Scores are half-up rounded to
+    6 decimals before ranking so ties break identically in SQL.
+
+    ``ds``: (doc_id, text).  Returns a pandas DataFrame
+    (doc_id, bm25) of the k best, score-desc then doc_id.
+    """
+    import numpy as np
+
+    terms = list(terms)
+
+    def compact(batch: pd.DataFrame) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        dl = np.zeros(len(ids), np.int64)
+        tf = {t: np.zeros(len(ids), np.int64) for t in terms}
+        for i, text in enumerate(batch["text"]):
+            ws = [
+                w for w in _WS_SPLIT_RE.split((text or "").lower()) if w
+            ]
+            dl[i] = len(ws)
+            for w in ws:
+                if w in tf:
+                    tf[w][i] += 1
+        cols = {
+            "doc_id": pa.array(ids, pa.int64()),
+            "dl": pa.array(dl, pa.int64()),
+        }
+        for j, t in enumerate(terms):
+            cols[f"tf{j}"] = pa.array(tf[t], pa.int64())
+        return pa.table(cols)
+
+    compacted = ds.map_batches(
+        compact, batch_format="pandas"
+    ).materialize()
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        row = {
+            "n": pa.array([batch.num_rows], pa.int64()),
+            "sum_dl": pa.array(
+                [_pc.sum(batch.column("dl")).as_py() or 0], pa.int64()
+            ),
+        }
+        for j in range(len(terms)):
+            df_j = _pc.sum(
+                _pc.cast(
+                    _pc.greater(batch.column(f"tf{j}"), 0), pa.int64()
+                )
+            ).as_py() or 0
+            row[f"df{j}"] = pa.array([df_j], pa.int64())
+        return pa.table(row)
+
+    st = (
+        compacted.map_batches(stats_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sum()
+    )  # one tiny row per block reaches the driver
+    n_docs, avgdl = int(st["n"]), st["sum_dl"] / max(int(st["n"]), 1)
+    idf = np.array(
+        [
+            np.log((n_docs - st[f"df{j}"] + 0.5)
+                   / (st[f"df{j}"] + 0.5) + 1.0)
+            for j in range(len(terms))
+        ]
+    )
+
+    def score_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        dl = batch["dl"].to_numpy(dtype=np.float64)
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        s = np.zeros(len(batch), np.float64)
+        for j in range(len(terms)):
+            tf = batch[f"tf{j}"].to_numpy(dtype=np.float64)
+            s += idf[j] * tf * (k1 + 1.0) / (tf + norm)
+        s = np.floor(s * 1e6 + 0.5) / 1e6  # half-up, 6 decimals
+        out = pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(), "bm25": s}
+        )
+        out = out[out["bm25"] > 0]
+        return out.sort_values(
+            ["bm25", "doc_id"], ascending=[False, True]
+        ).head(k)
+
+    parts = compacted.map_batches(
+        score_topk, batch_format="pandas"
+    ).to_pandas()  # <= k rows per block reach the driver
+    return (
+        parts.sort_values(["bm25", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )

@@ -2479,3 +2479,140 @@ def q_new_users(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     out["new_users"] = out["new_users"].astype("int64")
     return out.sort_values("first_day").reset_index(drop=True)
+
+
+def q_bm25(sf_dir: str) -> pd.DataFrame:
+    """BM25 retrieval: top-20 documents for the query {hash, merge,
+    vector} (ops.textstats.bm25_topk) — one tokenize pass to a
+    compact per-doc stats table, corpus stats folded from per-batch
+    partials, vectorized scoring with partial top-k merge."""
+    from unfurl_ray.ops.textstats import bm25_topk
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+    out = bm25_topk(ds, terms=["hash", "merge", "vector"], k=20)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
+def q_conv_assemble(sf_dir: str) -> pd.DataFrame:
+    """Training-example assembly: stitch each 8-doc group (the
+    transcript conv grouping, conv = doc_id // 8) into ONE ordered
+    text blob — the "turns -> training example" step.  Convs hash
+    onto shuffle buckets (whole conv co-locates; a conv is bounded at
+    8 turns so no skew risk); inside a bucket the stitch is one
+    sort + groupby string-agg, vectorized per bucket not per conv."""
+    TURNS = 8
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+
+    def shape(batch: pd.DataFrame) -> pa.Table:
+        conv = batch["doc_id"].to_numpy() // TURNS
+        return pa.table(
+            {
+                "conv": pa.array(conv, pa.int64()),
+                "doc_id": pa.array(
+                    batch["doc_id"].to_numpy(), pa.int64()
+                ),
+                "text": pa.array(batch["text"], pa.string()),
+                "_b": pa.array(conv % 32, pa.int64()),
+            }
+        )
+
+    def stitch(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values("doc_id")
+        agg = g.groupby("conv", sort=True).agg(
+            full_text=("text", lambda s: "\n".join(s)),
+            n_turns=("text", "size"),
+        )
+        return pa.table(
+            {
+                "conv_id": pa.array(
+                    [f"{c:08d}" for c in agg.index], pa.string()
+                ),
+                "full_text": pa.array(
+                    agg["full_text"], pa.large_string()
+                ),
+                "n_turns": pa.array(
+                    agg["n_turns"].to_numpy(), pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(shape, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(stitch, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def q_sft_pairs(sf_dir: str) -> pd.DataFrame:
+    """SFT (context, target) pair construction: for every turn k >= 1
+    of each 8-doc conv, context = all earlier turns joined by newline,
+    target = the turn itself.  Whole convs co-locate by hash; within a
+    bucket the context is a per-conv cumulative string sum (shifted by
+    one) — O(turns^2) chars per conv, bounded by the 8-turn cap.
+    DuckDB twin: windowed string_agg with a 'rows between unbounded
+    preceding and 1 preceding' frame."""
+    TURNS = 8
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+
+    def shape(batch: pd.DataFrame) -> pa.Table:
+        conv = batch["doc_id"].to_numpy() // TURNS
+        return pa.table(
+            {
+                "conv": pa.array(conv, pa.int64()),
+                "doc_id": pa.array(
+                    batch["doc_id"].to_numpy(), pa.int64()
+                ),
+                "text": pa.array(batch["text"], pa.string()),
+                "_b": pa.array(conv % 32, pa.int64()),
+            }
+        )
+
+    def pairs(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values("doc_id").reset_index(drop=True)
+        conv = g["conv"].to_numpy()
+        texts = g["text"].to_list()
+        # the running concatenation IS the string-agg; per-conv cost is
+        # O(turns^2) chars, bounded by the turn cap — not a row-kernel
+        # shortcut being missed
+        ctx: list[str | None] = [None] * len(texts)
+        cur: str | None = None
+        prev = None
+        for i, t in enumerate(texts):
+            if conv[i] != prev:
+                cur, prev = None, conv[i]
+            ctx[i] = cur
+            cur = t if cur is None else f"{cur}\n{t}"
+        keep = np.array([c is not None for c in ctx])
+        return pa.table(
+            {
+                "conv_id": pa.array(
+                    [f"{c:08d}" for c in conv[keep]], pa.string()
+                ),
+                "turn_idx": pa.array(
+                    (g.loc[keep, "doc_id"] % TURNS).to_numpy(),
+                    pa.int64(),
+                ),
+                "context": pa.array(
+                    [c for c in ctx if c is not None],
+                    pa.large_string(),
+                ),
+                "target": pa.array(
+                    g.loc[keep, "text"], pa.large_string()
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(shape, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
