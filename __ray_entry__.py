@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bm25": p.q_bm25,
         "q_conv_assemble": p.q_conv_assemble,
         "q_sft_pairs": p.q_sft_pairs,
+        "q_upsert_merge": p.q_upsert_merge,
+        "q_json_extract": p.q_json_extract,
         "q_group_hll_users": p.q_group_hll_users,
         "q_distinct_users": p.q_distinct_users,
         "q_pivot_events": p.q_pivot_events,
@@ -1304,6 +1306,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
             WHERE context IS NOT NULL
             ORDER BY conv_id, turn_idx
+        """,
+        # CDC merge: updates %10, deletes %17 (win), inserts %23
+        "q_upsert_merge": """
+            SELECT doc_id, length(text) AS n_chars FROM (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 0
+                            THEN 'UPDATED ' || text ELSE text END
+                           AS text
+                FROM documents
+                WHERE doc_id % 17 <> 0
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, 'NEW ' || text
+                FROM documents WHERE doc_id % 23 = 0)
+            ORDER BY doc_id
+        """,
+        # schema-on-read: integer field k out of the JSON props column
+        "q_json_extract": """
+            SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS k,
+                   count(*) AS n
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+            GROUP BY 1
+            ORDER BY 1
         """,
         # per-day KL divergence vs the global event-type mix
         "q_drift_kl": """

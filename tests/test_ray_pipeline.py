@@ -2159,3 +2159,40 @@ def test_mad_outliers_by(ray_session):
     assert (b["median"], b["mad"], b["n"], b["n_outliers"]) == (
         2.5, 0.0, 5, 0
     )
+
+
+def test_cdc_apply_changes(ray_session):
+    """Highest version wins per key; deletes drop the key; inserts
+    appear; same-version duplicates resolve to the last-sorting
+    payload; keys split across blocks still merge once."""
+    import ray.data as rd
+
+    from unfurl_ray.ops.cdc import apply_changes
+
+    base = pd.DataFrame(
+        {"k": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]}
+    )
+    changes = pd.DataFrame(
+        {
+            "k": [2, 2, 3, 5, 5],
+            "v": ["b1", "b2", "", "e1", "e2"],
+            "op": ["upsert", "upsert", "delete", "upsert", "upsert"],
+            "ver": [1, 2, 1, 1, 1],
+        }
+    )
+    out = (
+        apply_changes(
+            rd.from_pandas(base).repartition(3),
+            rd.from_pandas(changes).repartition(2),
+            key_col="k", payload_cols=["v"], n_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, out.to_numpy())) == [
+        (1, "a"),      # untouched
+        (2, "b2"),     # ver 2 beats ver 1
+        (4, "d"),      # untouched (3 deleted)
+        (5, "e2"),     # insert; same-ver tie -> last-sorting payload
+    ]

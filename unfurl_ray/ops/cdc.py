@@ -1,0 +1,72 @@
+"""Change-data-capture merge: apply an upsert/delete change stream
+onto a base snapshot, latest version per key wins.
+
+The merge is one bucket-co-partitioned shuffle: base rows enter at
+version 0, change rows at their change version; rows hash-bucket by
+key, and each bucket resolves keys vectorized (sort by (key, ver),
+keep the last row per key, drop deletes).  No key's full history ever
+exceeds its own change count, and the shuffle carries only the merged
+columns — the natural MERGE INTO shape for periodic snapshot+delta
+compaction at 100 TB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+OP_UPSERT = "upsert"
+OP_DELETE = "delete"
+
+
+def _arrow(df: pd.DataFrame) -> pa.Table:
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
+def apply_changes(base_ds, changes_ds, key_col: str,
+                  payload_cols: list[str], op_col: str = "op",
+                  ver_col: str = "ver", n_buckets: int = 64):
+    """Merge ``changes_ds`` (columns: key, payload..., op_col in
+    {'upsert','delete'}, ver_col int >= 1) onto ``base_ds`` (columns:
+    key, payload...).  Returns the post-merge snapshot Dataset with
+    (key, payload...) — per key the HIGHEST version wins; ties within
+    a version resolve to the row whose payload tuple sorts last
+    (deterministic under re-delivery).
+    """
+    cols = [key_col] + payload_cols
+
+    def shape_base(batch: pd.DataFrame) -> pa.Table:
+        out = batch[cols].copy()
+        out["_ver"] = np.int64(0)
+        out["_del"] = False
+        out["_b"] = (
+            pd.util.hash_pandas_object(out[key_col], index=False)
+            .to_numpy() % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return _arrow(out)
+
+    def shape_changes(batch: pd.DataFrame) -> pa.Table:
+        out = batch[cols].copy()
+        out["_ver"] = batch[ver_col].to_numpy(dtype=np.int64)
+        out["_del"] = (batch[op_col] == OP_DELETE).to_numpy()
+        out["_b"] = (
+            pd.util.hash_pandas_object(out[key_col], index=False)
+            .to_numpy() % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return _arrow(out)
+
+    def resolve(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values([key_col, "_ver"] + payload_cols)
+        last = g.drop_duplicates(subset=[key_col], keep="last")
+        alive = last[~last["_del"]]
+        return _arrow(alive[cols])
+
+    unioned = base_ds.map_batches(
+        shape_base, batch_format="pandas"
+    ).union(
+        changes_ds.map_batches(shape_changes, batch_format="pandas")
+    )
+    return unioned.groupby("_b").map_groups(
+        resolve, batch_format="pandas"
+    )

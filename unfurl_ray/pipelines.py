@@ -2616,3 +2616,128 @@ def q_sft_pairs(sf_dir: str) -> pd.DataFrame:
     return (
         out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     )
+
+
+def q_upsert_merge(sf_dir: str) -> pd.DataFrame:
+    """CDC snapshot compaction: apply a deterministic change stream
+    (updates for doc_id%10==0, deletes for doc_id%17==0 — deletes
+    carry version 2 so they win — inserts at doc_id+10000000 for
+    doc_id%23==0) onto the documents snapshot via ops.cdc
+    .apply_changes: one bucket-co-partitioned shuffle, latest version
+    per key wins, vectorized resolve.  Returns (doc_id, n_chars of
+    the merged text) so the oracle compares the full outcome without
+    shipping every text to the driver comparison untrimmed."""
+    from unfurl_ray.ops.cdc import apply_changes
+
+    base = _parquet(sf_dir, "documents", ["doc_id", "text"])
+
+    def make_changes(batch: pd.DataFrame) -> pa.Table:
+        d = batch["doc_id"].to_numpy()
+        t = batch["text"]
+        frames = []
+        upd = d % 10 == 0
+        if upd.any():
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": d[upd],
+                        "text": "UPDATED " + t[upd],
+                        "op": "upsert",
+                        "ver": np.int64(1),
+                    }
+                )
+            )
+        dele = d % 17 == 0
+        if dele.any():
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": d[dele],
+                        "text": "",
+                        "op": "delete",
+                        "ver": np.int64(2),
+                    }
+                )
+            )
+        ins = d % 23 == 0
+        if ins.any():
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": d[ins] + 10_000_000,
+                        "text": "NEW " + t[ins],
+                        "op": "upsert",
+                        "ver": np.int64(1),
+                    }
+                )
+            )
+        out = (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "text": pd.Series([], dtype="object"),
+                    "op": pd.Series([], dtype="object"),
+                    "ver": pd.Series([], dtype="int64"),
+                }
+            )
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "text": pa.array(out["text"], pa.string()),
+                "op": pa.array(out["op"], pa.string()),
+                "ver": pa.array(out["ver"], pa.int64()),
+            }
+        )
+
+    changes = _parquet(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        make_changes, batch_format="pandas"
+    )
+    merged = apply_changes(
+        base, changes, key_col="doc_id", payload_cols=["text"]
+    )
+
+    def finish(batch: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    batch["doc_id"].to_numpy(), pa.int64()
+                ),
+                "n_chars": pa.array(
+                    batch["text"].str.len().to_numpy(dtype=np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = merged.map_batches(finish, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_json_extract(sf_dir: str) -> pd.DataFrame:
+    """Schema-on-read: pull the integer field k out of the JSON
+    ``props`` column with one compiled vectorized regex (no per-row
+    json.loads) and aggregate events per k."""
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    ds = _parquet_sh(sf_dir, "events", ["event_id", "props"])
+
+    def extract(batch: pd.DataFrame) -> pa.Table:
+        k = (
+            batch["props"]
+            .str.extract(r'"k":\s*(-?\d+)', expand=False)
+            .astype("float64")  # NaN-tolerant; cast back after dropna
+        )
+        keep = k.notna()
+        return pa.table(
+            {"k": pa.array(k[keep].astype(np.int64), pa.int64())}
+        )
+
+    out = pre_aggregate(
+        ds.map_batches(extract, batch_format="pandas"),
+        ["k"], {"n": ("k", "count")},
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("k").reset_index(drop=True)
