@@ -73,6 +73,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sft_pairs": p.q_sft_pairs,
         "q_upsert_merge": p.q_upsert_merge,
         "q_json_extract": p.q_json_extract,
+        "q_entropy": p.q_entropy,
+        "q_user_entropy": p.q_user_entropy,
+        "q_source_sim": p.q_source_sim,
         "q_group_hll_users": p.q_group_hll_users,
         "q_distinct_users": p.q_distinct_users,
         "q_pivot_events": p.q_pivot_events,
@@ -1330,6 +1333,73 @@ def oracle_sql() -> dict[str, str]:
             WHERE json_extract_string(props, '$.k') IS NOT NULL
             GROUP BY 1
             ORDER BY 1
+        """,
+        # per-doc character Shannon entropy (low-diversity filter)
+        "q_entropy": """
+            WITH ch AS (
+                SELECT doc_id,
+                       unnest(string_split(coalesce(text, ''), ''))
+                           AS c
+                FROM documents
+            ), cnt AS (
+                SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2
+            ), tot AS (
+                SELECT doc_id, sum(n) AS t FROM cnt GROUP BY 1
+            )
+            SELECT cnt.doc_id,
+                   floor(-sum((CAST(n AS DOUBLE) / t)
+                              * log2(CAST(n AS DOUBLE) / t))
+                         * 1e6 + 0.5) / 1e6 AS entropy
+            FROM cnt JOIN tot USING (doc_id)
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        # Shannon entropy of each user's event-type mix
+        "q_user_entropy": """
+            WITH c AS (
+                SELECT user_id, event_type, count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), t AS (
+                SELECT user_id, sum(n) AS t FROM c GROUP BY 1
+            )
+            SELECT c.user_id,
+                   floor(-sum((CAST(n AS DOUBLE) / t)
+                              * log2(CAST(n AS DOUBLE) / t))
+                         * 1e6 + 0.5) / 1e6 AS entropy,
+                   sum(n) AS n
+            FROM c JOIN t USING (user_id)
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        # cosine similarity between sources' term-count vectors
+        "q_source_sim": """
+            WITH w AS (
+                SELECT source,
+                       unnest(list_filter(regexp_split_to_array(
+                           lower(coalesce(text, '')),
+                           '[ \t\n\f\r]+'), x -> x <> '')) AS word
+                FROM documents
+            ), c AS (
+                SELECT source, word, count(*) AS n
+                FROM w GROUP BY 1, 2
+            ), d AS (
+                SELECT a.source AS src_a, b.source AS src_b,
+                       sum(CAST(a.n AS DOUBLE) * b.n) AS dot
+                FROM c a JOIN c b
+                  ON a.word = b.word AND a.source < b.source
+                GROUP BY 1, 2
+            ), nrm AS (
+                SELECT source,
+                       sqrt(sum(CAST(n AS DOUBLE) * n)) AS nn
+                FROM c GROUP BY 1
+            )
+            SELECT src_a, src_b,
+                   floor(dot / (na.nn * nb.nn) * 1e6 + 0.5) / 1e6
+                       AS cosine
+            FROM d
+            JOIN nrm na ON na.source = d.src_a
+            JOIN nrm nb ON nb.source = d.src_b
+            ORDER BY 1, 2
         """,
         # per-day KL divergence vs the global event-type mix
         "q_drift_kl": """

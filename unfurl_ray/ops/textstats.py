@@ -377,3 +377,29 @@ def bm25_topk(ds, terms: list[str], k: int = 20,
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def char_entropy_batch(batch: pd.DataFrame) -> pa.Table:
+    """Shannon entropy (bits/char) of each document's character
+    distribution — the classic low-diversity / mojibake pretraining
+    filter signal.  Computed over UTF-8 bytes (== characters for the
+    ASCII corpus; the SQL twin unnests characters).  Empty/null text
+    scores 0.  Half-up rounded to 6 decimals to match the twin."""
+    import numpy as np
+
+    ids = batch["doc_id"].to_numpy()
+    ent = np.zeros(len(ids), np.float64)
+    for i, text in enumerate(batch["text"]):
+        b = np.frombuffer((text or "").encode(), dtype=np.uint8)
+        if len(b) == 0:
+            continue
+        counts = np.bincount(b)
+        p = counts[counts > 0] / len(b)
+        ent[i] = -(p * np.log2(p)).sum()
+    ent = np.floor(ent * 1e6 + 0.5) / 1e6
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "entropy": pa.array(ent, pa.float64()),
+        }
+    )

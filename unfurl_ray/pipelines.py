@@ -2741,3 +2741,145 @@ def q_json_extract(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     out["n"] = out["n"].astype("int64")
     return out.sort_values("k").reset_index(drop=True)
+
+
+def q_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-document character entropy (ops.textstats
+    .char_entropy_batch) — map-only, no shuffle; the low-diversity
+    text filter signal."""
+    from unfurl_ray.ops.textstats import char_entropy_batch
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        char_entropy_batch, batch_format="pandas"
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_user_entropy(sf_dir: str) -> pd.DataFrame:
+    """Behavioral entropy per user (Shannon entropy of the user's
+    event-type mix).  ONE shuffle: per-batch (user, type) partial
+    counts hash-bucket by USER, and each bucket both merges the
+    partials and computes every user's entropy vectorized (the
+    per-user total via transform, no Python per user)."""
+    ds = _parquet_sh(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        c = (
+            batch.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        c["_b"] = (
+            pd.util.hash_pandas_object(c["user_id"], index=False)
+            .to_numpy() % np.uint64(64)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(
+            c, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    def entropy(group: pd.DataFrame) -> pa.Table:
+        m = (
+            group.groupby(["user_id", "event_type"], as_index=False,
+                          sort=False)["n"].sum()
+        )
+        t = m.groupby("user_id")["n"].transform("sum").to_numpy()
+        p = m["n"].to_numpy(dtype=np.float64) / t
+        m["_h"] = -p * np.log2(p)
+        out = m.groupby("user_id", as_index=False).agg(
+            entropy=("_h", "sum"), n=("n", "sum")
+        )
+        out["entropy"] = np.floor(
+            out["entropy"].to_numpy() * 1e6 + 0.5
+        ) / 1e6
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(entropy, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_source_sim(sf_dir: str) -> pd.DataFrame:
+    """Corpus-level source similarity: cosine between each pair of
+    sources' term-count vectors.  The distributed matrix product
+    shape: (source, word, n) partials hash-bucket by WORD (so one
+    word's counts across all sources co-locate), each bucket emits a
+    PARTIAL dot product per source pair and partial squared norms —
+    a handful of floats — and the driver folds them.  The corpus
+    payload crosses the shuffle once as (source, word, n) rows."""
+    import itertools
+    import re as _re
+
+    _ws = _re.compile(r"[ \t\n\f\r]+")
+    ds = _parquet(sf_dir, "documents", ["source", "text"])
+
+    def counts(batch: pd.DataFrame) -> pa.Table:
+        from collections import Counter
+
+        c: "Counter[tuple]" = Counter()
+        for src, text in zip(batch["source"], batch["text"]):
+            for w in _ws.split((text or "").lower()):
+                if w:
+                    c[(src, w)] += 1
+        src = [k[0] for k in c]
+        wrd = [k[1] for k in c]
+        out = pd.DataFrame({"source": src, "word": wrd,
+                            "n": list(c.values())})
+        out["_b"] = (
+            pd.util.hash_pandas_object(out["word"], index=False)
+            .to_numpy() % np.uint64(32)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    def partial_products(group: pd.DataFrame) -> pa.Table:
+        m = (
+            group.groupby(["source", "word"], as_index=False,
+                          sort=False)["n"].sum()
+        )
+        piv = m.pivot_table(index="word", columns="source",
+                            values="n", fill_value=0)
+        srcs = list(piv.columns)
+        rows = []
+        v = {s: piv[s].to_numpy(dtype=np.float64) for s in srcs}
+        for s in srcs:
+            rows.append((s, s, float((v[s] * v[s]).sum())))
+        for a, b in itertools.combinations(sorted(srcs), 2):
+            rows.append((a, b, float((v[a] * v[b]).sum())))
+        out = pd.DataFrame(rows, columns=["src_a", "src_b", "dot"])
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    parts = (
+        ds.map_batches(counts, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(partial_products, batch_format="pandas")
+        .to_pandas()  # <= (pairs + sources) rows per bucket
+    )
+    tot = parts.groupby(["src_a", "src_b"], as_index=False)["dot"].sum()
+    norms = {
+        r.src_a: np.sqrt(r.dot)
+        for r in tot[tot.src_a == tot.src_b].itertuples()
+    }
+    pairs = tot[tot.src_a != tot.src_b].copy()
+    pairs["cosine"] = np.floor(
+        pairs["dot"].to_numpy()
+        / np.array([norms[a] for a in pairs["src_a"]])
+        / np.array([norms[b] for b in pairs["src_b"]])
+        * 1e6 + 0.5
+    ) / 1e6
+    return (
+        pairs[["src_a", "src_b", "cosine"]]
+        .sort_values(["src_a", "src_b"])
+        .reset_index(drop=True)
+    )
