@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_entropy": p.q_entropy,
         "q_user_entropy": p.q_user_entropy,
         "q_source_sim": p.q_source_sim,
+        "q_skew_report": p.q_skew_report,
         "q_group_hll_users": p.q_group_hll_users,
         "q_distinct_users": p.q_distinct_users,
         "q_pivot_events": p.q_pivot_events,
@@ -1400,6 +1401,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN nrm na ON na.source = d.src_a
             JOIN nrm nb ON nb.source = d.src_b
             ORDER BY 1, 2
+        """,
+        # Gini of the per-user event-count distribution
+        "q_skew_report": """
+            WITH u AS (
+                SELECT user_id, count(*) AS c
+                FROM events GROUP BY 1
+            ), r AS (
+                SELECT c,
+                       row_number() OVER (ORDER BY c) AS i,
+                       count(*) OVER () AS n,
+                       sum(c) OVER () AS s
+                FROM u
+            )
+            SELECT floor(sum((2.0 * i - n - 1) * c)
+                         / (any_value(n) * any_value(s))
+                         * 1e6 + 0.5) / 1e6 AS gini,
+                   any_value(n) AS n_users,
+                   any_value(s) AS n_events,
+                   max(c) AS max_c
+            FROM r
         """,
         # per-day KL divergence vs the global event-type mix
         "q_drift_kl": """

@@ -2883,3 +2883,42 @@ def q_source_sim(sf_dir: str) -> pd.DataFrame:
         .sort_values(["src_a", "src_b"])
         .reset_index(drop=True)
     )
+
+
+def q_skew_report(sf_dir: str) -> pd.DataFrame:
+    """Key-skew diagnostics for shuffle planning: the Gini coefficient
+    of the per-user event-count distribution, plus extremes.  Two
+    histogram collapses — (user -> n) bucketed, then (n -> multiplicity)
+    — so the driver folds one row per DISTINCT count, never per key;
+    the rank sums come exactly from contiguous rank runs in integer
+    arithmetic (no per-key ranking shuffle)."""
+    from unfurl_ray.ops.relational import (
+        bucketed_aggregate,
+        pre_aggregate,
+    )
+
+    ds = _parquet_sh(sf_dir, "events", ["user_id"])
+    per_user = bucketed_aggregate(
+        ds, ["user_id"], {"c": ("user_id", "count")}
+    )
+    hist = pre_aggregate(
+        per_user, ["c"], {"m": ("c", "count")}
+    ).to_pandas().sort_values("c").reset_index(drop=True)
+
+    c = hist["c"].to_numpy(dtype=np.int64)
+    m = hist["m"].to_numpy(dtype=np.int64)
+    n = int(m.sum())
+    s = int((c * m).sum())
+    # ranks of a count-c run start after all smaller counts:
+    # sum_{i=a}^{a+m-1} (2i - n - 1) = 2(ma + m(m-1)/2) - m(n+1)
+    a = np.concatenate(([1], 1 + np.cumsum(m)[:-1]))
+    rank_sum = 2 * (m * a + m * (m - 1) // 2) - m * (n + 1)
+    gini = float((rank_sum * c).sum()) / (n * s)
+    return pd.DataFrame(
+        {
+            "gini": [np.floor(gini * 1e6 + 0.5) / 1e6],
+            "n_users": [n],
+            "n_events": [s],
+            "max_c": [int(c[-1])],
+        }
+    )
