@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_user_entropy": p.q_user_entropy,
         "q_source_sim": p.q_source_sim,
         "q_skew_report": p.q_skew_report,
+        "q_mv_update": p.q_mv_update,
+        "q_table_checksum": p.q_table_checksum,
         "q_group_hll_users": p.q_group_hll_users,
         "q_distinct_users": p.q_distinct_users,
         "q_pivot_events": p.q_pivot_events,
@@ -1421,6 +1423,24 @@ def oracle_sql() -> dict[str, str]:
                    any_value(s) AS n_events,
                    max(c) AS max_c
             FROM r
+        """,
+        # incremental rollup refresh == full recompute
+        "q_mv_update": """
+            SELECT event_type, count(value) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        # order-invariant table checksum (md5-prefix sum mod 2^61-1)
+        "q_table_checksum": """
+            SELECT CAST(CAST(sum(CAST(concat('0x',
+                       substr(md5(concat(CAST(doc_id AS VARCHAR), '|',
+                                         coalesce(text, ''))), 1, 15))
+                       AS BIGINT)) AS HUGEINT)
+                   % 2305843009213693951 AS BIGINT) AS checksum,
+                   count(*) AS n
+            FROM documents
         """,
         # per-day KL divergence vs the global event-type mix
         "q_drift_kl": """

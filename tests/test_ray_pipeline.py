@@ -2196,3 +2196,38 @@ def test_cdc_apply_changes(ray_session):
         (4, "d"),      # untouched (3 deleted)
         (5, "e2"),     # insert; same-ver tie -> last-sorting payload
     ]
+
+
+def test_update_aggregate_incremental(ray_session):
+    """Incremental refresh equals from-scratch recompute; non-additive
+    aggregates are refused."""
+    import pytest
+    import ray.data as rd
+
+    from unfurl_ray.ops.incremental import update_aggregate
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    base = pd.DataFrame(
+        {"k": ["a", "a", "b"], "v": [1.0, 2.0, 3.0]}
+    )
+    delta = pd.DataFrame(
+        {"k": ["a", "b", "c"], "v": [4.0, 5.0, 6.0]}
+    )
+    snap = pre_aggregate(
+        rd.from_pandas(base).repartition(2), ["k"],
+        {"n": ("v", "count"), "s": ("v", "sum")},
+    )
+    out = (
+        update_aggregate(
+            snap, rd.from_pandas(delta).repartition(2), ["k"],
+            {"n": ("v", "count"), "s": ("v", "sum")}, n_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, out[["k", "n", "s"]].to_numpy())) == [
+        ("a", 3, 7.0), ("b", 2, 8.0), ("c", 1, 6.0)
+    ]
+    with pytest.raises(ValueError, match="additive"):
+        update_aggregate(snap, snap, ["k"], {"m": ("v", "max")})

@@ -2922,3 +2922,60 @@ def q_skew_report(sf_dir: str) -> pd.DataFrame:
             "max_c": [int(c[-1])],
         }
     )
+
+
+def q_mv_update(sf_dir: str) -> pd.DataFrame:
+    """Materialized-view maintenance: a per-type (count, sum) rollup
+    snapshot built over events BEFORE 2024-01-25 is refreshed with the
+    remaining days as a raw delta (ops.incremental.update_aggregate —
+    one bucketed shuffle; the delta pre-reduces per batch).  The
+    oracle is the FULL recompute over all events, so the check proves
+    incremental == from-scratch."""
+    from unfurl_ray.ops.incremental import update_aggregate
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    CUTOFF = pa.scalar(
+        pd.Timestamp("2024-01-25"), type=pa.timestamp("us")
+    )
+    ds = _parquet_sh(sf_dir, "events", ["ts", "event_type", "value"])
+    ds = ds.materialize()  # consumed twice (snapshot base + delta)
+
+    def _split(keep_before: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            mask = pc.less(batch.column("ts"), CUTOFF)
+            return batch.filter(mask if keep_before else pc.invert(mask))
+        return f
+
+    before = ds.map_batches(_split(True), batch_format="pyarrow")
+    after = ds.map_batches(_split(False), batch_format="pyarrow")
+    snapshot = pre_aggregate(
+        before, ["event_type"],
+        {"n": ("value", "count"), "sum_value": ("value", "sum")},
+    )
+    out = update_aggregate(
+        snapshot, after, ["event_type"],
+        {"n": ("value", "count"), "sum_value": ("value", "sum")},
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_table_checksum(sf_dir: str) -> pd.DataFrame:
+    """Order-invariant table checksum of documents (sum of per-row
+    md5-prefix ints mod 2^61-1; ops.incremental.table_checksum) —
+    the one-scalar output-verification primitive for comparing fresh
+    vs resumed runs.  One int64 partial per batch reaches the
+    driver."""
+    from unfurl_ray.ops.incremental import table_checksum
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+
+    def rows(batch: pd.DataFrame) -> list[str]:
+        return [
+            f"{i}|{t if t is not None else ''}"
+            for i, t in zip(batch["doc_id"], batch["text"])
+        ]
+
+    c, n = table_checksum(ds, rows)
+    return pd.DataFrame({"checksum": [c], "n": [n]})
