@@ -116,6 +116,12 @@ def run_queries() -> dict:
         ("q_chunk_docs", p.q_chunk_docs),
         ("q_resample_locf", p.q_resample_locf),
         ("q_percent_rank", p.q_percent_rank),
+        ("q_window_join", p.q_window_join),
+        ("q_mad", p.q_mad),
+        ("q_bm25", p.q_bm25),
+        ("q_sft_pairs", p.q_sft_pairs),
+        ("q_upsert_merge", p.q_upsert_merge),
+        ("q_mv_update", p.q_mv_update),
     ]:
         t0 = time.time()
         result = fn(SF_DIR)
