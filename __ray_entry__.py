@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_skew_report": p.q_skew_report,
         "q_mv_update": p.q_mv_update,
         "q_table_checksum": p.q_table_checksum,
+        "q_regression": p.q_regression,
         "q_group_hll_users": p.q_group_hll_users,
         "q_distinct_users": p.q_distinct_users,
         "q_pivot_events": p.q_pivot_events,
@@ -1441,6 +1442,31 @@ def oracle_sql() -> dict[str, str]:
                    % 2305843009213693951 AS BIGINT) AS checksum,
                    count(*) AS n
             FROM documents
+        """,
+        # per-type OLS trend via distributed sufficient statistics
+        "q_regression": """
+            WITH pts AS (
+                SELECT event_type,
+                       (epoch_us(ts) / 1e6 - 1704067200) / 86400.0
+                           AS x,
+                       value AS y
+                FROM events
+            ), s AS (
+                SELECT event_type, count(*) AS n, sum(x) AS sx,
+                       sum(y) AS sy, sum(x * y) AS sxy,
+                       sum(x * x) AS sxx
+                FROM pts GROUP BY 1
+            )
+            SELECT event_type,
+                   floor((n * sxy - sx * sy)
+                         / (n * sxx - sx * sx) * 1e4 + 0.5) / 1e4
+                       AS slope,
+                   floor((sy - (n * sxy - sx * sy)
+                          / (n * sxx - sx * sx) * sx) / n
+                         * 1e4 + 0.5) / 1e4 AS intercept,
+                   n
+            FROM s
+            ORDER BY 1
         """,
         # per-day KL divergence vs the global event-type mix
         "q_drift_kl": """

@@ -2979,3 +2979,64 @@ def q_table_checksum(sf_dir: str) -> pd.DataFrame:
 
     c, n = table_checksum(ds, rows)
     return pd.DataFrame({"checksum": [c], "n": [n]})
+
+
+def q_regression(sf_dir: str) -> pd.DataFrame:
+    """Per-type OLS trend of value over time (units/day) via
+    distributed SUFFICIENT STATISTICS: each batch contributes
+    (n, Sx, Sy, Sxy, Sxx) per key — five floats cross the shuffle per
+    (key, batch), never a row.  Time is centered at the corpus epoch
+    BEFORE squaring (the 1704067200 constant on both sides) so the
+    normal-equation cancellation stays mild and the SQL twin matches
+    at 4 decimals."""
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    EPOCH = 1_704_067_200.0  # 2024-01-01 in seconds
+    ds = _parquet_sh(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def stats(batch: pd.DataFrame) -> pa.Table:
+        x = (
+            batch["ts"].astype("int64").to_numpy() / 1e6 - EPOCH
+        ) / 86400.0
+        y = batch["value"].to_numpy(dtype=np.float64)
+        d = pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "n": np.int64(1),
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+            }
+        )
+        g = d.groupby("event_type", as_index=False).sum()
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    agg = pre_aggregate(
+        ds.map_batches(stats, batch_format="pandas"),
+        ["event_type"],
+        {
+            "n": ("n", "sum"),
+            "sx": ("sx", "sum"),
+            "sy": ("sy", "sum"),
+            "sxy": ("sxy", "sum"),
+            "sxx": ("sxx", "sum"),
+        },
+    ).to_pandas()
+
+    n = agg["n"].to_numpy(dtype=np.float64)
+    sx, sy = agg["sx"].to_numpy(), agg["sy"].to_numpy()
+    sxy, sxx = agg["sxy"].to_numpy(), agg["sxx"].to_numpy()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    out = pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "slope": np.floor(slope * 1e4 + 0.5) / 1e4,
+            "intercept": np.floor(intercept * 1e4 + 0.5) / 1e4,
+            "n": agg["n"].astype("int64"),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
