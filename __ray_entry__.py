@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mv_update": p.q_mv_update,
         "q_table_checksum": p.q_table_checksum,
         "q_regression": p.q_regression,
+        "q_zorder_scan": p.q_zorder_scan,
         "q_group_hll_users": p.q_group_hll_users,
         "q_distinct_users": p.q_distinct_users,
         "q_pivot_events": p.q_pivot_events,
@@ -1466,6 +1467,16 @@ def oracle_sql() -> dict[str, str]:
                          * 1e4 + 0.5) / 1e4 AS intercept,
                    n
             FROM s
+            ORDER BY 1
+        """,
+        # 2-D box aggregate over the z-ordered layout
+        "q_zorder_scan": """
+            SELECT event_type, count(value) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            WHERE user_id BETWEEN 100 AND 300
+              AND epoch_us(ts) // 86400000000 - 19723 BETWEEN 5 AND 10
+            GROUP BY 1
             ORDER BY 1
         """,
         # per-day KL divergence vs the global event-type mix

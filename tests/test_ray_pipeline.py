@@ -2231,3 +2231,54 @@ def test_update_aggregate_incremental(ray_session):
     ]
     with pytest.raises(ValueError, match="additive"):
         update_aggregate(snap, snap, ["k"], {"m": ("v", "max")})
+
+
+def test_zorder_key_interleaves_bits():
+    """Morton code interleaves a into even bits and b into odd bits."""
+    import numpy as np
+
+    from unfurl_ray.ops.layout import zorder_key
+
+    a = np.array([0b101, 0, 0xFFFF], dtype=np.uint64)
+    b = np.array([0b011, 1, 0], dtype=np.uint64)
+    z = zorder_key(a, b)
+    assert z[0] == 0b011011  # (a=101, b=011) -> b1 a1 b0 a0 pairs
+    assert z[1] == 0b10
+    assert z[2] == 0x55555555
+
+
+def test_zorder_box_read_matches_brute_filter(ray_session, tmp_path):
+    """write_zordered + read_zordered_box returns exactly the box rows
+    (pruning overshoot removed) while reading fewer cells than exist,
+    including bounds clipped outside the data range."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.layout import read_zordered_box, write_zordered
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "x": rng.integers(0, 1000, 5000).astype(np.int64),
+            "y": rng.integers(0, 200, 5000).astype(np.int64),
+            "v": rng.standard_normal(5000),
+        }
+    )
+    path = str(tmp_path / "z")
+    write_zordered(
+        rd.from_pandas(df).repartition(4), "x", "y", path, cell_bits=6
+    )
+    boxed, n_read, n_total = read_zordered_box(
+        path, 100, 299, 50, 2000, columns=["x", "y", "v"]
+    )
+    got = boxed.to_pandas().sort_values(["x", "y", "v"]).reset_index(
+        drop=True
+    )
+    want = (
+        df[(df.x >= 100) & (df.x <= 299) & (df.y >= 50)]
+        .sort_values(["x", "y", "v"])
+        .reset_index(drop=True)[["x", "y", "v"]]
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert 0 < n_read < n_total

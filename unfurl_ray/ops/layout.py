@@ -190,3 +190,166 @@ def write_jsonl_shards(ds, out_dir: str, id_col: str = "doc_id",
         .sort_values("bucket")
         .reset_index(drop=True)
     )
+
+
+# -- z-order (Morton) layout for multi-dimensional pruning ------------------
+
+def _spread16(v: np.ndarray) -> np.ndarray:
+    """Interleave zeros between the low 16 bits of each value
+    (vectorized Morton bit-spreading)."""
+    v = v.astype(np.uint64) & np.uint64(0xFFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+    return v
+
+
+def zorder_key(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """32-bit Morton code of two 16-bit quantized dimensions: nearby
+    (a, b) points get nearby codes, so a RANGE of codes covers a 2-D
+    box with bounded overshoot."""
+    return _spread16(a) | (_spread16(b) << np.uint64(1))
+
+
+def _quant16(v: np.ndarray, lo: float, hi: float) -> np.ndarray:
+    """Monotone map of values in [lo, hi] onto the 16-bit grid.
+    Monotonicity is what makes box queries sound: an original-space
+    box maps to a quantized-space box that covers every point's
+    quantized image (the exact per-batch filter removes overshoot)."""
+    span = max(float(hi) - float(lo), 1.0)
+    q = np.floor(
+        (np.clip(v.astype(np.float64), lo, hi) - lo) / span * 65535.0
+    )
+    return q.astype(np.uint64)
+
+
+def write_zordered(ds, dim_a: str, dim_b: str, path: str,
+                   cell_bits: int = 10,
+                   bounds: tuple[float, float, float, float] | None = None):
+    """Materialize ``ds`` hive-partitioned by z-order CELL of
+    (dim_a, dim_b) — the multi-dimensional analogue of write_bucketed:
+    one partitioned write, then every 2-D box query reads ONLY the
+    cells its box intersects (file-level pruning, no row-group-stat
+    reliance).  Each dim is normalized to its observed [min, max]
+    before Morton coding (persisted in ``_zmeta.json`` under the
+    layout so reads quantize identically); ``cell_bits`` = number of
+    HIGH z bits that name a cell directory (2^cell_bits dirs max).
+
+    ``bounds`` = (a_lo, a_hi, b_lo, b_hi) skips the bounds pass — at
+    design scale pass known domain bounds; otherwise a pruned 2-column
+    aggregate computes them (the lazy upstream runs twice: once for
+    bounds, once for the write).
+
+    Cites the same pay-once/prune-forever rationale as the IVF index
+    (ops/similarity.py) and the bucketed join above.
+    """
+    import json
+
+    if bounds is None:
+        from ray.data.aggregate import Max, Min
+
+        agg = ds.aggregate(Min(dim_a), Max(dim_a), Min(dim_b), Max(dim_b))
+        bounds = (
+            agg[f"min({dim_a})"], agg[f"max({dim_a})"],
+            agg[f"min({dim_b})"], agg[f"max({dim_b})"],
+        )
+    a_lo, a_hi, b_lo, b_hi = (float(x) for x in bounds)
+    shift = np.uint64(32 - cell_bits)
+
+    def add_cell(batch: pd.DataFrame) -> pd.DataFrame:
+        z = zorder_key(
+            _quant16(batch[dim_a].to_numpy(), a_lo, a_hi),
+            _quant16(batch[dim_b].to_numpy(), b_lo, b_hi),
+        )
+        batch["zcell"] = (z >> shift).astype(np.int64)
+        return batch
+
+    ds.map_batches(add_cell, batch_format="pandas").write_parquet(
+        path, partition_cols=["zcell"]
+    )
+    meta = {
+        "dim_a": dim_a, "dim_b": dim_b, "cell_bits": cell_bits,
+        "a_lo": a_lo, "a_hi": a_hi, "b_lo": b_lo, "b_hi": b_hi,
+    }
+    tmp = os.path.join(path, "_zmeta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.rename(tmp, os.path.join(path, "_zmeta.json"))
+    return meta
+
+
+def zcells_for_box(qa_lo: int, qa_hi: int, qb_lo: int, qb_hi: int,
+                   cell_bits: int = 10) -> list[int]:
+    """All z cells intersecting the inclusive QUANTIZED box —
+    enumerated from the box's own corner codes, never the full cell
+    space: walk the (coarse) quantized grid covered by the box and
+    collect the cells its points map to.  Cost is O(box area in
+    coarse cells), metadata only."""
+    shift = np.uint64(32 - cell_bits)
+    # coarse step: one cell spans at least 2^(shift/2) in each dim, so
+    # stepping by half that visits every intersecting cell
+    step = max(1, int(1 << (int(shift) // 2)) // 2)
+    avals = np.arange(qa_lo, qa_hi + 1, step, dtype=np.uint64)
+    avals = np.unique(np.concatenate([avals, [np.uint64(qa_hi)]]))
+    bvals = np.arange(qb_lo, qb_hi + 1, step, dtype=np.uint64)
+    bvals = np.unique(np.concatenate([bvals, [np.uint64(qb_hi)]]))
+    aa, bb = np.meshgrid(avals, bvals)
+    z = zorder_key(aa.ravel(), bb.ravel())
+    return sorted(np.unique(z >> shift).astype(int))
+
+
+def read_zordered_box(path: str,
+                      a_lo: float, a_hi: float, b_lo: float, b_hi: float,
+                      columns: list[str]):
+    """Dataset over ONLY the z cells intersecting the box, with the
+    exact box filter applied per batch (cells overshoot the box;
+    rows outside it are dropped vectorized).  Dim names, bounds and
+    cell_bits come from the layout's own ``_zmeta.json``.  Returns
+    (dataset, n_cells_read, n_cells_total)."""
+    import glob as _glob
+    import json
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    with open(os.path.join(path, "_zmeta.json")) as f:
+        meta = json.load(f)
+    dim_a, dim_b = meta["dim_a"], meta["dim_b"]
+    cell_bits = meta["cell_bits"]
+    qa = _quant16(np.array([a_lo, a_hi]), meta["a_lo"], meta["a_hi"])
+    qb = _quant16(np.array([b_lo, b_hi]), meta["b_lo"], meta["b_hi"])
+    cells = set(
+        zcells_for_box(int(qa[0]), int(qa[1]), int(qb[0]), int(qb[1]),
+                       cell_bits)
+    )
+    have = {
+        int(os.path.basename(d).split("=")[1]): d
+        for d in _glob.glob(os.path.join(path, "zcell=*"))
+    }
+    hit = [have[c] for c in sorted(cells & set(have))]
+    files = [
+        f for d in hit
+        for f in sorted(_glob.glob(os.path.join(d, "*.parquet")))
+    ]
+    if not files:
+        return None, 0, len(have)
+    ds = rd.read_parquet(files, columns=columns)
+
+    def exact(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch.column(dim_a), pa.scalar(a_lo)),
+                pc.less_equal(batch.column(dim_a), pa.scalar(a_hi)),
+            ),
+            pc.and_(
+                pc.greater_equal(batch.column(dim_b), pa.scalar(b_lo)),
+                pc.less_equal(batch.column(dim_b), pa.scalar(b_hi)),
+            ),
+        )
+        return batch.filter(m)
+
+    return (
+        ds.map_batches(exact, batch_format="pyarrow"),
+        len(hit), len(have),
+    )

@@ -3040,3 +3040,59 @@ def q_regression(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_zorder_scan(sf_dir: str) -> pd.DataFrame:
+    """Multi-dimensional pruning: events materialized ONCE
+    hive-partitioned by z-order cell of (user_id, day) — the 2-D
+    analogue of the bucketed layout — then a (user 100-300, day 5-10)
+    box query reads ONLY the intersecting cells (file-level pruning)
+    and applies the exact box filter per batch.  Oracle: the same box
+    over the raw table."""
+    import hashlib
+    import os
+    import tempfile
+
+    from unfurl_ray.ops.layout import read_zordered_box, write_zordered
+
+    DAY0 = 19723  # 2024-01-01 in days since epoch
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|zorder|v1".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"unfurl_ray_z_{tag}")
+
+    if not os.path.isdir(root):
+        ds = _parquet_sh(
+            sf_dir, "events", ["user_id", "ts", "event_type", "value"]
+        )
+
+        def quantize(batch: pd.DataFrame) -> pd.DataFrame:
+            batch["day"] = (
+                batch["ts"].astype("int64") // 86_400_000_000 - DAY0
+            ).astype("int64")
+            return batch
+
+        tmp = root + ".tmp"
+        write_zordered(
+            ds.map_batches(quantize, batch_format="pandas"),
+            "user_id", "day", tmp, cell_bits=6,
+        )
+        os.rename(tmp, root)
+
+    boxed, n_read, n_total = read_zordered_box(
+        root, 100, 300, 5, 10,
+        columns=["user_id", "day", "event_type", "value"],
+    )
+    assert boxed is not None and n_read < n_total, (
+        "z-order pruning read every cell — layout broken"
+    )
+
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    out = pre_aggregate(
+        boxed, ["event_type"],
+        {"n": ("value", "count"), "sum_value": ("value", "sum")},
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values("event_type").reset_index(drop=True)
