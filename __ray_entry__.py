@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pivot_events": p.q_pivot_events,
         "q_event_deltas": p.q_event_deltas,
         "q_rolling_range": p.q_rolling_range,
+        "q_running_total": p.q_running_total,
         "q_resample_locf": p.q_resample_locf,
         "q_ntile_curriculum": p.q_ntile_curriculum,
         "q_vocab_spectrum": p.q_vocab_spectrum,
@@ -1057,6 +1058,22 @@ def oracle_sql() -> dict[str, str]:
                 RANGE BETWEEN INTERVAL 300 SECOND PRECEDING
                           AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        # distributed prefix sum: integer cents make the running sum
+        # order-independent, so the hash matches bit-for-bit
+        "q_running_total": """
+            WITH w AS (
+                SELECT event_id, user_id,
+                       CAST(count(*) OVER win AS BIGINT) AS cum_n,
+                       CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                            OVER win AS BIGINT) AS cum_cents
+                FROM events
+                WINDOW win AS (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT * FROM w
+            ORDER BY event_id DESC LIMIT 2000
         """,
         # same whitespace token count as q_token_count
         "q_ntile_curriculum": r"""

@@ -2282,3 +2282,54 @@ def test_zorder_box_read_matches_brute_filter(ray_session, tmp_path):
     )
     pd.testing.assert_frame_equal(got, want)
     assert 0 < n_read < n_total
+
+
+def test_running_total_skewed_key(ray_session):
+    """Distributed prefix sum matches a pandas cumsum even when one
+    key holds most of the stream (no one-key-per-group assumption:
+    the hot key spans many (key, bucket) cells)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.relational import running_total
+
+    rng = np.random.default_rng(3)
+    n_hot, n_cold = 8000, 2000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n_hot + n_cold, dtype=np.int64),
+            "k": np.concatenate(
+                [
+                    np.zeros(n_hot, dtype=np.int64),
+                    rng.integers(1, 50, n_cold),
+                ]
+            ),
+            "ts": pd.to_datetime(
+                rng.integers(0, 10 * 86_400_000_000, n_hot + n_cold),
+                unit="us",
+            ),
+            "v": rng.uniform(-5, 5, n_hot + n_cold),
+        }
+    )
+    got = (
+        running_total(
+            rd.from_pandas(df).repartition(8), key_col="k",
+            ts_col="ts", value_col="v", id_col="id",
+            bucket_s=86_400, n_shards=16,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    ref = df.copy()
+    ref["cents"] = np.floor(ref.v * 100).astype(np.int64)
+    ref = ref.sort_values(["k", "ts", "id"])
+    ref["cum_n"] = ref.groupby("k").cumcount() + 1
+    ref["cum_cents"] = ref.groupby("k")["cents"].cumsum()
+    ref = ref.sort_values("id").reset_index(drop=True)
+    assert (got["id"].to_numpy() == ref["id"].to_numpy()).all()
+    assert (got["cum_n"].to_numpy() == ref["cum_n"].to_numpy()).all()
+    assert (
+        got["cum_cents"].to_numpy() == ref["cum_cents"].to_numpy()
+    ).all()

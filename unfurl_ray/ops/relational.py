@@ -1651,3 +1651,211 @@ def mad_outliers_by(ds, key_col: str, value_col: str,
     out["median"] = out["_med"].to_numpy() / 100.0
     out["mad"] = out["_mad"].to_numpy() / 100.0
     return out[[key_col, "median", "mad", "n", "n_outliers"]]
+
+
+def running_total(ds, key_col: str, ts_col: str, value_col: str,
+                  id_col: str, bucket_s: int = 86_400,
+                  n_shards: int | None = None):
+    """Per-key RUNNING count + exact integer-cents sum — SQL twin
+    ``sum(cents) OVER (PARTITION BY key ORDER BY ts, id ROWS
+    UNBOUNDED PRECEDING)`` — as a distributed prefix sum with NO
+    one-key-per-group assumption.
+
+    Two co-partitioned exchanges:
+
+    1. per-batch partials collapse to ONE row per (key, time-bucket)
+       cell (``bucketed_aggregate``); a key-sharded pass turns the
+       tiny cell table into per-key EXCLUSIVE prefixes over bucket
+       order — the carry each cell inherits from all earlier buckets.
+    2. the rows and their cells' carry stubs hash onto the SAME
+       ``hash(key, bucket)`` shards in one union-groupby; inside a
+       shard each cell sorts ``(ts, id)``, cumsums locally, and adds
+       its carry.
+
+    A shard group holds one bucket-width of a key's stream plus one
+    stub row per cell — bounded by event rate x ``bucket_s``, never
+    by key cardinality (the bot-user case shards across its buckets).
+    Int64 cents keep every sum order-independent, so the DuckDB twin
+    hash-matches bit-for-bit.
+
+    ``ds`` is consumed twice (cell pass + row pass) and is
+    materialized here so its upstream runs once — pass a PRUNED
+    projection (id, key, ts, value only).
+    """
+    bucket_us = int(bucket_s) * 1_000_000
+
+    def project(batch: pd.DataFrame) -> pa.Table:
+        ts = _ts_us(batch[ts_col]).to_numpy()
+        return pa.table(
+            {
+                id_col: pa.array(
+                    batch[id_col].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                key_col: pa.array(
+                    batch[key_col].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "_ts": pa.array(ts, pa.int64()),
+                "_cents": pa.array(
+                    np.floor(
+                        batch[value_col].to_numpy(dtype=np.float64)
+                        * 100.0
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+                "_tb": pa.array(ts // bucket_us, pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(project, batch_format="pandas").materialize()
+    if n_shards is None:
+        n_shards = max(32, (rows.count()) // 200_000)
+
+    cells = bucketed_aggregate(
+        rows, [key_col, "_tb"],
+        {"_n": (id_col, "count"), "_c": ("_cents", "sum")},
+    )
+
+    def _shard_of(keys: np.ndarray, buckets: np.ndarray) -> np.ndarray:
+        return (
+            pd.util.hash_array(
+                keys * np.int64(1_000_003) + buckets
+            ) % np.uint64(n_shards)
+        ).astype(np.int64)
+
+    def key_prefix(group: pd.DataFrame) -> pa.Table:
+        """Exclusive per-key prefix over the (small) cell table: one
+        row per cell -> that cell's carry from all earlier buckets."""
+        g = group.sort_values([key_col, "_tb"])
+        keys = g[key_col].to_numpy()
+        n = g["_n"].to_numpy(dtype=np.int64)
+        c = g["_c"].to_numpy(dtype=np.int64)
+        excl_n = np.cumsum(n) - n
+        excl_c = np.cumsum(c) - c
+        new = np.empty(len(g), dtype=np.bool_)
+        new[0] = True
+        new[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(g)))
+        off_n = excl_n - np.repeat(excl_n[starts], lens)
+        off_c = excl_c - np.repeat(excl_c[starts], lens)
+        buckets = g["_tb"].to_numpy()
+        return pa.table(
+            {
+                id_col: pa.array(
+                    np.full(len(g), -1, dtype=np.int64), pa.int64()
+                ),
+                key_col: pa.array(keys, pa.int64()),
+                "_ts": pa.array(
+                    np.zeros(len(g), dtype=np.int64), pa.int64()
+                ),
+                "_cents": pa.array(
+                    np.zeros(len(g), dtype=np.int64), pa.int64()
+                ),
+                "_tb": pa.array(buckets, pa.int64()),
+                "_off_n": pa.array(off_n, pa.int64()),
+                "_off_c": pa.array(off_c, pa.int64()),
+                "_is_off": pa.array(
+                    np.ones(len(g), dtype=np.bool_), pa.bool_()
+                ),
+                "_shard": pa.array(_shard_of(keys, buckets), pa.int64()),
+            }
+        )
+
+    def key_shard(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["_kshard"] = (
+            pd.util.hash_array(batch[key_col].to_numpy())
+            % np.uint64(max(32, n_shards // 4))
+        ).astype(np.int64)
+        return batch
+
+    offsets = (
+        cells.map_batches(key_shard, batch_format="pandas")
+        .groupby("_kshard")
+        .map_groups(key_prefix, batch_format="pandas")
+    )
+
+    def tag_rows(batch: pd.DataFrame) -> pa.Table:
+        keys = batch[key_col].to_numpy()
+        buckets = batch["_tb"].to_numpy()
+        z = np.zeros(len(batch), dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(
+                    batch[id_col].to_numpy(), pa.int64()
+                ),
+                key_col: pa.array(keys, pa.int64()),
+                "_ts": pa.array(batch["_ts"].to_numpy(), pa.int64()),
+                "_cents": pa.array(
+                    batch["_cents"].to_numpy(), pa.int64()
+                ),
+                "_tb": pa.array(buckets, pa.int64()),
+                "_off_n": pa.array(z, pa.int64()),
+                "_off_c": pa.array(z, pa.int64()),
+                "_is_off": pa.array(
+                    np.zeros(len(batch), dtype=np.bool_), pa.bool_()
+                ),
+                "_shard": pa.array(_shard_of(keys, buckets), pa.int64()),
+            }
+        )
+
+    unioned = rows.map_batches(tag_rows, batch_format="pandas").union(
+        offsets
+    )
+
+    def scan_shard(group: pd.DataFrame) -> pa.Table:
+        own = group[~group["_is_off"]].sort_values(
+            [key_col, "_tb", "_ts", id_col]
+        )
+        if len(own) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    key_col: pa.array([], pa.int64()),
+                    "cum_n": pa.array([], pa.int64()),
+                    "cum_cents": pa.array([], pa.int64()),
+                }
+            )
+        keys = own[key_col].to_numpy()
+        buckets = own["_tb"].to_numpy()
+        cents = own["_cents"].to_numpy()
+        new = np.empty(len(own), dtype=np.bool_)
+        new[0] = True
+        new[1:] = (keys[1:] != keys[:-1]) | (buckets[1:] != buckets[:-1])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(own)))
+        csum = np.cumsum(cents)
+        cum_c = csum - np.repeat(csum[starts] - cents[starts], lens)
+        cum_n = (
+            np.arange(len(own), dtype=np.int64)
+            - np.repeat(starts, lens) + 1
+        )
+        carry = group[group["_is_off"]][
+            [key_col, "_tb", "_off_n", "_off_c"]
+        ]
+        m = own[[id_col, key_col, "_tb"]].merge(
+            carry, on=[key_col, "_tb"], how="left", sort=False
+        )
+        return pa.table(
+            {
+                id_col: pa.array(
+                    m[id_col].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                key_col: pa.array(
+                    m[key_col].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "cum_n": pa.array(
+                    cum_n
+                    + m["_off_n"].fillna(0).to_numpy(dtype=np.int64),
+                    pa.int64(),
+                ),
+                "cum_cents": pa.array(
+                    cum_c
+                    + m["_off_c"].fillna(0).to_numpy(dtype=np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return unioned.groupby("_shard").map_groups(
+        scan_shard, batch_format="pandas"
+    )

@@ -3096,3 +3096,23 @@ def q_zorder_scan(sf_dir: str) -> pd.DataFrame:
     out["n"] = out["n"].astype("int64")
     out["sum_value"] = out["sum_value"].round(2)
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_running_total(sf_dir: str) -> pd.DataFrame:
+    """Per-user running count + exact cents sum (distributed prefix
+    sum): per-(user, day) cell partials -> per-user exclusive prefix
+    carries -> one co-partitioned union-groupby where each cell
+    cumsums locally and adds its carry.  No group ever holds a whole
+    user stream.  Returns the 2000 largest event_ids so the oracle
+    row set is stable and small."""
+    from unfurl_ray.ops.relational import running_total
+
+    ds = _parquet_sh(
+        sf_dir, "events", ["event_id", "ts", "user_id", "value"]
+    )
+    out = running_total(
+        ds, key_col="user_id", ts_col="ts", value_col="value",
+        id_col="event_id", bucket_s=86_400,
+    ).to_pandas()
+    out = out.sort_values("event_id", ascending=False).head(2000)
+    return out.sort_values("event_id").reset_index(drop=True)
