@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_event_deltas": p.q_event_deltas,
         "q_rolling_range": p.q_rolling_range,
         "q_running_total": p.q_running_total,
+        "q_cube_revenue": p.q_cube_revenue,
+        "q_bpe_merges": p.q_bpe_merges,
         "q_resample_locf": p.q_resample_locf,
         "q_ntile_curriculum": p.q_ntile_curriculum,
         "q_vocab_spectrum": p.q_vocab_spectrum,
@@ -1058,6 +1060,23 @@ def oracle_sql() -> dict[str, str]:
                 RANGE BETWEEN INTERVAL 300 SECOND PRECEDING
                           AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        # CUBE via COALESCE'd NULL levels; isodow matches pandas
+        # dayofweek + 1 (Mon=1..Sun=7)
+        "q_cube_revenue": """
+            WITH t AS (
+                SELECT event_type,
+                       CAST(isodow(ts) AS VARCHAR) AS dow,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(dow, 'ALL') AS dow,
+                   CAST(count(cents) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM t
+            GROUP BY CUBE (event_type, dow)
+            ORDER BY 1, 2
         """,
         # distributed prefix sum: integer cents make the running sum
         # order-independent, so the hash matches bit-for-bit

@@ -2333,3 +2333,28 @@ def test_running_total_skewed_key(ray_session):
     assert (
         got["cum_cents"].to_numpy() == ref["cum_cents"].to_numpy()
     ).all()
+
+
+def test_bpe_fit_matches_reference(ray_session):
+    """Distributed BPE learns the exact merge sequence (pairs, counts
+    and tie-breaks) of the single-process Sennrich reference,
+    including multi-char merges and the aaa overlap case."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.bpe import bpe_fit, bpe_fit_reference
+
+    rng = np.random.default_rng(11)
+    vocab = ["low", "lower", "lowest", "newer", "wider", "new",
+             "aaa", "aaaa", "banana", "bandana"]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(3, 30)))
+        for _ in range(200)
+    ]
+    got = bpe_fit(
+        rd.from_pandas(pd.DataFrame({"text": texts})).repartition(4),
+        "text", n_merges=15, n_buckets=8,
+    )
+    want = bpe_fit_reference(texts, 15)
+    pd.testing.assert_frame_equal(got, want)

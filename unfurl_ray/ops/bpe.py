@@ -1,0 +1,267 @@
+"""Distributed BPE tokenizer fitting.
+
+Classic byte-pair-encoding training (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units")
+operates on the WORD HISTOGRAM, not the raw corpus: one corpus-sized
+shuffle compresses the text to (word, count) rows, and every merge
+iteration after that touches only the histogram — the same
+pay-once/iterate-on-the-compressed-form shape as the BM25 stats table
+(ops — see q_bm25) and the IVF index (ops/similarity.py).
+
+Scale contract: the histogram is hash-partitioned by word and each
+row keeps its word's symbol sequence as ONE Arrow list, so adjacency
+never straddles a block boundary no matter how Ray re-batches.  Pair
+counting and merge application are numpy over the flattened
+list-array (values + offsets) — no Python loop over words.  Per
+iteration the shuffle carries only per-batch (left, right, count)
+partials, and the driver sees exactly one candidate row per batch
+(per-batch top-1 before the fold), never the pair table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+END = "▁"  # end-of-word marker appended to every word
+
+
+def _flat(batch: pa.Table):
+    """Flatten the syms list column -> (values, word-index, lens)."""
+    syms = batch.column("syms").combine_chunks()
+    # flatten()/value_lengths() honor slices; raw .values/.offsets
+    # would misalign on a sliced ListArray
+    vals = np.asarray(syms.flatten().to_pandas(), dtype=object)
+    lens = syms.value_lengths().to_numpy()
+    widx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    return vals, widx, lens
+
+
+def _pack(batch: pa.Table, vals: np.ndarray, lens: np.ndarray) -> pa.Table:
+    offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+    syms = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(vals, pa.string())
+    )
+    return pa.table(
+        {
+            "word_id": batch.column("word_id"),
+            "syms": syms,
+            "cnt": batch.column("cnt"),
+        }
+    )
+
+
+def _pair_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (left, right) -> weighted count partials."""
+    empty = pa.table(
+        {
+            "left": pa.array([], pa.string()),
+            "right": pa.array([], pa.string()),
+            "c": pa.array([], pa.int64()),
+        }
+    )
+    if batch.num_rows == 0:
+        return empty
+    vals, widx, _lens = _flat(batch)
+    if len(vals) < 2:
+        return empty
+    cnt = batch.column("cnt").to_numpy()
+    same = widx[1:] == widx[:-1]
+    if not same.any():
+        return empty
+    df = pd.DataFrame(
+        {
+            "left": vals[:-1][same],
+            "right": vals[1:][same],
+            "c": cnt[widx[:-1][same]],
+        }
+    )
+    g = df.groupby(["left", "right"], as_index=False, sort=False)["c"].sum()
+    return pa.Table.from_pandas(
+        g, preserve_index=False
+    ).replace_schema_metadata(None).cast(empty.schema)
+
+
+def _batch_top1(batch: pa.Table) -> pa.Table:
+    """One candidate row per merged pair-count block: max count,
+    ties broken (left, right) ascending so the fold is total."""
+    if batch.num_rows == 0:
+        return batch
+    df = batch.to_pandas().sort_values(
+        ["c", "left", "right"], ascending=[False, True, True]
+    )
+    return pa.Table.from_pandas(
+        df.head(1), preserve_index=False
+    ).replace_schema_metadata(None)
+
+
+def _apply_merge(batch: pa.Table, a: str, b: str) -> pa.Table:
+    """Replace every non-overlapping leftmost (a, b) adjacency with
+    the merged symbol a+b, vectorized over the flattened lists."""
+    if batch.num_rows == 0:
+        return batch
+    vals, widx, lens = _flat(batch)
+    if len(vals) < 2:
+        return batch
+    match = (
+        (vals[:-1] == a) & (vals[1:] == b) & (widx[1:] == widx[:-1])
+    )
+    p = np.flatnonzero(match)
+    if len(p) == 0:
+        return batch
+    # greedy leftmost de-overlap: in each run of consecutive match
+    # positions (aaa with merge (a,a)), keep even offsets only
+    run_start = np.empty(len(p), dtype=np.bool_)
+    run_start[0] = True
+    run_start[1:] = p[1:] != p[:-1] + 1
+    run_id = np.cumsum(run_start) - 1
+    first = p[np.flatnonzero(run_start)][run_id]
+    keep = p[((p - first) % 2) == 0]
+    out = vals.copy()
+    out[keep] = a + b
+    mask = np.ones(len(vals), dtype=np.bool_)
+    mask[keep + 1] = False
+    new_lens = lens - np.bincount(widx[keep], minlength=len(lens))
+    return _pack(batch, out[mask], new_lens)
+
+
+def word_histogram(ds, text_col: str, n_buckets: int = 64):
+    """Corpus -> (word_id, syms, cnt) histogram Dataset: lowercase
+    whitespace words, counted with one bucketed shuffle, each word
+    exploded to its character symbols + the end marker."""
+    from unfurl_ray.ops.relational import bucketed_aggregate
+
+    def words(batch: pd.DataFrame) -> pa.Table:
+        w = (
+            batch[text_col]
+            .str.lower()
+            .str.findall(r"\S+")
+            .explode()
+            .dropna()
+        )
+        return pa.table({"word": pa.array(w.to_numpy(), pa.string())})
+
+    hist = bucketed_aggregate(
+        ds.map_batches(words, batch_format="pandas"),
+        ["word"], {"cnt": ("word", "count")}, n_buckets=n_buckets,
+    )
+
+    def explode(batch: pd.DataFrame) -> pa.Table:
+        wl = batch["word"].tolist()
+        lens = np.fromiter(
+            (len(w) + 1 for w in wl), dtype=np.int64, count=len(wl)
+        )
+        flat = np.empty(int(lens.sum()), dtype=object)
+        i = 0
+        for w in wl:  # one pass over UNIQUE words, not the corpus
+            for ch in w:
+                flat[i] = ch
+                i += 1
+            flat[i] = END
+            i += 1
+        offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+        syms = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(flat, pa.string())
+        )
+        return pa.table(
+            {
+                "word_id": pa.array(
+                    pd.util.hash_array(
+                        batch["word"].to_numpy()
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+                "syms": syms,
+                "cnt": pa.array(
+                    batch["cnt"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return hist.map_batches(explode, batch_format="pandas")
+
+
+def bpe_fit(ds, text_col: str, n_merges: int,
+            n_buckets: int = 64) -> pd.DataFrame:
+    """Learn ``n_merges`` BPE merge operations over ``ds[text_col]``.
+
+    Returns a DataFrame (rank, left, right, pair_count) — the merge
+    table a tokenizer would serialize.  Each iteration: per-batch
+    vectorized pair partials -> one small bucketed shuffle -> per-
+    batch top-1 -> driver folds a handful of rows and broadcasts the
+    winning pair into the next ``map_batches``.  The histogram is
+    re-materialized per round so the next round reads the merged
+    lists, not a re-executed lineage.
+    """
+    from unfurl_ray.ops.relational import bucketed_aggregate
+
+    hist = word_histogram(ds, text_col, n_buckets).materialize()
+    out = []
+    for rank in range(1, n_merges + 1):
+        # the pair table is adjacency-bounded (distinct symbol pairs),
+        # far smaller than the histogram — few merge buckets suffice
+        pairs = bucketed_aggregate(
+            hist.map_batches(_pair_partial, batch_format="pyarrow"),
+            ["left", "right"], {"c": ("c", "sum")},
+            n_buckets=max(8, n_buckets // 4),
+        )
+        cand = pairs.map_batches(
+            _batch_top1, batch_format="pyarrow"
+        ).to_pandas()
+        if cand.empty:
+            break
+        top = cand.sort_values(
+            ["c", "left", "right"], ascending=[False, True, True]
+        ).iloc[0]
+        a, b, c = str(top["left"]), str(top["right"]), int(top["c"])
+        out.append((rank, a, b, c))
+        hist = hist.map_batches(
+            lambda t, a=a, b=b: _apply_merge(t, a, b),
+            batch_format="pyarrow",
+        ).materialize()
+    return pd.DataFrame(
+        out, columns=["rank", "left", "right", "pair_count"]
+    )
+
+
+def bpe_fit_reference(texts: list[str], n_merges: int) -> pd.DataFrame:
+    """Single-process dict-based reference (the Sennrich pseudo-code)
+    with the same tie-break — parity target for tests only."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            vocab[tuple(w) + (END,)] += 1
+    out = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (a, b), c = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((rank, a, b, c))
+        new_vocab = Counter()
+        for syms, cnt in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            new_vocab[tuple(merged)] += cnt
+        vocab = new_vocab
+    return pd.DataFrame(
+        out, columns=["rank", "left", "right", "pair_count"]
+    )

@@ -1859,3 +1859,68 @@ def running_total(ds, key_col: str, ts_col: str, value_col: str,
     return unioned.groupby("_shard").map_groups(
         scan_shard, batch_format="pandas"
     )
+
+
+def grouping_sets_aggregate(ds, keys: list[str],
+                            sets: list[list[str]],
+                            aggs: dict[str, tuple[str, str]],
+                            all_label: str = "ALL"):
+    """GROUP BY GROUPING SETS / CUBE in ONE shuffle — the general
+    sibling of ``rollup_aggregate`` above (same fan-out-then-share-
+    the-groupby shape): each batch emits one PARTIAL row per grouping
+    set with the set's absent keys collapsed to ``all_label``,
+    pre-aggregated inside the batch, so the shuffle carries
+    (#sets x distinct key tuples per batch) stub rows, never input
+    rows.  Keys must be string-typed.  Pass
+    ``sets=[[...all subsets...]]`` for CUBE (use ``cube_sets``)."""
+    set_keys = [frozenset(s) for s in sets]
+
+    def fan_out(batch: pd.DataFrame) -> pd.DataFrame:
+        pieces = []
+        for s in set_keys:
+            b = batch.copy()
+            for k in keys:
+                if k not in s:
+                    b[k] = all_label
+            g = b.groupby(keys, as_index=False, sort=False)
+            merged = None
+            for out_col, (in_col, fn) in aggs.items():
+                if fn == "count":
+                    piece = g.size().rename(columns={"size": out_col})
+                else:
+                    piece = getattr(g[in_col], fn)().rename(
+                        columns={in_col: out_col}
+                    )
+                merged = (
+                    piece if merged is None
+                    else merged.merge(piece, on=keys)
+                )
+            pieces.append(merged)
+        return _arrow(pd.concat(pieces, ignore_index=True))
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    finishers = []
+    for out_col, (_in, fn) in aggs.items():
+        if fn in ("sum", "count"):
+            finishers.append(Sum(out_col, alias_name=out_col))
+        elif fn == "min":
+            finishers.append(Min(out_col, alias_name=out_col))
+        elif fn == "max":
+            finishers.append(Max(out_col, alias_name=out_col))
+    return (
+        ds.map_batches(fan_out, batch_format="pandas")
+        .groupby(keys)
+        .aggregate(*finishers)
+    )
+
+
+def cube_sets(keys: list[str]) -> list[list[str]]:
+    """All 2^k grouping sets of ``keys`` (CUBE)."""
+    from itertools import combinations
+
+    return [
+        list(c)
+        for r in range(len(keys), -1, -1)
+        for c in combinations(keys, r)
+    ]

@@ -3116,3 +3116,50 @@ def q_running_total(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     out = out.sort_values("event_id", ascending=False).head(2000)
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_cube_revenue(sf_dir: str) -> pd.DataFrame:
+    """CUBE(event_type, iso-weekday) revenue in one shuffle: each
+    batch fans out one pre-aggregated partial per grouping set (4
+    sets for 2 keys), all sets share a single groupby — the shuffle
+    carries stub rows, never events.  Exact integer cents keep every
+    total order-independent."""
+    from unfurl_ray.ops.relational import (
+        cube_sets, grouping_sets_aggregate,
+    )
+
+    ds = _parquet_sh(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "dow": (batch["ts"].dt.dayofweek + 1).astype(str),
+                "cents": np.floor(
+                    batch["value"].to_numpy(dtype=np.float64) * 100.0
+                ).astype(np.int64),
+            }
+        )
+
+    out = grouping_sets_aggregate(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["event_type", "dow"], cube_sets(["event_type", "dow"]),
+        {"n": ("cents", "count"), "sum_cents": ("cents", "sum")},
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out["sum_cents"] = out["sum_cents"].astype("int64")
+    return out.sort_values(["event_type", "dow"]).reset_index(drop=True)
+
+
+def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer fitting: the first 12 BPE merge operations learned
+    over the documents corpus.  The corpus collapses to a word
+    histogram in one shuffle; every merge round then runs on the
+    compressed form with per-batch vectorized pair partials and a
+    driver fold of one candidate row per batch.  Rows-only check (the
+    iterative argmax has no single-statement SQL twin); pytest parity
+    against the dict-based Sennrich reference covers exactness."""
+    from unfurl_ray.ops.bpe import bpe_fit
+
+    ds = _parquet(sf_dir, "documents", ["text"])
+    return bpe_fit(ds, "text", n_merges=12)
