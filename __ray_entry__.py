@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_running_total": p.q_running_total,
         "q_cube_revenue": p.q_cube_revenue,
         "q_bpe_merges": p.q_bpe_merges,
+        "q_group_split": p.q_group_split,
+        "q_compact_layout": p.q_compact_layout,
         "q_resample_locf": p.q_resample_locf,
         "q_ntile_curriculum": p.q_ntile_curriculum,
         "q_vocab_spectrum": p.q_vocab_spectrum,
@@ -1060,6 +1062,30 @@ def oracle_sql() -> dict[str, str]:
                 RANGE BETWEEN INTERVAL 300 SECOND PRECEDING
                           AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        # per-bucket counts of the compacted layout vs the raw table:
+        # same HUGEINT Knuth hash as layout.bucket_of
+        "q_compact_layout": """
+            SELECT ((CAST(user_id AS HUGEINT) * 2654435761)
+                    % 18446744073709551616) % 16 AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM events
+            GROUP BY 1 ORDER BY 1
+        """,
+        # same HUGEINT multiplicative hash as q_hash_sample, on the
+        # conversation id so splits are leakage-safe by group
+        "q_group_split": f"""
+            WITH t AS (
+                SELECT doc_id, doc_id // {_TPC} AS conv_id,
+                       ((CAST(doc_id // {_TPC} AS HUGEINT) * 2654435761)
+                        % 18446744073709551616) % 100 AS slot
+                FROM documents
+            )
+            SELECT doc_id, conv_id,
+                   CASE WHEN slot < 80 THEN 'train'
+                        WHEN slot < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM t ORDER BY doc_id
         """,
         # CUBE via COALESCE'd NULL levels; isodow matches pandas
         # dayofweek + 1 (Mon=1..Sun=7)

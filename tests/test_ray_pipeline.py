@@ -2358,3 +2358,47 @@ def test_bpe_fit_matches_reference(ray_session):
     )
     want = bpe_fit_reference(texts, 15)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_compact_layout_crash_resume(ray_session, tmp_path):
+    """Compaction commit protocol: a partition where a previous run
+    crashed AFTER the compact-file rename but BEFORE deleting the
+    originals must finish the deletion and not double-count rows."""
+    import glob
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from unfurl_ray.ops.layout import compact_layout, write_bucketed
+
+    df = pd.DataFrame(
+        {
+            "k": np.arange(400, dtype=np.int64),
+            "v": np.arange(400, dtype=np.int64) * 2,
+        }
+    )
+    path = str(tmp_path / "lay")
+    write_bucketed(rd.from_pandas(df).repartition(8), "k", path,
+                   n_buckets=4)
+    # simulate the crash in one partition: compact file committed,
+    # originals still present
+    d0 = sorted(glob.glob(path + "/bucket=*"))[0]
+    originals = sorted(glob.glob(d0 + "/*.parquet"))
+    full = pa.concat_tables([pq.read_table(f) for f in originals])
+    pq.write_table(full, d0 + "/compact-00000.parquet")
+
+    man = compact_layout(path, target_bytes=1 << 30)
+    assert man["n_rows"].sum() == 400
+    assert (man["files_after"] == 1).all()
+    # every partition now holds exactly its compacted file
+    for d in glob.glob(path + "/bucket=*"):
+        files = glob.glob(d + "/*.parquet")
+        assert len(files) == 1
+    # rows survived exactly once
+    import pyarrow.dataset as pds
+    got = pds.dataset(path, format="parquet",
+                      partitioning="hive").to_table().to_pandas()
+    assert sorted(got["k"].tolist()) == df["k"].tolist()

@@ -353,3 +353,104 @@ def read_zordered_box(path: str,
         ds.map_batches(exact, batch_format="pyarrow"),
         len(hit), len(have),
     )
+
+
+# -- small-file compaction (layout maintenance) ------------------------------
+
+def compact_layout(path: str, target_bytes: int = 128 << 20):
+    """Rewrite every hive partition directory's small parquet files
+    into ~``target_bytes`` files — the maintenance pass that keeps a
+    long-lived 100 TB layout readable after many incremental writes
+    (thousands of KB-sized files per partition destroy read
+    throughput and scheduler fan-out).
+
+    One Ray task per partition directory; inside, a single pyarrow
+    read + row-group-sized write.  Crash-safe commit protocol: the
+    compacted file lands ``compact-*.parquet`` via tmp+rename (the
+    rename is the commit point), originals are deleted only AFTER the
+    rename, and a resumed run that finds a compact file finishes the
+    deletion and skips the rewrite — so no state double-counts rows.
+    Returns the manifest (dir, files_before, files_after, n_rows,
+    skipped) as a pandas DataFrame.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    dirs = sorted(
+        d for d in _glob.glob(os.path.join(path, "*=*"))
+        if os.path.isdir(d)
+    )
+
+    def compact_dir(batch: pd.DataFrame) -> pa.Table:
+        out = []
+        for d in batch["dir"]:
+            originals = sorted(
+                f for f in _glob.glob(os.path.join(d, "*.parquet"))
+                if not os.path.basename(f).startswith("compact-")
+            )
+            done = sorted(
+                _glob.glob(os.path.join(d, "compact-*.parquet"))
+            )
+            if done:
+                # a previous run committed; finish the deletion only
+                for f in originals:
+                    os.remove(f)
+                tbl_rows = sum(
+                    pq.read_metadata(f).num_rows for f in done
+                )
+                out.append((d, len(originals), len(done), tbl_rows, True))
+                continue
+            if len(originals) <= 1:
+                n = (
+                    pq.read_metadata(originals[0]).num_rows
+                    if originals else 0
+                )
+                out.append((d, len(originals), len(originals), n, True))
+                continue
+            tbl = pa.concat_tables(
+                [pq.read_table(f) for f in originals]
+            )
+            n_out = max(
+                1, int(np.ceil(tbl.nbytes / float(target_bytes)))
+            )
+            rows_per = int(np.ceil(tbl.num_rows / n_out))
+            for i in range(n_out):
+                piece = tbl.slice(i * rows_per, rows_per)
+                final = os.path.join(d, f"compact-{i:05d}.parquet")
+                tmp = final + ".tmp"
+                pq.write_table(piece, tmp)
+                os.rename(tmp, final)  # commit point
+            for f in originals:
+                os.remove(f)
+            out.append((d, len(originals), n_out, tbl.num_rows, False))
+        return pa.table(
+            {
+                "dir": pa.array([r[0] for r in out], pa.string()),
+                "files_before": pa.array(
+                    [r[1] for r in out], pa.int64()
+                ),
+                "files_after": pa.array(
+                    [r[2] for r in out], pa.int64()
+                ),
+                "n_rows": pa.array([r[3] for r in out], pa.int64()),
+                "skipped": pa.array([r[4] for r in out], pa.bool_()),
+            }
+        )
+
+    if not dirs:
+        return pd.DataFrame(
+            columns=[
+                "dir", "files_before", "files_after", "n_rows",
+                "skipped",
+            ]
+        )
+    return (
+        rd.from_items([{"dir": d} for d in dirs])
+        .repartition(len(dirs))
+        .map_batches(compact_dir, batch_format="pandas")
+        .to_pandas()
+        .sort_values("dir")
+        .reset_index(drop=True)
+    )

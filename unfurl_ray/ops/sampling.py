@@ -115,3 +115,33 @@ def _hex_complement(h: str) -> str:
     """15 - digit, per hex digit: maps ascending md5 order onto the
     descending order topk_per_group implements."""
     return format((1 << 128) - 1 - int(h, 16), "032x")
+
+
+def group_split(ds, group_col: str, splits: list[tuple[str, int]],
+                n_slots: int = 100):
+    """Leakage-safe train/val/test assignment: every row of a GROUP
+    (conversation, source domain, user) lands in the same split, so
+    near-identical rows can never straddle the train/eval boundary.
+    ``splits`` = [(label, n_slots_for_label), ...] summing to
+    ``n_slots``; assignment is the same multiplicative uint64 hash as
+    q_hash_sample (SQL twin: HUGEINT math), a pure per-row function —
+    embarrassingly parallel, no shuffle, reproducible across runs and
+    cluster sizes.
+    """
+    assert sum(n for _l, n in splits) == n_slots
+    labels = np.empty(n_slots, dtype=object)
+    i = 0
+    for label, n in splits:
+        labels[i:i + n] = label
+        i += n
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch[group_col].to_numpy()
+        with np.errstate(over="ignore"):
+            slot = (
+                g.astype(np.uint64) * np.uint64(2654435761)
+            ) % np.uint64(n_slots)
+        batch["split"] = labels[slot.astype(np.int64)]
+        return batch
+
+    return ds.map_batches(assign, batch_format="pandas")

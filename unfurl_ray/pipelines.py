@@ -3163,3 +3163,68 @@ def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
 
     ds = _parquet(sf_dir, "documents", ["text"])
     return bpe_fit(ds, "text", n_merges=12)
+
+
+def q_group_split(sf_dir: str) -> pd.DataFrame:
+    """Group-aware (conversation-level) train/val/test split: all 8
+    turns of a conversation share one hash slot, so duplicates within
+    a conversation can never leak across the train/eval boundary.
+    Pure per-row map — no shuffle — and the hash is HUGEINT-
+    expressible, so every row's assignment is oracle-checked."""
+    from unfurl_ray.ops.sampling import group_split
+    from unfurl_ray.sources.transcripts import TURNS_PER_CONV
+
+    ds = _parquet_sh(sf_dir, "documents", ["doc_id"])
+
+    def conv(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["conv_id"] = batch["doc_id"] // TURNS_PER_CONV
+        return batch
+
+    out = group_split(
+        ds.map_batches(conv, batch_format="pandas"), "conv_id",
+        [("train", 80), ("val", 10), ("test", 10)],
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_compact_layout(sf_dir: str) -> pd.DataFrame:
+    """Layout maintenance: a deliberately fragmented bucketed layout
+    of events (24 upstream blocks x 16 bucket dirs => hundreds of
+    KB-sized files) compacted to ~one file per partition with the
+    tmp+rename commit protocol, then verified by per-bucket row
+    counts against the raw table.  The oracle checks the compacted
+    layout lost/duplicated no rows; the in-pipeline assert checks the
+    file count actually shrank."""
+    import hashlib
+    import os
+    import tempfile
+
+    from unfurl_ray.ops.layout import compact_layout, write_bucketed
+
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|compact|v1".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"unfurl_ray_c_{tag}")
+
+    if not os.path.isdir(root):
+        ds = _parquet_sh(sf_dir, "events", ["event_id", "user_id"])
+        tmp = root + ".tmp"
+        write_bucketed(ds.repartition(24), "user_id", tmp, n_buckets=16)
+        os.rename(tmp, root)
+
+    man = compact_layout(root, target_bytes=128 << 20)
+    fresh = ~man["skipped"].all()
+    if fresh:
+        assert (
+            man["files_after"].sum() < man["files_before"].sum()
+        ), "compaction rewrote nothing on a fragmented layout"
+    out = pd.DataFrame(
+        {
+            "bucket": man["dir"]
+            .str.rsplit("=", n=1)
+            .str[1]
+            .astype("int64"),
+            "n_rows": man["n_rows"].astype("int64"),
+        }
+    )
+    return out.sort_values("bucket").reset_index(drop=True)
