@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bpe_merges": p.q_bpe_merges,
         "q_group_split": p.q_group_split,
         "q_compact_layout": p.q_compact_layout,
+        "q_align_union": p.q_align_union,
+        "q_decayed_sum": p.q_decayed_sum,
         "q_resample_locf": p.q_resample_locf,
         "q_ntile_curriculum": p.q_ntile_curriculum,
         "q_vocab_spectrum": p.q_vocab_spectrum,
@@ -1062,6 +1064,28 @@ def oracle_sql() -> dict[str, str]:
                 RANGE BETWEEN INTERVAL 300 SECOND PRECEDING
                           AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        # recency decay anchored at max(ts) (footer stats = true max);
+        # round(4) absorbs fold-order float noise
+        "q_decayed_sum": """
+            WITH m AS (SELECT max(ts) AS t_max FROM events)
+            SELECT user_id,
+                   round(sum(value * exp(
+                       (epoch_us(ts) - epoch_us(t_max))
+                       / (7.0 * 86400000000))), 4) AS score
+            FROM events, m
+            GROUP BY user_id ORDER BY user_id
+        """,
+        # schema evolution: UNION ALL BY NAME pads absent columns
+        # with NULLs, exactly what align_union does with typed nulls
+        "q_align_union": """
+            SELECT * FROM (
+                SELECT doc_id, lang FROM documents
+                WHERE doc_id % 2 = 0
+                UNION ALL BY NAME
+                SELECT doc_id, lang, source, n_chars FROM documents
+                WHERE doc_id % 2 = 1
+            ) ORDER BY doc_id
         """,
         # per-bucket counts of the compacted layout vs the raw table:
         # same HUGEINT Knuth hash as layout.bucket_of

@@ -1924,3 +1924,52 @@ def cube_sets(keys: list[str]) -> list[list[str]]:
         for r in range(len(keys), -1, -1)
         for c in combinations(keys, r)
     ]
+
+
+def align_union(datasets, fill=None):
+    """UNION ALL BY NAME across Datasets with HETEROGENEOUS schemas —
+    the schema-evolution case (a crawl whose later shards grew
+    columns).  Ray's ``union`` requires identical schemas; this
+    computes the unified schema (name -> first seen Arrow type,
+    conflicts promoted via ``pa.unify_schemas``), then pads each
+    dataset per batch with typed nulls — a zero-shuffle map on every
+    branch.  Column order follows first appearance across inputs."""
+    import pyarrow as pa
+
+    schemas = [ds.schema().base_schema for ds in datasets]
+    fields: dict[str, pa.Field] = {}
+    for s in schemas:
+        for f in s:
+            if f.name in fields and not fields[f.name].type.equals(
+                f.type
+            ):
+                fields[f.name] = pa.field(
+                    f.name,
+                    pa.unify_schemas(
+                        [
+                            pa.schema([fields[f.name]]),
+                            pa.schema([pa.field(f.name, f.type)]),
+                        ],
+                        promote_options="permissive",
+                    ).field(0).type,
+                )
+            elif f.name not in fields:
+                fields[f.name] = f
+    unified = pa.schema(list(fields.values()))
+
+    def pad(batch: pa.Table) -> pa.Table:
+        cols = []
+        for f in unified:
+            if f.name in batch.column_names:
+                cols.append(batch.column(f.name).cast(f.type))
+            else:
+                cols.append(pa.nulls(batch.num_rows, f.type))
+        return pa.table(dict(zip(unified.names, cols)))
+
+    padded = [
+        ds.map_batches(pad, batch_format="pyarrow") for ds in datasets
+    ]
+    out = padded[0]
+    for nxt in padded[1:]:
+        out = out.union(nxt)
+    return out

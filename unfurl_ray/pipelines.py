@@ -3228,3 +3228,87 @@ def q_compact_layout(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values("bucket").reset_index(drop=True)
+
+
+def q_align_union(sf_dir: str) -> pd.DataFrame:
+    """Schema evolution: two generations of the same corpus — an old
+    shard that predates the (source, n_chars) columns and a new shard
+    that has them — unioned BY NAME with typed null padding, zero
+    shuffle on either branch.  The split is a doc_id parity filter so
+    both branches stream from the same pruned read."""
+    import pyarrow.compute as pc
+
+    from unfurl_ray.ops.relational import align_union
+
+    def parity(rem: int):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id")
+            return batch.filter(
+                pc.equal(pc.bit_wise_and(ids, pa.scalar(1)), rem)
+            )
+        return f
+
+    old = _parquet(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        parity(0), batch_format="pyarrow"
+    )
+    new = _parquet(
+        sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"]
+    ).map_batches(parity(1), batch_format="pyarrow")
+    out = align_union([old, new]).to_pandas()
+    out["n_chars"] = out["n_chars"].astype("Int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_decayed_sum(sf_dir: str) -> pd.DataFrame:
+    """Per-user exponentially TIME-DECAYED activity score (tau = 7
+    days, anchored at the corpus max timestamp) — the recency-
+    weighted aggregate a freshness-aware sampler feeds on.  The
+    anchor comes from parquet FOOTER statistics (metadata-only, no
+    scan); per-batch partials collapse users before one bucketed
+    shuffle.  Scores round to 4 digits so the float fold is
+    order-insensitive at hash precision."""
+    from unfurl_ray.ops.relational import bucketed_aggregate
+
+    TAU_US = 7 * 86_400_000_000.0
+    bounds = _footer_ts_bounds(sf_dir, "events", "ts")
+    ds = _parquet_sh(sf_dir, "events", ["user_id", "ts", "value"])
+    if bounds is None:
+        from ray.data.aggregate import Max
+
+        t_max = pd.Timestamp(
+            ds.aggregate(Max("ts"))["max(ts)"]
+        ).value // 1000
+    else:
+        t_max = pd.Timestamp(bounds[1]).value // 1000
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        ts = batch["ts"].astype("int64").to_numpy()
+        w = np.exp((ts - t_max) / TAU_US)
+        part = (
+            pd.DataFrame(
+                {
+                    "user_id": batch["user_id"].to_numpy(),
+                    "score": w * batch["value"].to_numpy(),
+                }
+            )
+            .groupby("user_id", as_index=False, sort=False)["score"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    part["user_id"].to_numpy(dtype=np.int64),
+                    pa.int64(),
+                ),
+                "score": pa.array(
+                    part["score"].to_numpy(), pa.float64()
+                ),
+            }
+        )
+
+    out = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"], {"score": ("score", "sum")},
+    ).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out.sort_values("user_id").reset_index(drop=True)
