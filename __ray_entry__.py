@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_compact_layout": p.q_compact_layout,
         "q_align_union": p.q_align_union,
         "q_decayed_sum": p.q_decayed_sum,
+        "q_merge_runs": p.q_merge_runs,
         "q_resample_locf": p.q_resample_locf,
         "q_ntile_curriculum": p.q_ntile_curriculum,
         "q_vocab_spectrum": p.q_vocab_spectrum,
@@ -1063,6 +1064,13 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY user_id ORDER BY ts
                 RANGE BETWEEN INTERVAL 300 SECOND PRECEDING
                           AND CURRENT ROW)
+            ORDER BY event_id
+        """,
+        # content equality of the merged sorted runs vs the raw table
+        # (sortedness is asserted in-pipeline; the compare is
+        # order-insensitive)
+        "q_merge_runs": """
+            SELECT event_id, user_id, value FROM events
             ORDER BY event_id
         """,
         # recency decay anchored at max(ts) (footer stats = true max);

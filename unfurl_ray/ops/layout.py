@@ -454,3 +454,144 @@ def compact_layout(path: str, target_bytes: int = 128 << 20):
         .sort_values("dir")
         .reset_index(drop=True)
     )
+
+
+# -- sorted-run merge (LSM-style ordered ingest) -----------------------------
+
+def merge_sorted_runs(run_paths: list[str], key_col: str,
+                      out_path: str, target_bytes: int = 256 << 20):
+    """Merge K sorted runs (directories of parquet files, each file a
+    contiguous ``key_col`` range — the flagship writer's output shape)
+    into ONE sorted run WITHOUT a global re-sort shuffle: incremental
+    ingest appends small sorted runs, and this is the LSM-style
+    compaction that folds them together.
+
+    Planning is metadata-only: every file's (min, max, bytes) comes
+    from parquet FOOTER statistics; output range boundaries are cut
+    where cumulative bytes reach ``target_bytes``.  One Ray task per
+    output range reads ONLY the overlapping files of each run
+    (footer-pruned), filters to the range, sorts locally (pieces are
+    range-bounded, so a task holds ~target_bytes, never a run), and
+    commits ``merge-NNNNN.parquet`` via tmp+rename — a re-run skips
+    committed ranges, same protocol as compact_layout.  Path-sorted
+    readers of ``out_path`` see globally ordered rows.
+
+    Returns the manifest (range_id, lo, n_rows, n_files_read,
+    skipped).
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    files = []
+    for rp in run_paths:
+        for f in sorted(_glob.glob(os.path.join(rp, "*.parquet"))):
+            md = pq.read_metadata(f)
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.row_group(rg).num_columns)
+                    if md.row_group(rg).column(i).path_in_schema
+                    == key_col
+                )
+                if col.statistics is None:
+                    raise ValueError(f"{f}: no footer stats on {key_col}")
+                s = col.statistics
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            files.append(
+                {"file": f, "lo": int(lo), "hi": int(hi),
+                 "bytes": os.path.getsize(f)}
+            )
+    if not files:
+        return pd.DataFrame(
+            columns=["range_id", "lo", "n_rows", "n_files_read",
+                     "skipped"]
+        )
+    files.sort(key=lambda r: (r["lo"], r["hi"]))
+    total = sum(r["bytes"] for r in files)
+    n_ranges = max(1, int(np.ceil(total / float(target_bytes))))
+    # boundaries at file mins, cut by cumulative bytes
+    cuts, acc, per = [], 0, total / n_ranges
+    for r in files[1:]:
+        acc += r["bytes"]
+        if acc >= per and r["lo"] not in cuts:
+            cuts.append(r["lo"])
+            acc = 0
+    bounds = (
+        [min(r["lo"] for r in files)]
+        + sorted(set(cuts))
+        + [max(r["hi"] for r in files) + 1]
+    )
+    os.makedirs(out_path, exist_ok=True)
+
+    # plan per-range file hit lists HERE (driver, metadata-only) so a
+    # task receives only its own file paths, not the global file list
+    ranges = [
+        {
+            "range_id": i,
+            "lo": bounds[i],
+            "hi": bounds[i + 1],
+            "files": [
+                r["file"] for r in files
+                if r["lo"] < bounds[i + 1] and r["hi"] >= bounds[i]
+            ],
+        }
+        for i in range(len(bounds) - 1)
+    ]
+
+    def merge_range(batch: pd.DataFrame) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = []
+        for _, row in batch.iterrows():
+            i, lo, hi = (
+                int(row["range_id"]), int(row["lo"]), int(row["hi"])
+            )
+            final = os.path.join(out_path, f"merge-{i:05d}.parquet")
+            if os.path.exists(final):
+                out.append(
+                    (i, lo, pq.read_metadata(final).num_rows, 0, True)
+                )
+                continue
+            hit = list(row["files"])
+            pieces = []
+            for f in hit:
+                t = pq.read_table(f)
+                k = t.column(key_col)
+                m = pc.and_(
+                    pc.greater_equal(k, pa.scalar(lo)),
+                    pc.less(k, pa.scalar(hi)),
+                )
+                pieces.append(t.filter(m))
+            tbl = pa.concat_tables(pieces)
+            order = pc.sort_indices(tbl.column(key_col))
+            tbl = tbl.take(order)
+            tmp = final + ".tmp"
+            pq.write_table(tbl, tmp)
+            os.rename(tmp, final)  # commit point
+            out.append((i, lo, tbl.num_rows, len(hit), False))
+        return pa.table(
+            {
+                "range_id": pa.array(
+                    [r[0] for r in out], pa.int64()
+                ),
+                "lo": pa.array([r[1] for r in out], pa.int64()),
+                "n_rows": pa.array([r[2] for r in out], pa.int64()),
+                "n_files_read": pa.array(
+                    [r[3] for r in out], pa.int64()
+                ),
+                "skipped": pa.array([r[4] for r in out], pa.bool_()),
+            }
+        )
+
+    return (
+        rd.from_items(ranges)
+        .repartition(len(ranges))
+        .map_batches(merge_range, batch_format="pandas")
+        .to_pandas()
+        .sort_values("range_id")
+        .reset_index(drop=True)
+    )

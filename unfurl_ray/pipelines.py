@@ -3312,3 +3312,67 @@ def q_decayed_sum(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     out["score"] = out["score"].round(4)
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_merge_runs(sf_dir: str) -> pd.DataFrame:
+    """LSM-style sorted-run merge: three interleaved sorted runs of
+    events (event_id % 3 shards, each range-file sorted) folded into
+    ONE globally sorted run with metadata-only planning — each output
+    range reads just its footer-pruned overlapping files, no global
+    re-sort shuffle.  In-pipeline assert: path-sorted reads of the
+    merged run are globally monotone.  Oracle: the merged content
+    equals the raw table."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from unfurl_ray.ops.layout import merge_sorted_runs
+
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|runs|v1".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"unfurl_ray_r_{tag}")
+
+    if not os.path.isdir(root):
+        tmp = root + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        for rem in range(3):
+            ds = _parquet_sh(
+                sf_dir, "events", ["event_id", "user_id", "value"]
+            )
+
+            def shard(batch: pa.Table, rem=rem) -> pa.Table:
+                ids = batch.column("event_id").to_numpy(
+                    zero_copy_only=False
+                )
+                return batch.filter(pa.array(ids % 3 == rem))
+
+            (
+                ds.map_batches(shard, batch_format="pyarrow")
+                .sort("event_id")
+                .write_parquet(os.path.join(tmp, f"run{rem}"))
+            )
+        os.rename(tmp, root)
+
+    out_dir = root + "_merged"
+    sz = os.path.getsize(f"{sf_dir}/events.parquet")
+    man = merge_sorted_runs(
+        [os.path.join(root, f"run{r}") for r in range(3)],
+        "event_id", out_dir, target_bytes=max(1 << 16, sz // 8),
+    )
+    assert len(man) >= 2, "merge produced a single range — no fan-out"
+
+    merged = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
+    frames = [pd.read_parquet(f) for f in merged]
+    last = None
+    for f in frames:
+        ids = f["event_id"].to_numpy()
+        assert (np.diff(ids) > 0).all(), "within-file order broken"
+        if last is not None:
+            assert ids[0] > last, "cross-file order broken"
+        last = ids[-1]
+    out = pd.concat(frames, ignore_index=True)
+    return out[["event_id", "user_id", "value"]]
