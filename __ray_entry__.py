@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_align_union": p.q_align_union,
         "q_decayed_sum": p.q_decayed_sum,
         "q_merge_runs": p.q_merge_runs,
+        "q_ewma": p.q_ewma,
         "q_resample_locf": p.q_resample_locf,
         "q_ntile_curriculum": p.q_ntile_curriculum,
         "q_vocab_spectrum": p.q_vocab_spectrum,
@@ -1065,6 +1066,28 @@ def oracle_sql() -> dict[str, str]:
                 RANGE BETWEEN INTERVAL 300 SECOND PRECEDING
                           AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        # EWMA via the weighted-prefix-sum identity; per-key t0
+        # anchor bounds exp args; round(6) absorbs fold-order noise
+        "q_ewma": """
+            WITH t AS (
+                SELECT event_id, user_id, value,
+                       epoch_us(ts) AS tu,
+                       min(epoch_us(ts)) OVER (PARTITION BY user_id)
+                           AS t0
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   round(exp(-(tu - t0) / (3.0 * 86400000000))
+                         * sum(value * exp((tu - t0)
+                                           / (3.0 * 86400000000)))
+                           OVER (PARTITION BY user_id
+                                 ORDER BY tu, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW),
+                         6) AS ewma
+            FROM t
+            ORDER BY event_id DESC LIMIT 2000
         """,
         # content equality of the merged sorted runs vs the raw table
         # (sortedness is asserted in-pipeline; the compare is

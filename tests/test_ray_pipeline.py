@@ -2402,3 +2402,62 @@ def test_compact_layout_crash_resume(ray_session, tmp_path):
     got = pds.dataset(path, format="parquet",
                       partitioning="hive").to_table().to_pandas()
     assert sorted(got["k"].tolist()) == df["k"].tolist()
+
+
+def test_ewma_matches_recurrence(ray_session):
+    """The weighted-prefix-sum EWMA equals the direct per-row
+    recurrence s_i = v_i + exp(-dt/tau) * s_{i-1}, including a hot
+    key spanning many (key, bucket) cells."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.relational import ewma_by
+
+    rng = np.random.default_rng(5)
+    n = 6000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "k": np.where(
+                np.arange(n) % 4 == 0, 7, rng.integers(0, 6, n)
+            ).astype(np.int64),
+            "ts": pd.to_datetime(
+                np.sort(rng.integers(0, 20 * 86_400_000_000, n)),
+                unit="us",
+            ),
+            "v": rng.uniform(0, 10, n),
+        }
+    )
+    tau = 2 * 86_400
+    got = (
+        ewma_by(
+            rd.from_pandas(df).repartition(6), key_col="k",
+            ts_col="ts", value_col="v", id_col="id",
+            tau_s=tau, bucket_s=86_400, n_shards=16,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = []
+    for _k, g in df.sort_values(["k", "ts", "id"]).groupby("k"):
+        s = 0.0
+        prev = None
+        for _, r in g.iterrows():
+            t = r["ts"].value // 1000
+            s = r["v"] + (
+                s * np.exp(-(t - prev) / (tau * 1e6))
+                if prev is not None else 0.0
+            )
+            prev = t
+            want.append((r["id"], s))
+    ref = (
+        pd.DataFrame(want, columns=["id", "ewma"])
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert np.allclose(
+        got["ewma"].to_numpy(), ref["ewma"].to_numpy(),
+        rtol=1e-9, atol=1e-6,
+    )

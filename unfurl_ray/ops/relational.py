@@ -1973,3 +1973,205 @@ def align_union(datasets, fill=None):
     for nxt in padded[1:]:
         out = out.union(nxt)
     return out
+
+
+def ewma_by(ds, key_col: str, ts_col: str, value_col: str,
+            id_col: str, tau_s: float, bucket_s: int = 86_400,
+            n_shards: int | None = None, ndigits: int = 6):
+    """Per-key irregular-time EWMA at every row —
+    ``s_i = v_i + exp(-(t_i - t_{i-1})/tau) * s_{i-1}`` — via the
+    identity ``s_i = exp(-(t_i - t0)/tau) * cumsum(v_j *
+    exp((t_j - t0)/tau))``: the decayed state IS a per-key prefix sum
+    of time-weighted values, so it reuses the ``running_total`` cell
+    decomposition (per-(key, bucket) partials -> per-key exclusive
+    carries -> one co-partitioned union-groupby) with float weights.
+    ``t0`` is the per-KEY minimum timestamp (first event), keeping
+    ``exp`` arguments bounded by the key's own time span / tau.
+
+    Floats fold in a fixed engine order but a different association
+    than the SQL window twin; results round to ``ndigits`` so the
+    compare is stable.  No one-key-per-group assumption.
+    """
+    tau_us = float(tau_s) * 1e6
+    bucket_us = int(bucket_s) * 1_000_000
+
+    def project(batch: pd.DataFrame) -> pa.Table:
+        ts = _ts_us(batch[ts_col]).to_numpy()
+        return pa.table(
+            {
+                id_col: pa.array(
+                    batch[id_col].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                key_col: pa.array(
+                    batch[key_col].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "_ts": pa.array(ts, pa.int64()),
+                "_v": pa.array(
+                    batch[value_col].to_numpy(dtype=np.float64),
+                    pa.float64(),
+                ),
+                "_tb": pa.array(ts // bucket_us, pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(project, batch_format="pandas").materialize()
+    if n_shards is None:
+        n_shards = max(32, rows.count() // 200_000)
+
+    # per-key t0 (first event) — tiny table, broadcast to weighting
+    t0 = bucketed_aggregate(
+        rows, [key_col], {"_t0": ("_ts", "min")}
+    ).to_pandas()
+    import ray
+
+    t0_ref = ray.put(
+        pd.Series(
+            t0["_t0"].to_numpy(dtype=np.int64),
+            index=t0[key_col].to_numpy(dtype=np.int64),
+        )
+    )
+
+    def _shard_of(keys: np.ndarray, buckets: np.ndarray) -> np.ndarray:
+        return (
+            pd.util.hash_array(
+                keys * np.int64(1_000_003) + buckets
+            ) % np.uint64(n_shards)
+        ).astype(np.int64)
+
+    class Weight:
+        """Attach w = v * exp((t - t0_key)/tau) once per row."""
+
+        def __init__(self, ref):
+            self.t0 = _broadcast_fetch(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pa.Table:
+            keys = batch[key_col].to_numpy()
+            ts = batch["_ts"].to_numpy()
+            # vectorized hash lookup (C); a join replaces the
+            # broadcast when key cardinality outgrows one worker
+            t0v = self.t0.reindex(keys).to_numpy(dtype=np.int64)
+            w = batch["_v"].to_numpy() * np.exp(
+                (ts - t0v) / tau_us
+            )
+            buckets = batch["_tb"].to_numpy()
+            z = np.zeros(len(batch))
+            return pa.table(
+                {
+                    id_col: pa.array(
+                        batch[id_col].to_numpy(), pa.int64()
+                    ),
+                    key_col: pa.array(keys, pa.int64()),
+                    "_ts": pa.array(ts, pa.int64()),
+                    "_w": pa.array(w, pa.float64()),
+                    "_tb": pa.array(buckets, pa.int64()),
+                    "_t0": pa.array(t0v, pa.int64()),
+                    "_off": pa.array(z, pa.float64()),
+                    "_is_off": pa.array(
+                        np.zeros(len(batch), dtype=np.bool_),
+                        pa.bool_(),
+                    ),
+                    "_shard": pa.array(
+                        _shard_of(keys, buckets), pa.int64()
+                    ),
+                }
+            )
+
+    weighted = rows.map_batches(
+        Weight, batch_format="pandas", concurrency=(1, 8),
+        fn_constructor_args=(t0_ref,),
+    ).materialize()
+
+    cells = bucketed_aggregate(
+        weighted, [key_col, "_tb"], {"_c": ("_w", "sum")}
+    )
+
+    def key_prefix(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values([key_col, "_tb"])
+        keys = g[key_col].to_numpy()
+        c = g["_c"].to_numpy(dtype=np.float64)
+        excl = np.cumsum(c) - c
+        new = np.empty(len(g), dtype=np.bool_)
+        new[0] = True
+        new[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(g)))
+        off = excl - np.repeat(excl[starts], lens)
+        n = len(g)
+        return pa.table(
+            {
+                id_col: pa.array(
+                    np.full(n, -1, dtype=np.int64), pa.int64()
+                ),
+                key_col: pa.array(keys, pa.int64()),
+                "_ts": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+                "_w": pa.array(np.zeros(n), pa.float64()),
+                "_tb": pa.array(g["_tb"].to_numpy(), pa.int64()),
+                "_t0": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+                "_off": pa.array(off, pa.float64()),
+                "_is_off": pa.array(
+                    np.ones(n, dtype=np.bool_), pa.bool_()
+                ),
+                "_shard": pa.array(
+                    _shard_of(keys, g["_tb"].to_numpy()), pa.int64()
+                ),
+            }
+        )
+
+    def key_shard(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["_kshard"] = (
+            pd.util.hash_array(batch[key_col].to_numpy())
+            % np.uint64(max(32, n_shards // 4))
+        ).astype(np.int64)
+        return batch
+
+    offsets = (
+        cells.map_batches(key_shard, batch_format="pandas")
+        .groupby("_kshard")
+        .map_groups(key_prefix, batch_format="pandas")
+    )
+
+    def scan_shard(group: pd.DataFrame) -> pa.Table:
+        own = group[~group["_is_off"]].sort_values(
+            [key_col, "_tb", "_ts", id_col]
+        )
+        if len(own) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    key_col: pa.array([], pa.int64()),
+                    "ewma": pa.array([], pa.float64()),
+                }
+            )
+        keys = own[key_col].to_numpy()
+        buckets = own["_tb"].to_numpy()
+        w = own["_w"].to_numpy()
+        new = np.empty(len(own), dtype=np.bool_)
+        new[0] = True
+        new[1:] = (keys[1:] != keys[:-1]) | (buckets[1:] != buckets[:-1])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(own)))
+        csum = np.cumsum(w)
+        cum = csum - np.repeat(csum[starts] - w[starts], lens)
+        carry = group[group["_is_off"]][[key_col, "_tb", "_off"]]
+        m = own[[id_col, key_col, "_tb", "_ts", "_t0"]].merge(
+            carry, on=[key_col, "_tb"], how="left", sort=False
+        )
+        total = cum + m["_off"].fillna(0.0).to_numpy()
+        ewma = total * np.exp(
+            -(m["_ts"].to_numpy() - m["_t0"].to_numpy()) / tau_us
+        )
+        return pa.table(
+            {
+                id_col: pa.array(
+                    m[id_col].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                key_col: pa.array(
+                    m[key_col].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "ewma": pa.array(np.round(ewma, ndigits), pa.float64()),
+            }
+        )
+
+    return weighted.union(offsets).groupby("_shard").map_groups(
+        scan_shard, batch_format="pandas"
+    )

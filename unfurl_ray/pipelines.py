@@ -3376,3 +3376,23 @@ def q_merge_runs(sf_dir: str) -> pd.DataFrame:
         last = ids[-1]
     out = pd.concat(frames, ignore_index=True)
     return out[["event_id", "user_id", "value"]]
+
+
+def q_ewma(sf_dir: str) -> pd.DataFrame:
+    """Per-event irregular-time EWMA of user activity (tau = 3 days):
+    the decayed recurrence is rewritten as a time-weighted per-key
+    prefix sum (see ops/relational.ewma_by), so it rides the same
+    skew-safe cell decomposition as q_running_total — no group ever
+    holds a whole user stream.  Per-key t0 anchoring keeps exp
+    arguments bounded by each user's own time span."""
+    from unfurl_ray.ops.relational import ewma_by
+
+    ds = _parquet_sh(
+        sf_dir, "events", ["event_id", "ts", "user_id", "value"]
+    )
+    out = ewma_by(
+        ds, key_col="user_id", ts_col="ts", value_col="value",
+        id_col="event_id", tau_s=3 * 86_400, bucket_s=86_400,
+    ).to_pandas()
+    out = out.sort_values("event_id", ascending=False).head(2000)
+    return out.sort_values("event_id").reset_index(drop=True)
