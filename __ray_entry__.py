@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decayed_sum": p.q_decayed_sum,
         "q_merge_runs": p.q_merge_runs,
         "q_ewma": p.q_ewma,
+        "q_profile": p.q_profile,
         "q_resample_locf": p.q_resample_locf,
         "q_ntile_curriculum": p.q_ntile_curriculum,
         "q_vocab_spectrum": p.q_vocab_spectrum,
@@ -1067,6 +1068,21 @@ def oracle_sql() -> dict[str, str]:
                           AND CURRENT ROW)
             ORDER BY event_id
         """,
+        # ANALYZE profile: one UNION ALL branch per column, built from
+        # the same column list the pipeline profiles
+        "q_profile": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS col, count(*) AS n,
+                   count(*) - count({c}) AS n_null,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   CAST(min({c}) AS VARCHAR) AS min_s,
+                   CAST(max({c}) AS VARCHAR) AS max_s,
+                   round(CAST(sum(len(CAST({c} AS VARCHAR)))
+                              AS DOUBLE) / count({c}), 4) AS avg_len
+            FROM documents
+            """
+            for c in ["doc_id", "lang", "source", "n_chars"]
+        ) + " ORDER BY col",
         # EWMA via the weighted-prefix-sum identity; per-key t0
         # anchor bounds exp args; round(6) absorbs fold-order noise
         "q_ewma": """

@@ -1,0 +1,151 @@
+"""Table profiling — the ANALYZE pass a catalog runs before planning.
+
+One projected read, two exchanges:
+
+* scalar stats (count, nulls, native min/max, string-repr length sum)
+  collapse per batch to ONE row per column — the shuffle carries
+  #columns rows per batch, never data;
+* exact distinct counts ride the distinct-(column, value) pair
+  shuffle (the ``distinct_count_by`` shape): per-batch unique pairs
+  -> bucketed count — the exchange is bounded by distinct values, not
+  rows.
+
+Min/max compare NATIVE values (numeric order for numbers,
+lexicographic for strings) both inside each batch and in the driver
+fold, so '10' < '9' lexicographic traps can't bite; only the final
+report row stringifies.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def profile_table(ds, columns: list[str],
+                  ndigits: int = 4) -> pd.DataFrame:
+    """Per-column profile of ``ds``: (col, n, n_null, n_distinct,
+    min_s, max_s, avg_len).  ``avg_len`` is the mean length of the
+    value's string representation (NULLs excluded).  Note: integer
+    and string columns stringify identically to SQL VARCHAR casts;
+    float repr may differ from a SQL engine's formatting."""
+    from unfurl_ray.ops.relational import bucketed_aggregate
+
+    ds = ds.materialize()
+
+    def scalar_partial(batch: pd.DataFrame) -> pa.Table:
+        rows = []
+        for c in columns:
+            col = batch[c]
+            valid = col.dropna()
+            s = valid.astype(str)
+            numeric = pd.api.types.is_numeric_dtype(col)
+            rows.append(
+                (
+                    c,
+                    len(col),
+                    int(col.isna().sum()),
+                    valid.min() if len(valid) else None,
+                    valid.max() if len(valid) else None,
+                    int(s.str.len().sum()),
+                    numeric,
+                )
+            )
+        return pa.table(
+            {
+                "col": pa.array([r[0] for r in rows], pa.string()),
+                "n": pa.array([r[1] for r in rows], pa.int64()),
+                "n_null": pa.array([r[2] for r in rows], pa.int64()),
+                "min_s": pa.array(
+                    [None if r[3] is None else str(r[3]) for r in rows],
+                    pa.string(),
+                ),
+                "max_s": pa.array(
+                    [None if r[4] is None else str(r[4]) for r in rows],
+                    pa.string(),
+                ),
+                "len_sum": pa.array([r[5] for r in rows], pa.int64()),
+                "numeric": pa.array([r[6] for r in rows], pa.bool_()),
+            }
+        )
+
+    scal = (
+        ds.map_batches(scalar_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    # per-batch partials are tiny (#columns rows each); fold on the
+    # driver with NATIVE comparisons per column kind
+    out = []
+    for c, g in scal.groupby("col"):
+        numeric = bool(g["numeric"].iloc[0])
+        mins = g["min_s"].dropna()
+        maxs = g["max_s"].dropna()
+        if numeric:
+            mn = (
+                None if mins.empty
+                else mins.iloc[
+                    int(np.argmin(mins.astype(np.float64).to_numpy()))
+                ]
+            )
+            mx = (
+                None if maxs.empty
+                else maxs.iloc[
+                    int(np.argmax(maxs.astype(np.float64).to_numpy()))
+                ]
+            )
+        else:
+            mn = None if mins.empty else mins.min()
+            mx = None if maxs.empty else maxs.max()
+        out.append(
+            {
+                "col": c,
+                "n": int(g["n"].sum()),
+                "n_null": int(g["n_null"].sum()),
+                "min_s": mn,
+                "max_s": mx,
+                "len_sum": int(g["len_sum"].sum()),
+            }
+        )
+    prof = pd.DataFrame(out)
+
+    def pair_partial(batch: pd.DataFrame) -> pa.Table:
+        cols, vals = [], []
+        for c in columns:
+            u = batch[c].dropna().astype(str).unique()
+            cols.append(np.full(len(u), c, dtype=object))
+            vals.append(u)
+        return pa.table(
+            {
+                "col": pa.array(
+                    np.concatenate(cols), pa.string()
+                ),
+                "value": pa.array(
+                    np.concatenate(vals), pa.string()
+                ),
+            }
+        )
+
+    pairs = bucketed_aggregate(
+        ds.map_batches(pair_partial, batch_format="pandas"),
+        ["col", "value"], {"_c": ("value", "count")},
+    )
+    dist = bucketed_aggregate(
+        pairs, ["col"], {"n_distinct": ("value", "count")},
+        n_buckets=8,
+    ).to_pandas()
+
+    prof = prof.merge(dist, on="col", how="left")
+    prof["n_distinct"] = prof["n_distinct"].fillna(0).astype("int64")
+    denom = (prof["n"] - prof["n_null"]).replace(0, np.nan)
+    prof["avg_len"] = (prof["len_sum"] / denom).round(ndigits)
+    return (
+        prof[
+            [
+                "col", "n", "n_null", "n_distinct", "min_s",
+                "max_s", "avg_len",
+            ]
+        ]
+        .sort_values("col")
+        .reset_index(drop=True)
+    )

@@ -3396,3 +3396,16 @@ def q_ewma(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     out = out.sort_values("event_id", ascending=False).head(2000)
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_profile(sf_dir: str) -> pd.DataFrame:
+    """ANALYZE-style profile of the documents table: per-column
+    count / nulls / exact distinct / native min-max / mean repr
+    length.  Scalar stats ship #columns rows per batch; distinct
+    counts ride the (col, value) unique-pair shuffle, bounded by
+    distinct values, not rows."""
+    from unfurl_ray.ops.profile import profile_table
+
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    ds = _parquet(sf_dir, "documents", cols)
+    return profile_table(ds, cols)
