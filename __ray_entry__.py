@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_merge_runs": p.q_merge_runs,
         "q_ewma": p.q_ewma,
         "q_profile": p.q_profile,
+        "q_pagerank": p.q_pagerank,
         "q_resample_locf": p.q_resample_locf,
         "q_ntile_curriculum": p.q_ntile_curriculum,
         "q_vocab_spectrum": p.q_vocab_spectrum,

@@ -2461,3 +2461,50 @@ def test_ewma_matches_recurrence(ray_session):
         got["ewma"].to_numpy(), ref["ewma"].to_numpy(),
         rtol=1e-9, atol=1e-6,
     )
+
+
+def test_pagerank_matches_dense_power_iteration(ray_session):
+    """Distributed PageRank equals the dense numpy power iteration on
+    a random directed graph with dangling nodes."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.graph import pagerank
+
+    rng = np.random.default_rng(9)
+    n, m, d = 60, 400, 0.85
+    edges = pd.DataFrame(
+        {
+            "src": rng.integers(0, n, m),
+            "dst": rng.integers(0, n, m),
+        }
+    ).drop_duplicates()
+    # node 59 dangling: no out-edges
+    edges = edges[edges.src != n - 1].reset_index(drop=True)
+    got = pagerank(
+        rd.from_pandas(edges).repartition(4), damping=d, n_iter=12,
+        n_buckets=8,
+    )
+
+    nodes = np.union1d(edges.src.unique(), edges.dst.unique())
+    idx = {v: i for i, v in enumerate(nodes)}
+    k = len(nodes)
+    A = np.zeros((k, k))
+    for _, r in edges.iterrows():
+        A[idx[r.dst], idx[r.src]] += 1.0
+    deg = A.sum(axis=0)
+    out_deg = deg.copy()
+    P = np.zeros_like(A)
+    np.divide(A, out_deg, out=P, where=out_deg > 0)
+    rank = np.full(k, 1.0 / k)
+    for _ in range(12):
+        dangling = rank[out_deg == 0].sum()
+        rank = (1 - d) / k + d * (P @ rank + dangling / k)
+    ref = pd.DataFrame({"node": nodes, "rank": rank}).sort_values(
+        "node"
+    )
+    assert np.allclose(
+        got["rank"].to_numpy(), ref["rank"].to_numpy(), atol=1e-12
+    )
+    assert abs(got["rank"].sum() - 1.0) < 1e-9

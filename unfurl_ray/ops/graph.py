@@ -330,3 +330,94 @@ def assign_components(ds, labels, id_column: str = "doc_id",
     return ds.select_columns([id_column]).map_batches(
         Assign, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1
     )
+
+
+def pagerank(edges, damping: float = 0.85, n_iter: int = 10,
+             src_col: str = "src", dst_col: str = "dst",
+             n_buckets: int = 32) -> pd.DataFrame:
+    """PageRank by distributed power iteration over an edge Dataset.
+
+    Each iteration is one pass: every edge batch looks up its sources'
+    rank/out-degree in the broadcast vectors (vectorized reindex),
+    pre-aggregates contributions per destination inside the batch, and
+    a bucketed aggregate folds the per-dst partials; teleport and
+    dangling mass close the step as scalars.  The edge set (the big
+    side) is materialized ONCE and never reshuffled.
+
+    Scale contract: the rank/degree VECTORS (one float per node) are
+    broadcast via ray.put each iteration and folded on the driver —
+    right while #nodes fits one machine (edges, the big side, stay
+    distributed).  Beyond that, co-partition ranks and edges by dst
+    bucket and fold per bucket instead.
+    """
+    import ray
+
+    from unfurl_ray.ops.relational import bucketed_aggregate
+
+    edges = edges.materialize()
+
+    deg = bucketed_aggregate(
+        edges, [src_col], {"deg": (src_col, "count")},
+        n_buckets=n_buckets,
+    ).to_pandas()
+    dsts = bucketed_aggregate(
+        edges, [dst_col], {"_c": (dst_col, "count")},
+        n_buckets=n_buckets,
+    ).to_pandas()
+    nodes = np.union1d(
+        deg[src_col].to_numpy(dtype=np.int64),
+        dsts[dst_col].to_numpy(dtype=np.int64),
+    )
+    n = len(nodes)
+    deg_s = (
+        pd.Series(deg["deg"].to_numpy(dtype=np.float64),
+                  index=deg[src_col].to_numpy(dtype=np.int64))
+        .reindex(nodes)
+        .fillna(0.0)
+    )
+    rank = pd.Series(np.full(n, 1.0 / n), index=nodes)
+
+    from unfurl_ray.ops.relational import _broadcast_fetch
+
+    def contrib_partial(batch: pd.DataFrame, ref=None) -> pa.Table:
+        # plain task fn (no actor-pool spin-up per iteration); the
+        # weight vector fetches once per worker via the memo cache
+        w_all = _broadcast_fetch(ref)
+        src = batch[src_col].to_numpy(dtype=np.int64)
+        w = w_all.reindex(src).to_numpy(dtype=np.float64)
+        part = (
+            pd.DataFrame({dst_col: batch[dst_col].to_numpy(), "c": w})
+            .groupby(dst_col, as_index=False, sort=False)["c"]
+            .sum()
+        )
+        return pa.table(
+            {
+                dst_col: pa.array(
+                    part[dst_col].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "c": pa.array(part["c"].to_numpy(), pa.float64()),
+            }
+        )
+
+    for _ in range(n_iter):
+        state = ray.put((rank / deg_s.replace(0.0, np.nan)).fillna(0.0))
+        contrib = bucketed_aggregate(
+            edges.map_batches(
+                contrib_partial, batch_format="pandas",
+                fn_kwargs={"ref": state},
+            ),
+            [dst_col], {"c": ("c", "sum")}, n_buckets=n_buckets,
+        ).to_pandas()
+        c = (
+            pd.Series(contrib["c"].to_numpy(),
+                      index=contrib[dst_col].to_numpy(dtype=np.int64))
+            .reindex(nodes)
+            .fillna(0.0)
+        )
+        dangling = float(rank[deg_s.to_numpy() == 0.0].sum())
+        rank = (1.0 - damping) / n + damping * (c + dangling / n)
+
+    out = pd.DataFrame(
+        {"node": nodes, "rank": rank.to_numpy()}
+    ).sort_values("node").reset_index(drop=True)
+    return out

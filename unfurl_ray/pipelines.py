@@ -3409,3 +3409,44 @@ def q_profile(sf_dir: str) -> pd.DataFrame:
     cols = ["doc_id", "lang", "source", "n_chars"]
     ds = _parquet(sf_dir, "documents", cols)
     return profile_table(ds, cols)
+
+
+def q_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Centrality over the embedding similarity graph: bucketed
+    cosine pairs (no corpus broadcast) become symmetric edges, then
+    PageRank runs by distributed power iteration — the edge set never
+    reshuffles; only per-node vectors move per round.  Rows-only
+    check (iterative fixpoint has no SQL twin); pytest parity against
+    dense numpy power iteration covers exactness.  Returns the top-50
+    nodes by rank (rounded so fold order can't flip the hash)."""
+    import pyarrow.compute as pc
+
+    from unfurl_ray.ops.graph import pagerank
+    from unfurl_ray.ops.similarity import cosine_pairs_bucketed
+
+    ds = _parquet(sf_dir, "embeddings")
+    pairs = cosine_pairs_bucketed(ds, threshold=0.3, assign_top=3)
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch.column("vec_a").to_numpy(zero_copy_only=False)
+        b = batch.column("vec_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(
+                    np.concatenate([a, b]).astype(np.int64),
+                    pa.int64(),
+                ),
+                "dst": pa.array(
+                    np.concatenate([b, a]).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
+    ranks = pagerank(edges, damping=0.85, n_iter=8)
+    ranks["rank"] = ranks["rank"].round(8)
+    out = ranks.sort_values(
+        ["rank", "node"], ascending=[False, True]
+    ).head(50)
+    return out.sort_values("node").reset_index(drop=True)
