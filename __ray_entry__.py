@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ewma": p.q_ewma,
         "q_profile": p.q_profile,
         "q_pagerank": p.q_pagerank,
+        "q_sliding_mau": p.q_sliding_mau,
         "q_resample_locf": p.q_resample_locf,
         "q_ntile_curriculum": p.q_ntile_curriculum,
         "q_vocab_spectrum": p.q_vocab_spectrum,
@@ -1068,6 +1069,22 @@ def oracle_sql() -> dict[str, str]:
                 RANGE BETWEEN INTERVAL 300 SECOND PRECEDING
                           AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        # rolling 7-day COUNT(DISTINCT) via the day-grid join twin;
+        # inner join = only window days with >=1 contributing event
+        "q_sliding_mau": """
+            WITH e AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS d
+                FROM events
+            ),
+            b AS (SELECT min(d) AS lo, max(d) AS hi FROM e),
+            g AS (
+                SELECT unnest(generate_series(lo, hi)) AS wd FROM b
+            )
+            SELECT wd, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+            FROM g JOIN e ON e.d BETWEEN g.wd - 6 AND g.wd
+            GROUP BY wd ORDER BY wd
         """,
         # ANALYZE profile: one UNION ALL branch per column, built from
         # the same column list the pipeline profiles

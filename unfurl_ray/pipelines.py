@@ -3450,3 +3450,59 @@ def q_pagerank(sf_dir: str) -> pd.DataFrame:
         ["rank", "node"], ascending=[False, True]
     ).head(50)
     return out.sort_values("node").reset_index(drop=True)
+
+
+def q_sliding_mau(sf_dir: str) -> pd.DataFrame:
+    """EXACT 7-day rolling distinct active users per day (the WAU/MAU
+    family): each unique (user, event-day) fans out to the <=7 window
+    days it supports — inside the batch, after a local distinct — and
+    the exact distinct count rides the (window_day, user) pair
+    shuffle, bounded by 7x distinct pairs, never raw events.  Window
+    bounds come from parquet footer statistics (metadata-only)."""
+    from unfurl_ray.ops.relational import distinct_count_by
+
+    W = 7
+    lo_hi = _footer_ts_bounds(sf_dir, "events", "ts")
+    ds = _parquet_sh(sf_dir, "events", ["user_id", "ts"])
+    if lo_hi is None:
+        from ray.data.aggregate import Max, Min
+
+        agg = ds.aggregate(Min("ts"), Max("ts"))
+        lo_hi = (agg["min(ts)"], agg["max(ts)"])
+    d_lo = pd.Timestamp(lo_hi[0]).value // 1000 // 86_400_000_000
+    d_hi = pd.Timestamp(lo_hi[1]).value // 1000 // 86_400_000_000
+
+    def fan_out(batch: pd.DataFrame) -> pa.Table:
+        pairs = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(),
+                "d": batch["ts"].astype("int64").to_numpy()
+                // 86_400_000_000,
+            }
+        ).drop_duplicates()
+        u = np.repeat(pairs["user_id"].to_numpy(), W)
+        wd = np.repeat(pairs["d"].to_numpy(), W) + np.tile(
+            np.arange(W, dtype=np.int64), len(pairs)
+        )
+        keep = (wd >= d_lo) & (wd <= d_hi)
+        dedup = pd.DataFrame(
+            {"wd": wd[keep], "user_id": u[keep]}
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "wd": pa.array(
+                    dedup["wd"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "user_id": pa.array(
+                    dedup["user_id"].to_numpy(dtype=np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = distinct_count_by(
+        ds.map_batches(fan_out, batch_format="pandas"),
+        "wd", "user_id", out_col="mau",
+    ).to_pandas()
+    out["mau"] = out["mau"].astype("int64")
+    return out.sort_values("wd").reset_index(drop=True)
