@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_profile": p.q_profile,
         "q_pagerank": p.q_pagerank,
         "q_sliding_mau": p.q_sliding_mau,
+        "q_time_travel": p.q_time_travel,
         "q_resample_locf": p.q_resample_locf,
         "q_ntile_curriculum": p.q_ntile_curriculum,
         "q_vocab_spectrum": p.q_vocab_spectrum,
@@ -1069,6 +1070,20 @@ def oracle_sql() -> dict[str, str]:
                 RANGE BETWEEN INTERVAL 300 SECOND PRECEDING
                           AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        # v1 = first 15 days, v2 = v1 + the rest (append semantics)
+        "q_time_travel": """
+            SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM events
+            WHERE epoch_us(ts) // 86400000000 < 19738
+            UNION ALL
+            SELECT 2, CAST(count(*) AS BIGINT),
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM events
+            ORDER BY version
         """,
         # rolling 7-day COUNT(DISTINCT) via the day-grid join twin;
         # inner join = only window days with >=1 contributing event

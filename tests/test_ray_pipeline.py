@@ -2508,3 +2508,50 @@ def test_pagerank_matches_dense_power_iteration(ray_session):
         got["rank"].to_numpy(), ref["rank"].to_numpy(), atol=1e-12
     )
     assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+
+def test_versioned_layout_time_travel_and_vacuum(ray_session, tmp_path):
+    """Append creates a new readable version without disturbing the
+    old one; overwrite starts fresh but keeps time travel; vacuum
+    removes only files no kept manifest references."""
+    import glob
+
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.layout import (
+        vacuum_versions, versioned_read, versioned_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    df1 = pd.DataFrame({"k": [1, 2, 3]})
+    df2 = pd.DataFrame({"k": [4, 5]})
+    df3 = pd.DataFrame({"k": [9]})
+    assert versioned_write(rd.from_pandas(df1), path) == 1
+    assert versioned_write(
+        rd.from_pandas(df2), path, mode="append"
+    ) == 2
+    assert versioned_write(
+        rd.from_pandas(df3), path, mode="overwrite"
+    ) == 3
+
+    assert sorted(
+        versioned_read(path, 1).to_pandas()["k"]
+    ) == [1, 2, 3]
+    assert sorted(
+        versioned_read(path, 2).to_pandas()["k"]
+    ) == [1, 2, 3, 4, 5]
+    assert sorted(versioned_read(path).to_pandas()["k"]) == [9]
+
+    stats = vacuum_versions(path, keep=2)
+    assert stats["dropped_versions"] == [1]
+    # v2 and v3 still read intact; v1's exclusive files may be gone
+    assert sorted(
+        versioned_read(path, 2).to_pandas()["k"]
+    ) == [1, 2, 3, 4, 5]
+    assert sorted(versioned_read(path, 3).to_pandas()["k"]) == [9]
+    # after dropping v2 too, its files are deleted
+    stats = vacuum_versions(path, keep=1)
+    assert stats["dropped_versions"] == [2]
+    assert stats["files_removed"] >= 1
+    assert sorted(versioned_read(path).to_pandas()["k"]) == [9]

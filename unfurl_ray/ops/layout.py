@@ -595,3 +595,101 @@ def merge_sorted_runs(run_paths: list[str], key_col: str,
         .sort_values("range_id")
         .reset_index(drop=True)
     )
+
+
+# -- versioned snapshots (time travel) ---------------------------------------
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, "_manifests")
+
+
+def _versions(path: str) -> list[int]:
+    import glob as _glob
+
+    return sorted(
+        int(os.path.basename(m)[1:-5])
+        for m in _glob.glob(os.path.join(_manifest_dir(path), "v*.json"))
+    )
+
+
+def versioned_write(ds, path: str, mode: str = "append") -> int:
+    """Snapshot-versioned table write (single-writer): data files land
+    under ``path/data/`` with a per-version prefix, then one manifest
+    JSON (the full live-file list for that version) commits via
+    tmp+rename — readers never see a half-written version, and every
+    older version stays readable until ``vacuum``.  ``mode='append'``
+    carries the previous manifest's files forward; ``'overwrite'``
+    starts the list fresh (files stay on disk for time travel).
+    Returns the new version number."""
+    import glob as _glob
+    import json
+
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    vs = _versions(path)
+    v = (vs[-1] + 1) if vs else 1
+
+    stage = os.path.join(path, f"_stage_v{v}")
+    ds.write_parquet(stage)
+    files = []
+    for i, f in enumerate(sorted(_glob.glob(os.path.join(stage, "*")))):
+        dst = os.path.join(path, "data", f"v{v}-{i:05d}.parquet")
+        os.rename(f, dst)
+        files.append(os.path.relpath(dst, path))
+    os.rmdir(stage)
+
+    if mode == "append" and vs:
+        with open(
+            os.path.join(_manifest_dir(path), f"v{vs[-1]}.json")
+        ) as fh:
+            files = json.load(fh)["files"] + files
+    tmp = os.path.join(_manifest_dir(path), f"v{v}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": v, "files": files}, fh)
+    os.rename(tmp, os.path.join(_manifest_dir(path), f"v{v}.json"))
+    return v
+
+
+def versioned_read(path: str, version: int | None = None,
+                   columns: list[str] | None = None):
+    """Dataset over exactly the files a manifest pins (latest version
+    when ``version`` is None) — time travel is just reading an older
+    manifest."""
+    import json
+
+    import ray.data as rd
+
+    v = version if version is not None else _versions(path)[-1]
+    with open(os.path.join(_manifest_dir(path), f"v{v}.json")) as fh:
+        files = json.load(fh)["files"]
+    return rd.read_parquet(
+        [os.path.join(path, f) for f in files], columns=columns
+    )
+
+
+def vacuum_versions(path: str, keep: int = 2) -> dict:
+    """Delete data files referenced ONLY by manifests older than the
+    newest ``keep`` versions (and those manifests) — the GC that
+    bounds time-travel storage.  Metadata-only planning."""
+    import glob as _glob
+    import json
+
+    vs = _versions(path)
+    kept, dropped = vs[-keep:], vs[:-keep]
+    live = set()
+    for v in kept:
+        with open(
+            os.path.join(_manifest_dir(path), f"v{v}.json")
+        ) as fh:
+            live.update(json.load(fh)["files"])
+    removed = 0
+    for f in _glob.glob(os.path.join(path, "data", "*.parquet")):
+        if os.path.relpath(f, path) not in live:
+            os.remove(f)
+            removed += 1
+    for v in dropped:
+        os.remove(os.path.join(_manifest_dir(path), f"v{v}.json"))
+    return {
+        "kept_versions": kept, "dropped_versions": dropped,
+        "files_removed": removed,
+    }

@@ -3506,3 +3506,62 @@ def q_sliding_mau(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     out["mau"] = out["mau"].astype("int64")
     return out.sort_values("wd").reset_index(drop=True)
+
+
+def q_time_travel(sf_dir: str) -> pd.DataFrame:
+    """Snapshot versioning: v1 ingests the first half-month of
+    events, v2 APPENDS the rest; both versions stay readable (reads
+    pin a manifest, commits are tmp+rename) and aggregate
+    independently.  Output: per-version count + exact cents sum."""
+    import hashlib
+    import os
+    import tempfile
+
+    from unfurl_ray.ops.layout import versioned_read, versioned_write
+
+    CUT = 19723 + 15  # epoch-day 2024-01-16
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|vers|v1".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"unfurl_ray_v_{tag}")
+
+    if not os.path.isdir(root):
+        tmp = root + ".tmp"
+
+        def half(early: bool):
+            def f(batch: pd.DataFrame) -> pd.DataFrame:
+                day = batch["ts"].astype("int64") // 86_400_000_000
+                m = day < CUT if early else day >= CUT
+                return batch[m]
+            return f
+
+        ds = _parquet_sh(sf_dir, "events", ["event_id", "ts", "value"])
+        versioned_write(
+            ds.map_batches(half(True), batch_format="pandas"), tmp
+        )
+        versioned_write(
+            ds.map_batches(half(False), batch_format="pandas"), tmp,
+            mode="append",
+        )
+        os.rename(tmp, root)
+
+    rows = []
+    for v in (1, 2):
+        d = versioned_read(root, version=v, columns=["value"])
+
+        def cents(batch: pd.DataFrame) -> pa.Table:
+            c = np.floor(
+                batch["value"].to_numpy(dtype=np.float64) * 100.0
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "n": pa.array([len(c)], pa.int64()),
+                    "s": pa.array([int(c.sum())], pa.int64()),
+                }
+            )
+
+        agg = d.map_batches(cents, batch_format="pandas").to_pandas()
+        rows.append((v, int(agg["n"].sum()), int(agg["s"].sum())))
+    return pd.DataFrame(
+        rows, columns=["version", "n", "sum_cents"]
+    )
