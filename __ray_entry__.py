@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pagerank": p.q_pagerank,
         "q_sliding_mau": p.q_sliding_mau,
         "q_time_travel": p.q_time_travel,
+        "q_winsorize": p.q_winsorize,
         "q_resample_locf": p.q_resample_locf,
         "q_ntile_curriculum": p.q_ntile_curriculum,
         "q_vocab_spectrum": p.q_vocab_spectrum,
@@ -1070,6 +1071,30 @@ def oracle_sql() -> dict[str, str]:
                 RANGE BETWEEN INTERVAL 300 SECOND PRECEDING
                           AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        # exact integer-cents winsorization: quantile_disc picks the
+        # element at floor(q*(n-1)), same as the histogram rank pick
+        "q_winsorize": """
+            WITH t AS (
+                SELECT event_type,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events
+            ),
+            b AS (
+                SELECT event_type,
+                       CAST(count(*) AS BIGINT) AS n,
+                       quantile_disc(cents, 0.05) AS p05_cents,
+                       quantile_disc(cents, 0.95) AS p95_cents
+                FROM t GROUP BY 1
+            )
+            SELECT b.event_type, b.n, b.p05_cents, b.p95_cents,
+                   round(sum(least(greatest(t.cents, b.p05_cents),
+                                   b.p95_cents))
+                         / CAST(b.n AS DOUBLE) / 100.0, 4)
+                       AS wins_mean
+            FROM t JOIN b USING (event_type)
+            GROUP BY 1, 2, 3, 4
+            ORDER BY 1
         """,
         # v1 = first 15 days, v2 = v1 + the rest (append semantics)
         "q_time_travel": """

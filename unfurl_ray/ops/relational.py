@@ -2175,3 +2175,52 @@ def ewma_by(ds, key_col: str, ts_col: str, value_col: str,
     return weighted.union(offsets).groupby("_shard").map_groups(
         scan_shard, batch_format="pandas"
     )
+
+
+def hist_quantile_disc_by(hist, key_col: str, value_col: str,
+                          cnt_col: str, qs: list[float],
+                          n_buckets: int = 32):
+    """Exact per-key DISCRETE quantiles (DuckDB ``quantile_disc(q)``
+    = inverse CDF: the element at ``ceil(q * n) - 1``; coincides with
+    ``floor(q * (n-1))`` only at q=0.5) for several ``qs`` at once,
+    from a (key, value, count) histogram — the multi-q generalization
+    of ``hist_median_by`` (same bounded-by-distinct-values shuffle,
+    same vectorized rank pick).  Output: one row per key with columns
+    ``q_<q written without the dot>`` per quantile plus ``n``."""
+    names = [f"q_{str(q).replace('.', '')}" for q in qs]
+
+    def pick(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values([key_col, value_col]).reset_index(
+            drop=True
+        )
+        cnt = g[cnt_col].to_numpy(dtype=np.int64)
+        grp = g.groupby(key_col, sort=False)
+        n = grp[cnt_col].transform("sum").to_numpy(dtype=np.int64)
+        cum = grp[cnt_col].cumsum().to_numpy(dtype=np.int64)
+        before = cum - cnt
+        keys = g[key_col].to_numpy()
+        new = np.empty(len(g), dtype=np.bool_)
+        new[0] = True
+        new[1:] = keys[1:] != keys[:-1]
+        out = g.loc[new, [key_col]].reset_index(drop=True)
+        out["n"] = n[new]
+        for q, name in zip(qs, names):
+            target = np.maximum(
+                np.ceil(n * q).astype(np.int64) - 1, 0
+            )
+            hit = (before <= target) & (target < cum)
+            out[name] = g.loc[hit, value_col].to_numpy()
+        return _arrow(out)
+
+    def bucketize(batch: pd.DataFrame) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            batch[key_col], index=False
+        ).to_numpy()
+        batch["_mb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return _arrow(batch)
+
+    return (
+        hist.map_batches(bucketize, batch_format="pandas")
+        .groupby("_mb")
+        .map_groups(pick, batch_format="pandas")
+    )

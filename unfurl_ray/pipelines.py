@@ -3565,3 +3565,81 @@ def q_time_travel(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["version", "n", "sum_cents"]
     )
+
+
+def q_winsorize(sf_dir: str) -> pd.DataFrame:
+    """Winsorized robust mean per event type: exact p05/p95 in
+    integer cents from the (type, cents) histogram (shuffle bounded
+    by distinct cents, not rows), bounds broadcast back, values
+    clipped and averaged in one aggregate pass.  Every comparison is
+    integer-exact, so the DuckDB quantile_disc + least/greatest twin
+    hash-matches."""
+    import ray
+
+    from unfurl_ray.ops.relational import (
+        _broadcast_fetch, bucketed_aggregate, hist_quantile_disc_by,
+        pre_aggregate,
+    )
+
+    ds = _parquet_sh(sf_dir, "events", ["event_type", "value"])
+
+    def to_cents(batch: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    batch["event_type"].to_numpy(), pa.string()
+                ),
+                "cents": pa.array(
+                    np.floor(
+                        batch["value"].to_numpy(dtype=np.float64)
+                        * 100.0
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    cents = ds.map_batches(to_cents, batch_format="pandas").materialize()
+    hist = bucketed_aggregate(
+        cents, ["event_type", "cents"], {"cnt": ("cents", "count")},
+    )
+    bounds = hist_quantile_disc_by(
+        hist, "event_type", "cents", "cnt", [0.05, 0.95],
+    ).to_pandas()
+    ref = ray.put(
+        bounds.set_index("event_type")[["q_005", "q_095"]]
+    )
+
+    def clip(batch: pd.DataFrame, ref=None) -> pa.Table:
+        b = _broadcast_fetch(ref)
+        lo = b["q_005"].reindex(batch["event_type"]).to_numpy()
+        hi = b["q_095"].reindex(batch["event_type"]).to_numpy()
+        c = np.clip(batch["cents"].to_numpy(), lo, hi)
+        part = (
+            pd.DataFrame(
+                {"event_type": batch["event_type"].to_numpy(), "c": c}
+            )
+            .groupby("event_type", as_index=False, sort=False)
+            .agg(n=("c", "size"), s=("c", "sum"))
+        )
+        return pa.Table.from_pandas(
+            part, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    agg = pre_aggregate(
+        cents.map_batches(clip, batch_format="pandas",
+                          fn_kwargs={"ref": ref}),
+        ["event_type"], {"n": ("n", "sum"), "s": ("s", "sum")},
+    ).to_pandas()
+    out = bounds.drop(columns=["n"]).merge(agg, on="event_type")
+    out["wins_mean"] = (
+        out["s"].astype(np.float64) / out["n"] / 100.0
+    ).round(4)
+    out = out.rename(columns={"q_005": "p05_cents",
+                              "q_095": "p95_cents"})
+    out["n"] = out["n"].astype("int64")
+    return (
+        out[["event_type", "n", "p05_cents", "p95_cents", "wins_mean"]]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
