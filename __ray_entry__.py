@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sliding_mau": p.q_sliding_mau,
         "q_time_travel": p.q_time_travel,
         "q_winsorize": p.q_winsorize,
+        "q_jsonl_roundtrip": p.q_jsonl_roundtrip,
         "q_resample_locf": p.q_resample_locf,
         "q_ntile_curriculum": p.q_ntile_curriculum,
         "q_vocab_spectrum": p.q_vocab_spectrum,
@@ -1071,6 +1072,13 @@ def oracle_sql() -> dict[str, str]:
                 RANGE BETWEEN INTERVAL 300 SECOND PRECEDING
                           AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        # JSONL export -> tolerant re-ingest preserves every row
+        "q_jsonl_roundtrip": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS chars
+            FROM documents
+            GROUP BY source ORDER BY source
         """,
         # exact integer-cents winsorization: quantile_disc picks the
         # element at floor(q*(n-1)), same as the histogram rank pick

@@ -2555,3 +2555,31 @@ def test_versioned_layout_time_travel_and_vacuum(ray_session, tmp_path):
     assert stats["dropped_versions"] == [2]
     assert stats["files_removed"] >= 1
     assert sorted(versioned_read(path).to_pandas()["k"]) == [9]
+
+
+def test_jsonl_tolerant_quarantines_bad_lines(ray_session, tmp_path):
+    """Malformed JSONL lines become _corrupt rows carrying the raw
+    line; every well-formed row survives with typed values."""
+    import pandas as pd
+
+    from unfurl_ray.sources.formats import read_jsonl_tolerant
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "source": "a", "n_chars": 10}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "source": "b", "n_chars": 20}\n'
+        '{"doc_id": 3, "source": "a", "n_chars": 30}\n'
+        '{broken: [\n'
+    )
+    out = read_jsonl_tolerant(
+        str(p), columns=["doc_id", "source", "n_chars"],
+        dtypes={"doc_id": "int64", "source": "object",
+                "n_chars": "int64"},
+    ).to_pandas()
+    good = out[~out["_corrupt"]].sort_values("doc_id")
+    bad = out[out["_corrupt"]]
+    assert good["doc_id"].tolist() == [1, 2, 3]
+    assert good["n_chars"].tolist() == [10, 20, 30]
+    assert len(bad) == 2
+    assert "this is not json" in bad["_raw"].tolist()

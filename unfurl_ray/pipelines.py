@@ -3643,3 +3643,40 @@ def q_winsorize(sf_dir: str) -> pd.DataFrame:
         .sort_values("event_type")
         .reset_index(drop=True)
     )
+
+
+def q_jsonl_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Egress -> ingest closure: documents export to hash-bucketed
+    JSONL shards, stream back in through the dirty-tolerant JSONL
+    source, and aggregate per source — proving the interchange format
+    loses nothing.  (Corrupt-line quarantine is pytest-covered; this
+    path is clean.)"""
+    import os
+    import shutil
+    import tempfile
+
+    from unfurl_ray.ops.layout import write_jsonl_shards
+    from unfurl_ray.ops.relational import pre_aggregate
+    from unfurl_ray.sources.formats import read_jsonl_tolerant
+
+    ds = _parquet_sh(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    out_dir = tempfile.mkdtemp(prefix="unfurl_rt_")
+    try:
+        write_jsonl_shards(ds, out_dir, id_col="doc_id", n_buckets=8)
+        back = read_jsonl_tolerant(
+            sorted(
+                os.path.join(out_dir, f) for f in os.listdir(out_dir)
+            ),
+            columns=["doc_id", "source", "n_chars"],
+            dtypes={"doc_id": "int64", "source": "object",
+                    "n_chars": "int64"},
+        )
+        out = pre_aggregate(
+            back, ["source"],
+            {"n": ("doc_id", "count"), "chars": ("n_chars", "sum")},
+        ).to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    out["n"] = out["n"].astype("int64")
+    out["chars"] = out["chars"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)

@@ -12,6 +12,7 @@ a vectorized per-batch schema-normalize pass; nothing is collected.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyarrow as pa
 
 SCHEMA = pa.schema(
@@ -55,3 +56,68 @@ def read_transcripts(path: str, format: str = "parquet"):
     else:
         raise ValueError(f"unsupported transcript format: {format!r}")
     return ds.map_batches(_normalize, batch_format="pyarrow")
+
+
+def read_jsonl_tolerant(path: str, columns: list[str],
+                        dtypes: dict[str, str]):
+    """Dirty-tolerant JSONL ingest: raw text lines stream in, each
+    batch parses VECTORIZED (one pandas ``read_json(lines=True)``
+    call); only when a batch contains malformed lines does it fall
+    back to per-line isolation — the quarantine cost is paid on the
+    rare bad path, never the hot one (same row-isolating idea as
+    ops/robust.quarantine_map).  Returns rows with ``_corrupt=False``
+    for parsed lines and one ``_corrupt=True`` row (original line in
+    ``_raw``) per bad line, so callers can route rejects to a dead
+    letter sink instead of crashing a 100 TB job."""
+    import io
+
+    import ray.data as rd
+
+    def parse(batch: pd.DataFrame) -> pa.Table:
+        lines = batch["text"].tolist()
+        good = None
+        bad: list[str] = []
+        try:
+            good = pd.read_json(
+                io.StringIO("\n".join(lines)), lines=True,
+                dtype=dtypes,
+            )
+        except ValueError:
+            rows = []
+            for ln in lines:
+                try:
+                    rows.append(
+                        pd.read_json(io.StringIO(ln), lines=True,
+                                     dtype=dtypes)
+                    )
+                except ValueError:
+                    bad.append(ln)
+            good = (
+                pd.concat(rows, ignore_index=True)
+                if rows else pd.DataFrame(columns=columns)
+            )
+        out = pd.DataFrame(
+            {c: good[c] if c in good else pd.Series(dtype=dtypes[c])
+             for c in columns}
+        )
+        out["_corrupt"] = False
+        out["_raw"] = ""
+        if bad:
+            rej = pd.DataFrame({c: pd.Series(
+                [None] * len(bad)).astype(dtypes[c], errors="ignore")
+                for c in columns})
+            rej["_corrupt"] = True
+            rej["_raw"] = bad
+            out = pd.concat([out, rej], ignore_index=True)
+        for c, t in dtypes.items():
+            try:
+                out[c] = out[c].astype(t)
+            except (TypeError, ValueError):
+                pass
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return rd.read_text(path).map_batches(
+        parse, batch_format="pandas"
+    )
