@@ -122,6 +122,12 @@ def run_queries() -> dict:
         ("q_sft_pairs", p.q_sft_pairs),
         ("q_upsert_merge", p.q_upsert_merge),
         ("q_mv_update", p.q_mv_update),
+        ("q_running_total", p.q_running_total),
+        ("q_ewma", p.q_ewma),
+        ("q_sliding_mau", p.q_sliding_mau),
+        ("q_winsorize", p.q_winsorize),
+        ("q_bpe_merges", p.q_bpe_merges),
+        ("q_pagerank", p.q_pagerank),
     ]:
         t0 = time.time()
         result = fn(SF_DIR)

@@ -484,9 +484,17 @@ def merge_sorted_runs(run_paths: list[str], key_col: str,
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    files = []
-    for rp in run_paths:
-        for f in sorted(_glob.glob(os.path.join(rp, "*.parquet"))):
+    paths = [
+        f for rp in run_paths
+        for f in sorted(_glob.glob(os.path.join(rp, "*.parquet")))
+    ]
+
+    def footer_stats(batch: pd.DataFrame) -> pa.Table:
+        """Footer (min, max, bytes) per file — runs as Ray tasks so
+        the metadata scan parallelizes over the file count instead of
+        looping on the driver (matters at millions of run files)."""
+        out = []
+        for f in batch["file"]:
             md = pq.read_metadata(f)
             lo = hi = None
             for rg in range(md.num_row_groups):
@@ -497,14 +505,32 @@ def merge_sorted_runs(run_paths: list[str], key_col: str,
                     == key_col
                 )
                 if col.statistics is None:
-                    raise ValueError(f"{f}: no footer stats on {key_col}")
+                    raise ValueError(
+                        f"{f}: no footer stats on {key_col}"
+                    )
                 s = col.statistics
                 lo = s.min if lo is None else min(lo, s.min)
                 hi = s.max if hi is None else max(hi, s.max)
-            files.append(
-                {"file": f, "lo": int(lo), "hi": int(hi),
-                 "bytes": os.path.getsize(f)}
-            )
+            out.append((f, int(lo), int(hi), os.path.getsize(f)))
+        return pa.table(
+            {
+                "file": pa.array([r[0] for r in out], pa.string()),
+                "lo": pa.array([r[1] for r in out], pa.int64()),
+                "hi": pa.array([r[2] for r in out], pa.int64()),
+                "bytes": pa.array([r[3] for r in out], pa.int64()),
+            }
+        )
+
+    files: list[dict] = []
+    if paths:
+        import ray.data as _rd
+
+        stats_df = (
+            _rd.from_items([{"file": f} for f in paths])
+            .map_batches(footer_stats, batch_format="pandas")
+            .to_pandas()
+        )
+        files = stats_df.to_dict("records")
     if not files:
         return pd.DataFrame(
             columns=["range_id", "lo", "n_rows", "n_files_read",
