@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_time_travel": p.q_time_travel,
         "q_winsorize": p.q_winsorize,
         "q_jsonl_roundtrip": p.q_jsonl_roundtrip,
+        "q_cooccurrence": p.q_cooccurrence,
         "q_resample_locf": p.q_resample_locf,
         "q_ntile_curriculum": p.q_ntile_curriculum,
         "q_vocab_spectrum": p.q_vocab_spectrum,
@@ -1072,6 +1073,18 @@ def oracle_sql() -> dict[str, str]:
                 RANGE BETWEEN INTERVAL 300 SECOND PRECEDING
                           AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        # unordered type pairs per user, after per-user distinct
+        "q_cooccurrence": """
+            WITH d AS (
+                SELECT DISTINCT user_id, event_type FROM events
+            )
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM d a
+            JOIN d b ON a.user_id = b.user_id
+                    AND a.event_type < b.event_type
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # JSONL export -> tolerant re-ingest preserves every row
         "q_jsonl_roundtrip": """

@@ -3680,3 +3680,83 @@ def q_jsonl_roundtrip(sf_dir: str) -> pd.DataFrame:
     out["n"] = out["n"].astype("int64")
     out["chars"] = out["chars"].astype("int64")
     return out.sort_values("source").reset_index(drop=True)
+
+
+def q_cooccurrence(sf_dir: str) -> pd.DataFrame:
+    """Item-item co-occurrence (the recommender / association-rule
+    primitive): for every unordered pair of event types, how many
+    users did both.  The classic failure here is exploding per-user
+    baskets through the shuffle; instead each batch LOCALLY distincts
+    (user, type), ONE user-sharded shuffle co-locates a user's few
+    distinct types, and pairs fan out only after exact dedup inside
+    the shard — bounded by |types|^2/2 per user, never raw events."""
+    from unfurl_ray.ops.relational import bucketed_aggregate
+
+    ds = _parquet_sh(sf_dir, "events", ["user_id", "event_type"])
+    N_SHARDS = 64
+
+    def local_distinct(batch: pd.DataFrame) -> pa.Table:
+        u = batch[["user_id", "event_type"]].drop_duplicates()
+        shard = (
+            pd.util.hash_array(u["user_id"].to_numpy())
+            % np.uint64(N_SHARDS)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    u["user_id"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "event_type": pa.array(
+                    u["event_type"].to_numpy(), pa.string()
+                ),
+                "_shard": pa.array(shard, pa.int64()),
+            }
+        )
+
+    def fan_pairs(group: pd.DataFrame) -> pa.Table:
+        g = group.drop_duplicates(["user_id", "event_type"]).sort_values(
+            ["user_id", "event_type"]
+        )
+        keys = g["user_id"].to_numpy()
+        types = g["event_type"].to_numpy()
+        empty = pa.table(
+            {
+                "type_a": pa.array([], pa.string()),
+                "type_b": pa.array([], pa.string()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        new = np.empty(len(g), dtype=np.bool_)
+        new[0] = True
+        new[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(g))
+        a_out, b_out = [], []
+        for s, e in zip(starts, ends):
+            t = types[s:e]
+            if len(t) < 2:
+                continue
+            ia, ib = np.triu_indices(len(t), k=1)
+            a_out.append(t[ia])
+            b_out.append(t[ib])
+        if not a_out:
+            return empty
+        return pa.table(
+            {
+                "type_a": pa.array(np.concatenate(a_out), pa.string()),
+                "type_b": pa.array(np.concatenate(b_out), pa.string()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(local_distinct, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(fan_pairs, batch_format="pandas")
+    )
+    out = bucketed_aggregate(
+        pairs, ["type_a", "type_b"], {"n_users": ("type_a", "count")},
+        n_buckets=8,
+    ).to_pandas()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
