@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_winsorize": p.q_winsorize,
         "q_jsonl_roundtrip": p.q_jsonl_roundtrip,
         "q_cooccurrence": p.q_cooccurrence,
+        "q_validate": p.q_validate,
         "q_resample_locf": p.q_resample_locf,
         "q_ntile_curriculum": p.q_ntile_curriculum,
         "q_vocab_spectrum": p.q_vocab_spectrum,
@@ -1073,6 +1074,34 @@ def oracle_sql() -> dict[str, str]:
                 RANGE BETWEEN INTERVAL 300 SECOND PRECEDING
                           AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        # one UNION ALL branch per expectation rule
+        "q_validate": """
+            SELECT 'custkey_not_null' AS rule,
+                   CAST(count(*) - count(o_custkey) AS BIGINT)
+                       AS violations FROM orders
+            UNION ALL
+            SELECT 'custkey_ref',
+                   CAST(count(*) AS BIGINT) FROM orders o
+            WHERE o.o_custkey NOT IN
+                  (SELECT c_custkey FROM customer)
+            UNION ALL
+            SELECT 'orderkey_unique',
+                   CAST(count(*) - count(DISTINCT o_orderkey)
+                        AS BIGINT) FROM orders
+            UNION ALL
+            SELECT 'status_enum',
+                   CAST(sum(CASE WHEN o_orderstatus NOT IN
+                                      ('O', 'F', 'P')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'totalprice_range',
+                   CAST(sum(CASE WHEN o_totalprice < 0
+                                   OR o_totalprice > 1000000
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders
+            ORDER BY rule
         """,
         # unordered type pairs per user, after per-user distinct
         "q_cooccurrence": """

@@ -2583,3 +2583,41 @@ def test_jsonl_tolerant_quarantines_bad_lines(ray_session, tmp_path):
     assert good["n_chars"].tolist() == [10, 20, 30]
     assert len(bad) == 2
     assert "this is not json" in bad["_raw"].tolist()
+
+
+def test_validate_table_counts_violations(ray_session):
+    """Every rule kind counts its violations on a deliberately dirty
+    table: dup keys, nulls, out-of-range, bad enum, dangling FK."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from unfurl_ray.ops.validate import validate_table
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 2, 2, 3, 3, 3, 4],
+            "fk": [10, 10, 99, 20, None, 20, 98],
+            "v": [5.0, -1.0, 50.0, 200.0, 5.0, 5.0, 5.0],
+            "s": ["a", "a", "b", "zz", "b", "a", "zz"],
+        }
+    )
+    out = validate_table(
+        rd.from_pandas(df).repartition(3),
+        [
+            {"rule": "k_unique", "kind": "unique", "col": "k"},
+            {"rule": "fk_not_null", "kind": "not_null", "col": "fk"},
+            {"rule": "v_range", "kind": "in_range", "col": "v",
+             "lo": 0.0, "hi": 100.0},
+            {"rule": "s_enum", "kind": "in_set", "col": "s",
+             "values": ["a", "b"]},
+            {"rule": "fk_ref", "kind": "ref", "col": "fk"},
+        ],
+        ref_keys=ray.put(np.array([10, 20])),
+    ).set_index("rule")["violations"]
+    assert out["k_unique"] == 3       # 2x2 + 3x3 -> 1 + 2 extras
+    assert out["fk_not_null"] == 1
+    assert out["v_range"] == 2        # -1 and 200
+    assert out["s_enum"] == 2         # two 'zz'
+    assert out["fk_ref"] == 3         # 99, 98 and the null

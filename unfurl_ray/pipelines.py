@@ -3760,3 +3760,39 @@ def q_cooccurrence(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     out["n_users"] = out["n_users"].astype("int64")
     return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def q_validate(sf_dir: str) -> pd.DataFrame:
+    """Expectations gate over orders: key uniqueness (histogram
+    duplicate count), null / range / enum checks (vectorized batch
+    kernels + tiny sum fold), and referential integrity of o_custkey
+    against customer (key set broadcast once; Bloom+exact is the
+    documented drop-in at larger key counts).  Only per-rule counts
+    ever reach the driver."""
+    import ray
+
+    from unfurl_ray.ops.validate import validate_table
+
+    cust = _parquet(sf_dir, "customer", ["c_custkey"]).to_pandas()
+    ref = ray.put(cust["c_custkey"].to_numpy())
+
+    ds = _parquet_sh(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+    return validate_table(
+        ds,
+        [
+            {"rule": "orderkey_unique", "kind": "unique",
+             "col": "o_orderkey"},
+            {"rule": "custkey_not_null", "kind": "not_null",
+             "col": "o_custkey"},
+            {"rule": "totalprice_range", "kind": "in_range",
+             "col": "o_totalprice", "lo": 0.0, "hi": 1_000_000.0},
+            {"rule": "status_enum", "kind": "in_set",
+             "col": "o_orderstatus", "values": ["O", "F", "P"]},
+            {"rule": "custkey_ref", "kind": "ref",
+             "col": "o_custkey"},
+        ],
+        ref_keys=ref,
+    )
