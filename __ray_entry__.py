@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_jsonl_roundtrip": p.q_jsonl_roundtrip,
         "q_cooccurrence": p.q_cooccurrence,
         "q_validate": p.q_validate,
+        "q_pseudonymize": p.q_pseudonymize,
         "q_resample_locf": p.q_resample_locf,
         "q_ntile_curriculum": p.q_ntile_curriculum,
         "q_vocab_spectrum": p.q_vocab_spectrum,
@@ -1074,6 +1075,16 @@ def oracle_sql() -> dict[str, str]:
                 RANGE BETWEEN INTERVAL 300 SECOND PRECEDING
                           AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        # same sha256(salt|id) prefix on both sides
+        "q_pseudonymize": """
+            SELECT substr(sha256('unfurl-demo-salt|' ||
+                                 CAST(user_id AS VARCHAR)), 1, 16)
+                       AS token,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY 1
+            ORDER BY n_events DESC, token LIMIT 200
         """,
         # one UNION ALL branch per expectation rule
         "q_validate": """

@@ -49,3 +49,30 @@ def k_anonymize(ds, quasi_cols: list[str], k: int,
         return out
 
     return joined.map_batches(suppress, batch_format="pandas")
+
+
+def pseudonymize(ds, cols: list[str], salt: str,
+                 out_len: int = 16):
+    """Deterministic keyed pseudonymization of identifier columns:
+    each value maps to ``sha256(salt|value)[:out_len]`` — stable
+    across runs/joins (the same user pseudonymizes identically
+    everywhere, so referential structure survives) yet irreversible
+    without the salt.  Pure per-row map, zero shuffle; hashing runs
+    once per DISTINCT value per batch and broadcasts back through a
+    pandas map (ids repeat heavily in event streams)."""
+    import hashlib
+
+    def scrub(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in cols:
+            v = batch[c]
+            uniq = v.dropna().unique()
+            table = {
+                u: hashlib.sha256(
+                    f"{salt}|{u}".encode()
+                ).hexdigest()[:out_len]
+                for u in uniq
+            }
+            batch[c] = v.map(table)
+        return batch
+
+    return ds.map_batches(scrub, batch_format="pandas")

@@ -3796,3 +3796,26 @@ def q_validate(sf_dir: str) -> pd.DataFrame:
         ],
         ref_keys=ref,
     )
+
+
+def q_pseudonymize(sf_dir: str) -> pd.DataFrame:
+    """Keyed pseudonymization of user ids before sharing event data:
+    sha256(salt|id) prefixes — per-row map, no shuffle, referential
+    structure preserved (same id -> same token) — then per-token
+    event counts prove the join structure survived.  Top 200 tokens
+    for a stable oracle row set."""
+    from unfurl_ray.ops.privacy import pseudonymize
+    from unfurl_ray.ops.relational import bucketed_aggregate
+
+    ds = _parquet_sh(sf_dir, "events", ["user_id", "event_id"])
+    tok = pseudonymize(ds, ["user_id"], salt="unfurl-demo-salt")
+    out = bucketed_aggregate(
+        tok, ["user_id"], {"n_events": ("event_id", "count")},
+        n_buckets=16,
+    ).to_pandas()
+    out = out.rename(columns={"user_id": "token"})
+    out["n_events"] = out["n_events"].astype("int64")
+    out = out.sort_values(
+        ["n_events", "token"], ascending=[False, True]
+    ).head(200)
+    return out.sort_values("token").reset_index(drop=True)
