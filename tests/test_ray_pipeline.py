@@ -2621,3 +2621,43 @@ def test_validate_table_counts_violations(ray_session):
     assert out["v_range"] == 2        # -1 and 200
     assert out["s_enum"] == 2         # two 'zz'
     assert out["fk_ref"] == 3         # 99, 98 and the null
+
+
+def test_ivf_append_incremental(ray_session, tmp_path):
+    """IvfIndex.append adds new vectors to the existing partitions
+    without re-clustering; with nprobe = all lists the search is
+    exact, so post-append results must equal brute force over the
+    FULL corpus."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.similarity import IvfIndex, knn_brute
+
+    rng = np.random.default_rng(13)
+    dim, n = 16, 400
+    emb = rng.standard_normal((n, dim))
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(emb),
+        }
+    )
+    half1 = rd.from_pandas(df.iloc[:200]).repartition(2)
+    half2 = rd.from_pandas(df.iloc[200:]).repartition(2)
+    idx = IvfIndex.build(half1, str(tmp_path / "ivf"), n_centroids=4)
+    idx.append(half2)
+
+    queries = rng.standard_normal((5, dim))
+    order = ["query_id", "cosine", "vec_id"]
+    got = (
+        idx.search(queries, k=5, nprobe=4)
+        .sort_values(order, ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    want = (
+        knn_brute(rd.from_pandas(df).repartition(3), queries, k=5)
+        .sort_values(order, ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()

@@ -224,6 +224,23 @@ class IvfIndex:
 
         return cls(path, np.load(os.path.join(path, "centroids.npy")))
 
+    def append(self, ds) -> "IvfIndex":
+        """Incremental index maintenance: assign NEW vectors to the
+        EXISTING centroids and write them into the same hive
+        partitions as additional files — no re-clustering, no rewrite
+        of the resident corpus; searches see old + new immediately
+        (partition dirs are multi-file).  Pair with
+        ops/layout.compact_layout when appends accumulate small
+        files.  Centroid drift under heavy appends is the documented
+        trade: rebuild when recall decays."""
+        assigned = ds.map_batches(
+            _assign_centroids,
+            fn_kwargs={"centroids": self.centroids},
+            batch_format="pyarrow",
+        )
+        assigned.write_parquet(self.path, partition_cols=["centroid_id"])
+        return self
+
     def probe_partitions(self, queries: np.ndarray,
                          nprobe: int) -> list[int]:
         q = _normalize(np.asarray(queries, dtype=np.float64))
