@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cooccurrence": p.q_cooccurrence,
         "q_validate": p.q_validate,
         "q_pseudonymize": p.q_pseudonymize,
+        "q_stream_neardup": p.q_stream_neardup,
         "q_resample_locf": p.q_resample_locf,
         "q_ntile_curriculum": p.q_ntile_curriculum,
         "q_vocab_spectrum": p.q_vocab_spectrum,

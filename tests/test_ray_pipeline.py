@@ -2661,3 +2661,52 @@ def test_ivf_append_incremental(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert got["vec_id"].tolist() == want["vec_id"].tolist()
+
+
+def test_sharded_neardup_index_cross_run(ray_session):
+    """Streaming near-dup filter: run 2 drops documents
+    near-identical (one-word edits) to run-1 admissions, keeps
+    genuinely new text; within a run the first cluster member wins."""
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.stream_dedup import ShardedNearDupIndex
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the "
+        "rain in spain falls mainly on the plain and the cat sat "
+        "on the mat watching the birds fly south for the winter"
+    )
+    other = (
+        "completely different content about distributed systems "
+        "and arrow record batches streaming through object stores "
+        "with backpressure and spilling to disk under memory "
+        "pressure in large clusters"
+    )
+    near = base.replace("lazy", "sleepy")
+    near2 = base.replace("winter", "autumn")
+
+    idx = ShardedNearDupIndex(n_shards=4)
+    run1 = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [base, other, near]}
+    )
+    kept1 = (
+        idx.filter_new(rd.from_pandas(run1).repartition(1))
+        .to_pandas()
+    )
+    # near (doc 3) collapses onto base within the same run
+    assert sorted(kept1["doc_id"]) == [1, 2]
+
+    run2 = pd.DataFrame(
+        {
+            "doc_id": [4, 5],
+            "text": [near2, "a brand new short unrelated sentence "
+                            "about gardening tomatoes in july"],
+        }
+    )
+    kept2 = (
+        idx.filter_new(rd.from_pandas(run2).repartition(1))
+        .to_pandas()
+    )
+    assert sorted(kept2["doc_id"]) == [5]
+    assert sum(idx.sizes()) > 0

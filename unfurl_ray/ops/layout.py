@@ -246,6 +246,11 @@ def write_zordered(ds, dim_a: str, dim_b: str, path: str,
     """
     import json
 
+    if cell_bits % 2 or not 2 <= cell_bits <= 30:
+        # odd cell_bits make non-square cells whose short side falls
+        # below the enumeration step in zcells_for_box — cells could
+        # be silently skipped
+        raise ValueError("cell_bits must be even, in [2, 30]")
     if bounds is None:
         from ray.data.aggregate import Max, Min
 

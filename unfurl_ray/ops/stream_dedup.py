@@ -26,6 +26,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 
@@ -88,7 +89,137 @@ class ShardedDedupIndex:
             for idx, new in zip(idx_per_shard, ray.get(futures)):
                 # first occurrence inside the batch wins its duplicates
                 keep[idx] = new
-            return batch[keep]
+            # typed Arrow out: empty pandas object columns break Ray's
+            # block size estimator (and schema unification)
+            import pyarrow as _pa
+
+            return _pa.Table.from_pandas(
+                batch[keep], preserve_index=False
+            ).replace_schema_metadata(None)
+
+        return ds.map_batches(probe, batch_format="pandas")
+
+    def sizes(self) -> list[int]:
+        return ray.get([s.size.remote() for s in self.shards])
+
+
+@ray.remote
+class _BandShard:
+    """Band-key registry for one LSH shard; serialized by the actor."""
+
+    def __init__(self) -> None:
+        self.keys: set[int] = set()
+
+    def probe(self, keys: list[int]) -> list[bool]:
+        return [k in self.keys for k in keys]
+
+    def add(self, keys: list[int]) -> None:
+        self.keys.update(keys)
+
+    def size(self) -> int:
+        return len(self.keys)
+
+
+class ShardedNearDupIndex:
+    """Incremental cross-run NEAR-dup filter: the streaming sibling of
+    the batch MinHash+LSH pipeline (ops/dedup.py), against a persistent
+    band-key index — a daily ingest drops documents near-identical to
+    ANY previously admitted doc, not just byte-equal ones.
+
+    Uses the exact same signatures/banding as the batch path
+    (``minhash_band_rows``): a doc whose ``>= min_hits`` band keys are
+    already registered is a near-dup and is dropped; otherwise the doc
+    is admitted and its band keys register.  Probe and admit are two
+    actor round-trips, so two *concurrently in-flight* near-dup docs
+    can both admit (same race window the exact index documents for
+    WHICH duplicate survives); sequential batches/runs are
+    deterministic.  Precision follows LSH: band collisions are
+    Jaccard-likely, not verified — pair with the batch verify stage
+    when exactness matters.
+    """
+
+    def __init__(self, n_shards: int = 8, min_hits: int = 1):
+        self.n_shards = n_shards
+        self.min_hits = min_hits
+        self.shards = [_BandShard.remote() for _ in range(n_shards)]
+
+    def filter_new(self, ds, text_col: str = "text",
+                   id_col: str = "doc_id"):
+        from unfurl_ray.ops.dedup import N_BANDS, minhash_band_rows
+
+        shards = self.shards
+        n_shards = self.n_shards
+        min_hits = self.min_hits
+
+        def probe(batch: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow as pa
+
+            if len(batch) == 0:
+                return batch
+            rows = minhash_band_rows(
+                pa.Table.from_pandas(
+                    batch[[id_col, text_col]], preserve_index=False
+                ),
+                column=text_col, id_column=id_col,
+            ).to_pandas()
+            # one global 64-bit key per (band_id, band_hash)
+            with np.errstate(over="ignore"):
+                key = (
+                    rows["band_hash"].to_numpy().astype(np.uint64)
+                    * np.uint64(1_000_003)
+                    + rows["band_id"].to_numpy().astype(np.uint64)
+                )
+            shard_of = (key % np.uint64(n_shards)).astype(np.int64)
+            known = np.zeros(len(rows), dtype=bool)
+            futures, idxs = [], []
+            for s in range(n_shards):
+                idx = np.flatnonzero(shard_of == s)
+                if len(idx):
+                    futures.append(
+                        shards[s].probe.remote(
+                            key[idx].astype(np.int64).tolist()
+                        )
+                    )
+                    idxs.append(idx)
+            for idx, hit in zip(idxs, ray.get(futures)):
+                known[idx] = hit
+            # within-batch first-doc-wins: a band key seen earlier in
+            # THIS batch counts as a hit for later docs too
+            dup_in_batch = pd.Series(key).duplicated().to_numpy()
+            hits = (
+                pd.DataFrame(
+                    {
+                        "doc": rows[id_col].to_numpy(),
+                        "k": known | dup_in_batch,
+                    }
+                )
+                .groupby("doc", sort=False)["k"]
+                .sum()
+            )
+            admitted_docs = set(
+                hits[hits < min_hits].index.tolist()
+            )
+            keep_mask = batch[id_col].isin(admitted_docs).to_numpy()
+            # register ONLY admitted docs' band keys, once each
+            reg = rows[id_col].isin(admitted_docs).to_numpy()
+            reg &= ~dup_in_batch
+            futures = []
+            for s in range(n_shards):
+                idx = np.flatnonzero((shard_of == s) & reg)
+                if len(idx):
+                    futures.append(
+                        shards[s].add.remote(
+                            key[idx].astype(np.int64).tolist()
+                        )
+                    )
+            ray.get(futures)
+            # within a batch the first member of a near-dup cluster
+            # wins (later members hit its band keys via dup_in_batch);
+            # only across CONCURRENTLY in-flight batches can a pair
+            # both admit — the race window documented on the class
+            return pa.Table.from_pandas(
+                batch[keep_mask], preserve_index=False
+            ).replace_schema_metadata(None)
 
         return ds.map_batches(probe, batch_format="pandas")
 

@@ -3819,3 +3819,49 @@ def q_pseudonymize(sf_dir: str) -> pd.DataFrame:
         ["n_events", "token"], ascending=[False, True]
     ).head(200)
     return out.sort_values("token").reset_index(drop=True)
+
+
+def q_stream_neardup(sf_dir: str) -> pd.DataFrame:
+    """Cross-run streaming NEAR-dup admission: run 1 ingests the
+    first half of the corpus; run 2 ingests the second half PLUS
+    exact replays of run-1 texts under new ids — the replays (and any
+    organic near-dups) must be dropped by the persistent band index.
+    Rows-only check (LSH banding has no SQL twin); the one-word-edit
+    semantics are pytest-covered."""
+    from unfurl_ray.ops.stream_dedup import ShardedNearDupIndex
+
+    docs = _parquet(sf_dir, "documents", ["doc_id", "text"])
+    half = docs.count() // 2
+
+    def split(lo: bool):
+        def f(batch: pd.DataFrame) -> pa.Table:
+            m = batch["doc_id"] < half
+            # typed Arrow out: empty pandas object columns break
+            # Ray's block size estimator
+            return pa.Table.from_pandas(
+                batch[m if lo else ~m], preserve_index=False
+            ).replace_schema_metadata(None)
+        return f
+
+    idx = ShardedNearDupIndex(n_shards=4)
+    n_run1 = (
+        idx.filter_new(
+            docs.map_batches(split(True), batch_format="pandas")
+        ).count()
+    )
+
+    def replay(batch: pd.DataFrame) -> pa.Table:
+        out = batch.copy()
+        out["doc_id"] = out["doc_id"] + 1_000_000
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    run2 = docs.map_batches(split(False), batch_format="pandas").union(
+        docs.map_batches(split(True), batch_format="pandas")
+        .map_batches(replay, batch_format="pandas")
+    )
+    n_run2 = idx.filter_new(run2).count()
+    return pd.DataFrame(
+        {"run": [1, 2], "admitted": [n_run1, n_run2]}
+    )
