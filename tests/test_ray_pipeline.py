@@ -2388,7 +2388,14 @@ def test_compact_layout_crash_resume(ray_session, tmp_path):
     d0 = sorted(glob.glob(path + "/bucket=*"))[0]
     originals = sorted(glob.glob(d0 + "/*.parquet"))
     full = pa.concat_tables([pq.read_table(f) for f in originals])
-    pq.write_table(full, d0 + "/compact-00000.parquet")
+    pq.write_table(full, d0 + "/compact-00000-of-00001.parquet")
+    # and in ANOTHER partition a crash mid-pieces: only piece 0 of a
+    # declared 2-piece set exists -> must be discarded and recompacted
+    d1 = sorted(glob.glob(path + "/bucket=*"))[1]
+    pq.write_table(
+        pq.read_table(sorted(glob.glob(d1 + "/*.parquet"))[0]),
+        d1 + "/compact-00000-of-00002.parquet",
+    )
 
     man = compact_layout(path, target_bytes=1 << 30)
     assert man["n_rows"].sum() == 400
@@ -2620,7 +2627,9 @@ def test_validate_table_counts_violations(ray_session):
     assert out["fk_not_null"] == 1
     assert out["v_range"] == 2        # -1 and 200
     assert out["s_enum"] == 2         # two 'zz'
-    assert out["fk_ref"] == 3         # 99, 98 and the null
+    # SQL NULL semantics: the null fk is NOT a ref violation (it is
+    # the not_null rule's job) — only 99 and 98 dangle
+    assert out["fk_ref"] == 2
 
 
 def test_ivf_append_incremental(ray_session, tmp_path):

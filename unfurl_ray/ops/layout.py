@@ -339,7 +339,10 @@ def read_zordered_box(path: str,
     ]
     if not files:
         return None, 0, len(have)
-    ds = rd.read_parquet(files, columns=columns)
+    # the exact filter needs both dims — project them in even when
+    # the caller didn't request them, and drop them again after
+    read_cols = list(dict.fromkeys(list(columns) + [dim_a, dim_b]))
+    ds = rd.read_parquet(files, columns=read_cols)
 
     def exact(batch: pa.Table) -> pa.Table:
         m = pc.and_(
@@ -352,7 +355,7 @@ def read_zordered_box(path: str,
                 pc.less_equal(batch.column(dim_b), pa.scalar(b_hi)),
             ),
         )
-        return batch.filter(m)
+        return batch.filter(m).select(list(columns))
 
     return (
         ds.map_batches(exact, batch_format="pyarrow"),
@@ -370,13 +373,15 @@ def compact_layout(path: str, target_bytes: int = 128 << 20):
     throughput and scheduler fan-out).
 
     One Ray task per partition directory; inside, a single pyarrow
-    read + row-group-sized write.  Crash-safe commit protocol: the
-    compacted file lands ``compact-*.parquet`` via tmp+rename (the
-    rename is the commit point), originals are deleted only AFTER the
-    rename, and a resumed run that finds a compact file finishes the
-    deletion and skips the rewrite — so no state double-counts rows.
-    Returns the manifest (dir, files_before, files_after, n_rows,
-    skipped) as a pandas DataFrame.
+    read + row-group-sized write.  Crash-safe commit protocol: pieces
+    land ``compact-IIIII-of-NNNNN.parquet`` via tmp+rename, and the
+    partition counts as committed only when ALL ``N`` pieces exist
+    (the piece count is in every filename) — a resume that finds a
+    complete set finishes deleting the originals; an INCOMPLETE set
+    (crash mid-pieces) is discarded and the partition recompacts from
+    the still-present originals, so no crash point loses or
+    double-counts rows.  Returns the manifest (dir, files_before,
+    files_after, n_rows, skipped) as a pandas DataFrame.
     """
     import glob as _glob
 
@@ -398,8 +403,12 @@ def compact_layout(path: str, target_bytes: int = 128 << 20):
             done = sorted(
                 _glob.glob(os.path.join(d, "compact-*.parquet"))
             )
-            if done:
-                # a previous run committed; finish the deletion only
+            expected = (
+                int(os.path.basename(done[0]).split("-of-")[1][:5])
+                if done else 0
+            )
+            if done and len(done) == expected:
+                # full piece set present = committed; finish deletion
                 for f in originals:
                     os.remove(f)
                 tbl_rows = sum(
@@ -407,6 +416,12 @@ def compact_layout(path: str, target_bytes: int = 128 << 20):
                 )
                 out.append((d, len(originals), len(done), tbl_rows, True))
                 continue
+            if done:
+                # crash mid-pieces: originals are still intact (they
+                # only delete after a FULL set) — discard the partial
+                # attempt and recompact from scratch
+                for f in done:
+                    os.remove(f)
             if len(originals) <= 1:
                 n = (
                     pq.read_metadata(originals[0]).num_rows
@@ -423,10 +438,12 @@ def compact_layout(path: str, target_bytes: int = 128 << 20):
             rows_per = int(np.ceil(tbl.num_rows / n_out))
             for i in range(n_out):
                 piece = tbl.slice(i * rows_per, rows_per)
-                final = os.path.join(d, f"compact-{i:05d}.parquet")
+                final = os.path.join(
+                    d, f"compact-{i:05d}-of-{n_out:05d}.parquet"
+                )
                 tmp = final + ".tmp"
                 pq.write_table(piece, tmp)
-                os.rename(tmp, final)  # commit point
+                os.rename(tmp, final)  # piece commit; set commits at N
             for f in originals:
                 os.remove(f)
             out.append((d, len(originals), n_out, tbl.num_rows, False))
@@ -545,14 +562,17 @@ def merge_sorted_runs(run_paths: list[str], key_col: str,
     total = sum(r["bytes"] for r in files)
     n_ranges = max(1, int(np.ceil(total / float(target_bytes))))
     # boundaries at file mins, cut by cumulative bytes
+    global_lo = min(r["lo"] for r in files)
     cuts, acc, per = [], 0, total / n_ranges
     for r in files[1:]:
         acc += r["bytes"]
-        if acc >= per and r["lo"] not in cuts:
+        # a cut equal to global_lo (overlapping runs sharing their
+        # min key) would create an empty zero-width first range
+        if acc >= per and r["lo"] not in cuts and r["lo"] != global_lo:
             cuts.append(r["lo"])
             acc = 0
     bounds = (
-        [min(r["lo"] for r in files)]
+        [global_lo]
         + sorted(set(cuts))
         + [max(r["hi"] for r in files) + 1]
     )
@@ -588,6 +608,11 @@ def merge_sorted_runs(run_paths: list[str], key_col: str,
                 )
                 continue
             hit = list(row["files"])
+            if not hit:
+                # defensive: a range no file overlaps (can't happen
+                # with the planner above, but a crash must not follow)
+                out.append((i, lo, 0, 0, False))
+                continue
             pieces = []
             for f in hit:
                 t = pq.read_table(f)
@@ -661,6 +686,13 @@ def versioned_write(ds, path: str, mode: str = "append") -> int:
     v = (vs[-1] + 1) if vs else 1
 
     stage = os.path.join(path, f"_stage_v{v}")
+    # a crashed attempt at this same version may have left files in
+    # the stage; reusing them would commit duplicate rows
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    for f in _glob.glob(os.path.join(path, "data", f"v{v}-*.parquet")):
+        os.remove(f)  # crashed attempt's partially renamed files
     ds.write_parquet(stage)
     files = []
     for i, f in enumerate(sorted(_glob.glob(os.path.join(stage, "*")))):

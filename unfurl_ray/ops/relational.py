@@ -2020,8 +2020,20 @@ def ewma_by(ds, key_col: str, ts_col: str, value_col: str,
 
     # per-key t0 (first event) — tiny table, broadcast to weighting
     t0 = bucketed_aggregate(
-        rows, [key_col], {"_t0": ("_ts", "min")}
+        rows, [key_col],
+        {"_t0": ("_ts", "min"), "_t1": ("_ts", "max")},
     ).to_pandas()
+    # exp((t - t0)/tau) overflows float64 past ~709*tau: fail loudly
+    # instead of streaming silent inf/nan for the affected keys (the
+    # fix at that span is per-bucket anchors with log-space carries)
+    span = (t0["_t1"] - t0["_t0"]).to_numpy(dtype=np.float64)
+    n_over = int((span / tau_us > 700.0).sum())
+    if n_over:
+        raise ValueError(
+            f"ewma_by: {n_over} key(s) span more than 700*tau — "
+            "exp weights would overflow float64; raise tau_s or "
+            "split the stream"
+        )
     import ray
 
     t0_ref = ray.put(

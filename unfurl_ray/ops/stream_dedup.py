@@ -97,7 +97,11 @@ class ShardedDedupIndex:
                 batch[keep], preserve_index=False
             ).replace_schema_metadata(None)
 
-        return ds.map_batches(probe, batch_format="pandas")
+        # MATERIALIZED: probe mutates persistent actor state, so a
+        # lazy re-execution (second consumption, task retry after the
+        # job) would see its own admissions as duplicates and drop
+        # everything — the admitted snapshot must be pinned once
+        return ds.map_batches(probe, batch_format="pandas").materialize()
 
     def sizes(self) -> list[int]:
         return ray.get([s.size.remote() for s in self.shards])
@@ -221,7 +225,10 @@ class ShardedNearDupIndex:
                 batch[keep_mask], preserve_index=False
             ).replace_schema_metadata(None)
 
-        return ds.map_batches(probe, batch_format="pandas")
+        # MATERIALIZED for the same reason as ShardedDedupIndex: the
+        # probe's admissions are side effects; re-running the lazy
+        # graph would drop every previously admitted doc
+        return ds.map_batches(probe, batch_format="pandas").materialize()
 
     def sizes(self) -> list[int]:
         return ray.get([s.size.remote() for s in self.shards])

@@ -49,15 +49,20 @@ def validate_table(ds, rules: list[dict], ref_keys=None) -> pd.DataFrame:
         keys = _broadcast_fetch(ref) if ref is not None else None
         for r in scalar_rules:
             col = batch[r["col"]]
+            # SQL-twin NULL semantics: NULL is a violation ONLY under
+            # not_null — CASE/NOT IN predicates skip NULL rows, so the
+            # range/enum/ref counters must too
             if r["kind"] == "not_null":
                 bad = col.isna()
             elif r["kind"] == "in_range":
                 v = col.to_numpy()
-                bad = ~((v >= r["lo"]) & (v <= r["hi"]))
+                bad = col.notna().to_numpy() & ~(
+                    (v >= r["lo"]) & (v <= r["hi"])
+                )
             elif r["kind"] == "in_set":
-                bad = ~col.isin(r["values"])
+                bad = col.notna() & ~col.isin(r["values"])
             else:  # ref
-                bad = ~col.isin(keys)
+                bad = col.notna() & ~col.isin(keys)
             names.append(r["rule"])
             viols.append(int(np.asarray(bad).sum()))
         return pa.table(
