@@ -1653,66 +1653,48 @@ def mad_outliers_by(ds, key_col: str, value_col: str,
     return out[[key_col, "median", "mad", "n", "n_outliers"]]
 
 
-def running_total(ds, key_col: str, ts_col: str, value_col: str,
-                  id_col: str, bucket_s: int = 86_400,
-                  n_shards: int | None = None):
-    """Per-key RUNNING count + exact integer-cents sum — SQL twin
-    ``sum(cents) OVER (PARTITION BY key ORDER BY ts, id ROWS
-    UNBOUNDED PRECEDING)`` — as a distributed prefix sum with NO
-    one-key-per-group assumption.
+def keyed_prefix_scan(rows, key_col: str, id_col: str,
+                      value_cols: list[str], finish, empty_out,
+                      n_shards: int):
+    """Generic skew-safe per-key PREFIX SCAN — the shared engine under
+    ``running_total`` (int cents) and ``ewma_by`` (float weights).
 
-    Two co-partitioned exchanges:
+    ``rows``: a MATERIALIZED Dataset with numeric columns
+    ``[id_col, key_col, "_ts", "_tb", *value_cols, *extras]``
+    (``_tb`` = time bucket).  For every row it computes
+    ``cum_<v>`` = the per-key running sum of ``v`` in
+    ``(_tb, _ts, id)`` order, with NO one-key-per-group assumption:
 
-    1. per-batch partials collapse to ONE row per (key, time-bucket)
-       cell (``bucketed_aggregate``); a key-sharded pass turns the
-       tiny cell table into per-key EXCLUSIVE prefixes over bucket
-       order — the carry each cell inherits from all earlier buckets.
+    1. per-batch partials collapse to ONE row per (key, _tb) cell
+       (``bucketed_aggregate``); a key-sharded pass turns the tiny
+       cell table into per-key EXCLUSIVE prefixes over bucket order —
+       the carry each cell inherits from all earlier buckets;
     2. the rows and their cells' carry stubs hash onto the SAME
-       ``hash(key, bucket)`` shards in one union-groupby; inside a
-       shard each cell sorts ``(ts, id)``, cumsums locally, and adds
-       its carry.
+       ``hash(key, _tb)`` shards in one union-groupby; inside a shard
+       each cell sorts ``(_ts, id)``, cumsums locally, adds its carry.
 
     A shard group holds one bucket-width of a key's stream plus one
-    stub row per cell — bounded by event rate x ``bucket_s``, never
-    by key cardinality (the bot-user case shards across its buckets).
-    Int64 cents keep every sum order-independent, so the DuckDB twin
-    hash-matches bit-for-bit.
-
-    ``ds`` is consumed twice (cell pass + row pass) and is
-    materialized here so its upstream runs once — pass a PRUNED
-    projection (id, key, ts, value only).
+    stub per cell — bounded by event rate x bucket width, never by
+    key cardinality.  ``finish(m)`` receives a DataFrame with
+    ``[id, key, "_tb", "_ts", *extras, cum_<v>...]`` in row order and
+    returns the final Arrow table; ``empty_out`` is the typed empty
+    result for shards with no own rows.
     """
-    bucket_us = int(bucket_s) * 1_000_000
+    import pyarrow as _pa
 
-    def project(batch: pd.DataFrame) -> pa.Table:
-        ts = _ts_us(batch[ts_col]).to_numpy()
-        return pa.table(
-            {
-                id_col: pa.array(
-                    batch[id_col].to_numpy(dtype=np.int64), pa.int64()
-                ),
-                key_col: pa.array(
-                    batch[key_col].to_numpy(dtype=np.int64), pa.int64()
-                ),
-                "_ts": pa.array(ts, pa.int64()),
-                "_cents": pa.array(
-                    np.floor(
-                        batch[value_col].to_numpy(dtype=np.float64)
-                        * 100.0
-                    ).astype(np.int64),
-                    pa.int64(),
-                ),
-                "_tb": pa.array(ts // bucket_us, pa.int64()),
-            }
-        )
-
-    rows = ds.map_batches(project, batch_format="pandas").materialize()
-    if n_shards is None:
-        n_shards = max(32, (rows.count()) // 200_000)
+    fields = {
+        f.name: f.type.to_pandas_dtype()
+        for f in rows.schema().base_schema
+    }
+    extras = [
+        c for c in fields
+        if c not in (id_col, key_col, "_tb") and c not in value_cols
+    ]  # includes "_ts"
+    off_cols = [f"_off{i}" for i in range(len(value_cols))]
 
     cells = bucketed_aggregate(
         rows, [key_col, "_tb"],
-        {"_n": (id_col, "count"), "_c": ("_cents", "sum")},
+        {o: (v, "sum") for o, v in zip(off_cols, value_cols)},
     )
 
     def _shard_of(keys: np.ndarray, buckets: np.ndarray) -> np.ndarray:
@@ -1724,42 +1706,32 @@ def running_total(ds, key_col: str, ts_col: str, value_col: str,
 
     def key_prefix(group: pd.DataFrame) -> pa.Table:
         """Exclusive per-key prefix over the (small) cell table: one
-        row per cell -> that cell's carry from all earlier buckets."""
+        stub row per cell -> the carry from all earlier buckets."""
         g = group.sort_values([key_col, "_tb"])
         keys = g[key_col].to_numpy()
-        n = g["_n"].to_numpy(dtype=np.int64)
-        c = g["_c"].to_numpy(dtype=np.int64)
-        excl_n = np.cumsum(n) - n
-        excl_c = np.cumsum(c) - c
         new = np.empty(len(g), dtype=np.bool_)
         new[0] = True
         new[1:] = keys[1:] != keys[:-1]
         starts = np.flatnonzero(new)
         lens = np.diff(np.append(starts, len(g)))
-        off_n = excl_n - np.repeat(excl_n[starts], lens)
-        off_c = excl_c - np.repeat(excl_c[starts], lens)
-        buckets = g["_tb"].to_numpy()
-        return pa.table(
-            {
-                id_col: pa.array(
-                    np.full(len(g), -1, dtype=np.int64), pa.int64()
-                ),
-                key_col: pa.array(keys, pa.int64()),
-                "_ts": pa.array(
-                    np.zeros(len(g), dtype=np.int64), pa.int64()
-                ),
-                "_cents": pa.array(
-                    np.zeros(len(g), dtype=np.int64), pa.int64()
-                ),
-                "_tb": pa.array(buckets, pa.int64()),
-                "_off_n": pa.array(off_n, pa.int64()),
-                "_off_c": pa.array(off_c, pa.int64()),
-                "_is_off": pa.array(
-                    np.ones(len(g), dtype=np.bool_), pa.bool_()
-                ),
-                "_shard": pa.array(_shard_of(keys, buckets), pa.int64()),
-            }
+        n = len(g)
+        cols = {
+            id_col: pa.array(np.full(n, -1, dtype=np.int64), pa.int64()),
+            key_col: pa.array(keys, pa.int64()),
+            "_tb": pa.array(g["_tb"].to_numpy(), pa.int64()),
+        }
+        for c in extras:
+            cols[c] = pa.array(np.zeros(n, dtype=fields[c]))
+        for v, o in zip(value_cols, off_cols):
+            cv = g[o].to_numpy(dtype=fields[v])
+            excl = np.cumsum(cv) - cv
+            cols[v] = pa.array(np.zeros(n, dtype=fields[v]))
+            cols[o] = pa.array(excl - np.repeat(excl[starts], lens))
+        cols["_is_off"] = pa.array(np.ones(n, dtype=np.bool_), pa.bool_())
+        cols["_shard"] = pa.array(
+            _shard_of(keys, g["_tb"].to_numpy()), pa.int64()
         )
+        return pa.table(cols)
 
     def key_shard(batch: pd.DataFrame) -> pd.DataFrame:
         batch["_kshard"] = (
@@ -1777,26 +1749,24 @@ def running_total(ds, key_col: str, ts_col: str, value_col: str,
     def tag_rows(batch: pd.DataFrame) -> pa.Table:
         keys = batch[key_col].to_numpy()
         buckets = batch["_tb"].to_numpy()
-        z = np.zeros(len(batch), dtype=np.int64)
-        return pa.table(
-            {
-                id_col: pa.array(
-                    batch[id_col].to_numpy(), pa.int64()
-                ),
-                key_col: pa.array(keys, pa.int64()),
-                "_ts": pa.array(batch["_ts"].to_numpy(), pa.int64()),
-                "_cents": pa.array(
-                    batch["_cents"].to_numpy(), pa.int64()
-                ),
-                "_tb": pa.array(buckets, pa.int64()),
-                "_off_n": pa.array(z, pa.int64()),
-                "_off_c": pa.array(z, pa.int64()),
-                "_is_off": pa.array(
-                    np.zeros(len(batch), dtype=np.bool_), pa.bool_()
-                ),
-                "_shard": pa.array(_shard_of(keys, buckets), pa.int64()),
-            }
+        n = len(batch)
+        cols = {
+            id_col: pa.array(
+                batch[id_col].to_numpy(dtype=np.int64), pa.int64()
+            ),
+            key_col: pa.array(keys, pa.int64()),
+            "_tb": pa.array(buckets, pa.int64()),
+        }
+        for c in extras:
+            cols[c] = pa.array(batch[c].to_numpy(dtype=fields[c]))
+        for v, o in zip(value_cols, off_cols):
+            cols[v] = pa.array(batch[v].to_numpy(dtype=fields[v]))
+            cols[o] = pa.array(np.zeros(n, dtype=fields[v]))
+        cols["_is_off"] = pa.array(
+            np.zeros(n, dtype=np.bool_), pa.bool_()
         )
+        cols["_shard"] = pa.array(_shard_of(keys, buckets), pa.int64())
+        return pa.table(cols)
 
     unioned = rows.map_batches(tag_rows, batch_format="pandas").union(
         offsets
@@ -1807,34 +1777,77 @@ def running_total(ds, key_col: str, ts_col: str, value_col: str,
             [key_col, "_tb", "_ts", id_col]
         )
         if len(own) == 0:
-            return pa.table(
-                {
-                    id_col: pa.array([], pa.int64()),
-                    key_col: pa.array([], pa.int64()),
-                    "cum_n": pa.array([], pa.int64()),
-                    "cum_cents": pa.array([], pa.int64()),
-                }
-            )
+            return empty_out
         keys = own[key_col].to_numpy()
         buckets = own["_tb"].to_numpy()
-        cents = own["_cents"].to_numpy()
         new = np.empty(len(own), dtype=np.bool_)
         new[0] = True
         new[1:] = (keys[1:] != keys[:-1]) | (buckets[1:] != buckets[:-1])
         starts = np.flatnonzero(new)
         lens = np.diff(np.append(starts, len(own)))
-        csum = np.cumsum(cents)
-        cum_c = csum - np.repeat(csum[starts] - cents[starts], lens)
-        cum_n = (
-            np.arange(len(own), dtype=np.int64)
-            - np.repeat(starts, lens) + 1
-        )
-        carry = group[group["_is_off"]][
-            [key_col, "_tb", "_off_n", "_off_c"]
-        ]
-        m = own[[id_col, key_col, "_tb"]].merge(
+        carry = group[group["_is_off"]][[key_col, "_tb"] + off_cols]
+        m = own[[id_col, key_col, "_tb"] + extras].merge(
             carry, on=[key_col, "_tb"], how="left", sort=False
         )
+        for v, o in zip(value_cols, off_cols):
+            arr = own[v].to_numpy(dtype=fields[v])
+            csum = np.cumsum(arr)
+            cum = csum - np.repeat(csum[starts] - arr[starts], lens)
+            m[f"cum_{v}"] = cum + m[o].fillna(0).to_numpy(
+                dtype=fields[v]
+            )
+        return finish(m)
+
+    return unioned.groupby("_shard").map_groups(
+        scan_shard, batch_format="pandas"
+    )
+
+
+def running_total(ds, key_col: str, ts_col: str, value_col: str,
+                  id_col: str, bucket_s: int = 86_400,
+                  n_shards: int | None = None):
+    """Per-key RUNNING count + exact integer-cents sum — SQL twin
+    ``sum(cents) OVER (PARTITION BY key ORDER BY ts, id ROWS
+    UNBOUNDED PRECEDING)`` — on the shared ``keyed_prefix_scan``
+    engine (see its docstring for the skew decomposition).  Int64
+    cents keep every sum order-independent, so the DuckDB twin
+    hash-matches bit-for-bit.
+
+    ``ds`` is consumed twice (cell pass + row pass) and is
+    materialized here so its upstream runs once — pass a PRUNED
+    projection (id, key, ts, value only).
+    """
+    bucket_us = int(bucket_s) * 1_000_000
+
+    def project(batch: pd.DataFrame) -> pa.Table:
+        ts = _ts_us(batch[ts_col]).to_numpy()
+        n = len(batch)
+        return pa.table(
+            {
+                id_col: pa.array(
+                    batch[id_col].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                key_col: pa.array(
+                    batch[key_col].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "_ts": pa.array(ts, pa.int64()),
+                "_one": pa.array(np.ones(n, dtype=np.int64), pa.int64()),
+                "_cents": pa.array(
+                    np.floor(
+                        batch[value_col].to_numpy(dtype=np.float64)
+                        * 100.0
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+                "_tb": pa.array(ts // bucket_us, pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(project, batch_format="pandas").materialize()
+    if n_shards is None:
+        n_shards = max(32, (rows.count()) // 200_000)
+
+    def finish(m: pd.DataFrame) -> pa.Table:
         return pa.table(
             {
                 id_col: pa.array(
@@ -1844,20 +1857,26 @@ def running_total(ds, key_col: str, ts_col: str, value_col: str,
                     m[key_col].to_numpy(dtype=np.int64), pa.int64()
                 ),
                 "cum_n": pa.array(
-                    cum_n
-                    + m["_off_n"].fillna(0).to_numpy(dtype=np.int64),
-                    pa.int64(),
+                    m["cum__one"].to_numpy(dtype=np.int64), pa.int64()
                 ),
                 "cum_cents": pa.array(
-                    cum_c
-                    + m["_off_c"].fillna(0).to_numpy(dtype=np.int64),
+                    m["cum__cents"].to_numpy(dtype=np.int64),
                     pa.int64(),
                 ),
             }
         )
 
-    return unioned.groupby("_shard").map_groups(
-        scan_shard, batch_format="pandas"
+    empty_out = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            key_col: pa.array([], pa.int64()),
+            "cum_n": pa.array([], pa.int64()),
+            "cum_cents": pa.array([], pa.int64()),
+        }
+    )
+    return keyed_prefix_scan(
+        rows, key_col, id_col, ["_one", "_cents"], finish, empty_out,
+        n_shards,
     )
 
 
@@ -1982,11 +2001,10 @@ def ewma_by(ds, key_col: str, ts_col: str, value_col: str,
     ``s_i = v_i + exp(-(t_i - t_{i-1})/tau) * s_{i-1}`` — via the
     identity ``s_i = exp(-(t_i - t0)/tau) * cumsum(v_j *
     exp((t_j - t0)/tau))``: the decayed state IS a per-key prefix sum
-    of time-weighted values, so it reuses the ``running_total`` cell
-    decomposition (per-(key, bucket) partials -> per-key exclusive
-    carries -> one co-partitioned union-groupby) with float weights.
-    ``t0`` is the per-KEY minimum timestamp (first event), keeping
-    ``exp`` arguments bounded by the key's own time span / tau.
+    of time-weighted values, so it runs on the shared
+    ``keyed_prefix_scan`` engine with float weights.  ``t0`` is the
+    per-KEY minimum timestamp (first event), keeping ``exp``
+    arguments bounded by the key's own time span / tau.
 
     Floats fold in a fixed engine order but a different association
     than the SQL window twin; results round to ``ndigits`` so the
@@ -2014,13 +2032,13 @@ def ewma_by(ds, key_col: str, ts_col: str, value_col: str,
             }
         )
 
-    rows = ds.map_batches(project, batch_format="pandas").materialize()
+    raw = ds.map_batches(project, batch_format="pandas").materialize()
     if n_shards is None:
-        n_shards = max(32, rows.count() // 200_000)
+        n_shards = max(32, raw.count() // 200_000)
 
     # per-key t0 (first event) — tiny table, broadcast to weighting
     t0 = bucketed_aggregate(
-        rows, [key_col],
+        raw, [key_col],
         {"_t0": ("_ts", "min"), "_t1": ("_ts", "max")},
     ).to_pandas()
     # exp((t - t0)/tau) overflows float64 past ~709*tau: fail loudly
@@ -2043,13 +2061,6 @@ def ewma_by(ds, key_col: str, ts_col: str, value_col: str,
         )
     )
 
-    def _shard_of(keys: np.ndarray, buckets: np.ndarray) -> np.ndarray:
-        return (
-            pd.util.hash_array(
-                keys * np.int64(1_000_003) + buckets
-            ) % np.uint64(n_shards)
-        ).astype(np.int64)
-
     class Weight:
         """Attach w = v * exp((t - t0_key)/tau) once per row."""
 
@@ -2065,8 +2076,6 @@ def ewma_by(ds, key_col: str, ts_col: str, value_col: str,
             w = batch["_v"].to_numpy() * np.exp(
                 (ts - t0v) / tau_us
             )
-            buckets = batch["_tb"].to_numpy()
-            z = np.zeros(len(batch))
             return pa.table(
                 {
                     id_col: pa.array(
@@ -2075,101 +2084,18 @@ def ewma_by(ds, key_col: str, ts_col: str, value_col: str,
                     key_col: pa.array(keys, pa.int64()),
                     "_ts": pa.array(ts, pa.int64()),
                     "_w": pa.array(w, pa.float64()),
-                    "_tb": pa.array(buckets, pa.int64()),
+                    "_tb": pa.array(batch["_tb"].to_numpy(), pa.int64()),
                     "_t0": pa.array(t0v, pa.int64()),
-                    "_off": pa.array(z, pa.float64()),
-                    "_is_off": pa.array(
-                        np.zeros(len(batch), dtype=np.bool_),
-                        pa.bool_(),
-                    ),
-                    "_shard": pa.array(
-                        _shard_of(keys, buckets), pa.int64()
-                    ),
                 }
             )
 
-    weighted = rows.map_batches(
+    weighted = raw.map_batches(
         Weight, batch_format="pandas", concurrency=(1, 8),
         fn_constructor_args=(t0_ref,),
     ).materialize()
 
-    cells = bucketed_aggregate(
-        weighted, [key_col, "_tb"], {"_c": ("_w", "sum")}
-    )
-
-    def key_prefix(group: pd.DataFrame) -> pa.Table:
-        g = group.sort_values([key_col, "_tb"])
-        keys = g[key_col].to_numpy()
-        c = g["_c"].to_numpy(dtype=np.float64)
-        excl = np.cumsum(c) - c
-        new = np.empty(len(g), dtype=np.bool_)
-        new[0] = True
-        new[1:] = keys[1:] != keys[:-1]
-        starts = np.flatnonzero(new)
-        lens = np.diff(np.append(starts, len(g)))
-        off = excl - np.repeat(excl[starts], lens)
-        n = len(g)
-        return pa.table(
-            {
-                id_col: pa.array(
-                    np.full(n, -1, dtype=np.int64), pa.int64()
-                ),
-                key_col: pa.array(keys, pa.int64()),
-                "_ts": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
-                "_w": pa.array(np.zeros(n), pa.float64()),
-                "_tb": pa.array(g["_tb"].to_numpy(), pa.int64()),
-                "_t0": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
-                "_off": pa.array(off, pa.float64()),
-                "_is_off": pa.array(
-                    np.ones(n, dtype=np.bool_), pa.bool_()
-                ),
-                "_shard": pa.array(
-                    _shard_of(keys, g["_tb"].to_numpy()), pa.int64()
-                ),
-            }
-        )
-
-    def key_shard(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["_kshard"] = (
-            pd.util.hash_array(batch[key_col].to_numpy())
-            % np.uint64(max(32, n_shards // 4))
-        ).astype(np.int64)
-        return batch
-
-    offsets = (
-        cells.map_batches(key_shard, batch_format="pandas")
-        .groupby("_kshard")
-        .map_groups(key_prefix, batch_format="pandas")
-    )
-
-    def scan_shard(group: pd.DataFrame) -> pa.Table:
-        own = group[~group["_is_off"]].sort_values(
-            [key_col, "_tb", "_ts", id_col]
-        )
-        if len(own) == 0:
-            return pa.table(
-                {
-                    id_col: pa.array([], pa.int64()),
-                    key_col: pa.array([], pa.int64()),
-                    "ewma": pa.array([], pa.float64()),
-                }
-            )
-        keys = own[key_col].to_numpy()
-        buckets = own["_tb"].to_numpy()
-        w = own["_w"].to_numpy()
-        new = np.empty(len(own), dtype=np.bool_)
-        new[0] = True
-        new[1:] = (keys[1:] != keys[:-1]) | (buckets[1:] != buckets[:-1])
-        starts = np.flatnonzero(new)
-        lens = np.diff(np.append(starts, len(own)))
-        csum = np.cumsum(w)
-        cum = csum - np.repeat(csum[starts] - w[starts], lens)
-        carry = group[group["_is_off"]][[key_col, "_tb", "_off"]]
-        m = own[[id_col, key_col, "_tb", "_ts", "_t0"]].merge(
-            carry, on=[key_col, "_tb"], how="left", sort=False
-        )
-        total = cum + m["_off"].fillna(0.0).to_numpy()
-        ewma = total * np.exp(
+    def finish(m: pd.DataFrame) -> pa.Table:
+        ewma = m["cum__w"].to_numpy() * np.exp(
             -(m["_ts"].to_numpy() - m["_t0"].to_numpy()) / tau_us
         )
         return pa.table(
@@ -2184,8 +2110,15 @@ def ewma_by(ds, key_col: str, ts_col: str, value_col: str,
             }
         )
 
-    return weighted.union(offsets).groupby("_shard").map_groups(
-        scan_shard, batch_format="pandas"
+    empty_out = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            key_col: pa.array([], pa.int64()),
+            "ewma": pa.array([], pa.float64()),
+        }
+    )
+    return keyed_prefix_scan(
+        weighted, key_col, id_col, ["_w"], finish, empty_out, n_shards
     )
 
 
