@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_validate": p.q_validate,
         "q_pseudonymize": p.q_pseudonymize,
         "q_stream_neardup": p.q_stream_neardup,
+        "q_chi_square": p.q_chi_square,
+        "q_daily_p95": p.q_daily_p95,
         "q_resample_locf": p.q_resample_locf,
         "q_ntile_curriculum": p.q_ntile_curriculum,
         "q_vocab_spectrum": p.q_vocab_spectrum,
@@ -1076,6 +1078,42 @@ def oracle_sql() -> dict[str, str]:
                 RANGE BETWEEN INTERVAL 300 SECOND PRECEDING
                           AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        # windowed quantiles: quantile_disc inverse-CDF rank per day
+        "q_daily_p95": """
+            WITH t AS (
+                SELECT epoch_us(ts) // 86400000000 AS day,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT day, CAST(count(*) AS BIGINT) AS n,
+                   quantile_disc(cents, 0.5) AS p50_cents,
+                   quantile_disc(cents, 0.95) AS p95_cents
+            FROM t GROUP BY day ORDER BY day
+        """,
+        # complete-grid chi-square: zero-observed cells contribute
+        # their expected counts; isodow = pandas dayofweek + 1
+        "q_chi_square": """
+            WITH c AS (
+                SELECT event_type, isodow(ts) AS dow,
+                       CAST(count(*) AS DOUBLE) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            r AS (SELECT event_type, sum(n) AS rn FROM c GROUP BY 1),
+            col AS (SELECT dow, sum(n) AS cn FROM c GROUP BY 1),
+            t AS (SELECT sum(n) AS tot FROM c),
+            g AS (
+                SELECT r.event_type, col.dow, r.rn * col.cn / t.tot
+                           AS e
+                FROM r CROSS JOIN col CROSS JOIN t
+            )
+            SELECT round(sum(pow(coalesce(c.n, 0) - g.e, 2) / g.e), 6)
+                       AS chi2,
+                   CAST((SELECT (count(*) - 1) FROM r)
+                        * (SELECT (count(*) - 1) FROM col)
+                        AS BIGINT) AS dof,
+                   CAST((SELECT tot FROM t) AS BIGINT) AS n
+            FROM g LEFT JOIN c USING (event_type, dow)
         """,
         # same sha256(salt|id) prefix on both sides
         "q_pseudonymize": """

@@ -3865,3 +3865,92 @@ def q_stream_neardup(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {"run": [1, 2], "admitted": [n_run1, n_run2]}
     )
+
+
+def q_chi_square(sf_dir: str) -> pd.DataFrame:
+    """Chi-square independence test of event_type x iso-weekday: the
+    contingency table is ONE pre-aggregated shuffle of (type, dow)
+    partial counts; the statistic folds from the tiny table on the
+    driver.  Deterministic rounding makes the twin hash-exact."""
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    ds = _parquet_sh(sf_dir, "events", ["ts", "event_type"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "dow": (batch["ts"].dt.dayofweek + 1).astype("int64"),
+            }
+        )
+
+    cells = pre_aggregate(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["event_type", "dow"], {"n": ("dow", "count")},
+    ).to_pandas()
+    # COMPLETE grid: a zero-observed cell still contributes its
+    # expected count to the statistic
+    grid = (
+        cells.pivot(index="event_type", columns="dow", values="n")
+        .fillna(0.0)
+        .to_numpy(dtype=np.float64)
+    )
+    total = grid.sum()
+    expected = np.outer(grid.sum(axis=1), grid.sum(axis=0)) / total
+    chi2 = ((grid - expected) ** 2 / expected).sum()
+    k, m = grid.shape
+    return pd.DataFrame(
+        {
+            "chi2": [round(float(chi2), 6)],
+            "dof": [int((k - 1) * (m - 1))],
+            "n": [int(total)],
+        }
+    )
+
+
+def q_daily_p95(sf_dir: str) -> pd.DataFrame:
+    """Per-day exact p50/p95 of event value in integer cents — the
+    windowed-quantile monitor a latency dashboard runs — composed
+    from the (day, cents) histogram shuffle + the multi-quantile
+    rank pick (inverse-CDF semantics, hash-exact vs quantile_disc)."""
+    from unfurl_ray.ops.relational import (
+        bucketed_aggregate, hist_quantile_disc_by,
+    )
+
+    ds = _parquet_sh(sf_dir, "events", ["ts", "value"])
+
+    def prep(batch: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "day": pa.array(
+                    (
+                        batch["ts"].astype("int64")
+                        // 86_400_000_000
+                    ).to_numpy(),
+                    pa.int64(),
+                ),
+                "cents": pa.array(
+                    np.floor(
+                        batch["value"].to_numpy(dtype=np.float64)
+                        * 100.0
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    hist = bucketed_aggregate(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["day", "cents"], {"cnt": ("cents", "count")},
+    )
+    out = hist_quantile_disc_by(
+        hist, "day", "cents", "cnt", [0.5, 0.95],
+    ).to_pandas()
+    out = out.rename(columns={"q_05": "p50_cents",
+                              "q_095": "p95_cents"})
+    out["n"] = out["n"].astype("int64")
+    return (
+        out[["day", "n", "p50_cents", "p95_cents"]]
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
