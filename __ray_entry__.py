@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_stream_neardup": p.q_stream_neardup,
         "q_chi_square": p.q_chi_square,
         "q_daily_p95": p.q_daily_p95,
+        "q_hll_overlap": p.q_hll_overlap,
         "q_resample_locf": p.q_resample_locf,
         "q_ntile_curriculum": p.q_ntile_curriculum,
         "q_vocab_spectrum": p.q_vocab_spectrum,

@@ -2719,3 +2719,25 @@ def test_sharded_neardup_index_cross_run(ray_session):
     )
     assert sorted(kept2["doc_id"]) == [5]
     assert sum(idx.sizes()) > 0
+
+
+def test_hll_set_ops_error_bounds(ray_session):
+    """Union/intersection estimates land within ~5x the standard HLL
+    error of the exact values on overlapping integer sets."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.sketch import hll_set_ops
+
+    a = pd.DataFrame({"v": np.arange(0, 60_000, dtype=np.int64)})
+    b = pd.DataFrame({"v": np.arange(40_000, 110_000, dtype=np.int64)})
+    est = hll_set_ops(
+        rd.from_pandas(a).repartition(4),
+        rd.from_pandas(b).repartition(4), "v",
+    )
+    rel = 5 * 1.04 / np.sqrt(1 << 12)  # ~8.1%
+    assert abs(est["n_a"] - 60_000) / 60_000 < rel
+    assert abs(est["n_b"] - 70_000) / 70_000 < rel
+    assert abs(est["n_union"] - 110_000) / 110_000 < rel
+    assert abs(est["n_intersect"] - 20_000) / 20_000 < 0.25

@@ -510,3 +510,54 @@ def grouped_hll_distinct(ds, key_col: str, value_col: str,
         .to_pandas()
     )
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+def hll_sketch_of(ds, column: str, p: int = 12) -> np.ndarray:
+    """The merged HLL register array of a Dataset column (same
+    fold + tree-merge as ``hll_distinct``, returning the SKETCH so
+    callers can compose set operations)."""
+    def fold(batch: pa.Table) -> pa.Table:
+        regs = hll_fold(batch.column(column), p)
+        return pa.table(
+            {"sketch": pa.array([regs.tobytes()], pa.binary())}
+        )
+
+    def merge_block(batch: pa.Table) -> pa.Table:
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        for blob in batch.column("sketch").to_pylist():
+            np.maximum(regs, np.frombuffer(blob, dtype=np.uint8),
+                       out=regs)
+        return pa.table(
+            {"sketch": pa.array([regs.tobytes()], pa.binary())}
+        )
+
+    parts = (
+        ds.select_columns([column])
+        .map_batches(fold, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(merge_block, batch_size=None,
+                     batch_format="pyarrow")
+        .to_pandas()
+    )
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for blob in parts["sketch"]:
+        merged = hll_merge(merged, np.frombuffer(blob, dtype=np.uint8))
+    return merged
+
+
+def hll_set_ops(ds_a, ds_b, column: str, p: int = 12) -> dict:
+    """Distinct-set algebra from two mergeable sketches: |A|, |B|,
+    |A ∪ B| (register max — exact sketch union) and |A ∩ B| via
+    inclusion-exclusion.  The audience-overlap question answered with
+    two streaming passes and 4 KiB of driver state per side; the
+    intersection estimate inherits BOTH sketches' error, so small
+    overlaps of large sets are noisy (documented HLL limitation)."""
+    a = hll_sketch_of(ds_a, column, p)
+    b = hll_sketch_of(ds_b, column, p)
+    na = hll_estimate(a)
+    nb = hll_estimate(b)
+    nu = hll_estimate(hll_merge(a, b))
+    return {
+        "n_a": na, "n_b": nb, "n_union": nu,
+        "n_intersect": max(0.0, na + nb - nu),
+    }

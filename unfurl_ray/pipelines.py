@@ -3954,3 +3954,43 @@ def q_daily_p95(sf_dir: str) -> pd.DataFrame:
         .sort_values("day")
         .reset_index(drop=True)
     )
+
+
+def q_hll_overlap(sf_dir: str) -> pd.DataFrame:
+    """Audience overlap between the two halves of the month from two
+    streaming HLL passes: |first-half users|, |second-half users|,
+    union (sketch register max) and intersection
+    (inclusion-exclusion).  Rows-only check (sketch estimates);
+    pytest bounds the error vs exact."""
+    from unfurl_ray.ops.sketch import hll_set_ops
+
+    CUT = 19723 + 15
+
+    def half(early: bool):
+        def f(batch: pd.DataFrame) -> pa.Table:
+            day = batch["ts"].astype("int64") // 86_400_000_000
+            m = (day < CUT) if early else (day >= CUT)
+            return pa.table(
+                {
+                    "user_id": pa.array(
+                        batch.loc[m, "user_id"].to_numpy(), pa.int64()
+                    )
+                }
+            )
+        return f
+
+    a = _parquet_sh(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        half(True), batch_format="pandas"
+    )
+    b = _parquet_sh(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        half(False), batch_format="pandas"
+    )
+    est = hll_set_ops(a, b, "user_id")
+    return pd.DataFrame(
+        {
+            "n_a": [round(est["n_a"], 1)],
+            "n_b": [round(est["n_b"], 1)],
+            "n_union": [round(est["n_union"], 1)],
+            "n_intersect": [round(est["n_intersect"], 1)],
+        }
+    )
