@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_chi_square": p.q_chi_square,
         "q_daily_p95": p.q_daily_p95,
         "q_hll_overlap": p.q_hll_overlap,
+        "q_quality_model": p.q_quality_model,
         "q_resample_locf": p.q_resample_locf,
         "q_ntile_curriculum": p.q_ntile_curriculum,
         "q_vocab_spectrum": p.q_vocab_spectrum,

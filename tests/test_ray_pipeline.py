@@ -2741,3 +2741,34 @@ def test_hll_set_ops_error_bounds(ray_session):
     assert abs(est["n_b"] - 70_000) / 70_000 < rel
     assert abs(est["n_union"] - 110_000) / 110_000 < rel
     assert abs(est["n_intersect"] - 20_000) / 20_000 < 0.25
+
+
+def test_logreg_irls_matches_reference(ray_session):
+    """Distributed IRLS equals the single-process solver to ~1e-9 on
+    a separable-ish random problem, regardless of batching."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.fit import logreg_irls, logreg_irls_reference
+
+    rng = np.random.default_rng(21)
+    n = 4000
+    X = np.column_stack(
+        [np.ones(n), rng.standard_normal(n), rng.standard_normal(n)]
+    )
+    true = np.array([-0.5, 2.0, -1.0])
+    y = (
+        rng.uniform(size=n) < 1 / (1 + np.exp(-(X @ true)))
+    ).astype(np.int64)
+    df = pd.DataFrame(
+        {"const": X[:, 0], "x1": X[:, 1], "x2": X[:, 2], "y": y}
+    )
+    got = logreg_irls(
+        rd.from_pandas(df).repartition(6),
+        ["const", "x1", "x2"], "y", iters=8,
+    )["beta"]
+    want = logreg_irls_reference(X, y.astype(np.float64), iters=8)
+    assert np.allclose(got, want, atol=1e-9)
+    # and it actually learned the signal
+    assert got[1] > 1.0 and got[2] < -0.5

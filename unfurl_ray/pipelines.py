@@ -3994,3 +3994,59 @@ def q_hll_overlap(sf_dir: str) -> pd.DataFrame:
             "n_intersect": [round(est["n_intersect"], 1)],
         }
     )
+
+
+def q_quality_model(sf_dir: str) -> pd.DataFrame:
+    """Train a fastText-style language/quality classifier on cheap
+    document features: vectorized featurization -> distributed IRLS
+    (each iteration ships one 4x4 Hessian partial per batch, never
+    rows) -> one scoring pass for training accuracy.  Rows-only check
+    (iterative solver); exact-update parity vs a single-process IRLS
+    is pytest-covered.  Note: the synthetic corpus draws every
+    language's text from the SAME vocabulary, so its lang labels are
+    statistically independent of the features — train_acc ~ the 'en'
+    base rate is the correct ceiling here, not a solver defect (the
+    parity test shows the solver recovering real signal)."""
+    from unfurl_ray.ops.fit import logreg_irls, logreg_score
+    from unfurl_ray.ops.textstats import STOPWORDS, _WORD_SPLIT_RE
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text", "lang"])
+    lang_sets = {k: frozenset(v) for k, v in STOPWORDS.items()}
+
+    def featurize(batch: pd.DataFrame) -> pd.DataFrame:
+        words = (
+            batch["text"].fillna("").map(_WORD_SPLIT_RE.findall)
+        )
+        nw = np.maximum(
+            words.map(len).to_numpy(dtype=np.float64), 1.0
+        )
+        f = pd.DataFrame({"const": np.ones(len(batch))})
+        for lg, sw in lang_sets.items():
+            f[f"stop_{lg}"] = (
+                words.map(
+                    lambda ws, sw=sw: sum(
+                        1 for w in ws if w.lower() in sw
+                    )
+                ).to_numpy(dtype=np.float64)
+                / nw
+            )
+        f["y"] = (batch["lang"].to_numpy() == "en").astype(np.int64)
+        return f
+
+    feats = ds.map_batches(featurize, batch_format="pandas")
+    x_cols = ["const"] + [f"stop_{lg}" for lg in lang_sets]
+    fit = logreg_irls(feats, x_cols, "y", iters=8)
+
+    scored = logreg_score(
+        feats.materialize(), x_cols, fit["beta"]
+    ).to_pandas()
+    acc = float(
+        ((scored["p"] > 0.5).astype(int) == scored["y"]).mean()
+    )
+    out = {
+        f"beta_{c}": [round(float(b), 6)]
+        for c, b in zip(x_cols, fit["beta"])
+    }
+    out["n"] = [fit["n"]]
+    out["train_acc"] = [round(acc, 4)]
+    return pd.DataFrame(out)
