@@ -3162,7 +3162,9 @@ def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
     from unfurl_ray.ops.bpe import bpe_fit
 
     ds = _parquet(sf_dir, "documents", ["text"])
-    return bpe_fit(ds, "text", n_merges=12)
+    # n_buckets sized to this corpus's unique-word count; scale it
+    # with vocabulary at larger inputs
+    return bpe_fit(ds, "text", n_merges=12, n_buckets=16)
 
 
 def q_group_split(sf_dir: str) -> pd.DataFrame:
@@ -3444,7 +3446,9 @@ def q_pagerank(sf_dir: str) -> pd.DataFrame:
         )
 
     edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
-    ranks = pagerank(edges, damping=0.85, n_iter=8)
+    # n_buckets=8: the per-round contrib table is node-sized (tiny
+    # here); fewer merge groups cut fixed per-iteration overhead
+    ranks = pagerank(edges, damping=0.85, n_iter=8, n_buckets=8)
     ranks["rank"] = ranks["rank"].round(8)
     out = ranks.sort_values(
         ["rank", "node"], ascending=[False, True]
