@@ -2772,3 +2772,34 @@ def test_logreg_irls_matches_reference(ray_session):
     assert np.allclose(got, want, atol=1e-9)
     # and it actually learned the signal
     assert got[1] > 1.0 and got[2] < -0.5
+
+
+def test_als_matches_reference(ray_session):
+    """Distributed ALS tracks the single-process solver (same seed,
+    same updates) to ~1e-6 and actually reconstructs a planted
+    rank-2 structure."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.fit import als_implicit, als_implicit_reference
+
+    rng = np.random.default_rng(3)
+    n_users, n_items, kk = 300, 6, 2
+    U = rng.standard_normal((n_users, kk))
+    V = rng.standard_normal((n_items, kk))
+    rows = []
+    for u in range(n_users):
+        for j in rng.choice(n_items, 4, replace=False):
+            rows.append((u, int(j), float(U[u] @ V[j])))
+    df = pd.DataFrame(rows, columns=["u", "j", "r"])
+    got = als_implicit(
+        rd.from_pandas(df).repartition(5), "u", "j", "r",
+        n_items=n_items, k=kk, iters=6, n_shards=8,
+    )
+    want = als_implicit_reference(
+        df, "u", "j", "r", n_items=n_items, k=kk, iters=6,
+    )
+    assert np.allclose(got["V"], want["V"], atol=1e-6)
+    assert abs(got["rmse"] - want["rmse"]) < 1e-8
+    assert got["rmse"] < 0.5  # planted structure recovered

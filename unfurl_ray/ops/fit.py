@@ -104,3 +104,132 @@ def logreg_score(ds, x_cols: list[str], beta: np.ndarray,
         return batch
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def als_implicit(ds, user_col: str, item_col: str, rating_col: str,
+                 n_items: int, k: int = 2, iters: int = 5,
+                 lam: float = 0.1, n_shards: int = 32,
+                 seed: int = 7) -> dict:
+    """Rank-``k`` matrix factorization of a (user, item, rating)
+    table by alternating least squares — the recommender / taste-
+    vector primitive.
+
+    One distributed pass per iteration: ratings are materialized ONCE
+    hash-sharded by user; each shard task (a) solves every resident
+    user's k x k normal equations against the broadcast item-factor
+    matrix and (b) in the same pass emits the per-item sufficient
+    statistics (``U'U`` and ``U'r`` per item) the ITEM update needs —
+    the driver folds ``n_items`` tiny matrices, solves, and
+    broadcasts the next ``V``.  Driver state is ``n_items x k``
+    floats; user factors never centralize.  ``item_col`` must hold
+    dense indices in ``[0, n_items)``; the per-user solve loops
+    within a shard (each solve is k x k — vectorizing across users
+    buys nothing at k <= 8).
+    """
+    import ray
+
+    def shard(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["_shard"] = (
+            pd.util.hash_array(batch[user_col].to_numpy())
+            % np.uint64(n_shards)
+        ).astype(np.int64)
+        return batch
+
+    rows = ds.map_batches(shard, batch_format="pandas").materialize()
+    rng = np.random.default_rng(seed)
+    V = rng.standard_normal((n_items, k)) * 0.1
+
+    def shard_pass(group: pd.DataFrame, ref=None) -> pa.Table:
+        from unfurl_ray.ops.relational import _broadcast_fetch
+
+        Vb = _broadcast_fetch(ref)
+        g = group.sort_values([user_col, item_col])
+        users = g[user_col].to_numpy()
+        items = g[item_col].to_numpy(dtype=np.int64)
+        r = g[rating_col].to_numpy(dtype=np.float64)
+        new = np.empty(len(g), dtype=np.bool_)
+        new[0] = True
+        new[1:] = users[1:] != users[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(g))
+        H = np.zeros((n_items, k, k))
+        b = np.zeros((n_items, k))
+        sse, n = 0.0, 0
+        eye = lam * np.eye(k)
+        for s, e in zip(starts, ends):
+            idx, rv = items[s:e], r[s:e]
+            A = Vb[idx]
+            u = np.linalg.solve(A.T @ A + eye, A.T @ rv)
+            resid = rv - A @ u
+            sse += float(resid @ resid)
+            n += len(rv)
+            uu = np.outer(u, u)
+            for j, rj in zip(idx, rv):
+                H[j] += uu
+                b[j] += rj * u
+        return pa.table(
+            {
+                "H": pa.array([H.ravel().tolist()],
+                              pa.list_(pa.float64())),
+                "b": pa.array([b.ravel().tolist()],
+                              pa.list_(pa.float64())),
+                "sse": pa.array([sse], pa.float64()),
+                "n": pa.array([n], pa.int64()),
+            }
+        )
+
+    rmse = float("nan")
+    for _ in range(iters):
+        ref = ray.put(V)
+        parts = (
+            rows.groupby("_shard")
+            .map_groups(
+                lambda gr, ref=ref: shard_pass(gr, ref=ref),
+                batch_format="pandas",
+            )
+            .to_pandas()
+        )
+        H = np.zeros((n_items, k, k))
+        b = np.zeros((n_items, k))
+        for hrow, brow in zip(parts["H"], parts["b"]):
+            H += np.asarray(hrow).reshape(n_items, k, k)
+            b += np.asarray(brow).reshape(n_items, k)
+        rmse = float(
+            np.sqrt(parts["sse"].sum() / max(1, parts["n"].sum()))
+        )
+        for j in range(n_items):
+            V[j] = np.linalg.solve(H[j] + lam * np.eye(k), b[j])
+    return {"V": V, "rmse": rmse, "iters": iters}
+
+
+def als_implicit_reference(rows: pd.DataFrame, user_col: str,
+                           item_col: str, rating_col: str,
+                           n_items: int, k: int = 2, iters: int = 5,
+                           lam: float = 0.1,
+                           seed: int = 7) -> dict:
+    """Single-process ALS with the identical update order — parity
+    target for tests only."""
+    rng = np.random.default_rng(seed)
+    V = rng.standard_normal((n_items, k)) * 0.1
+    eye = lam * np.eye(k)
+    rmse = float("nan")
+    for _ in range(iters):
+        H = np.zeros((n_items, k, k))
+        b = np.zeros((n_items, k))
+        sse, n = 0.0, 0
+        for _u, g in rows.groupby(user_col, sort=True):
+            idx = g[item_col].to_numpy(dtype=np.int64)
+            rv = g[rating_col].to_numpy(dtype=np.float64)
+            A = V[idx]
+            u = np.linalg.solve(A.T @ A + eye, A.T @ rv)
+            resid = rv - A @ u
+            sse += float(resid @ resid)
+            n += len(rv)
+            uu = np.outer(u, u)
+            for j, rj in zip(idx, rv):
+                H[j] += uu
+                b[j] += rj * u
+        rmse = float(np.sqrt(sse / max(1, n)))
+        for j in range(n_items):
+            V[j] = np.linalg.solve(H[j] + lam * np.eye(k), b[j])
+    return {"V": V, "rmse": rmse, "iters": iters}

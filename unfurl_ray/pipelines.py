@@ -4054,3 +4054,58 @@ def q_quality_model(sf_dir: str) -> pd.DataFrame:
     out["n"] = [fit["n"]]
     out["train_acc"] = [round(acc, 4)]
     return pd.DataFrame(out)
+
+
+def q_als_factors(sf_dir: str) -> pd.DataFrame:
+    """Taste vectors: rank-2 ALS factorization of the user x
+    event-type log-count matrix — one distributed pass per iteration
+    (user shards solve locally and emit per-item sufficient stats;
+    driver state is items x 2 floats).  Rows-only check (iterative);
+    exact-update parity vs the single-process solver is
+    pytest-covered."""
+    from unfurl_ray.ops.fit import als_implicit
+    from unfurl_ray.ops.relational import bucketed_aggregate
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    t_idx = {t: i for i, t in enumerate(types)}
+
+    ds = _parquet_sh(sf_dir, "events", ["user_id", "event_type"])
+    counts = bucketed_aggregate(
+        ds, ["user_id", "event_type"],
+        {"n": ("event_type", "count")}, n_buckets=16,
+    )
+
+    def to_rating(batch: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    batch["user_id"].to_numpy(dtype=np.int64),
+                    pa.int64(),
+                ),
+                "item": pa.array(
+                    batch["event_type"].map(t_idx).to_numpy(
+                        dtype=np.int64
+                    ),
+                    pa.int64(),
+                ),
+                "r": pa.array(
+                    np.log1p(batch["n"].to_numpy(dtype=np.float64)),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    fit = als_implicit(
+        counts.map_batches(to_rating, batch_format="pandas"),
+        "user_id", "item", "r", n_items=len(types), k=2, iters=5,
+        n_shards=16,
+    )
+    out = pd.DataFrame(
+        {
+            "event_type": types,
+            "f0": np.round(fit["V"][:, 0], 6),
+            "f1": np.round(fit["V"][:, 1], 6),
+        }
+    )
+    out["rmse"] = round(fit["rmse"], 6)
+    return out.sort_values("event_type").reset_index(drop=True)
