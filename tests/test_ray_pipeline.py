@@ -2803,3 +2803,25 @@ def test_als_matches_reference(ray_session):
     assert np.allclose(got["V"], want["V"], atol=1e-6)
     assert abs(got["rmse"] - want["rmse"]) < 1e-8
     assert got["rmse"] < 0.5  # planted structure recovered
+
+
+def test_read_transcripts_iso_timestamps(ray_session, tmp_path):
+    """JSONL dumps commonly carry ISO-8601 'T' timestamps (with or
+    without fractional seconds) — the normalizer must accept them,
+    not just the space-separated form."""
+    import pandas as pd
+
+    from unfurl_ray.sources.formats import read_transcripts
+
+    p = tmp_path / "t.jsonl"
+    p.write_text(
+        '{"conv_id":"c1","turn_idx":0,"role":"user",'
+        '"text":"hi","tool":"","ts":"2024-01-01T12:00:00"}\n'
+        '{"conv_id":"c1","turn_idx":1,"role":"assistant",'
+        '"text":"yo","tool":"","ts":"2024-01-01T12:00:01.250000"}\n'
+    )
+    out = read_transcripts(str(p), "jsonl").to_pandas()
+    assert out["ts"].tolist() == [
+        pd.Timestamp("2024-01-01 12:00:00"),
+        pd.Timestamp("2024-01-01 12:00:01.250000"),
+    ]

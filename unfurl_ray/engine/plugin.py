@@ -106,7 +106,10 @@ def _jsonld_context_link(header: str) -> "str | None":
     no entry names the context relation."""
     import re
 
-    for part in header.split(","):
+    # split only at commas that START a new `<url>` entry: RFC 8288
+    # allows commas inside quoted parameter values and inside URLs,
+    # so a naive split would shear 'title="a, b"' mid-entry
+    for part in re.split(r",(?=\s*<)", header):
         seg = part.strip()
         if not seg.startswith("<") or ">" not in seg:
             continue

@@ -20,8 +20,7 @@ OP_UPSERT = "upsert"
 OP_DELETE = "delete"
 
 
-def _arrow(df: pd.DataFrame) -> pa.Table:
-    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+from unfurl_ray.ops.relational import _arrow  # shared helper
 
 
 def apply_changes(base_ds, changes_ds, key_col: str,
@@ -57,7 +56,12 @@ def apply_changes(base_ds, changes_ds, key_col: str,
         return _arrow(out)
 
     def resolve(group: pd.DataFrame) -> pa.Table:
-        g = group.sort_values([key_col, "_ver"] + payload_cols)
+        # _del in the sort key makes the delete-vs-upsert tie at an
+        # equal (_ver, payload) deterministic (delete wins) instead of
+        # depending on shuffle block arrival order
+        g = group.sort_values(
+            [key_col, "_ver"] + payload_cols + ["_del"]
+        )
         last = g.drop_duplicates(subset=[key_col], keep="last")
         alive = last[~last["_del"]]
         return _arrow(alive[cols])

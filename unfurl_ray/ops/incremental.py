@@ -28,10 +28,7 @@ import pyarrow as pa
 MERSENNE_61 = (1 << 61) - 1
 
 
-def _arrow(df: pd.DataFrame) -> pa.Table:
-    return pa.Table.from_pandas(
-        df, preserve_index=False
-    ).replace_schema_metadata(None)
+from unfurl_ray.ops.relational import _arrow  # shared helper
 
 
 def update_aggregate(snapshot_ds, delta_ds, keys: list[str],

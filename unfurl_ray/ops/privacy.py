@@ -26,10 +26,25 @@ def k_anonymize(ds, quasi_cols: list[str], k: int,
     hash join back to the rows — the rare SET is never driver-side or
     broadcast, so a long tail of millions of rare tuples costs one
     co-partitioned join, same as percent_rank_by.
+
+    NULL quasi-identifier values are mapped to a reserved category
+    first — otherwise pandas' groupby (dropna) and the null-rejecting
+    equi-join would silently DELETE null-keyed rows, which are often
+    the rarest and most identifying ones; as a real category they are
+    counted and suppressed like any other tuple.
     """
     from unfurl_ray.ops.relational import bucketed_aggregate
 
-    ds = ds.materialize()  # consumed twice: histogram + probe side
+    NULL_CAT = "\x00null"
+
+    def null_cat(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in quasi_cols:
+            batch[c] = batch[c].fillna(NULL_CAT)
+        return batch
+
+    ds = ds.map_batches(
+        null_cat, batch_format="pandas"
+    ).materialize()  # consumed twice: histogram + probe side
     hist = bucketed_aggregate(
         ds, quasi_cols, {"group_n": (quasi_cols[0], "count")}
     )
@@ -44,6 +59,7 @@ def k_anonymize(ds, quasi_cols: list[str], k: int,
         for c in quasi_cols:
             vals = out[c].to_numpy(dtype=object, copy=True)
             vals[rare] = sentinel
+            vals[vals == NULL_CAT] = None  # frequent nulls stay null
             out[c] = vals
         out["group_n"] = out["group_n"].astype("int64")
         return out

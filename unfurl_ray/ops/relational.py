@@ -567,12 +567,11 @@ def pack_shards(ds, weight_col: str, budget: int,
     shard, resumably.
     """
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        from unfurl_ray.ops.layout import bucket_of
+
         ids = batch[id_col].to_numpy()
-        with np.errstate(over="ignore"):
-            bucket = (ids.astype(np.uint64) * np.uint64(2654435761)) \
-                % np.uint64(n_buckets)
         out = batch[[id_col, weight_col]].copy()
-        out["bucket"] = bucket.astype(np.int64)
+        out["bucket"] = bucket_of(ids, n_buckets).astype(np.int64)
         return _arrow(out)
 
     def pack(group: pd.DataFrame) -> pa.Table:
@@ -654,9 +653,15 @@ def ntile_by(ds, part_col: str, order_col: str, id_col: str, k: int):
     """
     import ray
 
+    # bucketed_aggregate, not Ray's builtin count(): the histogram's
+    # key count grows with distinct order values and the builtin
+    # reduce combines per key in Python (~40 s / 150k keys — see
+    # bucketed_aggregate's docstring measurement)
     hist = (
-        ds.groupby([part_col, order_col])
-        .count()
+        bucketed_aggregate(
+            ds.select_columns([part_col, order_col]),
+            [part_col, order_col], {"count()": (order_col, "count")},
+        )
         .to_pandas()
         .sort_values([part_col, order_col])
         .reset_index(drop=True)
@@ -794,12 +799,12 @@ def write_packed_shards(ds, weight_col: str, budget: int, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
 
     def bucketize(batch: pd.DataFrame) -> pa.Table:
+        from unfurl_ray.ops.layout import bucket_of
+
         out = batch.copy()
-        with np.errstate(over="ignore"):
-            out["bucket"] = (
-                (batch[id_col].to_numpy().astype(np.uint64)
-                 * np.uint64(2654435761)) % np.uint64(n_buckets)
-            ).astype(np.int64)
+        out["bucket"] = bucket_of(
+            batch[id_col].to_numpy(), n_buckets
+        ).astype(np.int64)
         return _arrow(out)
 
     def write_bucket(group: pd.DataFrame) -> pa.Table:
@@ -1636,6 +1641,20 @@ def mad_outliers_by(ds, key_col: str, value_col: str,
                 .size()
                 .rename(columns={"size": "n_outliers"})
             )
+            if part.empty:
+                # typed empty: from_pandas would infer a null-typed
+                # key column and poison downstream schema unification
+                ktype = (
+                    pa.string()
+                    if batch[key_col].dtype == object
+                    else pa.from_numpy_dtype(batch[key_col].dtype)
+                )
+                return pa.table(
+                    {
+                        key_col: pa.array([], ktype),
+                        "n_outliers": pa.array([], pa.int64()),
+                    }
+                )
             return _arrow(part)
 
     outl = pre_aggregate(

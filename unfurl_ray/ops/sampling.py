@@ -49,6 +49,14 @@ def weighted_sample_per_group(ds, key_col: str, id_col: str,
     def add_key(batch: pd.DataFrame) -> pd.DataFrame:
         u = _unit_hash(batch[id_col].to_numpy())
         w = batch[weight_col].to_numpy().astype(np.float64)
+        if (w <= 0).any():
+            # A-ES is defined only for w > 0: a negative weight would
+            # silently TOP-rank its row; zero divides.  Fail loudly.
+            bad = int((w <= 0).sum())
+            raise ValueError(
+                f"weighted_sample_per_group: {bad} row(s) with "
+                f"non-positive {weight_col}; filter or clip first"
+            )
         batch = batch.copy()
         batch["skey"] = np.round(np.log(u) / w, 9)
         return batch

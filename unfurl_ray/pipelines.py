@@ -64,6 +64,22 @@ def _parquet_sh(sf_dir: str, table: str, columns=None):
     )
 
 
+def _cache_tag(sf_dir: str, label: str, *tables: str) -> str:
+    """Cache key for /tmp-materialized layouts derived from testdata:
+    includes each source parquet's (size, mtime_ns) fingerprint so a
+    REGENERATED table at the same path invalidates the cache instead
+    of silently serving the previous corpus's layout."""
+    import hashlib
+    import os
+
+    parts = [os.path.abspath(sf_dir), label, "v2"]
+    for t in tables:
+        p = f"{sf_dir}/{t}.parquet"
+        st = os.stat(p)
+        parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+
+
 def _footer_ts_bounds(sf_dir: str, table: str, col: str):
     """(min, max) of a timestamp column from parquet FOOTER statistics
     — a metadata-only read (row-group stats), no data scan.  At 100 TB
@@ -447,9 +463,7 @@ def q_bucketed_join(sf_dir: str) -> pd.DataFrame:
     from unfurl_ray.ops.relational import pre_aggregate
 
     nb = 16
-    tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{nb}|v1".encode()
-    ).hexdigest()[:10]
+    tag = _cache_tag(sf_dir, f"layout{nb}", "orders", "lineitem")
     root = os.path.join(tempfile.gettempdir(), f"unfurl_ray_layout_{tag}")
     orders_path = os.path.join(root, "orders")
     items_path = os.path.join(root, "lineitem")
@@ -458,12 +472,18 @@ def q_bucketed_join(sf_dir: str) -> pd.DataFrame:
         return batch.rename_columns(["o_orderkey", "l_quantity"])
 
     if not os.path.isdir(orders_path):
+        import shutil
+
+        shutil.rmtree(orders_path + ".tmp", ignore_errors=True)
         write_bucketed(
             _parquet_sh(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]),
             "o_orderkey", orders_path + ".tmp", nb,
         )
         os.rename(orders_path + ".tmp", orders_path)
     if not os.path.isdir(items_path):
+        import shutil
+
+        shutil.rmtree(items_path + ".tmp", ignore_errors=True)
         write_bucketed(
             _parquet_sh(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
             .map_batches(rekey, batch_format="pyarrow"),
@@ -839,9 +859,7 @@ def q_pack_write(sf_dir: str) -> pd.DataFrame:
         n = pc.cast(pc.count_substring_regex(col, r"\S+"), pa.int64())
         return batch.append_column("n_tokens", n)
 
-    tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|v1".encode()
-    ).hexdigest()[:10]
+    tag = _cache_tag(sf_dir, "shards", "documents")
     out_dir = os.path.join(
         tempfile.gettempdir(), f"unfurl_ray_shards_{tag}"
     )
@@ -3056,9 +3074,7 @@ def q_zorder_scan(sf_dir: str) -> pd.DataFrame:
     from unfurl_ray.ops.layout import read_zordered_box, write_zordered
 
     DAY0 = 19723  # 2024-01-01 in days since epoch
-    tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|zorder|v1".encode()
-    ).hexdigest()[:10]
+    tag = _cache_tag(sf_dir, "zorder", "events")
     root = os.path.join(tempfile.gettempdir(), f"unfurl_ray_z_{tag}")
 
     if not os.path.isdir(root):
@@ -3073,6 +3089,9 @@ def q_zorder_scan(sf_dir: str) -> pd.DataFrame:
             return batch
 
         tmp = root + ".tmp"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # crashed attempt
         write_zordered(
             ds.map_batches(quantize, batch_format="pandas"),
             "user_id", "day", tmp, cell_bits=6,
@@ -3203,14 +3222,15 @@ def q_compact_layout(sf_dir: str) -> pd.DataFrame:
 
     from unfurl_ray.ops.layout import compact_layout, write_bucketed
 
-    tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|compact|v1".encode()
-    ).hexdigest()[:10]
+    tag = _cache_tag(sf_dir, "compact", "events")
     root = os.path.join(tempfile.gettempdir(), f"unfurl_ray_c_{tag}")
 
     if not os.path.isdir(root):
         ds = _parquet_sh(sf_dir, "events", ["event_id", "user_id"])
         tmp = root + ".tmp"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # crashed attempt
         write_bucketed(ds.repartition(24), "user_id", tmp, n_buckets=16)
         os.rename(tmp, root)
 
@@ -3333,13 +3353,14 @@ def q_merge_runs(sf_dir: str) -> pd.DataFrame:
 
     from unfurl_ray.ops.layout import merge_sorted_runs
 
-    tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|runs|v1".encode()
-    ).hexdigest()[:10]
+    tag = _cache_tag(sf_dir, "runs", "events")
     root = os.path.join(tempfile.gettempdir(), f"unfurl_ray_r_{tag}")
 
     if not os.path.isdir(root):
         tmp = root + ".tmp"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # crashed attempt
         os.makedirs(tmp, exist_ok=True)
         for rem in range(3):
             ds = _parquet_sh(
@@ -3524,13 +3545,14 @@ def q_time_travel(sf_dir: str) -> pd.DataFrame:
     from unfurl_ray.ops.layout import versioned_read, versioned_write
 
     CUT = 19723 + 15  # epoch-day 2024-01-16
-    tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|vers|v1".encode()
-    ).hexdigest()[:10]
+    tag = _cache_tag(sf_dir, "vers", "events")
     root = os.path.join(tempfile.gettempdir(), f"unfurl_ray_v_{tag}")
 
     if not os.path.isdir(root):
         tmp = root + ".tmp"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # crashed attempt
 
         def half(early: bool):
             def f(batch: pd.DataFrame) -> pd.DataFrame:

@@ -37,7 +37,27 @@ def _normalize(batch: pa.Table) -> pa.Table:
     for field in SCHEMA:
         col = batch.column(field.name)
         if field.name == "ts" and pa.types.is_string(col.type):
-            col = pc.strptime(col, format="%Y-%m-%d %H:%M:%S", unit="us")
+            # accept the common encodings, not one hard-coded format:
+            # space/'T' separators, optional fractional seconds, and
+            # a final pandas fallback for anything mixed
+            col = None
+            raw = batch.column(field.name)
+            for fmt in (
+                "%Y-%m-%d %H:%M:%S", "%Y-%m-%dT%H:%M:%S",
+                "%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%dT%H:%M:%S.%f",
+            ):
+                try:
+                    col = pc.strptime(raw, format=fmt, unit="us")
+                    break
+                except pa.ArrowInvalid:
+                    continue
+            if col is None:
+                parsed = pd.to_datetime(
+                    raw.to_pandas(), format="mixed", utc=False
+                )
+                col = pa.Array.from_pandas(
+                    parsed, type=pa.timestamp("us")
+                )
         cols[field.name] = pc.cast(col, field.type)
     return pa.table(cols)
 
