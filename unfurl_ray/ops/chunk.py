@@ -22,7 +22,7 @@ import re
 
 import pyarrow as pa
 
-_WS = re.compile(r"[ \t\n\f\r]+")
+from unfurl_ray.ops.textstats import _WS_SPLIT_RE as _WS  # shared token contract
 
 
 def _tokens(text: str) -> list[str]:

@@ -619,7 +619,7 @@ def duplicate_ngram_spans(ds, n: int = 5, column: str = "text",
         # per-doc estimate only changes group COUNT, not results
         n_buckets = max(32, (ds.count() * 256) // 200_000)
 
-    ws = re.compile(r"[ \t\n\f\r]+")
+    from unfurl_ray.ops.textstats import _WS_SPLIT_RE as ws  # shared token contract
 
     def gram_rows(batch: pd.DataFrame) -> pa.Table:
         hs, docs, cnts = [], [], []

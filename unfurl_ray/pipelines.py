@@ -612,7 +612,7 @@ def q_vocab_spectrum(sf_dir: str) -> pd.DataFrame:
 
     from ray.data.aggregate import Sum
 
-    _ws = _re.compile(r"[ \t\n\f\r]+")
+    from unfurl_ray.ops.textstats import _WS_SPLIT_RE as _ws  # shared token contract
     ds = _parquet(sf_dir, "documents", ["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1409,7 +1409,7 @@ def q_bigram_counts(sf_dir: str) -> pd.DataFrame:
 
     from ray.data.aggregate import Sum
 
-    _ws = _re.compile(r"[ \t\n\f\r]+")
+    from unfurl_ray.ops.textstats import _WS_SPLIT_RE as _ws  # shared token contract
     ds = _parquet(sf_dir, "documents", ["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1616,7 +1616,7 @@ def q_tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
 
     from ray.data.aggregate import Sum
 
-    _ws = _re.compile(r"[ \t\n\f\r]+")
+    from unfurl_ray.ops.textstats import _WS_SPLIT_RE as _ws  # shared token contract
     ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
     n_docs = ds.count()  # parquet metadata, no scan
 
@@ -1840,7 +1840,7 @@ def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
 
     from unfurl_ray.ops.sketch import heavy_hitters
 
-    _ws = _re.compile(r"[ \t\n\f\r]+")
+    from unfurl_ray.ops.textstats import _WS_SPLIT_RE as _ws  # shared token contract
     ds = _parquet(sf_dir, "documents", ["text"])
 
     def word_rows(batch: pa.Table) -> pa.Table:
@@ -1868,7 +1868,7 @@ def q_lm_score(sf_dir: str) -> pd.DataFrame:
 
     from ray.data.aggregate import Sum
 
-    _ws = _re.compile(r"[ \t\n\f\r]+")
+    from unfurl_ray.ops.textstats import _WS_SPLIT_RE as _ws  # shared token contract
     ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
 
     def words_of(text: str) -> list[str]:
@@ -2836,7 +2836,7 @@ def q_source_sim(sf_dir: str) -> pd.DataFrame:
     import itertools
     import re as _re
 
-    _ws = _re.compile(r"[ \t\n\f\r]+")
+    from unfurl_ray.ops.textstats import _WS_SPLIT_RE as _ws  # shared token contract
     ds = _parquet(sf_dir, "documents", ["source", "text"])
 
     def counts(batch: pd.DataFrame) -> pa.Table:
