@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hll_overlap": p.q_hll_overlap,
         "q_quality_model": p.q_quality_model,
         "q_als_factors": p.q_als_factors,
+        "q_image_phash": p.q_image_phash,
         "q_resample_locf": p.q_resample_locf,
         "q_ntile_curriculum": p.q_ntile_curriculum,
         "q_vocab_spectrum": p.q_vocab_spectrum,

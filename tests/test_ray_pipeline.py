@@ -2825,3 +2825,47 @@ def test_read_transcripts_iso_timestamps(ray_session, tmp_path):
         pd.Timestamp("2024-01-01 12:00:00"),
         pd.Timestamp("2024-01-01 12:00:01.250000"),
     ]
+
+
+def test_phash_banded_hamming_pairs(ray_session):
+    """Injected-backend pHash: prescribed feature vectors give known
+    hashes; banded candidate generation finds all pairs within the
+    Hamming budget and none beyond it."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.multimodal import (
+        ImagePHash, phash_hamming_pairs,
+    )
+
+    base = np.zeros(64)
+    base[::2] = 1.0  # alternating bits
+    v2 = base.copy()
+    v2[0] = 0.0  # flip ~1-2 bits vs base (median shifts none here)
+    far = np.zeros(64)
+    far[:8] = 1.0  # very different pattern
+
+    class StubBackend:
+        def features(self, data, dim=64):
+            return {b"a": base, b"b": v2, b"c": far}[data]
+
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3], "content": [b"a", b"b", b"c"]}
+        )
+    )
+    hashed = ds.map_batches(
+        lambda t: ImagePHash(backend=StubBackend())(t),
+        batch_format="pyarrow",
+    )
+    pairs = (
+        phash_hamming_pairs(hashed, max_dist=4)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, pairs[["id_a", "id_b"]].to_numpy())) == [
+        (1, 2)
+    ]
+    assert int(pairs["dist"].iloc[0]) <= 4

@@ -256,3 +256,107 @@ def frame_sample_pipeline(ds, concurrency: int = 2, batch_size: int = 16,
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1,
     )
+
+
+class ImagePHash:
+    """Actor-pool stage: binary column -> 64-bit perceptual hash.
+
+    aHash shape: a 64-d feature vector per image (with a REAL decode
+    backend: the 8x8 gray thumbnail; here: the deterministic fake
+    chunk fingerprint), thresholded at its own median and packed to
+    one int64 — so near-identical pixels flip few bits and Hamming
+    distance measures visual similarity.  The plumbing (schema, actor
+    signature, banding) is real and tested via an injected backend;
+    only the pixel source is the sandbox fake."""
+
+    def __init__(self, column: str = "content",
+                 backend: DecodeBackend | None = None):
+        self.column = column
+        self.backend = backend or DecodeBackend()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = []
+        for data in batch.column(self.column).to_pylist():
+            f = self.backend.features(data or b"", dim=64)
+            bits = f > np.median(f)
+            h = np.uint64(0)
+            for b in bits:
+                h = (h << np.uint64(1)) | np.uint64(bool(b))
+            hashes.append(np.int64(h.astype(np.int64)))
+        return batch.append_column(
+            "phash", pa.array(hashes, pa.int64())
+        )
+
+
+def _popcount64(v: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of int64 values via the uint8 view."""
+    b = v.astype(np.uint64).view(np.uint8).reshape(len(v), 8)
+    return np.unpackbits(b, axis=1).sum(axis=1)
+
+
+def phash_hamming_pairs(ds, id_col: str = "doc_id",
+                        max_dist: int = 4):
+    """Near-duplicate image pairs by banded perceptual-hash Hamming
+    distance: each 64-bit phash splits into four 16-bit bands; two
+    hashes within Hamming ``max_dist`` <= 15 must agree on at least
+    one full band (pigeonhole over 4 bands), so candidate generation
+    is a band-bucket groupby — no all-pairs — and the exact popcount
+    check runs vectorized inside each bucket.  Same LSH shape as
+    SimHash text dedup (ops/dedup.py)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Min
+
+    def fan_bands(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        ph = batch.column("phash").to_numpy(zero_copy_only=False)
+        n = len(ids)
+        band = np.tile(np.arange(4, dtype=np.int64), n)
+        vals = (
+            np.repeat(ph, 4).astype(np.uint64)
+            >> (band.astype(np.uint64) * np.uint64(16))
+        ) & np.uint64(0xFFFF)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, 4), pa.int64()),
+                "phash": pa.array(np.repeat(ph, 4), pa.int64()),
+                "band_key": pa.array(
+                    (band << np.int64(16))
+                    | vals.astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(id_col).sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        ph = g["phash"].to_numpy()
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "dist": []}
+            ).astype({"id_a": "int64", "id_b": "int64",
+                      "dist": "int64"})
+        ia, ib = np.triu_indices(len(g), k=1)
+        x = np.bitwise_xor(
+            ph[ia].astype(np.uint64), ph[ib].astype(np.uint64)
+        ).astype(np.int64)
+        d = _popcount64(x)
+        keep = d <= max_dist
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]].astype(np.int64),
+                "id_b": ids[ib[keep]].astype(np.int64),
+                "dist": d[keep].astype(np.int64),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(fan_bands, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
+    # pairs found via several agreeing bands dedupe on the tiny table
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("dist", alias_name="dist")
+    )

@@ -4131,3 +4131,43 @@ def q_als_factors(sf_dir: str) -> pd.DataFrame:
     )
     out["rmse"] = round(fit["rmse"], 6)
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_image_phash(sf_dir: str) -> pd.DataFrame:
+    """Image near-dup detection end-to-end: binary payloads (doc text
+    bytes + exact replays of every 50th doc under new ids) -> pHash
+    actor stage -> banded Hamming pair generation.  The replayed
+    payloads MUST pair with their originals at distance 0 (all 10 do);
+    the remaining distance-0 pairs are same-template documents whose
+    chunk features genuinely collapse (the synthetic corpus draws
+    from a tiny vocabulary) — deterministic either way.  Rows-only
+    check
+    (crc-based hashing has no SQL twin); band/Hamming math is
+    pytest-covered with an injected backend."""
+    from unfurl_ray.ops.multimodal import ImagePHash, phash_hamming_pairs
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+
+    def payloads(batch: pd.DataFrame) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        blobs = [t.encode() for t in batch["text"].fillna("")]
+        rep = batch["doc_id"] % 50 == 0
+        rep_ids = ids[rep] + 1_000_000
+        rep_blobs = [b for b, r in zip(blobs, rep) if r]
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate([ids, rep_ids]), pa.int64()
+                ),
+                "content": pa.array(blobs + rep_blobs, pa.binary()),
+            }
+        )
+
+    hashed = ds.map_batches(payloads, batch_format="pandas").map_batches(
+        ImagePHash, batch_format="pyarrow", batch_size=128,
+        concurrency=(1, 4), num_cpus=1,
+    )
+    out = phash_hamming_pairs(hashed, max_dist=0).to_pandas()
+    out = out.astype({"id_a": "int64", "id_b": "int64",
+                      "dist": "int64"})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
