@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quality_model": p.q_quality_model,
         "q_als_factors": p.q_als_factors,
         "q_image_phash": p.q_image_phash,
+        "q_scd2": p.q_scd2,
         "q_resample_locf": p.q_resample_locf,
         "q_ntile_curriculum": p.q_ntile_curriculum,
         "q_vocab_spectrum": p.q_vocab_spectrum,
@@ -1156,6 +1157,35 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1 ELSE 0 END) AS BIGINT)
             FROM orders
             ORDER BY rule
+        """,
+        # SCD2: lead(ver) over ALL changes, upserts kept after the
+        # window; same synthesized change stream as q_upsert_merge
+        "q_scd2": """
+            WITH ch AS (
+                SELECT doc_id,
+                       'UPDATED ' || text AS text,
+                       'upsert' AS op, 1 AS ver
+                FROM documents WHERE doc_id % 10 = 0
+                UNION ALL
+                SELECT doc_id, '', 'delete', 2
+                FROM documents WHERE doc_id % 17 = 0
+                UNION ALL
+                SELECT doc_id + 10000000, 'INSERTED ' || text,
+                       'upsert', 3
+                FROM documents WHERE doc_id % 23 = 0
+            ),
+            w AS (
+                SELECT doc_id, text, op,
+                       CAST(ver AS BIGINT) AS valid_from,
+                       CAST(lead(ver) OVER (
+                           PARTITION BY doc_id ORDER BY ver
+                       ) AS BIGINT) AS valid_to
+                FROM ch
+            )
+            SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+                   valid_from, valid_to
+            FROM w WHERE op = 'upsert'
+            ORDER BY doc_id, valid_from
         """,
         # unordered type pairs per user, after per-user distinct
         "q_cooccurrence": """

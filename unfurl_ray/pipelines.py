@@ -4171,3 +4171,79 @@ def q_image_phash(sf_dir: str) -> pd.DataFrame:
     out = out.astype({"id_a": "int64", "id_b": "int64",
                       "dist": "int64"})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_scd2(sf_dir: str) -> pd.DataFrame:
+    """SCD type-2 history of the q_upsert_merge change stream: every
+    upsert carries its validity interval [valid_from, valid_to) where
+    valid_to is the key's NEXT change version (NULL = current) —
+    the audit twin of the latest-wins snapshot, built with one
+    key-bucketed shuffle and a vectorized lead() inside each bucket.
+    Returns (doc_id, n_chars, valid_from, valid_to)."""
+    from unfurl_ray.ops.cdc import scd2_history
+
+    base = _parquet(sf_dir, "documents", ["doc_id", "text"])
+
+    def make_changes(batch: pd.DataFrame) -> pa.Table:
+        d = batch["doc_id"].to_numpy()
+        t = batch["text"].fillna("")
+        frames = []
+        upd = d % 10 == 0
+        if upd.any():
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": d[upd],
+                        "text": "UPDATED " + t[upd],
+                        "op": "upsert",
+                        "ver": np.int64(1),
+                    }
+                )
+            )
+        dele = d % 17 == 0
+        if dele.any():
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": d[dele],
+                        "text": "",
+                        "op": "delete",
+                        "ver": np.int64(2),
+                    }
+                )
+            )
+        ins = d % 23 == 0
+        if ins.any():
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": d[ins] + 10_000_000,
+                        "text": "INSERTED " + t[ins],
+                        "op": "upsert",
+                        "ver": np.int64(3),
+                    }
+                )
+            )
+        if not frames:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                    "op": pa.array([], pa.string()),
+                    "ver": pa.array([], pa.int64()),
+                }
+            )
+        out = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    changes = base.map_batches(make_changes, batch_format="pandas")
+    hist = scd2_history(
+        changes, "doc_id", ["text"],
+    ).to_pandas()
+    hist["n_chars"] = hist["text"].str.len().astype("int64")
+    out = hist[["doc_id", "n_chars", "valid_from", "valid_to"]]
+    return out.sort_values(
+        ["doc_id", "valid_from"]
+    ).reset_index(drop=True)
