@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decayed_sum": p.q_decayed_sum,
         "q_merge_runs": p.q_merge_runs,
         "q_ewma": p.q_ewma,
+        "q_ewma_bot": p.q_ewma_bot,
+        "q_sliding_mau_hll": p.q_sliding_mau_hll,
         "q_profile": p.q_profile,
         "q_pagerank": p.q_pagerank,
         "q_sliding_mau": p.q_sliding_mau,
@@ -1297,6 +1299,26 @@ def oracle_sql() -> dict[str, str]:
             FROM t
             ORDER BY event_id DESC LIMIT 2000
         """,
+        # long-span EWMA (tau = 10 min over a month: past the ~709*tau
+        # float64 exp horizon, so the window-identity twin would
+        # overflow) — oracle is the O(n^2) pairwise definition whose
+        # exp arguments are all <= 0; user_id < 20 bounds the square
+        "q_ewma_bot": """
+            WITH e AS (
+                SELECT event_id, user_id, value, epoch_us(ts) AS tu
+                FROM events WHERE user_id < 20
+            )
+            SELECT a.event_id, a.user_id,
+                   round(sum(b.value
+                             * exp(-(a.tu - b.tu) / 600000000.0)),
+                         6) AS ewma
+            FROM e a JOIN e b
+              ON a.user_id = b.user_id
+             AND (b.tu < a.tu
+                  OR (b.tu = a.tu AND b.event_id <= a.event_id))
+            GROUP BY a.event_id, a.user_id
+            ORDER BY a.event_id
+        """,
         # content equality of the merged sorted runs vs the raw table
         # (sortedness is asserted in-pipeline; the compare is
         # order-insensitive)
@@ -1616,9 +1638,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY bm25 DESC, doc_id
             LIMIT 20
         """,
-        # transcript assembly: 8-doc convs stitched in turn order
-        "q_conv_assemble": """
-            SELECT printf('%08d', doc_id // 8) AS conv_id,
+        # transcript assembly: convs stitched in turn order (divisor
+        # derived from transcripts.TURNS_PER_CONV so it cannot drift)
+        "q_conv_assemble": f"""
+            SELECT printf('%08d', doc_id // {_TPC}) AS conv_id,
                    string_agg(text, chr(10) ORDER BY doc_id)
                        AS full_text,
                    count(*) AS n_turns
@@ -1627,12 +1650,13 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY 1
         """,
         # SFT pairs: context = earlier turns, target = this turn
-        "q_sft_pairs": """
+        "q_sft_pairs": f"""
             SELECT conv_id, turn_idx, context, target FROM (
-                SELECT printf('%08d', doc_id // 8) AS conv_id,
-                       doc_id % 8 AS turn_idx,
+                SELECT printf('%08d', doc_id // {_TPC}) AS conv_id,
+                       doc_id % {_TPC} AS turn_idx,
                        string_agg(text, chr(10)) OVER (
-                           PARTITION BY doc_id // 8 ORDER BY doc_id
+                           PARTITION BY doc_id // {_TPC}
+                           ORDER BY doc_id
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND 1 PRECEDING) AS context,
                        text AS target
