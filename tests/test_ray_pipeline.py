@@ -2470,6 +2470,69 @@ def test_ewma_matches_recurrence(ray_session):
     )
 
 
+def test_ewma_long_span_anchored_path(ray_session):
+    """Keys spanning far past 700*tau reroute to the bucket-anchored
+    carry path and still match the per-row recurrence exactly; mixed
+    with a short-span key so the union of both paths is covered.
+    Also a regression for the segmented-cumsum cancellation bug: a
+    cell holding e^{~80}-scale weights must not absorb the next
+    cell's small values (a global cumsum + start-offset subtraction
+    silently zeroed them)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.relational import ewma_by
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    tau = 10.0  # seconds; long key spans 3000*tau
+    ts_long = np.sort(rng.uniform(0, 3000 * tau, n // 2))
+    ts_short = np.sort(rng.uniform(0, 50 * tau, n // 2))
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "k": np.repeat(np.array([1, 2], dtype=np.int64), n // 2),
+            "ts": pd.to_datetime(
+                (np.concatenate([ts_long, ts_short]) * 1e6).astype(
+                    "int64"
+                ),
+                unit="us",
+            ),
+            "v": rng.uniform(-5, 5, n),
+        }
+    )
+    got = (
+        ewma_by(
+            rd.from_pandas(df).repartition(6), key_col="k",
+            ts_col="ts", value_col="v", id_col="id",
+            tau_s=tau, bucket_s=86_400, n_shards=8,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == n
+    ref = np.zeros(n)
+    for k in (1, 2):
+        sub = df[df.k == k].sort_values(["ts", "id"])
+        s, prev = 0.0, None
+        for _, r in sub.iterrows():
+            t = r["ts"].value / 1e3
+            if prev is not None:
+                s *= np.exp(-(t - prev) / (tau * 1e6))
+            s += r["v"]
+            prev = t
+            ref[r["id"]] = s
+    assert np.allclose(
+        got.set_index("id")["ewma"]
+        .reindex(np.arange(n))
+        .to_numpy(),
+        np.round(ref, 6),
+        rtol=1e-9, atol=2e-6,
+    )
+
+
 def test_pagerank_matches_dense_power_iteration(ray_session):
     """Distributed PageRank equals the dense numpy power iteration on
     a random directed graph with dangling nodes."""
@@ -2741,6 +2804,46 @@ def test_hll_set_ops_error_bounds(ray_session):
     assert abs(est["n_b"] - 70_000) / 70_000 < rel
     assert abs(est["n_union"] - 110_000) / 110_000 < rel
     assert abs(est["n_intersect"] - 20_000) / 20_000 < 0.25
+
+
+def test_sliding_hll_tracks_exact_mau(ray_session):
+    """The per-day-sketch sliding distinct stays within the HLL error
+    bound of the exact pair-shuffle answer on every window day with
+    support, including days the window only reaches by carry-over."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.sketch import sliding_distinct_hll
+
+    rng = np.random.default_rng(11)
+    n = 60_000
+    day_us = 86_400_000_000
+    days = rng.integers(0, 30, n)
+    users = rng.integers(0, 5_000, n) + days * 37  # drifting actives
+    df = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                days * day_us + rng.integers(0, day_us, n), unit="us"
+            ),
+            "user_id": users.astype(np.int64),
+        }
+    )
+    got = sliding_distinct_hll(
+        rd.from_pandas(df).repartition(8), "ts", "user_id",
+        window=7, p=14,
+    )
+    pairs = pd.DataFrame(
+        {"d": days, "u": users}
+    ).drop_duplicates()
+    exact = {}
+    for wd in range(30):
+        m = (pairs["d"] > wd - 7) & (pairs["d"] <= wd)
+        exact[wd] = pairs.loc[m, "u"].nunique()
+    rel = 5 * 1.04 / np.sqrt(1 << 14)  # ~4.1%
+    g = got.set_index("wd")["estimate"]
+    for wd, want in exact.items():
+        assert abs(g.loc[wd] - want) / want < rel, (wd, g.loc[wd], want)
 
 
 def test_logreg_irls_matches_reference(ray_session):

@@ -1743,9 +1743,19 @@ def keyed_prefix_scan(rows, key_col: str, id_col: str,
             cols[c] = pa.array(np.zeros(n, dtype=fields[c]))
         for v, o in zip(value_cols, off_cols):
             cv = g[o].to_numpy(dtype=fields[v])
-            excl = np.cumsum(cv) - cv
+            if np.issubdtype(cv.dtype, np.integer):
+                excl = np.cumsum(cv) - cv
+                off = excl - np.repeat(excl[starts], lens)
+            else:
+                # per-key exclusive cumsum, segment by segment: one
+                # key's huge exp-scale partials must not absorb the
+                # next key's small ones (see scan_shard note)
+                off = np.empty_like(cv)
+                for s0, ln in zip(starts, lens):
+                    seg = np.cumsum(cv[s0:s0 + ln])
+                    off[s0:s0 + ln] = seg - cv[s0:s0 + ln]
             cols[v] = pa.array(np.zeros(n, dtype=fields[v]))
-            cols[o] = pa.array(excl - np.repeat(excl[starts], lens))
+            cols[o] = pa.array(off)
         cols["_is_off"] = pa.array(np.ones(n, dtype=np.bool_), pa.bool_())
         cols["_shard"] = pa.array(
             _shard_of(keys, g["_tb"].to_numpy()), pa.int64()
@@ -1810,8 +1820,20 @@ def keyed_prefix_scan(rows, key_col: str, id_col: str,
         )
         for v, o in zip(value_cols, off_cols):
             arr = own[v].to_numpy(dtype=fields[v])
-            csum = np.cumsum(arr)
-            cum = csum - np.repeat(csum[starts] - arr[starts], lens)
+            if np.issubdtype(arr.dtype, np.integer):
+                # exact in int64: global cumsum + start offsets
+                csum = np.cumsum(arr)
+                cum = csum - np.repeat(
+                    csum[starts] - arr[starts], lens
+                )
+            else:
+                # floats: cumsum PER SEGMENT — a global cumsum whose
+                # earlier segments hold large-magnitude values (ewma's
+                # exp weights) absorbs the next segment's small values
+                # and the start-offset subtraction cancels them to 0
+                cum = np.empty_like(arr)
+                for s0, ln in zip(starts, lens):
+                    cum[s0:s0 + ln] = np.cumsum(arr[s0:s0 + ln])
             m[f"cum_{v}"] = cum + m[o].fillna(0).to_numpy(
                 dtype=fields[v]
             )
@@ -2060,17 +2082,28 @@ def ewma_by(ds, key_col: str, ts_col: str, value_col: str,
         raw, [key_col],
         {"_t0": ("_ts", "min"), "_t1": ("_ts", "max")},
     ).to_pandas()
-    # exp((t - t0)/tau) overflows float64 past ~709*tau: fail loudly
-    # instead of streaming silent inf/nan for the affected keys (the
-    # fix at that span is per-bucket anchors with log-space carries)
+    # exp((t - t0)/tau) overflows float64 past ~709*tau, so keys whose
+    # stream spans longer take the per-bucket-anchored carry path
+    # (_ewma_anchored) where every exp argument is bounded by one
+    # bucket width; short-span keys keep the t0 identity, which is
+    # the exact structural twin of the SQL-window oracle.
     span = (t0["_t1"] - t0["_t0"]).to_numpy(dtype=np.float64)
-    n_over = int((span / tau_us > 700.0).sum())
-    if n_over:
-        raise ValueError(
-            f"ewma_by: {n_over} key(s) span more than 700*tau — "
-            "exp weights would overflow float64; raise tau_s or "
-            "split the stream"
+    over_mask = span / tau_us > 700.0
+    long_part = None
+    if over_mask.any():
+        over_keys = t0.loc[over_mask, key_col].to_numpy(
+            dtype=np.int64
         )
+        long_part = _ewma_anchored(
+            _filter_keys(raw, key_col, over_keys, keep=True),
+            key_col, id_col, tau_us, n_shards, ndigits,
+        )
+        if bool(over_mask.all()):
+            return long_part
+        raw = _filter_keys(
+            raw, key_col, over_keys, keep=False
+        ).materialize()
+        t0 = t0.loc[~over_mask]
     import ray
 
     t0_ref = ray.put(
@@ -2136,8 +2169,216 @@ def ewma_by(ds, key_col: str, ts_col: str, value_col: str,
             "ewma": pa.array([], pa.float64()),
         }
     )
-    return keyed_prefix_scan(
+    short_part = keyed_prefix_scan(
         weighted, key_col, id_col, ["_w"], finish, empty_out, n_shards
+    )
+    if long_part is None:
+        return short_part
+    return short_part.union(long_part)
+
+
+def _filter_keys(ds, key_col: str, keys: np.ndarray, keep: bool):
+    """Membership filter on an int64 key column against a (small)
+    key array shipped once via ``ray.put`` — the overflow-key set is
+    a handful of bot/system streams, never corpus-sized."""
+    import ray
+
+    ref = ray.put(np.sort(keys.astype(np.int64)))
+
+    class Member:
+        def __init__(self, ref, keep):
+            self.keys = _broadcast_fetch(ref)
+            self.keep = keep
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            col = batch.column(key_col).to_numpy(zero_copy_only=False)
+            hit = np.isin(col, self.keys, assume_unique=False)
+            return batch.filter(
+                pa.array(hit if self.keep else ~hit)
+            )
+
+    return ds.map_batches(
+        Member, batch_format="pyarrow", concurrency=(1, 8),
+        fn_constructor_args=(ref, keep),
+    )
+
+
+def _ewma_anchored(raw, key_col: str, id_col: str, tau_us: float,
+                   n_shards: int, ndigits: int):
+    """EWMA for keys whose time span exceeds float64's ~709*tau exp
+    range: anchor weights at each row's own TIME-BUCKET start instead
+    of the key's t0, and carry the decayed state between buckets —
+    ``C_b = (C_{b-1} + P_{b-1}) * exp(-(T_b - T_{b-1})/tau)`` where
+    ``P_b`` is the bucket's partial sum of bucket-anchored weights.
+    Every exp argument is then bounded by one bucket width / tau
+    (buckets are sized to 80*tau below), so no intermediate can
+    overflow however long the stream runs; between-bucket gaps only
+    ever *underflow* to 0, which is the mathematically correct
+    fully-decayed state.
+
+    Same skew-safe cell decomposition as ``keyed_prefix_scan``: the
+    carry recurrence runs over the tiny (key, bucket) CELL table
+    (rows = active key-days, not events), and events only ever sort
+    within their own ``hash(key, bucket)`` shard.
+    """
+    eff = max(1, int(80.0 * tau_us))  # bucket width: exp arg <= 80
+
+    def reweight(batch: pd.DataFrame) -> pa.Table:
+        ts = batch["_ts"].to_numpy()
+        tb = ts // eff
+        w = batch["_v"].to_numpy() * np.exp(
+            (ts - tb * eff) / tau_us
+        )
+        return pa.table(
+            {
+                id_col: pa.array(
+                    batch[id_col].to_numpy(dtype=np.int64),
+                    pa.int64(),
+                ),
+                key_col: pa.array(
+                    batch[key_col].to_numpy(dtype=np.int64),
+                    pa.int64(),
+                ),
+                "_ts": pa.array(ts, pa.int64()),
+                "_tb": pa.array(tb, pa.int64()),
+                "_w": pa.array(w, pa.float64()),
+            }
+        )
+
+    rows = raw.map_batches(
+        reweight, batch_format="pandas"
+    ).materialize()
+
+    cells = bucketed_aggregate(
+        rows, [key_col, "_tb"], {"_p": ("_w", "sum")}
+    )
+
+    def _shard_of(keys: np.ndarray, buckets: np.ndarray) -> np.ndarray:
+        return (
+            pd.util.hash_array(
+                keys * np.int64(1_000_003) + buckets
+            ) % np.uint64(n_shards)
+        ).astype(np.int64)
+
+    def key_carry(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values([key_col, "_tb"])
+        keys = g[key_col].to_numpy()
+        tb = g["_tb"].to_numpy()
+        p = g["_p"].to_numpy(dtype=np.float64)
+        carry = np.zeros(len(g), dtype=np.float64)
+        # loop over CELLS (active key-buckets), never over events
+        for i in range(1, len(g)):
+            if keys[i] == keys[i - 1]:
+                carry[i] = (carry[i - 1] + p[i - 1]) * np.exp(
+                    -float(tb[i] - tb[i - 1]) * eff / tau_us
+                )
+        return pa.table(
+            {
+                id_col: pa.array(
+                    np.full(len(g), -1, dtype=np.int64), pa.int64()
+                ),
+                key_col: pa.array(keys, pa.int64()),
+                "_ts": pa.array(
+                    np.zeros(len(g), dtype=np.int64), pa.int64()
+                ),
+                "_tb": pa.array(tb, pa.int64()),
+                "_w": pa.array(carry, pa.float64()),
+                "_is_off": pa.array(
+                    np.ones(len(g), dtype=np.bool_), pa.bool_()
+                ),
+                "_shard": pa.array(_shard_of(keys, tb), pa.int64()),
+            }
+        )
+
+    def key_shard(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["_kshard"] = (
+            pd.util.hash_array(batch[key_col].to_numpy())
+            % np.uint64(max(32, n_shards // 4))
+        ).astype(np.int64)
+        return batch
+
+    offsets = (
+        cells.map_batches(key_shard, batch_format="pandas")
+        .groupby("_kshard")
+        .map_groups(key_carry, batch_format="pandas")
+    )
+
+    def tag(batch: pd.DataFrame) -> pa.Table:
+        keys = batch[key_col].to_numpy()
+        tb = batch["_tb"].to_numpy()
+        return pa.table(
+            {
+                id_col: pa.array(
+                    batch[id_col].to_numpy(), pa.int64()
+                ),
+                key_col: pa.array(keys, pa.int64()),
+                "_ts": pa.array(batch["_ts"].to_numpy(), pa.int64()),
+                "_tb": pa.array(tb, pa.int64()),
+                "_w": pa.array(batch["_w"].to_numpy(), pa.float64()),
+                "_is_off": pa.array(
+                    np.zeros(len(batch), dtype=np.bool_), pa.bool_()
+                ),
+                "_shard": pa.array(_shard_of(keys, tb), pa.int64()),
+            }
+        )
+
+    unioned = rows.map_batches(tag, batch_format="pandas").union(
+        offsets
+    )
+
+    empty_out = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            key_col: pa.array([], pa.int64()),
+            "ewma": pa.array([], pa.float64()),
+        }
+    )
+
+    def scan_shard(group: pd.DataFrame) -> pa.Table:
+        own = group[~group["_is_off"]].sort_values(
+            [key_col, "_tb", "_ts", id_col]
+        )
+        if len(own) == 0:
+            return empty_out
+        keys = own[key_col].to_numpy()
+        tb = own["_tb"].to_numpy()
+        w = own["_w"].to_numpy(dtype=np.float64)
+        new = np.empty(len(own), dtype=np.bool_)
+        new[0] = True
+        new[1:] = (keys[1:] != keys[:-1]) | (tb[1:] != tb[:-1])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(own)))
+        # cumsum PER SEGMENT (loop over cells, vectorized within):
+        # a global cumsum + start-offset subtraction catastrophically
+        # cancels when an earlier cell holds e^{~80}-scale weights —
+        # the next cell's small values are absorbed and come back 0
+        cum = np.empty_like(w)
+        for s0, ln in zip(starts, lens):
+            cum[s0:s0 + ln] = np.cumsum(w[s0:s0 + ln])
+        carry = group[group["_is_off"]][[key_col, "_tb", "_w"]]
+        m = own[[id_col, key_col, "_tb", "_ts"]].merge(
+            carry, on=[key_col, "_tb"], how="left", sort=False,
+            suffixes=("", "_c"),
+        )
+        c = m["_w"].fillna(0.0).to_numpy(dtype=np.float64)
+        ewma = np.exp(
+            -(m["_ts"].to_numpy() - m["_tb"].to_numpy() * eff)
+            / tau_us
+        ) * (cum + c)
+        return pa.table(
+            {
+                id_col: pa.array(
+                    m[id_col].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                key_col: pa.array(
+                    m[key_col].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "ewma": pa.array(np.round(ewma, ndigits), pa.float64()),
+            }
+        )
+
+    return unioned.groupby("_shard").map_groups(
+        scan_shard, batch_format="pandas"
     )
 
 

@@ -2519,7 +2519,7 @@ def q_conv_assemble(sf_dir: str) -> pd.DataFrame:
     onto shuffle buckets (whole conv co-locates; a conv is bounded at
     8 turns so no skew risk); inside a bucket the stitch is one
     sort + groupby string-agg, vectorized per bucket not per conv."""
-    TURNS = 8
+    from unfurl_ray.sources.transcripts import TURNS_PER_CONV as TURNS
 
     ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
 
@@ -2573,7 +2573,7 @@ def q_sft_pairs(sf_dir: str) -> pd.DataFrame:
     one) — O(turns^2) chars per conv, bounded by the 8-turn cap.
     DuckDB twin: windowed string_agg with a 'rows between unbounded
     preceding and 1 preceding' frame."""
-    TURNS = 8
+    from unfurl_ray.sources.transcripts import TURNS_PER_CONV as TURNS
 
     ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
 
@@ -3407,7 +3407,9 @@ def q_ewma(sf_dir: str) -> pd.DataFrame:
     prefix sum (see ops/relational.ewma_by), so it rides the same
     skew-safe cell decomposition as q_running_total — no group ever
     holds a whole user stream.  Per-key t0 anchoring keeps exp
-    arguments bounded by each user's own time span."""
+    arguments bounded by each user's own time span; keys that outlive
+    ~700*tau automatically reroute to the bucket-anchored carry path
+    (see q_ewma_bot), so no stream length can overflow float64."""
     from unfurl_ray.ops.relational import ewma_by
 
     ds = _parquet_sh(
@@ -3418,6 +3420,36 @@ def q_ewma(sf_dir: str) -> pd.DataFrame:
         id_col="event_id", tau_s=3 * 86_400, bucket_s=86_400,
     ).to_pandas()
     out = out.sort_values("event_id", ascending=False).head(2000)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_ewma_bot(sf_dir: str) -> pd.DataFrame:
+    """EWMA with a 10-MINUTE tau over month-long streams: every key's
+    span exceeds the ~709*tau horizon past which the t0-anchored
+    identity (q_ewma's fast path, and the SQL window twin) overflows
+    float64, so this exercises ewma_by's per-bucket-anchored carry
+    path end to end — weights anchor at each row's own time-bucket
+    start and the decayed state carries between buckets as
+    ``C_b = (C_{b-1} + P_{b-1}) * exp(-dT/tau)``, every exp argument
+    bounded by one bucket width.  The oracle is the O(n^2) pairwise
+    definition (``sum v_j * exp(-(t_i-t_j)/tau)``, all exp args <= 0,
+    so DuckDB never overflows either) restricted to user_id < 20 to
+    keep the quadratic twin cheap; the Ray side is the same
+    linear-work distributed kernel that runs at full scale."""
+    import pyarrow.compute as pc
+
+    from unfurl_ray.ops.relational import ewma_by
+
+    ds = _parquet_sh(
+        sf_dir, "events", ["event_id", "ts", "user_id", "value"]
+    ).map_batches(
+        lambda b: b.filter(pc.less(b.column("user_id"), 20)),
+        batch_format="pyarrow",
+    )
+    out = ewma_by(
+        ds, key_col="user_id", ts_col="ts", value_col="value",
+        id_col="event_id", tau_s=600.0, bucket_s=86_400,
+    ).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 
@@ -3530,6 +3562,25 @@ def q_sliding_mau(sf_dir: str) -> pd.DataFrame:
         "wd", "user_id", out_col="mau",
     ).to_pandas()
     out["mau"] = out["mau"].astype("int64")
+    return out.sort_values("wd").reset_index(drop=True)
+
+
+def q_sliding_mau_hll(sf_dir: str) -> pd.DataFrame:
+    """Approximate 7-day rolling distinct actives — the SCALE PATH
+    for q_sliding_mau: the exact variant's shuffle carries one
+    (window_day, user) row per distinct pair (7x distinct users per
+    day), which at 10^9 users becomes the job; here each batch folds
+    one 16 KiB HLL per day, the groupby moves only day-sketches, and
+    the window union is a register-max over the tiny day table.
+    Rows-only check (sketch estimate has no SQL twin); the pytest
+    bound holds it within ~3 % of the exact pair-shuffle answer."""
+    from unfurl_ray.ops.sketch import sliding_distinct_hll
+
+    ds = _parquet_sh(sf_dir, "events", ["user_id", "ts"])
+    out = sliding_distinct_hll(
+        ds, ts_col="ts", id_col="user_id", window=7, p=14
+    )
+    out["estimate"] = out["estimate"].round(2)
     return out.sort_values("wd").reset_index(drop=True)
 
 
