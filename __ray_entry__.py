@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pca": p.q_pca,
         "q_embed_neardup": p.q_embed_neardup,
         "q_embed_neardup_ann": p.q_embed_neardup_ann,
+        "q_semdedup": p.q_semdedup,
         "q_knn_topk": p.q_knn_topk,
         "q_knn_ivf": p.q_knn_ivf,
         "q_kmeans_sample": p.q_kmeans_sample,
@@ -829,6 +830,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+        # SemDeDup: cosine pair graph -> min-label components (the
+        # r.label < e.v prune only drops labels dominated by v's own
+        # seed, so min() per node is the component representative);
+        # kept = the representative itself
+        "q_semdedup": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS pu, b.vec_id AS pv
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(
+                          CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) >= 0.45
+            ), e AS (
+                SELECT pu AS u, pv AS v FROM pairs
+                UNION
+                SELECT pv AS u, pu AS v FROM pairs
+            ), reach AS (
+                SELECT vec_id AS node, vec_id AS label
+                FROM embeddings
+                UNION
+                SELECT e.v, r.label
+                FROM reach r JOIN e ON e.u = r.node
+                WHERE r.label < e.v
+            )
+            SELECT node AS vec_id, min(label) AS component,
+                   (min(label) = node) AS kept
+            FROM reach GROUP BY node ORDER BY vec_id
         """,
         "q_image_meta": """
             SELECT doc_id, 'image/png' AS format,

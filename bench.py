@@ -190,6 +190,19 @@ def main() -> None:
     # (pull-based: 44-58 s at 32 CPUs; push-based: 41.4-41.6 s)
     ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
 
+    # host-noise canary at BOTH ends of the run: single-process numpy
+    # fold of 1M int64 (~0.05-0.27 s on a quiet host); a slow reading
+    # at either end marks the wall times as co-tenancy-inflated
+    import numpy as _np
+
+    from unfurl_ray.ops.sketch import hll_fold as _hf
+
+    _cv = _np.arange(1_000_000, dtype=_np.int64)
+    _hf(_cv[:1000], 12)  # warm
+    _t = time.time()
+    _hf(_cv, 12)
+    canary_start = round(time.time() - _t, 3)
+
     headline = run_headline()
     run_q = os.environ.get("BENCH_QUERIES", "1") == "1"
     queries = run_queries() if run_q else {}
@@ -202,6 +215,7 @@ def main() -> None:
                 "metric": "transcript extraction + ordering wall time",
                 "value": round(headline["seconds"], 2),
                 "unit": "sec",
+                "canary_start_sec": canary_start,
                 "queries": queries,
                 "micro": micro,
                 "sf": SF_DIR,

@@ -1155,6 +1155,48 @@ def q_embed_neardup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_semdedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup-style semantic deduplication end to end: exact cosine
+    pairs above 0.45 become an undirected edge set, distributed
+    min-label connected components cluster them, and every vector
+    maps to its cluster representative (the min vec_id) with a
+    ``kept`` flag — the "keep one per semantic cluster" curation step.
+    The pair stage is the labeled exact baseline (broadcast corpus,
+    per-batch matmul); swap in cosine_pairs_bucketed for the
+    no-broadcast scale path with the same downstream.  Fully
+    SQL-expressible (cosine cross join + recursive-CTE min-label), so
+    unlike the kmeans-bucketed variant the whole chain is
+    hash-checked."""
+    from unfurl_ray.ops.graph import assign_components, connected_components
+    from unfurl_ray.ops.similarity import cosine_pair_dedup
+
+    ds = _parquet(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = cosine_pair_dedup(ds, threshold=0.45)
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch.column("vec_a").to_numpy(zero_copy_only=False)
+        b = batch.column("vec_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": pa.array(
+                    np.concatenate([a, b]).astype(np.int64), pa.int64()
+                ),
+                "v": pa.array(
+                    np.concatenate([b, a]).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
+    labels = connected_components(edges)
+    out = assign_components(
+        ds, labels, id_column="vec_id", out_column="component"
+    ).to_pandas()
+    out["kept"] = (out["vec_id"] == out["component"]).astype("bool")
+    out = out.astype({"vec_id": "int64", "component": "int64"})
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_embed_neardup_ann(sf_dir: str) -> pd.DataFrame:
     """Bucketed (centroid-LSH) near-dup pairs — the no-broadcast scale
     path; exact precision, recall governed by assign_top (rows-only
