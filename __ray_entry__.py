@@ -97,6 +97,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ewma": p.q_ewma,
         "q_ewma_bot": p.q_ewma_bot,
         "q_sliding_mau_hll": p.q_sliding_mau_hll,
+        "q_interval_coverage": p.q_interval_coverage,
+        "q_full_outer_join": p.q_full_outer_join,
+        "q_triangles": p.q_triangles,
         "q_profile": p.q_profile,
         "q_pagerank": p.q_pagerank,
         "q_sliding_mau": p.q_sliding_mau,
@@ -717,7 +720,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM t
             )
             SELECT bucket, start // 2000 AS shard_idx,
-                   count(*) AS n_rows, sum(n_tokens) AS weight
+                   count(*) AS n_rows,
+                   CAST(sum(n_tokens) AS BIGINT) AS weight
             FROM c GROUP BY bucket, start // 2000
             ORDER BY bucket, shard_idx
         """,
@@ -830,6 +834,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+        # triangle count on the cosine>=0.3 graph: id-ordered 3-way
+        # self-join counts each triangle once (x<y<z); the Ray side's
+        # degree orientation is count-invariant
+        "q_triangles": """
+            WITH p AS (
+                SELECT a.vec_id AS u, b.vec_id AS v
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(
+                          CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) >= 0.3
+            )
+            SELECT (SELECT count(*) FROM p) AS n_edges,
+                   CAST(count(*) AS BIGINT) AS n_triangles
+            FROM p e1
+            JOIN p e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN p e3 ON e3.u = e1.v AND e3.v = e2.v
         """,
         # SemDeDup: cosine pair graph -> min-label components (the
         # r.label < e.v prune only drops labels dominated by v's own
@@ -1328,6 +1350,60 @@ def oracle_sql() -> dict[str, str]:
             FROM t
             ORDER BY event_id DESC LIMIT 2000
         """,
+        # full outer join of two per-user summaries; the filters
+        # force unmatched keys on both ends (null spend / null clicks)
+        "q_full_outer_join": """
+            WITH a AS (
+                SELECT user_id,
+                       floor(sum(value) * 100 + 0.5) / 100 AS spend
+                FROM events
+                WHERE event_type = 'purchase' AND user_id < 120
+                GROUP BY 1
+            ), b AS (
+                SELECT user_id, count(*) AS n_clicks
+                FROM events
+                WHERE event_type = 'click' AND user_id >= 30
+                GROUP BY 1
+            )
+            SELECT coalesce(a.user_id, b.user_id) AS user_id,
+                   a.spend, b.n_clicks
+            FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+            ORDER BY 1
+        """,
+        # gaps-and-islands interval union per user: duration from
+        # exact integer cents so the us arithmetic is identical on
+        # both sides; islands break where s > running max end
+        "q_interval_coverage": """
+            WITH iv AS (
+                SELECT user_id, epoch_us(ts) AS s,
+                       epoch_us(ts)
+                       + CAST(round(value * 100) AS BIGINT) * 600000
+                           AS e
+                FROM events
+            ), o AS (
+                SELECT user_id, s, e,
+                       max(e) OVER (
+                           PARTITION BY user_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS pmax
+                FROM iv
+            ), isl AS (
+                SELECT user_id, s, e,
+                       sum(CASE WHEN pmax IS NULL OR s > pmax
+                                THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY user_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS gid
+                FROM o
+            ), g AS (
+                SELECT user_id, gid,
+                       min(s) AS i_s, max(e) AS i_e
+                FROM isl GROUP BY user_id, gid
+            )
+            SELECT user_id, count(*) AS n_islands,
+                   CAST(sum(i_e - i_s) AS BIGINT) AS covered_us
+            FROM g GROUP BY user_id ORDER BY user_id
+        """,
         # long-span EWMA (tau = 10 min over a month: past the ~709*tau
         # float64 exp horizon, so the window-identity twin would
         # overflow) — oracle is the O(n^2) pairwise definition whose
@@ -1380,8 +1456,8 @@ def oracle_sql() -> dict[str, str]:
         # per-bucket counts of the compacted layout vs the raw table:
         # same HUGEINT Knuth hash as layout.bucket_of
         "q_compact_layout": """
-            SELECT ((CAST(user_id AS HUGEINT) * 2654435761)
-                    % 18446744073709551616) % 16 AS bucket,
+            SELECT CAST(((CAST(user_id AS HUGEINT) * 2654435761)
+                    % 18446744073709551616) % 16 AS BIGINT) AS bucket,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM events
             GROUP BY 1 ORDER BY 1
@@ -1749,7 +1825,7 @@ def oracle_sql() -> dict[str, str]:
                    floor(-sum((CAST(n AS DOUBLE) / t)
                               * log2(CAST(n AS DOUBLE) / t))
                          * 1e6 + 0.5) / 1e6 AS entropy,
-                   sum(n) AS n
+                   CAST(sum(n) AS BIGINT) AS n
             FROM c JOIN t USING (user_id)
             GROUP BY 1
             ORDER BY 1
@@ -1800,7 +1876,7 @@ def oracle_sql() -> dict[str, str]:
                          / (any_value(n) * any_value(s))
                          * 1e6 + 0.5) / 1e6 AS gini,
                    any_value(n) AS n_users,
-                   any_value(s) AS n_events,
+                   CAST(any_value(s) AS BIGINT) AS n_events,
                    max(c) AS max_c
             FROM r
         """,

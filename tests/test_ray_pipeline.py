@@ -2470,6 +2470,140 @@ def test_ewma_matches_recurrence(ray_session):
     )
 
 
+def test_triangle_count_matches_brute(ray_session):
+    """Degree-oriented distributed triangle count equals the brute
+    adjacency-matrix trace on random graphs, including one with a hub
+    node (where orientation keeps the wedge fan-out bounded)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.graph import triangle_count
+
+    rng = np.random.default_rng(17)
+    n = 60
+    A = (rng.uniform(size=(n, n)) < 0.12).astype(np.int64)
+    A[0, :] = A[:, 0] = 1  # hub
+    A = np.triu(A, 1)
+    A = A + A.T
+    iu = np.column_stack(np.nonzero(np.triu(A, 1)))
+    edges = pd.DataFrame(
+        {"a": iu[:, 0].astype(np.int64), "b": iu[:, 1].astype(np.int64)}
+    )
+    got = triangle_count(
+        rd.from_pandas(edges).repartition(5), n_buckets=8
+    )
+    want = int(np.trace(A @ A @ A) // 6)
+    assert got == want
+
+
+def test_bucketed_hash_join_outer_left(ray_session):
+    """Outer/left variants null-pad unmatched keys with typed Arrow
+    nulls inside the same single-shuffle bucket merge, matching
+    pandas' reference join on every key — including buckets that see
+    only one side."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.relational import bucketed_hash_join
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, 300).astype(np.int64),
+            "lv": rng.integers(0, 1000, 300).astype(np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k2": (rng.integers(0, 50, 200) + 25).astype(np.int64),
+            "rv": rng.integers(0, 1000, 200).astype(np.int64),
+        }
+    )
+    for how in ("outer", "left"):
+        got = (
+            bucketed_hash_join(
+                rd.from_pandas(left).repartition(5),
+                rd.from_pandas(right).repartition(4),
+                on="k", right_on="k2", n_buckets=8, how=how,
+            )
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        ref = (
+            left.merge(
+                right.rename(columns={"k2": "k"}), on="k", how=how
+            )
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(ref), how
+        for c in ("k", "lv", "rv"):
+            pd.testing.assert_series_equal(
+                got[c].astype("float64"), ref[c].astype("float64"),
+                check_names=False,
+            )
+
+
+def test_merge_intervals_matches_sweep(ray_session):
+    """Distributed interval union equals the single-process sweep,
+    including a hot key spread over many batches, touching intervals
+    (coalesce), exact duplicates, and fully-nested intervals."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.relational import merge_intervals
+
+    rng = np.random.default_rng(13)
+    n = 8000
+    k = np.where(
+        np.arange(n) % 3 == 0, 99, rng.integers(0, 40, n)
+    ).astype(np.int64)
+    s = rng.integers(0, 1_000_000, n)
+    ln = rng.integers(0, 3_000, n)  # zero-length intervals included
+    df = pd.DataFrame({"k": k, "s": s, "e": s + ln})
+    # touching pair + duplicate + nested, deterministic
+    df.loc[0, ["k", "s", "e"]] = [7, 0, 10]
+    df.loc[1, ["k", "s", "e"]] = [7, 10, 20]  # touches -> coalesce
+    df.loc[2, ["k", "s", "e"]] = [7, 0, 10]   # duplicate
+    df.loc[3, ["k", "s", "e"]] = [7, 2, 5]    # nested
+
+    got = (
+        merge_intervals(
+            rd.from_pandas(df).repartition(7), "k", "s", "e"
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+
+    rows = []
+    for key, g in df.sort_values(["s", "e"]).groupby("k"):
+        covered = islands = 0
+        run_s = run_e = None
+        for _, r in g.iterrows():
+            if run_e is not None and r["s"] <= run_e:
+                run_e = max(run_e, r["e"])
+            else:
+                if run_e is not None:
+                    covered += run_e - run_s
+                islands += 1
+                run_s, run_e = r["s"], r["e"]
+        covered += run_e - run_s
+        rows.append((key, islands, covered))
+    ref = (
+        pd.DataFrame(rows, columns=["k", "n_islands", "covered_us"])
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), ref.astype("int64")
+    )
+
+
 def test_ewma_long_span_anchored_path(ray_session):
     """Keys spanning far past 700*tau reroute to the bucket-anchored
     carry path and still match the per-row recurrence exactly; mixed

@@ -421,3 +421,161 @@ def pagerank(edges, damping: float = 0.85, n_iter: int = 10,
         {"node": nodes, "rank": rank.to_numpy()}
     ).sort_values("node").reset_index(drop=True)
     return out
+
+
+def triangle_count(edges, n_buckets: int = 64) -> int:
+    """Exact triangle count over an undirected edge Dataset with
+    columns ``(a, b)``, ``a < b``, unique rows.
+
+    Degree-oriented wedge enumeration — the standard bound that makes
+    this tractable on power-law graphs: every edge orients from its
+    lower-(degree, id) endpoint to the higher one, each node emits
+    the pairs of its ORIENTED neighbors (``C(d_out, 2)`` wedges, and
+    orientation caps d_out at ~sqrt(m) on degenerate graphs where raw
+    degree is unbounded), and a wedge closes a triangle iff its
+    endpoint pair is itself an edge.  Each triangle is counted exactly
+    once, at its lowest-rank vertex.
+
+    Distributed shape: degrees via ``bucketed_aggregate`` (tiny:
+    nodes x 1), the node->rank map broadcast once via ``ray.put``;
+    wedges and edges co-shuffle on a hash of the canonical endpoint
+    pair and each bucket counts closures with one vectorized
+    ``isin`` — no all-pairs stage, no driver-side edge scan."""
+    import ray
+
+    from unfurl_ray.ops.relational import (
+        _broadcast_fetch, bucketed_aggregate,
+    )
+
+    edges = edges.materialize()
+
+    def fan(batch: pd.DataFrame) -> pa.Table:
+        nodes = np.concatenate(
+            [batch["a"].to_numpy(), batch["b"].to_numpy()]
+        )
+        return pa.table({"node": pa.array(nodes, pa.int64())})
+
+    deg = bucketed_aggregate(
+        edges.map_batches(fan, batch_format="pandas"),
+        ["node"], {"d": ("node", "count")},
+    ).to_pandas()
+    # rank = position under (degree, id): ties break by id so the
+    # orientation is a strict total order
+    deg = deg.sort_values(["d", "node"]).reset_index(drop=True)
+    rank = pd.Series(
+        np.arange(len(deg), dtype=np.int64),
+        index=deg["node"].to_numpy(),
+    )
+    rank_ref = ray.put(rank)
+
+    class Orient:
+        def __init__(self, ref):
+            self.rank = _broadcast_fetch(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pa.Table:
+            a = batch["a"].to_numpy()
+            b = batch["b"].to_numpy()
+            ra = self.rank.reindex(a).to_numpy()
+            rb = self.rank.reindex(b).to_numpy()
+            lo = np.where(ra <= rb, a, b)
+            hi = np.where(ra <= rb, b, a)
+            return pa.table(
+                {
+                    "src": pa.array(lo, pa.int64()),
+                    "dst": pa.array(hi, pa.int64()),
+                }
+            )
+
+    oriented = edges.map_batches(
+        Orient, batch_format="pandas", concurrency=(1, 8),
+        fn_constructor_args=(rank_ref,),
+    )
+
+    def wedges(group: pd.DataFrame) -> pa.Table:
+        us, vs = [], []
+        for _, g in group.groupby("src", sort=False):
+            nb = np.sort(g["dst"].to_numpy())
+            k = len(nb)
+            if k < 2:
+                continue
+            iu, iv = np.triu_indices(k, 1)
+            us.append(nb[iu])
+            vs.append(nb[iv])
+        if not us:
+            return pa.table(
+                {
+                    "u": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate(us), pa.int64()),
+                "v": pa.array(np.concatenate(vs), pa.int64()),
+            }
+        )
+
+    def shard_src(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["_s"] = (
+            pd.util.hash_array(batch["src"].to_numpy())
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return batch
+
+    wedge_ds = (
+        oriented.map_batches(shard_src, batch_format="pandas")
+        .groupby("_s")
+        .map_groups(wedges, batch_format="pandas")
+    )
+
+    # closure check: wedge (u, v) closes iff {min,max}(u, v) is an
+    # edge; co-shuffle wedges and edges on the canonical pair hash.
+    # (the packed int64 pair key below assumes node ids < 2^31)
+    def tag(is_edge: bool):
+        ca, cb = ("a", "b") if is_edge else ("u", "v")
+
+        def f(batch: pd.DataFrame) -> pa.Table:
+            x = batch[ca].to_numpy()
+            y = batch[cb].to_numpy()
+            lo = np.minimum(x, y)
+            hi = np.maximum(x, y)
+            return pa.table(
+                {
+                    "lo": pa.array(lo, pa.int64()),
+                    "hi": pa.array(hi, pa.int64()),
+                    "_e": pa.array(
+                        np.full(len(batch), is_edge, dtype=np.bool_),
+                        pa.bool_(),
+                    ),
+                    "_b": pa.array(
+                        (
+                            pd.util.hash_array(
+                                lo * np.int64(1_000_003) + hi
+                            ) % np.uint64(n_buckets)
+                        ).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        return f
+
+    unioned = wedge_ds.map_batches(
+        tag(False), batch_format="pandas"
+    ).union(edges.map_batches(tag(True), batch_format="pandas"))
+
+    def close(group: pd.DataFrame) -> pa.Table:
+        e = group[group["_e"]]
+        w = group[~group["_e"]]
+        if len(e) == 0 or len(w) == 0:
+            n = 0
+        else:
+            ek = e["lo"].to_numpy() * np.int64(1 << 32) + e["hi"].to_numpy()
+            wk = w["lo"].to_numpy() * np.int64(1 << 32) + w["hi"].to_numpy()
+            n = int(np.isin(wk, ek).sum())
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    parts = unioned.groupby("_b").map_groups(
+        close, batch_format="pandas"
+    ).to_pandas()
+    return int(parts["n"].sum())

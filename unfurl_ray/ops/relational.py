@@ -245,6 +245,83 @@ def sessionize(ds, ts_col: str, key_col: str, gap_s: int):
     )
 
 
+def merge_intervals(ds, key_col: str, start_col: str, end_col: str):
+    """Per-key INTERVAL UNION (gaps-and-islands): overlapping or
+    touching ``[start, end]`` intervals merge into islands; returns
+    one row per key with ``n_islands`` and ``covered_us`` (total
+    length of the union).  The question behind "total listened time",
+    "machine uptime", "effective on-call coverage".
+
+    Skew-safe like ``sessionize``: interval union is associative, so
+    phase 1 merges each batch's intervals into per-key island
+    FRAGMENTS (vectorized: grouped cummax of the running end, island
+    breaks where ``start > previous running max``), and phase 2
+    re-merges only the fragment stubs per key — a key with 10^9
+    intervals ships islands-per-batch rows, never intervals.  Both
+    columns are int64 microseconds (callers convert timestamps
+    first); merge condition is ``start <= running_end`` — touching
+    intervals coalesce, matching the SQL windowed twin's
+    ``s > pmax`` island break."""
+
+    def fragments(batch: pd.DataFrame) -> pa.Table:
+        g = batch.sort_values([key_col, start_col, end_col])
+        s = g[start_col].to_numpy(dtype=np.int64)
+        e = g[end_col].to_numpy(dtype=np.int64)
+        kid = (
+            g[key_col] != g[key_col].shift()
+        ).cumsum()  # contiguous key run ids, C-level
+        pmax = (
+            pd.Series(e).groupby(kid.to_numpy()).cummax()
+            .groupby(kid.to_numpy()).shift(1)
+        )
+        new = pmax.isna().to_numpy() | (s > pmax.to_numpy())
+        gid = np.cumsum(new)  # keys partition islands globally
+        agg = g.assign(_g=gid, _s=s, _e=e).groupby("_g", sort=True)
+        return pa.table(
+            {
+                key_col: pa.array(
+                    agg[key_col].first().to_numpy(dtype=np.int64),
+                    pa.int64(),
+                ),
+                "_is": pa.array(
+                    agg["_s"].min().to_numpy(), pa.int64()
+                ),
+                "_ie": pa.array(
+                    agg["_e"].max().to_numpy(), pa.int64()
+                ),
+            }
+        )
+
+    def merge_fragments(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["_is", "_ie"])
+        s = g["_is"].to_numpy()
+        e = g["_ie"].to_numpy()
+        covered = np.int64(0)
+        n_islands = 0
+        run_end = None
+        for i in range(len(g)):  # O(fragments), not O(intervals)
+            if run_end is not None and s[i] <= run_end:
+                run_end = max(run_end, e[i])
+            else:
+                if run_end is not None:
+                    covered += run_end - run_start
+                n_islands += 1
+                run_start, run_end = s[i], e[i]
+        covered += run_end - run_start
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]],
+                "n_islands": np.array([n_islands], dtype=np.int64),
+                "covered_us": np.array([covered], dtype=np.int64),
+            }
+        )
+
+    frags = ds.map_batches(fragments, batch_format="pandas")
+    return frags.groupby(key_col).map_groups(
+        merge_fragments, batch_format="pandas"
+    )
+
+
 def asof_join_partitioned(left_ds, right_ds, key_col: str, left_ts: str,
                           right_ts: str, bucket_s: int,
                           left_keep: list[str], right_keep: list[str],
@@ -1033,11 +1110,14 @@ def bucketed_aggregate(ds, keys: list[str],
 
 
 def bucketed_hash_join(left_ds, right_ds, on: str, right_on: str,
-                       n_buckets: int = 32):
-    """Inner hash join as one bucket-co-partitioned shuffle: both
-    sides tag, pad to a shared schema with TYPED nulls, union, group
-    by ``hash(key) % n_buckets``, and each bucket merges with one
-    vectorized pandas join.
+                       n_buckets: int = 32, how: str = "inner"):
+    """Hash join (``how`` in inner/left/outer) as one
+    bucket-co-partitioned shuffle: both sides tag, pad to a shared
+    schema with TYPED nulls, union, group by ``hash(key) %
+    n_buckets``, and each bucket merges with one vectorized pandas
+    join.  Outer variants stay one shuffle: a key's rows from BOTH
+    sides land in the same bucket, so unmatched rows are visible
+    locally and null-pad there — no second pass.
 
     Exists because ``Dataset.join`` fails with ArrowInvalid when a
     hash partition receives zero rows from one side (sparse key
@@ -1045,12 +1125,25 @@ def bucketed_hash_join(left_ds, right_ds, on: str, right_on: str,
     inherit the builtin-aggregate sensitivity to partition count.
     Size ``n_buckets`` so one bucket of the LARGER side fits a worker.
     """
-    lschema = pa.schema(
-        [f for f in left_ds.schema().base_schema]
-    )
+    def _arrow_schema(ds) -> pa.Schema:
+        sch = ds.schema().base_schema
+        if isinstance(sch, pa.Schema):
+            return sch
+        # PandasBlockSchema (upstream stage emitted pandas blocks)
+        def typ(t):
+            try:
+                return pa.from_numpy_dtype(t)
+            except (pa.ArrowNotImplementedError, TypeError):
+                return pa.string()  # object dtype
+
+        return pa.schema(
+            [pa.field(n, typ(t)) for n, t in zip(sch.names, sch.types)]
+        )
+
+    lschema = _arrow_schema(left_ds)
     rfields = [
         pa.field(on if f.name == right_on else f.name, f.type)
-        for f in right_ds.schema().base_schema
+        for f in _arrow_schema(right_ds)
     ]
     lnames = {f.name for f in lschema}
     clash = {f.name for f in rfields if f.name in lnames} - {on}
@@ -1102,11 +1195,23 @@ def bucketed_hash_join(left_ds, right_ds, on: str, right_on: str,
     def merge_bucket(group: pd.DataFrame) -> pa.Table:
         lrows = group.loc[group["_side"] == 0, lcols]
         rrows = group.loc[group["_side"] == 1, rcols]
-        merged = lrows.merge(rrows, on=on, how="inner")
-        return pa.Table.from_pandas(
-            merged[out_names], schema=pa.schema(unified),
-            preserve_index=False,
-        ).replace_schema_metadata(None)
+        merged = lrows.merge(rrows, on=on, how=how)
+        if how == "inner":
+            return pa.Table.from_pandas(
+                merged[out_names], schema=pa.schema(unified),
+                preserve_index=False,
+            ).replace_schema_metadata(None)
+        # left/outer: pandas promotes unmatched int columns to
+        # float64 + NaN; from_pandas=True per column converts NaN
+        # back to typed Arrow nulls under the unified schema
+        return pa.table(
+            {
+                f.name: pa.array(
+                    merged[f.name], type=f.type, from_pandas=True
+                )
+                for f in unified
+            }
+        )
 
     return unioned.groupby("_bucket").map_groups(
         merge_bucket, batch_format="pandas"

@@ -504,6 +504,66 @@ def q_bucketed_join(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderstatus").reset_index(drop=True)
 
 
+def q_full_outer_join(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER join of two derived per-user summaries (purchase
+    spend of users < 120 vs click counts of users >= 30 — the filters
+    force unmatched keys on BOTH ends).  Same one-shuffle
+    bucket-co-partitioned join as the inner variant: a key's rows
+    from both sides share a bucket, so unmatched rows null-pad
+    locally with typed Arrow nulls — no second pass, no broadcast."""
+    import pyarrow.compute as pc
+
+    from unfurl_ray.ops.relational import (
+        bucketed_aggregate, bucketed_hash_join,
+    )
+
+    ds = _parquet_sh(
+        sf_dir, "events", ["user_id", "event_type", "value"]
+    )
+    a = bucketed_aggregate(
+        ds.map_batches(
+            lambda b: b.filter(
+                pc.and_(
+                    pc.equal(b.column("event_type"), "purchase"),
+                    pc.less(b.column("user_id"), 120),
+                )
+            ),
+            batch_format="pyarrow",
+        ),
+        ["user_id"], {"spend": ("value", "sum")},
+    ).map_batches(
+        # floor(x*100 + 0.5)/100: the repo's half-up convention —
+        # bit-identical on both engines (see q_quality oracle notes)
+        lambda b: b.set_column(
+            b.schema.get_field_index("spend"), "spend",
+            pa.array(
+                np.floor(
+                    b.column("spend").to_numpy(zero_copy_only=False)
+                    * 100.0 + 0.5
+                ) / 100.0,
+                pa.float64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    b = bucketed_aggregate(
+        ds.map_batches(
+            lambda t: t.filter(
+                pc.and_(
+                    pc.equal(t.column("event_type"), "click"),
+                    pc.greater_equal(t.column("user_id"), 30),
+                )
+            ),
+            batch_format="pyarrow",
+        ),
+        ["user_id"], {"n_clicks": ("value", "count")},
+    )
+    out = bucketed_hash_join(
+        a, b, on="user_id", right_on="user_id", how="outer"
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_skew_join(sf_dir: str) -> pd.DataFrame:
     """Hybrid skew-safe join: lineitems of orders with >= 6 items
     ('hot' keys) join by broadcast, the rest through the hash join;
@@ -1241,7 +1301,7 @@ def q_image_meta(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(to_png, batch_format="pyarrow")
         .map_batches(
             ImageMeta, batch_format="pyarrow", batch_size=128,
-            concurrency=2, num_cpus=1,
+            concurrency=(1, 2), num_cpus=1,
         )
         .to_pandas()
     )
@@ -2080,6 +2140,9 @@ def q_quarantine(sf_dir: str) -> pd.DataFrame:
         ds, risky, id_cols=["event_id"],
         out_schema={"event_id": "int64", "k": "Int64", "inv": "Int64"},
     ).to_pandas()
+    # match the oracle's NULL-promoted float64 (see q_align_union)
+    out["k"] = out["k"].astype("float64")
+    out["inv"] = out["inv"].astype("float64")
     return out.sort_values("event_id").reset_index(drop=True)
 
 
@@ -3154,6 +3217,14 @@ def q_zorder_scan(sf_dir: str) -> pd.DataFrame:
         boxed, ["event_type"],
         {"n": ("value", "count"), "sum_value": ("value", "sum")},
     ).to_pandas()
+    if out.empty:  # the box can be legitimately empty at tiny sf
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+                "sum_value": pd.Series([], dtype="float64"),
+            }
+        )
     out["n"] = out["n"].astype("int64")
     out["sum_value"] = out["sum_value"].round(2)
     return out.sort_values("event_type").reset_index(drop=True)
@@ -3319,7 +3390,10 @@ def q_align_union(sf_dir: str) -> pd.DataFrame:
         sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"]
     ).map_batches(parity(1), batch_format="pyarrow")
     out = align_union([old, new]).to_pandas()
-    out["n_chars"] = out["n_chars"].astype("Int64")
+    # float64, not nullable Int64: the DuckDB twin's NULL-padded int
+    # column arrives as float64/NaN, and the driver compare
+    # stringifies — "123.0"/"nan" must match on BOTH sides
+    out["n_chars"] = out["n_chars"].astype("float64")
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -3424,11 +3498,17 @@ def q_merge_runs(sf_dir: str) -> pd.DataFrame:
 
     out_dir = root + "_merged"
     sz = os.path.getsize(f"{sf_dir}/events.parquet")
+    tb = max(1 << 16, sz // 8)
     man = merge_sorted_runs(
         [os.path.join(root, f"run{r}") for r in range(3)],
-        "event_id", out_dir, target_bytes=max(1 << 16, sz // 8),
+        "event_id", out_dir, target_bytes=tb,
     )
-    assert len(man) >= 2, "merge produced a single range — no fan-out"
+    # fan-out sanity only when the input is big enough to plan >1
+    # range (at sf0.001 the whole table fits one target_bytes range)
+    if sz >= 2 * tb:
+        assert len(man) >= 2, (
+            "merge produced a single range — no fan-out"
+        )
 
     merged = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
     frames = [pd.read_parquet(f) for f in merged]
@@ -3493,6 +3573,45 @@ def q_ewma_bot(sf_dir: str) -> pd.DataFrame:
         id_col="event_id", tau_s=600.0, bucket_s=86_400,
     ).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_interval_coverage(sf_dir: str) -> pd.DataFrame:
+    """Per-user interval-union coverage (gaps and islands): each event
+    opens an interval of ``value`` minutes; overlapping/touching
+    intervals merge, and the answer is islands + total covered time —
+    "how long was each user actually active".  Duration derives from
+    exact integer cents (``round(value*100) * 600000 us``) so the
+    float never hits a truncation boundary differently than the SQL
+    twin.  Batch-local island fragments -> per-key stub merge; see
+    ops/relational.merge_intervals for the skew story."""
+    from unfurl_ray.ops.relational import _ts_us, merge_intervals
+
+    ds = _parquet_sh(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def to_iv(batch: pd.DataFrame) -> pa.Table:
+        tu = _ts_us(batch["ts"]).to_numpy()
+        dur = np.rint(
+            batch["value"].to_numpy(dtype=np.float64) * 100.0
+        ).astype(np.int64) * 600_000
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    batch["user_id"].to_numpy(dtype=np.int64),
+                    pa.int64(),
+                ),
+                "s": pa.array(tu, pa.int64()),
+                "e": pa.array(tu + dur, pa.int64()),
+            }
+        )
+
+    out = merge_intervals(
+        ds.map_batches(to_iv, batch_format="pandas"),
+        key_col="user_id", start_col="s", end_col="e",
+    ).to_pandas()
+    out = out.astype(
+        {"user_id": "int64", "n_islands": "int64", "covered_us": "int64"}
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
 
 
 def q_profile(sf_dir: str) -> pd.DataFrame:
@@ -3605,6 +3724,39 @@ def q_sliding_mau(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     out["mau"] = out["mau"].astype("int64")
     return out.sort_values("wd").reset_index(drop=True)
+
+
+def q_triangles(sf_dir: str) -> pd.DataFrame:
+    """Exact triangle count over the embedding similarity graph
+    (cosine >= 0.3 edges): degree-oriented wedge enumeration — each
+    node emits pairs of its HIGHER-rank neighbors, capping wedges at
+    C(oriented-degree, 2) — then wedges and edges co-shuffle on the
+    canonical pair hash and close with one vectorized isin per
+    bucket.  The count is orientation-invariant, so the SQL twin's
+    id-ordered 3-way self-join is hash-exact against it."""
+    from unfurl_ray.ops.graph import triangle_count
+    from unfurl_ray.ops.similarity import cosine_pair_dedup
+
+    ds = _parquet(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = cosine_pair_dedup(ds, threshold=0.3)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": batch.column("vec_a").cast(pa.int64()),
+                "b": batch.column("vec_b").cast(pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(rename, batch_format="pyarrow")
+    n_edges = edges.count()
+    n_tri = triangle_count(edges)
+    return pd.DataFrame(
+        {
+            "n_edges": np.array([n_edges], dtype=np.int64),
+            "n_triangles": np.array([n_tri], dtype=np.int64),
+        }
+    )
 
 
 def q_sliding_mau_hll(sf_dir: str) -> pd.DataFrame:
