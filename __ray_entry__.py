@@ -1377,8 +1377,8 @@ def oracle_sql() -> dict[str, str]:
             WITH iv AS (
                 SELECT user_id, epoch_us(ts) AS s,
                        epoch_us(ts)
-                       + CAST(round(value * 100) AS BIGINT) * 600000
-                           AS e
+                       + CAST(floor(value * 100 + 0.5) AS BIGINT)
+                         * 600000 AS e
                 FROM events
             ), o AS (
                 SELECT user_id, s, e,

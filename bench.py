@@ -137,6 +137,25 @@ def run_queries() -> dict:
     return timings
 
 
+def canary_sec() -> float:
+    """Host-noise canary: single-process numpy HLL fold of 1M random
+    int64 — the SAME input protocol as run_micro's historical fold
+    timing (~0.05-0.3 s on a quiet host).  Measured at BOTH ends of
+    every run (including BENCH_QUERIES=0 scaling runs) so
+    co-tenancy-inflated wall times are identifiable like-for-like."""
+    import numpy as np
+
+    from unfurl_ray.ops.sketch import hll_fold
+
+    vals = np.random.default_rng(0).integers(
+        0, 500_000, size=1_000_000
+    )
+    hll_fold(vals[:1000], 12)  # warm
+    t0 = time.time()
+    hll_fold(vals, 12)
+    return round(time.time() - t0, 3)
+
+
 def run_micro() -> dict:
     """Kernel micro-benchmarks + IVF recall (single-process, no Ray)."""
     import numpy as np
@@ -190,23 +209,12 @@ def main() -> None:
     # (pull-based: 44-58 s at 32 CPUs; push-based: 41.4-41.6 s)
     ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
 
-    # host-noise canary at BOTH ends of the run: single-process numpy
-    # fold of 1M int64 (~0.05-0.27 s on a quiet host); a slow reading
-    # at either end marks the wall times as co-tenancy-inflated
-    import numpy as _np
-
-    from unfurl_ray.ops.sketch import hll_fold as _hf
-
-    _cv = _np.arange(1_000_000, dtype=_np.int64)
-    _hf(_cv[:1000], 12)  # warm
-    _t = time.time()
-    _hf(_cv, 12)
-    canary_start = round(time.time() - _t, 3)
-
+    canary_start = canary_sec()
     headline = run_headline()
     run_q = os.environ.get("BENCH_QUERIES", "1") == "1"
     queries = run_queries() if run_q else {}
     micro = run_micro() if run_q else {}
+    canary_end = canary_sec()
     ray.shutdown()
 
     print(
@@ -216,6 +224,7 @@ def main() -> None:
                 "value": round(headline["seconds"], 2),
                 "unit": "sec",
                 "canary_start_sec": canary_start,
+                "canary_end_sec": canary_end,
                 "queries": queries,
                 "micro": micro,
                 "sf": SF_DIR,

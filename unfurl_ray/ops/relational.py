@@ -1192,18 +1192,30 @@ def bucketed_hash_join(left_ds, right_ds, on: str, right_on: str,
     lcols = [f.name for f in lschema]
     rcols = [on] + [f.name for f in unified if f.name not in lnames]
 
+    int_names = {
+        f.name for f in unified if pa.types.is_integer(f.type)
+    }
+
     def merge_bucket(group: pd.DataFrame) -> pa.Table:
         lrows = group.loc[group["_side"] == 0, lcols]
         rrows = group.loc[group["_side"] == 1, rcols]
+        if how != "inner":
+            # nullable Int64 BEFORE the merge: plain int64 columns
+            # with unmatched rows promote to float64, which silently
+            # corrupts values above 2^53 (ids, 64-bit fingerprints)
+            lrows = lrows.astype(
+                {c: "Int64" for c in lcols if c in int_names}
+            )
+            rrows = rrows.astype(
+                {c: "Int64" for c in rcols if c in int_names}
+            )
         merged = lrows.merge(rrows, on=on, how=how)
         if how == "inner":
             return pa.Table.from_pandas(
                 merged[out_names], schema=pa.schema(unified),
                 preserve_index=False,
             ).replace_schema_metadata(None)
-        # left/outer: pandas promotes unmatched int columns to
-        # float64 + NaN; from_pandas=True per column converts NaN
-        # back to typed Arrow nulls under the unified schema
+        # pd.NA / NaN convert to typed Arrow nulls per unified field
         return pa.table(
             {
                 f.name: pa.array(
@@ -1777,6 +1789,28 @@ def mad_outliers_by(ds, key_col: str, value_col: str,
     return out[[key_col, "median", "mad", "n", "n_outliers"]]
 
 
+def _cell_shard(keys: np.ndarray, buckets: np.ndarray,
+                n_shards: int) -> np.ndarray:
+    """Shard id for a (key, time-bucket) CELL — the ONE hash that
+    keyed_prefix_scan and _ewma_anchored both use to co-locate event
+    rows with their carry stubs; rows and stubs must never disagree."""
+    return (
+        pd.util.hash_array(
+            keys * np.int64(1_000_003) + buckets
+        ) % np.uint64(n_shards)
+    ).astype(np.int64)
+
+
+def _key_shard_col(batch: pd.DataFrame, key_col: str,
+                   n: int) -> pd.DataFrame:
+    """Attach the per-KEY shard column for the cell-prefix pass."""
+    batch["_kshard"] = (
+        pd.util.hash_array(batch[key_col].to_numpy())
+        % np.uint64(n)
+    ).astype(np.int64)
+    return batch
+
+
 def keyed_prefix_scan(rows, key_col: str, id_col: str,
                       value_cols: list[str], finish, empty_out,
                       n_shards: int):
@@ -1821,13 +1855,6 @@ def keyed_prefix_scan(rows, key_col: str, id_col: str,
         {o: (v, "sum") for o, v in zip(off_cols, value_cols)},
     )
 
-    def _shard_of(keys: np.ndarray, buckets: np.ndarray) -> np.ndarray:
-        return (
-            pd.util.hash_array(
-                keys * np.int64(1_000_003) + buckets
-            ) % np.uint64(n_shards)
-        ).astype(np.int64)
-
     def key_prefix(group: pd.DataFrame) -> pa.Table:
         """Exclusive per-key prefix over the (small) cell table: one
         stub row per cell -> the carry from all earlier buckets."""
@@ -1863,19 +1890,16 @@ def keyed_prefix_scan(rows, key_col: str, id_col: str,
             cols[o] = pa.array(off)
         cols["_is_off"] = pa.array(np.ones(n, dtype=np.bool_), pa.bool_())
         cols["_shard"] = pa.array(
-            _shard_of(keys, g["_tb"].to_numpy()), pa.int64()
+            _cell_shard(keys, g["_tb"].to_numpy(), n_shards), pa.int64()
         )
         return pa.table(cols)
 
-    def key_shard(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["_kshard"] = (
-            pd.util.hash_array(batch[key_col].to_numpy())
-            % np.uint64(max(32, n_shards // 4))
-        ).astype(np.int64)
-        return batch
-
     offsets = (
-        cells.map_batches(key_shard, batch_format="pandas")
+        cells.map_batches(
+            _key_shard_col, batch_format="pandas",
+            fn_kwargs={"key_col": key_col,
+                       "n": max(32, n_shards // 4)},
+        )
         .groupby("_kshard")
         .map_groups(key_prefix, batch_format="pandas")
     )
@@ -1899,7 +1923,7 @@ def keyed_prefix_scan(rows, key_col: str, id_col: str,
         cols["_is_off"] = pa.array(
             np.zeros(n, dtype=np.bool_), pa.bool_()
         )
-        cols["_shard"] = pa.array(_shard_of(keys, buckets), pa.int64())
+        cols["_shard"] = pa.array(_cell_shard(keys, buckets, n_shards), pa.int64())
         return pa.table(cols)
 
     unioned = rows.map_batches(tag_rows, batch_format="pandas").union(
@@ -2187,13 +2211,17 @@ def ewma_by(ds, key_col: str, ts_col: str, value_col: str,
         raw, [key_col],
         {"_t0": ("_ts", "min"), "_t1": ("_ts", "max")},
     ).to_pandas()
-    # exp((t - t0)/tau) overflows float64 past ~709*tau, so keys whose
-    # stream spans longer take the per-bucket-anchored carry path
+    # exp((t - t0)/tau) overflows float64 past ~709*tau — and a CELL
+    # SUM of such weights overflows far earlier (a burst of large
+    # values near the span end multiplies e^{span/tau} by the burst
+    # mass), so the reroute threshold is 80, not 700: t0-path weights
+    # then cap at e^80 ~ 5.5e34, leaving ~1e273 of summing headroom.
+    # Keys past it take the per-bucket-anchored carry path
     # (_ewma_anchored) where every exp argument is bounded by one
     # bucket width; short-span keys keep the t0 identity, which is
     # the exact structural twin of the SQL-window oracle.
     span = (t0["_t1"] - t0["_t0"]).to_numpy(dtype=np.float64)
-    over_mask = span / tau_us > 700.0
+    over_mask = span / tau_us > 80.0
     long_part = None
     if over_mask.any():
         over_keys = t0.loc[over_mask, key_col].to_numpy(
@@ -2358,13 +2386,6 @@ def _ewma_anchored(raw, key_col: str, id_col: str, tau_us: float,
         rows, [key_col, "_tb"], {"_p": ("_w", "sum")}
     )
 
-    def _shard_of(keys: np.ndarray, buckets: np.ndarray) -> np.ndarray:
-        return (
-            pd.util.hash_array(
-                keys * np.int64(1_000_003) + buckets
-            ) % np.uint64(n_shards)
-        ).astype(np.int64)
-
     def key_carry(group: pd.DataFrame) -> pa.Table:
         g = group.sort_values([key_col, "_tb"])
         keys = g[key_col].to_numpy()
@@ -2391,19 +2412,16 @@ def _ewma_anchored(raw, key_col: str, id_col: str, tau_us: float,
                 "_is_off": pa.array(
                     np.ones(len(g), dtype=np.bool_), pa.bool_()
                 ),
-                "_shard": pa.array(_shard_of(keys, tb), pa.int64()),
+                "_shard": pa.array(_cell_shard(keys, tb, n_shards), pa.int64()),
             }
         )
 
-    def key_shard(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["_kshard"] = (
-            pd.util.hash_array(batch[key_col].to_numpy())
-            % np.uint64(max(32, n_shards // 4))
-        ).astype(np.int64)
-        return batch
-
     offsets = (
-        cells.map_batches(key_shard, batch_format="pandas")
+        cells.map_batches(
+            _key_shard_col, batch_format="pandas",
+            fn_kwargs={"key_col": key_col,
+                       "n": max(32, n_shards // 4)},
+        )
         .groupby("_kshard")
         .map_groups(key_carry, batch_format="pandas")
     )
@@ -2423,7 +2441,7 @@ def _ewma_anchored(raw, key_col: str, id_col: str, tau_us: float,
                 "_is_off": pa.array(
                     np.zeros(len(batch), dtype=np.bool_), pa.bool_()
                 ),
-                "_shard": pa.array(_shard_of(keys, tb), pa.int64()),
+                "_shard": pa.array(_cell_shard(keys, tb, n_shards), pa.int64()),
             }
         )
 

@@ -585,6 +585,13 @@ def sliding_distinct_hll(ds, ts_col: str, id_col: str,
     m = 1 << p
 
     def fold_days(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0:  # filtered upstreams emit empty blocks
+            return pa.table(
+                {
+                    "d": pa.array([], pa.int64()),
+                    "sketch": pa.array([], pa.binary()),
+                }
+            )
         d = (
             _ts_us(batch[ts_col]).to_numpy() // day_us
         ).astype(np.int64)

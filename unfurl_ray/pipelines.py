@@ -3580,9 +3580,9 @@ def q_interval_coverage(sf_dir: str) -> pd.DataFrame:
     opens an interval of ``value`` minutes; overlapping/touching
     intervals merge, and the answer is islands + total covered time —
     "how long was each user actually active".  Duration derives from
-    exact integer cents (``round(value*100) * 600000 us``) so the
-    float never hits a truncation boundary differently than the SQL
-    twin.  Batch-local island fragments -> per-key stub merge; see
+    exact integer cents (``floor(value*100 + 0.5) * 600000 us``, the
+    repo's half-up convention on both sides) so the float never hits
+    a rounding boundary differently than the SQL twin.  Batch-local island fragments -> per-key stub merge; see
     ops/relational.merge_intervals for the skew story."""
     from unfurl_ray.ops.relational import _ts_us, merge_intervals
 
@@ -3590,8 +3590,11 @@ def q_interval_coverage(sf_dir: str) -> pd.DataFrame:
 
     def to_iv(batch: pd.DataFrame) -> pa.Table:
         tu = _ts_us(batch["ts"]).to_numpy()
-        dur = np.rint(
-            batch["value"].to_numpy(dtype=np.float64) * 100.0
+        # floor(x*100 + 0.5): the repo's half-up convention — np.rint
+        # rounds half-to-even while DuckDB round() is half-away, so
+        # they disagree at exact .5 products (e.g. value=0.125)
+        dur = np.floor(
+            batch["value"].to_numpy(dtype=np.float64) * 100.0 + 0.5
         ).astype(np.int64) * 600_000
         return pa.table(
             {
@@ -3748,7 +3751,11 @@ def q_triangles(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    edges = pairs.map_batches(rename, batch_format="pyarrow")
+    # materialize once: count() and triangle_count() both consume the
+    # edge set, and the O(n^2) pair stage must not run twice
+    edges = pairs.map_batches(
+        rename, batch_format="pyarrow"
+    ).materialize()
     n_edges = edges.count()
     n_tri = triangle_count(edges)
     return pd.DataFrame(
