@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_interval_coverage": p.q_interval_coverage,
         "q_full_outer_join": p.q_full_outer_join,
         "q_triangles": p.q_triangles,
+        "q_bpe_encode": p.q_bpe_encode,
         "q_profile": p.q_profile,
         "q_pagerank": p.q_pagerank,
         "q_sliding_mau": p.q_sliding_mau,

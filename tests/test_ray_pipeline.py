@@ -2470,6 +2470,72 @@ def test_ewma_matches_recurrence(ray_session):
     )
 
 
+def test_bpe_encode_matches_scalar_apply(ray_session):
+    """Distributed BPE encode equals the scalar leftmost-greedy
+    Sennrich apply per word, including overlapping merges (aaa with
+    merge (a,a)), chained merges, and empty/whitespace-only docs."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.bpe import END, bpe_encode_counts
+
+    merges = pd.DataFrame(
+        {
+            "left": ["a", "aa", "t", "th", "e"],
+            "right": ["a", "a", "h", "e", END],
+        }
+    )
+    rng = np.random.default_rng(23)
+    alphabet = list("athe")
+    words = [
+        "".join(rng.choice(alphabet, size=rng.integers(1, 9)))
+        for _ in range(300)
+    ]
+    docs = [
+        " ".join(rng.choice(words, size=rng.integers(0, 12)))
+        for _ in range(120)
+    ] + ["", "   "]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(docs), dtype=np.int64),
+            "text": docs,
+        }
+    )
+    got = (
+        bpe_encode_counts(
+            rd.from_pandas(df).repartition(5), "text", "doc_id",
+            merges,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def encode_len(word):
+        syms = list(word) + [END]
+        for a, b in zip(merges["left"], merges["right"]):
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    for _, r in got.iterrows():
+        ws = docs[int(r["doc_id"])].lower().split()
+        assert r["n_words"] == len(ws)
+        assert r["n_tokens"] == sum(encode_len(w) for w in ws)
+
+
 def test_triangle_count_matches_brute(ray_session):
     """Degree-oriented distributed triangle count equals the brute
     adjacency-matrix trace on random graphs, including one with a hub

@@ -265,3 +265,113 @@ def bpe_fit_reference(texts: list[str], n_merges: int) -> pd.DataFrame:
     return pd.DataFrame(
         out, columns=["rank", "left", "right", "pair_count"]
     )
+
+
+def bpe_encode_counts(ds, text_col: str, id_col: str,
+                      merges: pd.DataFrame):
+    """APPLY a fitted merge table (the other half of the tokenizer
+    story): per batch, the UNIQUE words tokenize once — the merge
+    list replays in rank order as the same vectorized
+    ``_apply_merge`` passes ``bpe_fit`` uses, over a word table
+    whose rows are the batch's distinct words — and the resulting
+    per-word token counts fan back to documents with one bincount.
+    Token count = symbol-list length after all merges (the END
+    marker fuses into the final token like Sennrich's ``</w>``).
+    The merge table broadcasts ONCE via ``ray.put``; encode work per
+    batch is O(unique words x merges), not O(corpus x merges).
+    Returns (id, n_words, n_tokens) per document."""
+    import ray
+
+    from unfurl_ray.ops.relational import _broadcast_fetch
+
+    mlist = [
+        (str(a), str(b))
+        for a, b in zip(merges["left"], merges["right"])
+    ]
+    ref = ray.put(mlist)
+
+    class Encode:
+        def __init__(self, mref):
+            self.merges = _broadcast_fetch(mref)
+
+        def __call__(self, batch: pd.DataFrame) -> pa.Table:
+            n_docs = len(batch)
+            ids = batch[id_col].to_numpy(dtype=np.int64)
+            wl = (
+                batch[text_col]
+                .fillna("")
+                .str.lower()
+                .str.findall(r"\S+")
+            )
+            counts = wl.str.len().to_numpy(dtype=np.int64)
+            doc_idx = np.repeat(
+                np.arange(n_docs, dtype=np.int64), counts
+            )
+            flat_words = np.concatenate(
+                [np.asarray(w, dtype=object) for w in wl]
+            ) if counts.sum() else np.array([], dtype=object)
+            if len(flat_words) == 0:
+                return pa.table(
+                    {
+                        id_col: pa.array(ids, pa.int64()),
+                        "n_words": pa.array(
+                            np.zeros(n_docs, dtype=np.int64)
+                        ),
+                        "n_tokens": pa.array(
+                            np.zeros(n_docs, dtype=np.int64)
+                        ),
+                    }
+                )
+            uniq, inv = np.unique(flat_words, return_inverse=True)
+            lens = np.fromiter(
+                (len(w) + 1 for w in uniq), dtype=np.int64,
+                count=len(uniq),
+            )
+            flat = np.empty(int(lens.sum()), dtype=object)
+            i = 0
+            for w in uniq:  # one pass over UNIQUE words
+                for ch in w:
+                    flat[i] = ch
+                    i += 1
+                flat[i] = END
+                i += 1
+            offsets = np.concatenate(
+                ([0], np.cumsum(lens))
+            ).astype(np.int32)
+            t = pa.table(
+                {
+                    "word_id": pa.array(
+                        np.arange(len(uniq), dtype=np.int64),
+                        pa.int64(),
+                    ),
+                    "syms": pa.ListArray.from_arrays(
+                        pa.array(offsets, pa.int32()),
+                        pa.array(flat, pa.string()),
+                    ),
+                    "cnt": pa.array(
+                        np.ones(len(uniq), dtype=np.int64), pa.int64()
+                    ),
+                }
+            )
+            for a, b in self.merges:  # rank order
+                t = _apply_merge(t, a, b)
+            tok_per_word = (
+                t.column("syms").combine_chunks()
+                .value_lengths().to_numpy()
+            )
+            n_tokens = np.bincount(
+                doc_idx, weights=tok_per_word[inv],
+                minlength=n_docs,
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    id_col: pa.array(ids, pa.int64()),
+                    "n_words": pa.array(counts, pa.int64()),
+                    "n_tokens": pa.array(n_tokens, pa.int64()),
+                }
+            )
+
+    return ds.map_batches(
+        Encode, batch_format="pandas", concurrency=(1, 8),
+        fn_constructor_args=(ref,),
+    )

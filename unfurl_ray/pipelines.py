@@ -3299,6 +3299,27 @@ def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
     return bpe_fit(ds, "text", n_merges=12, n_buckets=16)
 
 
+def q_bpe_encode(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer APPLY — the other half of q_bpe_merges: fit 12 merge
+    ops on the corpus, then encode every document with them.  Each
+    batch tokenizes only its UNIQUE words (the merge list replays as
+    the same vectorized passes the fit uses) and token counts fan
+    back per doc with one bincount.  Rows-only check (the fit's
+    iterative argmax has no SQL twin); pytest parity against the
+    scalar Sennrich apply covers the encode kernel."""
+    from unfurl_ray.ops.bpe import bpe_encode_counts, bpe_fit
+
+    merges = bpe_fit(
+        _parquet(sf_dir, "documents", ["text"]), "text",
+        n_merges=12, n_buckets=16,
+    )
+    out = bpe_encode_counts(
+        _parquet(sf_dir, "documents", ["doc_id", "text"]),
+        "text", "doc_id", merges,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_group_split(sf_dir: str) -> pd.DataFrame:
     """Group-aware (conversation-level) train/val/test split: all 8
     turns of a conversation share one hash slot, so duplicates within
