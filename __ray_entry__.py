@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_full_outer_join": p.q_full_outer_join,
         "q_triangles": p.q_triangles,
         "q_bpe_encode": p.q_bpe_encode,
+        "q_psi_drift": p.q_psi_drift,
         "q_profile": p.q_profile,
         "q_pagerank": p.q_pagerank,
         "q_sliding_mau": p.q_sliding_mau,
@@ -835,6 +836,44 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+        # PSI drift over equi-depth decile bins of the baseline
+        # half-month; smoothing (c+1)/(n+10) and floor-half-up
+        # rounding mirror the kernel operation-for-operation
+        "q_psi_drift": """
+            WITH e AS (
+                SELECT CAST(floor(value * 100) AS BIGINT) AS c,
+                       CASE WHEN ts < TIMESTAMP '2024-01-16'
+                            THEN 0 ELSE 1 END AS side
+                FROM events
+            ), br AS (
+                SELECT quantile_disc(c, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                         0.6, 0.7, 0.8, 0.9]) AS bs
+                FROM e WHERE side = 0
+            ), binned AS (
+                SELECT len(list_filter(bs, x -> c > x)) AS bin, side
+                FROM e CROSS JOIN br
+            ), cnt AS (
+                SELECT bin,
+                       sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+                           AS ca,
+                       sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                           AS cb
+                FROM binned GROUP BY bin
+            ), tot AS (
+                SELECT sum(ca) AS na, sum(cb) AS nb FROM cnt
+            )
+            SELECT bin,
+                   floor(((ca + 1.0) / (na + 10.0)) * 1e6 + 0.5)
+                       / 1e6 AS p_a,
+                   floor(((cb + 1.0) / (nb + 10.0)) * 1e6 + 0.5)
+                       / 1e6 AS p_b,
+                   floor((((ca + 1.0) / (na + 10.0))
+                          - ((cb + 1.0) / (nb + 10.0)))
+                         * ln(((ca + 1.0) / (na + 10.0))
+                              / ((cb + 1.0) / (nb + 10.0)))
+                         * 1e6 + 0.5) / 1e6 AS psi_term
+            FROM cnt CROSS JOIN tot ORDER BY bin
         """,
         # triangle count on the cosine>=0.3 graph: id-ordered 3-way
         # self-join counts each triangle once (x<y<z); the Ray side's

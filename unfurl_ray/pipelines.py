@@ -3299,6 +3299,106 @@ def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
     return bpe_fit(ds, "text", n_merges=12, n_buckets=16)
 
 
+def q_psi_drift(sf_dir: str) -> pd.DataFrame:
+    """Population Stability Index between the first and second
+    half-month of events — the continuous-distribution drift monitor
+    (sibling of q_drift_kl's categorical KL): equi-depth decile
+    breaks come from the BASELINE slice's exact integer-cents
+    quantiles (the q_winsorize histogram machinery, shuffle bounded
+    by distinct values), rows bin against the broadcast breaks, and
+    the tiny (side, bin) count table yields per-bin smoothed PSI
+    terms ``(p_a - p_b) * ln(p_a / p_b)``, ``p = (c+1)/(n+10)``.
+    Every arithmetic step mirrors the SQL twin operation-for-
+    operation, so the compare is hash-exact."""
+    import pyarrow.compute as pc
+
+    from unfurl_ray.ops.relational import (
+        _ts_us, bucketed_aggregate, hist_quantile_disc_by,
+        pre_aggregate,
+    )
+
+    cut_us = pd.Timestamp("2024-01-16").value // 1000
+    qs = [round(0.1 * i, 1) for i in range(1, 10)]
+
+    ds = _parquet_sh(sf_dir, "events", ["ts", "value"])
+
+    def shape(batch: pd.DataFrame) -> pa.Table:
+        cents = np.floor(
+            batch["value"].to_numpy(dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        side = (
+            _ts_us(batch["ts"]).to_numpy() >= cut_us
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "c": pa.array(cents, pa.int64()),
+                "side": pa.array(side, pa.int64()),
+                "k": pa.array(
+                    np.zeros(len(batch), dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    shaped = ds.map_batches(shape, batch_format="pandas").materialize()
+
+    hist_a = bucketed_aggregate(
+        shaped.map_batches(
+            lambda t: t.filter(pc.equal(t.column("side"), 0)),
+            batch_format="pyarrow",
+        ),
+        ["k", "c"], {"cnt": ("c", "count")},
+    )
+    row = hist_quantile_disc_by(
+        hist_a, "k", "c", "cnt", qs
+    ).to_pandas().iloc[0]
+    breaks = np.sort(
+        np.array(
+            [row[f"q_{str(q).replace('.', '')}"] for q in qs],
+            dtype=np.int64,
+        )
+    )
+
+    def binify(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        b = np.searchsorted(breaks, c, side="left")  # = #breaks < c
+        return pa.table(
+            {
+                "side": batch.column("side"),
+                "bin": pa.array(b.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = pre_aggregate(
+        shaped.map_batches(binify, batch_format="pyarrow"),
+        ["side", "bin"], {"n": ("bin", "count")},
+    ).to_pandas()
+    piv = (
+        counts.pivot_table(
+            index="bin", columns="side", values="n", fill_value=0
+        )
+        .reindex(columns=[0, 1], fill_value=0)
+        .sort_index()
+    )
+    ca = piv[0].to_numpy(dtype=np.float64)
+    cb = piv[1].to_numpy(dtype=np.float64)
+    na, nb = ca.sum(), cb.sum()
+    p_a = (ca + 1.0) / (na + 10.0)
+    p_b = (cb + 1.0) / (nb + 10.0)
+    term = (p_a - p_b) * np.log(p_a / p_b)
+
+    def r6(x: np.ndarray) -> np.ndarray:
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
+    return pd.DataFrame(
+        {
+            "bin": piv.index.to_numpy(dtype=np.int64),
+            "p_a": r6(p_a),
+            "p_b": r6(p_b),
+            "psi_term": r6(term),
+        }
+    ).reset_index(drop=True)
+
+
 def q_bpe_encode(sf_dir: str) -> pd.DataFrame:
     """Tokenizer APPLY — the other half of q_bpe_merges: fit 12 merge
     ops on the corpus, then encode every document with them.  Each
