@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_triangles": p.q_triangles,
         "q_bpe_encode": p.q_bpe_encode,
         "q_psi_drift": p.q_psi_drift,
+        "q_normalize_text": p.q_normalize_text,
         "q_profile": p.q_profile,
         "q_pagerank": p.q_pagerank,
         "q_sliding_mau": p.q_sliding_mau,
@@ -836,6 +837,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+        # whitespace-collapse + trim + NFC; coalesce matches the
+        # kernel's fillna('')
+        "q_normalize_text": """
+            SELECT doc_id,
+                   nfc_normalize(trim(regexp_replace(
+                       coalesce(text, ''),
+                       '[ \t\n\r\f\x0b]+', ' ', 'g'))) AS text_norm,
+                   length(nfc_normalize(trim(regexp_replace(
+                       coalesce(text, ''),
+                       '[ \t\n\r\f\x0b]+', ' ', 'g'))))
+                       AS n_chars_norm
+            FROM documents ORDER BY doc_id
         """,
         # PSI drift over equi-depth decile bins of the baseline
         # half-month; smoothing (c+1)/(n+10) and floor-half-up

@@ -3299,6 +3299,40 @@ def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
     return bpe_fit(ds, "text", n_merges=12, n_buckets=16)
 
 
+def q_normalize_text(sf_dir: str) -> pd.DataFrame:
+    """Unicode text normalization — the step every LLM-data pipeline
+    runs before quality filtering: collapse ASCII whitespace runs to
+    one space, trim, then NFC-normalize.  Pure per-row map (zero
+    shuffle); the string kernels are pandas' vectorized .str ops.
+    The explicit [ \\t\\n\\r\\f\\v] class keeps Python and RE2
+    whitespace semantics aligned (the q_quality lesson)."""
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(batch: pd.DataFrame) -> pa.Table:
+        s = (
+            batch["text"]
+            .fillna("")
+            .str.replace(r"[ \t\n\r\f\v]+", " ", regex=True)
+            .str.strip()
+            .str.normalize("NFC")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    batch["doc_id"].to_numpy(dtype=np.int64),
+                    pa.int64(),
+                ),
+                "text_norm": pa.array(s, pa.large_string()),
+                "n_chars_norm": pa.array(
+                    s.str.len().to_numpy(dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    out = ds.map_batches(norm, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_psi_drift(sf_dir: str) -> pd.DataFrame:
     """Population Stability Index between the first and second
     half-month of events — the continuous-distribution drift monitor
