@@ -1404,19 +1404,19 @@ def oracle_sql() -> dict[str, str]:
             FROM t
             ORDER BY event_id DESC LIMIT 2000
         """,
-        # full outer join of two per-user summaries; the filters
-        # force unmatched keys on both ends (null spend / null clicks)
+        # full outer join of two per-user summaries; parity filters
+        # force unmatched keys on both ends at every scale factor
         "q_full_outer_join": """
             WITH a AS (
                 SELECT user_id,
                        floor(sum(value) * 100 + 0.5) / 100 AS spend
                 FROM events
-                WHERE event_type = 'purchase' AND user_id < 120
+                WHERE event_type = 'purchase' AND user_id % 3 <> 0
                 GROUP BY 1
             ), b AS (
                 SELECT user_id, count(*) AS n_clicks
                 FROM events
-                WHERE event_type = 'click' AND user_id >= 30
+                WHERE event_type = 'click' AND user_id % 2 = 0
                 GROUP BY 1
             )
             SELECT coalesce(a.user_id, b.user_id) AS user_id,

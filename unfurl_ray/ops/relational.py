@@ -1126,7 +1126,14 @@ def bucketed_hash_join(left_ds, right_ds, on: str, right_on: str,
     Size ``n_buckets`` so one bucket of the LARGER side fits a worker.
     """
     def _arrow_schema(ds) -> pa.Schema:
-        sch = ds.schema().base_schema
+        full = ds.schema()
+        if full is None:
+            raise ValueError(
+                "bucketed_hash_join: side has no resolvable schema "
+                "(it executed to zero blocks) — pad the empty side "
+                "with a typed empty table or filter earlier"
+            )
+        sch = full.base_schema
         if isinstance(sch, pa.Schema):
             return sch
         # PandasBlockSchema (upstream stage emitted pandas blocks)

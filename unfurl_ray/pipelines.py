@@ -506,11 +506,13 @@ def q_bucketed_join(sf_dir: str) -> pd.DataFrame:
 
 def q_full_outer_join(sf_dir: str) -> pd.DataFrame:
     """FULL OUTER join of two derived per-user summaries (purchase
-    spend of users < 120 vs click counts of users >= 30 — the filters
-    force unmatched keys on BOTH ends).  Same one-shuffle
-    bucket-co-partitioned join as the inner variant: a key's rows
-    from both sides share a bucket, so unmatched rows null-pad
-    locally with typed Arrow nulls — no second pass, no broadcast."""
+    spend of users with id % 3 != 0 vs click counts of users with
+    id % 2 == 0 — parity filters force unmatched keys on BOTH ends
+    at EVERY scale factor, unlike absolute id cutoffs).  Same
+    one-shuffle bucket-co-partitioned join as the inner variant: a
+    key's rows from both sides share a bucket, so unmatched rows
+    null-pad locally with typed Arrow nulls — no second pass, no
+    broadcast."""
     import pyarrow.compute as pc
 
     from unfurl_ray.ops.relational import (
@@ -520,14 +522,23 @@ def q_full_outer_join(sf_dir: str) -> pd.DataFrame:
     ds = _parquet_sh(
         sf_dir, "events", ["user_id", "event_type", "value"]
     )
+
+    def side_filter(etype: str, mod: int, want_zero: bool):
+        def f(b: pa.Table) -> pa.Table:
+            u = b.column("user_id").to_numpy(zero_copy_only=False)
+            par = (u % mod == 0) == want_zero
+            return b.filter(
+                pc.and_(
+                    pc.equal(b.column("event_type"), etype),
+                    pa.array(par),
+                )
+            )
+
+        return f
+
     a = bucketed_aggregate(
         ds.map_batches(
-            lambda b: b.filter(
-                pc.and_(
-                    pc.equal(b.column("event_type"), "purchase"),
-                    pc.less(b.column("user_id"), 120),
-                )
-            ),
+            side_filter("purchase", 3, False),
             batch_format="pyarrow",
         ),
         ["user_id"], {"spend": ("value", "sum")},
@@ -548,12 +559,7 @@ def q_full_outer_join(sf_dir: str) -> pd.DataFrame:
     )
     b = bucketed_aggregate(
         ds.map_batches(
-            lambda t: t.filter(
-                pc.and_(
-                    pc.equal(t.column("event_type"), "click"),
-                    pc.greater_equal(t.column("user_id"), 30),
-                )
-            ),
+            side_filter("click", 2, True),
             batch_format="pyarrow",
         ),
         ["user_id"], {"n_clicks": ("value", "count")},
