@@ -162,15 +162,15 @@ def run_micro() -> dict:
 
     from unfurl_ray.ops.sketch import hll_estimate, hll_fold
 
+    # timing delegates to canary_sec so the start/end canaries and
+    # this historical field stay the same workload by construction
+    fold_sec = canary_sec()
     vals = np.random.default_rng(0).integers(0, 500_000, size=1_000_000)
-    hll_fold(vals[:1000], 12)  # warm
-    t0 = time.time()
     regs = hll_fold(vals, 12)
-    fold_sec = time.time() - t0
     exact = len(np.unique(vals))
     err = abs(hll_estimate(regs) - exact) / exact
     out = {
-        "hll_fold_1m_int64_sec": round(fold_sec, 3),
+        "hll_fold_1m_int64_sec": fold_sec,
         "hll_rel_err": round(err, 4),
     }
 

@@ -2612,6 +2612,27 @@ def test_bucketed_hash_join_outer_left(ray_session):
                 check_names=False,
             )
 
+    # int64 fidelity above 2^53: a float round-trip anywhere on the
+    # outer path would corrupt these (9007199254740993 -> ...992)
+    big = np.int64(2**53 + 1)
+    left_b = pd.DataFrame(
+        {"k": np.array([1, 2], dtype=np.int64),
+         "lv": np.array([big, big + 2], dtype=np.int64)}
+    )
+    right_b = pd.DataFrame(
+        {"k2": np.array([2, 3], dtype=np.int64),
+         "rv": np.array([big + 4, big + 6], dtype=np.int64)}
+    )
+    rows = bucketed_hash_join(
+        rd.from_pandas(left_b), rd.from_pandas(right_b),
+        on="k", right_on="k2", n_buckets=4, how="outer",
+    ).take_all()  # row dicts keep Arrow int64 exact (pandas would
+    by_k = {r["k"]: r for r in rows}  # re-promote nulls to float64)
+    assert by_k[1]["lv"] == int(big) and by_k[1]["rv"] is None
+    assert by_k[2]["lv"] == int(big + 2)
+    assert by_k[2]["rv"] == int(big + 4)
+    assert by_k[3]["rv"] == int(big + 6) and by_k[3]["lv"] is None
+
 
 def test_merge_intervals_matches_sweep(ray_session):
     """Distributed interval union equals the single-process sweep,

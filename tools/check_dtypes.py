@@ -45,17 +45,19 @@ def main() -> None:
             if not isinstance(r, pd.DataFrame):
                 r = r.to_pandas()
             o = con.execute(osql[name]).df()
+            for c in r.columns:
+                if c not in o.columns:
+                    bad.append((name, f"col {c} missing in oracle"))
+                elif norm(r[c].dtype.kind) != norm(o[c].dtype.kind):
+                    bad.append(
+                        (name, f"col {c}: ray {r[c].dtype} "
+                               f"vs oracle {o[c].dtype}")
+                    )
         except Exception as exc:
+            # record and continue — one malformed result (duplicate
+            # column labels etc.) must not abort the whole audit
             bad.append((name, f"ERR {exc!r:.100}"))
             continue
-        for c in r.columns:
-            if c not in o.columns:
-                bad.append((name, f"col {c} missing in oracle"))
-            elif norm(r[c].dtype.kind) != norm(o[c].dtype.kind):
-                bad.append(
-                    (name,
-                     f"col {c}: ray {r[c].dtype} vs oracle {o[c].dtype}")
-                )
     for b in bad:
         print("MISMATCH", *b)
     print(f"done, {len(bad)} mismatches")

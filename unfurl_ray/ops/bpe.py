@@ -126,6 +126,26 @@ def _apply_merge(batch: pa.Table, a: str, b: str) -> pa.Table:
     return _pack(batch, out[mask], new_lens)
 
 
+def _explode_words(words) -> "tuple[np.ndarray, np.ndarray]":
+    """Word sequence -> (flat symbol array, int32 list offsets): each
+    word becomes its characters plus the END marker.  The ONE
+    symbol-layout definition shared by fit (word_histogram) and apply
+    (bpe_encode_counts) — int32 offsets cap a batch at 2^31 symbols."""
+    lens = np.fromiter(
+        (len(w) + 1 for w in words), dtype=np.int64, count=len(words)
+    )
+    flat = np.empty(int(lens.sum()), dtype=object)
+    i = 0
+    for w in words:  # one pass over UNIQUE words, not the corpus
+        for ch in w:
+            flat[i] = ch
+            i += 1
+        flat[i] = END
+        i += 1
+    offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+    return flat, offsets
+
+
 def word_histogram(ds, text_col: str, n_buckets: int = 64):
     """Corpus -> (word_id, syms, cnt) histogram Dataset: lowercase
     whitespace words, counted with one bucketed shuffle, each word
@@ -149,18 +169,7 @@ def word_histogram(ds, text_col: str, n_buckets: int = 64):
 
     def explode(batch: pd.DataFrame) -> pa.Table:
         wl = batch["word"].tolist()
-        lens = np.fromiter(
-            (len(w) + 1 for w in wl), dtype=np.int64, count=len(wl)
-        )
-        flat = np.empty(int(lens.sum()), dtype=object)
-        i = 0
-        for w in wl:  # one pass over UNIQUE words, not the corpus
-            for ch in w:
-                flat[i] = ch
-                i += 1
-            flat[i] = END
-            i += 1
-        offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+        flat, offsets = _explode_words(wl)
         syms = pa.ListArray.from_arrays(
             pa.array(offsets, pa.int32()), pa.array(flat, pa.string())
         )
@@ -323,21 +332,7 @@ def bpe_encode_counts(ds, text_col: str, id_col: str,
                     }
                 )
             uniq, inv = np.unique(flat_words, return_inverse=True)
-            lens = np.fromiter(
-                (len(w) + 1 for w in uniq), dtype=np.int64,
-                count=len(uniq),
-            )
-            flat = np.empty(int(lens.sum()), dtype=object)
-            i = 0
-            for w in uniq:  # one pass over UNIQUE words
-                for ch in w:
-                    flat[i] = ch
-                    i += 1
-                flat[i] = END
-                i += 1
-            offsets = np.concatenate(
-                ([0], np.cumsum(lens))
-            ).astype(np.int32)
+            flat, offsets = _explode_words(uniq)
             t = pa.table(
                 {
                     "word_id": pa.array(

@@ -1158,7 +1158,6 @@ def bucketed_hash_join(left_ds, right_ds, on: str, right_on: str,
         raise ValueError(f"non-key column name collision: {clash}")
     unified = list(lschema) + [f for f in rfields if f.name != on]
     target = pa.schema(unified + [pa.field("_side", pa.int8())])
-    out_names = [f.name for f in unified]
 
     def pad(side: int, key: str):
         def f(batch: pa.Table) -> pa.Table:
@@ -1199,30 +1198,27 @@ def bucketed_hash_join(left_ds, right_ds, on: str, right_on: str,
     lcols = [f.name for f in lschema]
     rcols = [on] + [f.name for f in unified if f.name not in lnames]
 
-    int_names = {
-        f.name for f in unified if pa.types.is_integer(f.type)
-    }
+    def _int_mapper(t):
+        # nullable Int64 at the Arrow->pandas boundary: the UNION
+        # null-pads every non-key column on one side, so a plain
+        # to_pandas() promotes int64 to float64 and corrupts values
+        # above 2^53 (ids, 64-bit fingerprints) BEFORE any cast
+        # inside the merge fn could save them
+        return pd.Int64Dtype() if pa.types.is_integer(t) else None
 
-    def merge_bucket(group: pd.DataFrame) -> pa.Table:
-        lrows = group.loc[group["_side"] == 0, lcols]
-        rrows = group.loc[group["_side"] == 1, rcols]
-        if how != "inner":
-            # nullable Int64 BEFORE the merge: plain int64 columns
-            # with unmatched rows promote to float64, which silently
-            # corrupts values above 2^53 (ids, 64-bit fingerprints)
-            lrows = lrows.astype(
-                {c: "Int64" for c in lcols if c in int_names}
-            )
-            rrows = rrows.astype(
-                {c: "Int64" for c in rcols if c in int_names}
-            )
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = group.column("_side")
+        lrows = group.filter(pc.equal(side, 0)).select(
+            lcols
+        ).to_pandas(types_mapper=_int_mapper)
+        rrows = group.filter(pc.equal(side, 1)).select(
+            rcols
+        ).to_pandas(types_mapper=_int_mapper)
         merged = lrows.merge(rrows, on=on, how=how)
-        if how == "inner":
-            return pa.Table.from_pandas(
-                merged[out_names], schema=pa.schema(unified),
-                preserve_index=False,
-            ).replace_schema_metadata(None)
-        # pd.NA / NaN convert to typed Arrow nulls per unified field
+        # pd.NA converts to typed Arrow nulls per unified field; no
+        # float round-trip happens for integer columns on any path
         return pa.table(
             {
                 f.name: pa.array(
@@ -1233,7 +1229,7 @@ def bucketed_hash_join(left_ds, right_ds, on: str, right_on: str,
         )
 
     return unioned.groupby("_bucket").map_groups(
-        merge_bucket, batch_format="pandas"
+        merge_bucket, batch_format="pyarrow"
     )
 
 

@@ -3319,7 +3319,11 @@ def q_normalize_text(sf_dir: str) -> pd.DataFrame:
             batch["text"]
             .fillna("")
             .str.replace(r"[ \t\n\r\f\v]+", " ", regex=True)
-            .str.strip()
+            # strip SPACES only: the collapse already turned every
+            # class character at the edges into ' ', and bare
+            # .strip() would also remove U+2028/U+0085-style exotics
+            # that DuckDB trim() keeps
+            .str.strip(" ")
             .str.normalize("NFC")
         )
         return pa.table(
