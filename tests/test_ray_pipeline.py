@@ -793,6 +793,62 @@ def test_fingerprint_edges_and_assignment(ray_session):
     assert comp[3] == 3 and comp[4] == 4       # singletons keep own id
 
 
+def test_assign_components_join_fallback_parity(ray_session):
+    """broadcast_limit=0 forces the bucketed left-hash-join path; it
+    must produce exactly the broadcast searchsorted path's output,
+    including untouched singletons."""
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.graph import assign_components
+
+    docs = pd.DataFrame({"doc_id": list(range(40))})
+    labels = pd.DataFrame(
+        {"node": [3, 7, 11, 25], "label": [3, 3, 3, 25]}
+    )
+    ds = rd.from_pandas(docs).repartition(4)
+    want = (
+        assign_components(ds, labels)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    got = (
+        assign_components(ds, labels, broadcast_limit=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert want.loc[want["doc_id"] == 7, "component"].item() == 3
+    assert want.loc[want["doc_id"] == 8, "component"].item() == 8
+
+
+def test_semdedup_bucketed_path_parity(ray_session):
+    """Above exact_pair_limit the pair stage flips to the bucketed
+    centroid-LSH path; on planted near-identical clusters it finds
+    the same components as the exact broadcast path."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.pipelines import semdedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(6, 16)).astype(np.float32)
+    rows = []
+    for vid in range(60):
+        proto = base[vid % 6]
+        vec = proto + rng.normal(scale=0.01, size=16).astype(np.float32)
+        rows.append({"vec_id": vid, "embedding": vec.tolist()})
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(4).materialize()
+
+    exact = semdedup(ds, threshold=0.9, exact_pair_limit=10**9)
+    bucketed = semdedup(
+        ds, threshold=0.9, exact_pair_limit=0,
+        n_centroids=6, assign_top=3,
+    )
+    pd.testing.assert_frame_equal(bucketed, exact)
+    # six planted clusters of ten -> six kept representatives
+    assert int(exact["kept"].sum()) == 6
+
+
 def test_connected_components_capped_bucket(ray_session):
     """bucket_cap keeps hot fingerprints subquadratic but still chains
     every capped doc into one component."""
@@ -2773,9 +2829,14 @@ def test_pagerank_matches_dense_power_iteration(ray_session):
     ).drop_duplicates()
     # node 59 dangling: no out-edges
     edges = edges[edges.src != n - 1].reset_index(drop=True)
-    got = pagerank(
-        rd.from_pandas(edges).repartition(4), damping=d, n_iter=12,
-        n_buckets=8,
+    got = (
+        pagerank(
+            rd.from_pandas(edges).repartition(4), damping=d,
+            n_iter=12, n_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
     )
 
     nodes = np.union1d(edges.src.unique(), edges.dst.unique())

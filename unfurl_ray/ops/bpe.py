@@ -83,16 +83,29 @@ def _pair_partial(batch: pa.Table) -> pa.Table:
     ).replace_schema_metadata(None).cast(empty.schema)
 
 
-def _batch_top1(batch: pa.Table) -> pa.Table:
-    """One candidate row per merged pair-count block: max count,
-    ties broken (left, right) ascending so the fold is total."""
+def _batch_topk(batch: pa.Table, k: int = 128) -> pa.Table:
+    """Top-k candidate rows per merged pair-count block (count desc,
+    ties (left, right) ascending so the fold is total), plus a
+    ``cut`` column: the count every UNREPORTED pair in this block is
+    bounded by (the k-th count when truncated, else 0) — the driver
+    needs it to prove batched merges equal the sequential ones."""
     if batch.num_rows == 0:
-        return batch
+        return pa.table(
+            {
+                "left": pa.array([], pa.string()),
+                "right": pa.array([], pa.string()),
+                "c": pa.array([], pa.int64()),
+                "cut": pa.array([], pa.int64()),
+            }
+        )
     df = batch.to_pandas().sort_values(
         ["c", "left", "right"], ascending=[False, True, True]
     )
+    cut = int(df["c"].iloc[k]) if len(df) > k else 0
+    df = df.head(k)
+    df["cut"] = np.int64(cut)
     return pa.Table.from_pandas(
-        df.head(1), preserve_index=False
+        df, preserve_index=False
     ).replace_schema_metadata(None)
 
 
@@ -191,44 +204,114 @@ def word_histogram(ds, text_col: str, n_buckets: int = 64):
     return hist.map_batches(explode, batch_format="pandas")
 
 
+def _apply_merges(batch: pa.Table, merges) -> pa.Table:
+    """Apply several merges in rank order inside ONE map pass — k
+    vectorized sweeps over the block, zero extra Ray rounds."""
+    for a, b in merges:
+        batch = _apply_merge(batch, a, b)
+    return batch
+
+
+def _sequential_prefix(cand: pd.DataFrame, cutoff: int,
+                       limit: int) -> list:
+    """Longest contiguous prefix of the sorted candidate window that
+    PROVABLY equals the sequential Sennrich pick order.
+
+    Facts used: merging (a, b) leaves every symbol-disjoint pair's
+    count unchanged; pairs sharing a symbol only decrease; and any
+    NEW pair descending from the merge has count bounded by the
+    time-0 counts of pairs ending at ``a`` or starting at ``b``
+    (every later adjacency ending at ``a`` descends from one).  So
+    candidate j is still the exact next argmax if it is disjoint
+    from every accepted merge and its count strictly exceeds both
+    the accepted merges' new-pair bounds and the window cutoff
+    (everything below the window).  Ties are unsafe (a decreased or
+    new pair could tie with a better (left, right) string), hence
+    strict inequality.  The first candidate is the true argmax
+    unconditionally."""
+    chosen, used = [], set()
+    bound = cutoff
+    for row in cand.itertuples(index=False):
+        a, b, c = str(row.left), str(row.right), int(row.c)
+        if chosen and (a in used or b in used or c <= bound):
+            break
+        chosen.append((a, b, c))
+        used.update((a, b))
+        touching = cand.loc[
+            (cand["right"] == a) | (cand["left"] == b), "c"
+        ]
+        bound = max(bound, cutoff,
+                    int(touching.max()) if len(touching) else 0)
+        if len(chosen) >= limit:
+            break
+    return chosen
+
+
 def bpe_fit(ds, text_col: str, n_merges: int,
-            n_buckets: int = 64) -> pd.DataFrame:
+            n_buckets: int = 64, topk: int = 128) -> pd.DataFrame:
     """Learn ``n_merges`` BPE merge operations over ``ds[text_col]``.
 
     Returns a DataFrame (rank, left, right, pair_count) — the merge
-    table a tokenizer would serialize.  Each iteration: per-batch
-    vectorized pair partials -> one small bucketed shuffle -> per-
-    batch top-1 -> driver folds a handful of rows and broadcasts the
-    winning pair into the next ``map_batches``.  The histogram is
-    re-materialized per round so the next round reads the merged
-    lists, not a re-executed lineage.
+    table a tokenizer would serialize.  Each ROUND batches as many
+    merges as can be proven order-equal to the sequential algorithm
+    (``_sequential_prefix``): per-batch vectorized pair partials ->
+    one small bucketed shuffle -> per-block top-``topk`` window ->
+    the driver folds the window, takes the provable prefix, and ONE
+    ``map_batches`` pass applies the whole prefix in rank order.
+    Natural-language pair histograms are heavy-tailed, so rounds
+    shrink from n_merges Ray executions toward n_merges / batch —
+    with sequential fallback (batch of 1) whenever candidates
+    interact.  The histogram is re-materialized per round so the
+    next round reads the merged lists, not a re-executed lineage.
     """
     from unfurl_ray.ops.relational import bucketed_aggregate
 
     hist = word_histogram(ds, text_col, n_buckets).materialize()
     out = []
-    for rank in range(1, n_merges + 1):
+    # merges not yet folded into the materialized histogram: applied
+    # LAZILY inside the next round's pair pass (a few extra numpy
+    # sweeps per block beat a whole extra Ray execution per round),
+    # compacted into a fresh materialization once the sweep count
+    # would start to rival the saved execution
+    pending: list = []
+    while len(out) < n_merges:
+        if len(pending) >= 8:
+            hist = hist.map_batches(
+                lambda t, ms=tuple(pending): _apply_merges(t, ms),
+                batch_format="pyarrow",
+            ).materialize()
+            pending = []
+        stage = hist
+        if pending:
+            stage = hist.map_batches(
+                lambda t, ms=tuple(pending): _apply_merges(t, ms),
+                batch_format="pyarrow",
+            )
         # the pair table is adjacency-bounded (distinct symbol pairs),
         # far smaller than the histogram — few merge buckets suffice
         pairs = bucketed_aggregate(
-            hist.map_batches(_pair_partial, batch_format="pyarrow"),
+            stage.map_batches(_pair_partial, batch_format="pyarrow"),
             ["left", "right"], {"c": ("c", "sum")},
             n_buckets=max(8, n_buckets // 4),
         )
         cand = pairs.map_batches(
-            _batch_top1, batch_format="pyarrow"
+            lambda t: _batch_topk(t, topk), batch_format="pyarrow"
         ).to_pandas()
         if cand.empty:
             break
-        top = cand.sort_values(
+        cutoff = int(cand["cut"].max())
+        cand = cand.sort_values(
             ["c", "left", "right"], ascending=[False, True, True]
-        ).iloc[0]
-        a, b, c = str(top["left"]), str(top["right"]), int(top["c"])
-        out.append((rank, a, b, c))
-        hist = hist.map_batches(
-            lambda t, a=a, b=b: _apply_merge(t, a, b),
-            batch_format="pyarrow",
-        ).materialize()
+        )
+        if len(cand) > topk:  # rows dropped by the global fold are
+            cutoff = max(cutoff, int(cand["c"].iloc[topk]))  # bounded too
+            cand = cand.head(topk)
+        chosen = _sequential_prefix(
+            cand, cutoff, n_merges - len(out)
+        )
+        for a, b, c in chosen:
+            out.append((len(out) + 1, a, b, c))
+        pending.extend((a, b) for a, b, _ in chosen)
     return pd.DataFrame(
         out, columns=["rank", "left", "right", "pair_count"]
     )

@@ -23,9 +23,10 @@ component).  This module provides the Ray-Data-native pieces:
   contraction would make it O(log n) if ever needed).
 - ``assign_components``: map the corpus to its cluster representative.
   The label table is O(docs-that-have-a-duplicate); it broadcasts via
-  one ``ray.put`` and each task does a vectorized dict probe.  For a
-  corpus where even the dup set is too big to broadcast, fall back to
-  a hash join on doc_id (same output, one more shuffle).
+  one ``ray.put`` as sorted int64 arrays and each task probes with a
+  vectorized ``searchsorted``.  Above ``broadcast_limit`` rows it
+  switches to a bucketed left hash join on doc_id (same output, one
+  more shuffle of id/label rows).
 """
 
 from __future__ import annotations
@@ -39,32 +40,42 @@ import pyarrow as pa
 
 def chunk_fingerprint_rows(batch: pa.Table, column: str = "text",
                            id_column: str = "doc_id",
-                           chunk_size: int = 64) -> pa.Table:
+                           chunk_size: int = 64,
+                           n_buckets: int | None = None) -> pa.Table:
     """Explode each doc into (id, fingerprint) rows: md5 of each
     position-aligned ``chunk_size``-char slice of the raw text.  Docs
     sharing any aligned chunk (copied prefixes, exact dups, shared
     boilerplate blocks) land in the same bucket.  SQL twin:
     ``md5(substr(text, 64*g+1, 64))`` over ``g in range(ceil(len/64))``.
+
+    With ``n_buckets`` an ``fb`` shuffle-bucket column rides along,
+    computed from the digest's first 4 bytes while the digest is in
+    hand — equal to ``int(hexdigest[:8], 16) % n_buckets`` but with no
+    second per-row pass downstream.
     """
     ids = batch.column(id_column).to_pylist()
     texts = batch.column(column).to_pylist()
-    out_ids, out_f = [], []
+    out_ids, out_f, out_b = [], [], []
     for doc_id, text in zip(ids, texts):
         if not text:
             continue
         for start in range(0, len(text), chunk_size):
+            digest = hashlib.md5(
+                text[start: start + chunk_size].encode()
+            ).digest()
             out_ids.append(doc_id)
-            out_f.append(
-                hashlib.md5(
-                    text[start: start + chunk_size].encode()
-                ).hexdigest()
-            )
-    return pa.table(
-        {
-            id_column: pa.array(out_ids, pa.int64()),
-            "f": pa.array(out_f, pa.string()),
-        }
-    )
+            out_f.append(digest.hex())
+            if n_buckets is not None:
+                out_b.append(
+                    int.from_bytes(digest[:4], "big") % n_buckets
+                )
+    cols = {
+        id_column: pa.array(out_ids, pa.int64()),
+        "f": pa.array(out_f, pa.string()),
+    }
+    if n_buckets is not None:
+        cols["fb"] = pa.array(out_b, pa.int32())
+    return pa.table(cols)
 
 
 def fingerprint_edges(ds, column: str = "text", id_column: str = "doc_id",
@@ -91,7 +102,9 @@ def fingerprint_edges(ds, column: str = "text", id_column: str = "doc_id",
     if n_buckets is None:
         n_buckets = max(16, ds.count() // 1000)
     rows = ds.map_batches(
-        lambda b: chunk_fingerprint_rows(b, column, id_column, chunk_size),
+        lambda b: chunk_fingerprint_rows(
+            b, column, id_column, chunk_size, n_buckets=n_buckets
+        ),
         batch_format="pyarrow",
     )
 
@@ -108,17 +121,10 @@ def fingerprint_edges(ds, column: str = "text", id_column: str = "doc_id",
         return np.concatenate([u, v]), np.concatenate([v, u])
 
     # one group per distinct fingerprint value would pay a Python
-    # dispatch per group (the round-1 minhash pathology) — group by a
-    # bounded hash bucket of the fingerprint instead and sub-group
-    # vectorized inside.
-    def bucketize(b: pa.Table) -> pa.Table:
-        # cheap stable bucket: first 8 hex chars of the md5 -> int
-        f = b.column("f").to_pylist()
-        buckets = pa.array(
-            [int(s[:8], 16) % n_buckets for s in f], pa.int32()
-        )
-        return b.append_column("fb", buckets)
-
+    # dispatch per group (the round-1 minhash pathology) — the rows
+    # already carry a bounded digest-derived bucket column ``fb``
+    # (computed alongside the md5 itself); group on that and
+    # sub-group vectorized inside.
     def pairs_in_bucket(group: pd.DataFrame) -> pa.Table:
         # emit ARROW (even when empty, with a real schema): map_batches
         # passes empty blocks through without calling the UDF, so an
@@ -133,10 +139,8 @@ def fingerprint_edges(ds, column: str = "text", id_column: str = "doc_id",
             {"u": pa.array(us, pa.int64()), "v": pa.array(vs, pa.int64())}
         )
 
-    return (
-        rows.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("fb")
-        .map_groups(pairs_in_bucket, batch_format="pandas")
+    return rows.groupby("fb").map_groups(
+        pairs_in_bucket, batch_format="pandas"
     )
 
 
@@ -299,30 +303,75 @@ def connected_components(edges, num_partitions: int = 8,
 
 
 def assign_components(ds, labels, id_column: str = "doc_id",
-                      out_column: str = "component"):
+                      out_column: str = "component",
+                      broadcast_limit: int = 20_000_000):
     """Corpus -> (id, component): nodes in the label table get their
-    component, everything else is its own singleton.  Labels broadcast
-    once via ``ray.put`` (the dup set is small relative to the corpus);
-    use a hash join instead if it ever is not."""
+    component, everything else is its own singleton.
+
+    Two paths, selected by label-table size: below ``broadcast_limit``
+    rows the labels broadcast ONCE via ``ray.put`` as a pair of sorted
+    int64 arrays (~16 B/row) and every batch probes with one
+    vectorized ``searchsorted`` — all int64, no float promotion, no
+    Python loop.  Above it (a dup set too big to hold per worker) the
+    probe becomes one bucketed LEFT hash join on the id plus a
+    vectorized null-fill — same output, one extra shuffle of
+    (id, label) rows only, never payload."""
     import ray
+
+    if isinstance(labels, pd.DataFrame):
+        n_labels = len(labels)
+    else:
+        labels = labels.materialize()
+        n_labels = labels.count()
+
+    if n_labels > broadcast_limit:
+        from unfurl_ray.ops.relational import _arrow, bucketed_hash_join
+
+        if isinstance(labels, pd.DataFrame):
+            labels = ray.data.from_arrow(
+                _arrow(labels.astype({"node": "int64", "label": "int64"}))
+            )
+
+        def fill(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_column).cast(pa.int64())
+            comp = pa.compute.coalesce(
+                batch.column("label").cast(pa.int64()), ids
+            )
+            return pa.table({id_column: ids, out_column: comp})
+
+        return bucketed_hash_join(
+            ds.select_columns([id_column]), labels,
+            on=id_column, right_on="node", how="left",
+        ).map_batches(fill, batch_format="pyarrow")
 
     if not isinstance(labels, pd.DataFrame):
         labels = labels.to_pandas()
-    label_map = dict(
-        zip(labels["node"].astype("int64"), labels["label"].astype("int64"))
-    )
-    map_ref = ray.put(label_map)
+    nodes = labels["node"].to_numpy(dtype=np.int64)
+    labs = labels["label"].to_numpy(dtype=np.int64)
+    order = np.argsort(nodes, kind="stable")
+    map_ref = ray.put((nodes[order], labs[order]))
 
     class Assign:
         def __init__(self):
-            self.map = ray.get(map_ref)
+            self.nodes, self.labs = ray.get(map_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column(id_column).to_pylist()
-            comp = [self.map.get(i, i) for i in ids]
+            ids = batch.column(id_column).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            if len(self.nodes) and len(ids):
+                pos = np.clip(
+                    np.searchsorted(self.nodes, ids),
+                    0, len(self.nodes) - 1,
+                )
+                comp = np.where(
+                    self.nodes[pos] == ids, self.labs[pos], ids
+                )
+            else:
+                comp = ids
             return pa.table(
                 {
-                    id_column: batch.column(id_column).cast(pa.int64()),
+                    id_column: pa.array(ids, pa.int64()),
                     out_column: pa.array(comp, pa.int64()),
                 }
             )
@@ -332,94 +381,241 @@ def assign_components(ds, labels, id_column: str = "doc_id",
     )
 
 
+def _node_bucket(ids: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Stable node -> bucket hash shared by every PageRank stage (the
+    pandas siphash is deterministic across processes — the same
+    property bucketed_aggregate already relies on)."""
+    return (
+        pd.util.hash_array(ids.astype(np.int64, copy=False))
+        % np.uint64(n_buckets)
+    ).astype(np.int64)
+
+
+class _PRShard:
+    """One PageRank graph shard: owns every out-edge of the nodes in
+    its ``hash(node) % B`` bucket plus those nodes' rank state.  The
+    iteration loop is actor-to-actor ref exchange — NO Dataset
+    execution per round, which is what made the Dataset formulation
+    pay ~1 s of fixed scheduling per power step regardless of data."""
+
+    def __init__(self, bucket: int, n_buckets: int, src_col: str,
+                 dst_col: str, edge_refs):
+        import ray
+
+        self.b, self.B = bucket, n_buckets
+        dfs = [
+            d for d in ray.get(list(edge_refs))
+            if len(d) and src_col in d.columns
+        ]
+        if dfs:
+            src = np.concatenate(
+                [d[src_col].to_numpy(dtype=np.int64) for d in dfs]
+            )
+            dst = np.concatenate(
+                [d[dst_col].to_numpy(dtype=np.int64) for d in dfs]
+            )
+            # robust to coalesced multi-bucket blocks
+            keep = _node_bucket(src, n_buckets) == bucket
+            src, dst = src[keep], dst[keep]
+        else:
+            src = dst = np.array([], dtype=np.int64)
+        self._src, self._dst = src, dst
+        self._tgt = _node_bucket(dst, n_buckets)
+
+    def discover(self):
+        """Unique dst per target bucket (num_returns=B fan-out)."""
+        out = [
+            np.unique(self._dst[self._tgt == t])
+            for t in range(self.B)
+        ]
+        return out if self.B > 1 else out[0]
+
+    def register(self, *incoming) -> int:
+        """Own node set = my srcs + dsts other shards discovered;
+        precompute per-target (src position, dst code) plans so each
+        power step is pure bincount."""
+        parts = [self._src] + [np.asarray(x) for x in incoming]
+        mine = np.unique(np.concatenate(parts))
+        self.nodes = mine
+        pos = np.searchsorted(mine, self._src)
+        self.deg = np.bincount(
+            pos, minlength=len(mine)
+        ).astype(np.float64)
+        self.plan = []
+        for t in range(self.B):
+            m = self._tgt == t
+            vals, codes = np.unique(self._dst[m], return_inverse=True)
+            self.plan.append(
+                (np.searchsorted(mine, self._src[m]), codes, vals)
+            )
+        del self._src, self._dst, self._tgt
+        return len(mine)
+
+    def init_rank(self, total: int) -> float:
+        self.n = total
+        r0 = 1.0 / total if total else 0.0
+        self.w = np.where(self.deg > 0, r0 / self.deg, 0.0)
+        return float(r0 * (self.deg == 0).sum())
+
+    def contribs(self):
+        """Per-target pre-aggregated (dst, sum) pairs — the only
+        thing that moves between shards each step."""
+        out = []
+        for spos, codes, vals in self.plan:
+            if len(vals) == 0:
+                out.append((vals, np.array([], dtype=np.float64)))
+            else:
+                out.append(
+                    (vals,
+                     np.bincount(codes, weights=self.w[spos],
+                                 minlength=len(vals)))
+                )
+        return out if self.B > 1 else out[0]
+
+    def update(self, damping: float, dangling: float, *parts):
+        c = np.zeros(len(self.nodes))
+        for vals, sums in parts:
+            if len(vals):
+                # vals unique within one part -> plain fancy add
+                c[np.searchsorted(self.nodes, vals)] += sums
+        self.rank = (1.0 - damping) / self.n + damping * (
+            c + dangling / self.n
+        )
+        self.w = np.where(self.deg > 0, self.rank / self.deg, 0.0)
+        return float(self.rank[self.deg == 0].sum())
+
+    def ranks(self) -> pd.DataFrame:
+        return pd.DataFrame({"node": self.nodes, "rank": self.rank})
+
+
 def pagerank(edges, damping: float = 0.85, n_iter: int = 10,
              src_col: str = "src", dst_col: str = "dst",
-             n_buckets: int = 32) -> pd.DataFrame:
-    """PageRank by distributed power iteration over an edge Dataset.
+             n_buckets: int = 32):
+    """PageRank on ``n_buckets`` co-partitioned graph-shard actors
+    (the Pregel layout).  Returns a ``ray.data.Dataset`` of
+    ``(node, rank)`` — collect it only at small scale; at scale take
+    a distributed top-k instead.
 
-    Each iteration is one pass: every edge batch looks up its sources'
-    rank/out-degree in the broadcast vectors (vectorized reindex),
-    pre-aggregates contributions per destination inside the batch, and
-    a bucketed aggregate folds the per-dst partials; teleport and
-    dangling mass close the step as scalars.  The edge set (the big
-    side) is materialized ONCE and never reshuffled.
+    Setup is Ray Data: the edge set hash-buckets by src ONCE (one
+    groupby shuffle — after it every out-edge of a node lives on its
+    owner shard) and each shard actor loads its blocks from the
+    object store.  Node discovery (dst-only nodes included) is one
+    actor fan-out/fan-in, so no per-node structure ever touches the
+    driver — the driver holds B actor handles, B x B contribution
+    REFS per step, and two scalars (node count, dangling mass).
 
-    Scale contract: the rank/degree VECTORS (one float per node) are
-    broadcast via ray.put each iteration and folded on the driver —
-    right while #nodes fits one machine (edges, the big side, stay
-    distributed).  Beyond that, co-partition ranks and edges by dst
-    bucket and fold per bucket instead.
-    """
+    Each power step: every shard emits per-target-bucket
+    pre-aggregated (dst, contribution) arrays via ``num_returns=B``
+    (data stays in the object store; the driver only routes refs),
+    then every shard folds its B incoming parts, updates rank =
+    (1-d)/n + d*(c + dangling/n), and returns its dangling-mass
+    partial.  Per-step cost is 2B actor RPCs + the message arrays —
+    no Dataset execution, no shuffle, the edge arrays never move
+    after setup.  Size ``n_buckets`` so one shard's edges (~16 B per
+    edge) fit an actor heap; shards spread across the cluster via
+    SPREAD scheduling."""
     import ray
 
-    from unfurl_ray.ops.relational import bucketed_aggregate
+    from unfurl_ray.ops.relational import _arrow
 
+    B = n_buckets
     edges = edges.materialize()
 
-    deg = bucketed_aggregate(
-        edges, [src_col], {"deg": (src_col, "count")},
-        n_buckets=n_buckets,
-    ).to_pandas()
-    dsts = bucketed_aggregate(
-        edges, [dst_col], {"_c": (dst_col, "count")},
-        n_buckets=n_buckets,
-    ).to_pandas()
-    nodes = np.union1d(
-        deg[src_col].to_numpy(dtype=np.int64),
-        dsts[dst_col].to_numpy(dtype=np.int64),
-    )
-    n = len(nodes)
-    deg_s = (
-        pd.Series(deg["deg"].to_numpy(dtype=np.float64),
-                  index=deg[src_col].to_numpy(dtype=np.int64))
-        .reindex(nodes)
-        .fillna(0.0)
-    )
-    rank = pd.Series(np.full(n, 1.0 / n), index=nodes)
-
-    from unfurl_ray.ops.relational import _broadcast_fetch
-
-    def contrib_partial(batch: pd.DataFrame, ref=None) -> pa.Table:
-        # plain task fn (no actor-pool spin-up per iteration); the
-        # weight vector fetches once per worker via the memo cache
-        w_all = _broadcast_fetch(ref)
-        src = batch[src_col].to_numpy(dtype=np.int64)
-        w = w_all.reindex(src).to_numpy(dtype=np.float64)
-        part = (
-            pd.DataFrame({dst_col: batch[dst_col].to_numpy(), "c": w})
-            .groupby(dst_col, as_index=False, sort=False)["c"]
-            .sum()
-        )
+    def tag_src(batch: pa.Table) -> pa.Table:
+        src = batch.column(src_col).to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                dst_col: pa.array(
-                    part[dst_col].to_numpy(dtype=np.int64), pa.int64()
-                ),
-                "c": pa.array(part["c"].to_numpy(), pa.float64()),
+                src_col: batch.column(src_col).cast(pa.int64()),
+                dst_col: batch.column(dst_col).cast(pa.int64()),
+                "_eb": pa.array(_node_bucket(src, B), pa.int64()),
             }
         )
 
-    for _ in range(n_iter):
-        state = ray.put((rank / deg_s.replace(0.0, np.nan)).fillna(0.0))
-        contrib = bucketed_aggregate(
-            edges.map_batches(
-                contrib_partial, batch_format="pandas",
-                fn_kwargs={"ref": state},
-            ),
-            [dst_col], {"c": ("c", "sum")}, n_buckets=n_buckets,
-        ).to_pandas()
-        c = (
-            pd.Series(contrib["c"].to_numpy(),
-                      index=contrib[dst_col].to_numpy(dtype=np.int64))
-            .reindex(nodes)
-            .fillna(0.0)
-        )
-        dangling = float(rank[deg_s.to_numpy() == 0.0].sum())
-        rank = (1.0 - damping) / n + damping * (c + dangling / n)
+    def drop_tag(group: pd.DataFrame) -> pa.Table:
+        return _arrow(group[[src_col, dst_col]])
 
-    out = pd.DataFrame(
-        {"node": nodes, "rank": rank.to_numpy()}
-    ).sort_values("node").reset_index(drop=True)
+    edges_b = (
+        edges.map_batches(tag_src, batch_format="pyarrow")
+        .groupby("_eb")
+        .map_groups(drop_tag, batch_format="pandas")
+        .materialize()
+    )
+
+    eb_refs = edges_b.to_pandas_refs()
+
+    @ray.remote
+    def _buckets_in(df: pd.DataFrame) -> np.ndarray:
+        # sort-aggregates can emit EMPTY zero-column blocks
+        if src_col not in df.columns or len(df) == 0:
+            return np.array([], dtype=np.int64)
+        return np.unique(
+            _node_bucket(df[src_col].to_numpy(dtype=np.int64), B)
+        )
+
+    emap: dict[int, list] = {}
+    for ref, bs in zip(eb_refs, ray.get(
+            [_buckets_in.remote(r) for r in eb_refs])):
+        for b in bs:
+            emap.setdefault(int(b), []).append(ref)
+
+    # num_cpus=0: all B shards MUST be schedulable at once (they
+    # block on each other's messages every step — reserving a CPU
+    # per shard deadlocks when B > cluster CPUs); their work is
+    # short vectorized bursts, so logical-CPU oversubscription is
+    # harmless.  SPREAD still balances them across nodes.
+    shard_cls = ray.remote(_PRShard).options(
+        num_cpus=0, scheduling_strategy="SPREAD"
+    )
+    actors = [
+        shard_cls.remote(b, B, src_col, dst_col, emap.get(b, []))
+        for b in range(B)
+    ]
+
+    def _fan(a, method):
+        refs = getattr(a, method).options(num_returns=B).remote()
+        return [refs] if B == 1 else refs
+
+    disc = [_fan(a, "discover") for a in actors]
+    counts = ray.get(
+        [
+            actors[t].register.remote(*[disc[i][t] for i in range(B)])
+            for t in range(B)
+        ]
+    )
+    n = int(sum(counts))
+    if n == 0:
+        for a in actors:
+            ray.kill(a)
+        return ray.data.from_pandas(
+            pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                          "rank": pd.Series([], dtype="float64")})
+        )
+    dangling = float(sum(ray.get(
+        [a.init_rank.remote(n) for a in actors]
+    )))
+
+    for _ in range(n_iter):
+        outs = [_fan(a, "contribs") for a in actors]
+        dangling = float(sum(ray.get(
+            [
+                actors[t].update.remote(
+                    damping, dangling, *[outs[i][t] for i in range(B)]
+                )
+                for t in range(B)
+            ]
+        )))
+
+    rank_refs = [
+        a.ranks.remote() for a, c in zip(actors, counts) if c > 0
+    ]
+    # copy out of actor-owned objects before the actors die
+    out = (
+        ray.data.from_pandas_refs(rank_refs)
+        .map_batches(_arrow, batch_format="pandas")
+        .materialize()
+    )
+    for a in actors:
+        ray.kill(a)
     return out
 
 

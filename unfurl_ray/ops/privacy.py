@@ -33,14 +33,17 @@ def k_anonymize(ds, quasi_cols: list[str], k: int,
     the rarest and most identifying ones; as a real category they are
     counted and suppressed like any other tuple.
     """
-    from unfurl_ray.ops.relational import bucketed_aggregate
+    from unfurl_ray.ops.relational import _arrow, bucketed_aggregate
 
     NULL_CAT = "\x00null"
 
-    def null_cat(batch: pd.DataFrame) -> pd.DataFrame:
+    def null_cat(batch: pd.DataFrame) -> pa.Table:
+        # emit ARROW: this side feeds the Ray-native hash join, where
+        # pandas blocks pay a shuffle-side conversion and break
+        # schema-dedup hashing ("Failed to hash the schemas" spam)
         for c in quasi_cols:
             batch[c] = batch[c].fillna(NULL_CAT)
-        return batch
+        return _arrow(batch)
 
     ds = ds.map_batches(
         null_cat, batch_format="pandas"

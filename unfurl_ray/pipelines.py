@@ -1221,23 +1221,34 @@ def q_embed_neardup(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def q_semdedup(sf_dir: str) -> pd.DataFrame:
-    """SemDeDup-style semantic deduplication end to end: exact cosine
-    pairs above 0.45 become an undirected edge set, distributed
+def semdedup(ds, threshold: float = 0.45,
+             exact_pair_limit: int = 100_000,
+             n_centroids: int = 16, assign_top: int = 2) -> pd.DataFrame:
+    """SemDeDup-style semantic deduplication end to end: cosine pairs
+    above ``threshold`` become an undirected edge set, distributed
     min-label connected components cluster them, and every vector
     maps to its cluster representative (the min vec_id) with a
     ``kept`` flag — the "keep one per semantic cluster" curation step.
-    The pair stage is the labeled exact baseline (broadcast corpus,
-    per-batch matmul); swap in cosine_pairs_bucketed for the
-    no-broadcast scale path with the same downstream.  Fully
-    SQL-expressible (cosine cross join + recursive-CTE min-label), so
-    unlike the kmeans-bucketed variant the whole chain is
-    hash-checked."""
-    from unfurl_ray.ops.graph import assign_components, connected_components
-    from unfurl_ray.ops.similarity import cosine_pair_dedup
 
-    ds = _parquet(sf_dir, "embeddings", ["vec_id", "embedding"])
-    pairs = cosine_pair_dedup(ds, threshold=0.45)
+    The pair stage auto-selects by corpus size: at or below
+    ``exact_pair_limit`` rows it is the exact broadcast baseline
+    (``cosine_pair_dedup`` — fully SQL-twinned, so oracle scales stay
+    hash-checked); above it, ``cosine_pairs_bucketed`` — the
+    no-broadcast centroid-LSH scale path with identical pair schema
+    and the same downstream (exact precision; recall governed by
+    ``assign_top``)."""
+    from unfurl_ray.ops.graph import assign_components, connected_components
+    from unfurl_ray.ops.similarity import (
+        cosine_pair_dedup, cosine_pairs_bucketed,
+    )
+
+    if ds.count() > exact_pair_limit:
+        pairs = cosine_pairs_bucketed(
+            ds, threshold=threshold,
+            n_centroids=n_centroids, assign_top=assign_top,
+        )
+    else:
+        pairs = cosine_pair_dedup(ds, threshold=threshold)
 
     def both_dirs(batch: pa.Table) -> pa.Table:
         a = batch.column("vec_a").to_numpy(zero_copy_only=False)
@@ -1261,6 +1272,16 @@ def q_semdedup(sf_dir: str) -> pd.DataFrame:
     out["kept"] = (out["vec_id"] == out["component"]).astype("bool")
     out = out.astype({"vec_id": "int64", "component": "int64"})
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def q_semdedup(sf_dir: str) -> pd.DataFrame:
+    """``semdedup`` over the embeddings table.  Oracle scales sit
+    under ``exact_pair_limit``, so the pair stage is the SQL-twinned
+    exact baseline (cosine cross join + recursive-CTE min-label) and
+    the whole chain is hash-checked; bigger corpora take the bucketed
+    path automatically with the same downstream."""
+    ds = _parquet(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semdedup(ds, threshold=0.45)
 
 
 def q_embed_neardup_ann(sf_dir: str) -> pd.DataFrame:
@@ -1590,15 +1611,19 @@ def q_curation(sf_dir: str) -> pd.DataFrame:
     broadcast — it is O(survivors)); only the CLUSTERED-DUP set (tiny
     by construction) is broadcast for the final anti-filter."""
     from unfurl_ray.ops.graph import connected_components, fingerprint_edges
+    from unfurl_ray.ops.relational import _arrow
     from unfurl_ray.ops.textstats import quality_score_batch
 
     ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
 
-    def keep_quality(batch: pd.DataFrame) -> pd.DataFrame:
+    def keep_quality(batch: pd.DataFrame) -> pa.Table:
+        # emit ARROW: this feeds a Ray-native hash join, and pandas
+        # blocks there both pay a conversion in the shuffle and break
+        # schema-dedup hashing (the "Failed to hash the schemas" spam)
         q = quality_score_batch(batch)
         out = batch[["doc_id", "text"]].copy()
         out["quality"] = q["quality"].to_numpy()
-        return out[out["quality"] >= 0.3]
+        return _arrow(out[out["quality"] >= 0.3])
 
     # materialized once: exact_dedup, the keeper join, and the final
     # filter all consume this filtered corpus — without materializing,
@@ -3830,8 +3855,22 @@ def q_pagerank(sf_dir: str) -> pd.DataFrame:
     edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
     # n_buckets=8: the per-round contrib table is node-sized (tiny
     # here); fewer merge groups cut fixed per-iteration overhead
-    ranks = pagerank(edges, damping=0.85, n_iter=8, n_buckets=8)
-    ranks["rank"] = ranks["rank"].round(8)
+    rank_ds = pagerank(edges, damping=0.85, n_iter=8, n_buckets=8)
+
+    def local_top(batch: pd.DataFrame) -> pa.Table:
+        b = batch.copy()
+        b["rank"] = b["rank"].round(8)
+        b = b.sort_values(
+            ["rank", "node"], ascending=[False, True]
+        ).head(50)
+        return pa.Table.from_pandas(
+            b, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    # per-shard top-50 under the final order, tiny collect, finish
+    ranks = rank_ds.map_batches(
+        local_top, batch_format="pandas"
+    ).to_pandas()
     out = ranks.sort_values(
         ["rank", "node"], ascending=[False, True]
     ).head(50)
