@@ -11,16 +11,15 @@ component).  This module provides the Ray-Data-native pieces:
 - ``fingerprint_edges``: LSH-style bucket join — docs sharing a
   fingerprint become edges.  groupby(fingerprint) moves only
   (fingerprint, doc_id) rows, never text.
-- ``connected_components``: iterative min-label propagation over an
-  edge Dataset — the standard distributed CC used by Spark GraphX /
-  Pregel.  Each round is one hash-partitioned join + one groupby-min
-  (both all-to-all over the EDGE graph only, which for dedup is orders
-  of magnitude smaller than the corpus); convergence is detected with
-  a one-scalar aggregate (labels only ever decrease, so the label sum
-  is strictly monotone until fixpoint).  Rounds needed = component
-  diameter; dup clusters are near-cliques, so 2-4 in practice (a
-  ``max_iters`` guard bounds pathological chains; large-star/small-star
-  contraction would make it O(log n) if ever needed).
+- ``connected_components``: iterative min-label propagation — the
+  standard distributed CC used by Spark GraphX / Pregel — over
+  co-partitioned graph-shard ACTORS (hash(node) -> shard owns the
+  node's out-edges and label).  The edge graph shuffles once at
+  setup; each round is then pure actor-to-actor ref exchange (no
+  Dataset execution), and pointer jumping (label <- label[label],
+  one extra exchange) makes rounds O(log diameter).  Dup clusters
+  are near-cliques, so 2-4 rounds in practice (``max_iters`` guards
+  pathological inputs); convergence = zero labels changed.
 - ``assign_components``: map the corpus to its cluster representative.
   The label table is O(docs-that-have-a-duplicate); it broadcasts via
   one ``ray.put`` as sorted int64 arrays and each task probes with a
@@ -161,20 +160,19 @@ def connected_components(edges, num_partitions: int = 8,
       ``assign_components`` anyway — so O(edges) on the driver is
       already the operating assumption.  Path-compressed union-find,
       exact same output.
-    - **distributed fixpoint** (big graphs / ``distributed=True``):
-      each round is one hash-partitioned join (edges x labels on u,
-      self-loops carry a node's own label) + groupby-min; convergence
-      is one scalar sum (labels only decrease, so the sum is strictly
-      monotone until fixpoint).  The iterated state is materialized
-      per round — it is O(edge endpoints), not O(corpus).  With
-      ``pointer_jump`` (default) each round also doubles label
-      pointers, so rounds = O(log diameter) — long dup CHAINS (A~B~
-      C~...) converge too, not just the near-clique clusters (2-4
-      rounds) typical of dup graphs."""
-    from ray.data.aggregate import Min
-
+    - **actor-sharded fixpoint** (big graphs / ``distributed=True``):
+      ``num_partitions`` co-partitioned graph-shard actors (the same
+      Pregel layout as ``pagerank``); every round is min-label
+      propagation plus (with ``pointer_jump``, default) one label <-
+      label[label] exchange, all actor-to-actor ref routing with no
+      per-round Dataset execution or shuffle.  Pointer jumping makes
+      rounds O(log diameter) — long dup CHAINS (A~B~C~...) converge
+      too, not just the near-clique clusters (2-4 rounds) typical of
+      dup graphs.  Partitioning assumption: one shard's edges (~16 B
+      per edge) and node labels fit an actor heap — size
+      ``num_partitions`` to the graph, never to the corpus."""
     # materialize the edge set up front: the auto-mode count, the
-    # driver path's collect, and every distributed round all re-read
+    # driver path's collect, and the shard bucketing all re-read
     # it — without this, each consumption re-executes the whole
     # upstream fingerprint/bucket pipeline
     edges = edges.materialize()
@@ -206,100 +204,59 @@ def connected_components(edges, num_partitions: int = 8,
              "label": pd.Series([find(n) for n in nodes], dtype="int64")}
         )
 
-    # seed: label[u] = min(u, min direct neighbor) in one groupby
-    def self_rows(b: pa.Table) -> pa.Table:
-        return pa.table({"u": b.column("u"), "v": b.column("u")})
+    # actor-sharded fixpoint (same Pregel layout as pagerank): the
+    # edge set hash-buckets by src ONCE, then every round is pure
+    # actor-to-actor ref exchange — min-label propagation (2 RPC
+    # waves) plus pointer jumping (3 waves: query owners of current
+    # label values, answer, apply) — with NO Dataset execution, which
+    # cost ~1 s of fixed scheduling per round in the join+groupby
+    # formulation regardless of data size.  Convergence = zero labels
+    # changed across a full round (overflow-proof, unlike a label
+    # sum on billion-node graphs).
+    import ray
 
-    # normalize to Arrow blocks (map_groups upstream emits pandas
-    # blocks; union/join require one block type), add self-loops
-    # (u, u) so each round's messages carry a node's OWN label too —
-    # the round is then a single join + groupby-min with no union —
-    # and materialize: the edge set is reused every round
-    arrow_edges = edges.map_batches(
-        lambda b: b.select(["u", "v"]).cast(
-            pa.schema([("u", pa.int64()), ("v", pa.int64())])
-        ),
-        batch_format="pyarrow",
-    )
-    edges = arrow_edges.union(
-        arrow_edges.map_batches(self_rows, batch_format="pyarrow")
-    ).materialize()
-    # repartition before materializing: the sort-aggregate can emit
-    # EMPTY blocks with a zero-column schema, which the acero hash
-    # join rejects ("no match for key field node"); repartition
-    # coalesces them away.  labels is O(edge endpoints), so this
-    # per-round repartition moves only the small iterated state.
-    labels = (
-        edges.groupby("u")
-        .aggregate(Min("v", alias_name="label"))
-        .map_batches(
-            lambda b: pa.table(
-                {"node": b.column("u"), "label": b.column("label")}
-            ),
-            batch_format="pyarrow",
+    B = max(1, num_partitions)
+    actors, counts = _spawn_shards(_CCShard, edges, B, "u", "v")
+    if int(sum(counts)) == 0:
+        return _collect_shards(
+            actors, [], {"node": "int64", "label": "int64"}
         )
-        .repartition(num_partitions)
-        .materialize()
-    )
-    prev_sum = labels.sum("label")
+
     for _ in range(max_iters):
-        labels = (
-            edges.join(
-                labels,
-                join_type="inner",
-                num_partitions=num_partitions,
-                on=("u",),
-                right_on=("node",),
-            )
-            .map_batches(
-                lambda b: pa.table(
-                    {"node": b.column("v"), "label": b.column("label")}
-                ),
-                batch_format="pyarrow",
-            )
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .repartition(num_partitions)
-            .materialize()
-        )
+        outs = [_fan(a, "propagate", B) for a in actors]
+        changed = sum(ray.get(
+            [
+                actors[t].update.remote(*[outs[i][t] for i in range(B)])
+                for t in range(B)
+            ]
+        ))
         if pointer_jump:
-            # pointer doubling: label <- label[label].  One self-join
-            # of the SMALL label table per round turns O(diameter)
-            # convergence into O(log diameter) — a 4096-node chain
-            # closes in ~11 rounds instead of 4096.  label[x] is a
-            # node id and every endpoint has a labels row, so the
-            # inner join is total; labels only decrease, preserving
-            # the monotone-sum convergence test.
-            jump = labels.map_batches(
-                lambda b: pa.table(
-                    {"jnode": b.column("node"),
-                     "jlabel": b.column("label")}
-                ),
-                batch_format="pyarrow",
-            )
-            labels = (
-                labels.join(
-                    jump,
-                    join_type="inner",
-                    num_partitions=num_partitions,
-                    on=("label",),
-                    right_on=("jnode",),
-                )
-                .map_batches(
-                    lambda b: pa.table(
-                        {"node": b.column("node"),
-                         "label": b.column("jlabel")}
-                    ),
-                    batch_format="pyarrow",
-                )
-                .repartition(num_partitions)
-                .materialize()
-            )
-        new_sum = labels.sum("label")
-        if new_sum == prev_sum:
+            # label <- label[label] turns O(diameter) convergence
+            # into O(log diameter) — a 4096-node chain closes in ~11
+            # rounds; labels only decrease, preserving monotonicity
+            qs = [_fan(a, "label_queries", B) for a in actors]
+            ans = [
+                _fan(actors[t], "label_answers", B,
+                     *[qs[i][t] for i in range(B)])
+                for t in range(B)
+            ]
+            changed += sum(ray.get(
+                [
+                    actors[i].apply_jump.remote(
+                        *[ans[t][i] for t in range(B)]
+                    )
+                    for i in range(B)
+                ]
+            ))
+        if changed == 0:
             break
-        prev_sum = new_sum
-    return labels
+
+    refs = [
+        a.labels_df.remote() for a, c in zip(actors, counts) if c > 0
+    ]
+    return _collect_shards(
+        actors, refs, {"node": "int64", "label": "int64"}
+    )
 
 
 def assign_components(ds, labels, id_column: str = "doc_id",
@@ -391,12 +348,13 @@ def _node_bucket(ids: np.ndarray, n_buckets: int) -> np.ndarray:
     ).astype(np.int64)
 
 
-class _PRShard:
-    """One PageRank graph shard: owns every out-edge of the nodes in
-    its ``hash(node) % B`` bucket plus those nodes' rank state.  The
-    iteration loop is actor-to-actor ref exchange — NO Dataset
-    execution per round, which is what made the Dataset formulation
-    pay ~1 s of fixed scheduling per power step regardless of data."""
+class _GraphShard:
+    """Shared Pregel-layout base: a shard owns every out-edge of the
+    nodes in its ``hash(node) % B`` bucket plus those nodes' iterated
+    state.  The iteration loop is actor-to-actor ref exchange — NO
+    Dataset execution per round, which is what made the Dataset
+    formulations pay ~1 s of fixed scheduling per step regardless of
+    data."""
 
     def __init__(self, bucket: int, n_buckets: int, src_col: str,
                  dst_col: str, edge_refs):
@@ -430,24 +388,37 @@ class _PRShard:
         ]
         return out if self.B > 1 else out[0]
 
-    def register(self, *incoming) -> int:
+    def _register_nodes(self, incoming) -> np.ndarray:
         """Own node set = my srcs + dsts other shards discovered;
         precompute per-target (src position, dst code) plans so each
-        power step is pure bincount."""
+        step is pure bincount/reduceat."""
         parts = [self._src] + [np.asarray(x) for x in incoming]
         mine = np.unique(np.concatenate(parts))
         self.nodes = mine
-        pos = np.searchsorted(mine, self._src)
-        self.deg = np.bincount(
-            pos, minlength=len(mine)
-        ).astype(np.float64)
         self.plan = []
         for t in range(self.B):
             m = self._tgt == t
             vals, codes = np.unique(self._dst[m], return_inverse=True)
-            self.plan.append(
-                (np.searchsorted(mine, self._src[m]), codes, vals)
+            spos = np.searchsorted(mine, self._src[m])
+            # group by dst code once so per-step folds are reduceat /
+            # bincount over contiguous runs, not ufunc.at scatter
+            order = np.argsort(codes, kind="stable")
+            starts = np.searchsorted(
+                codes[order], np.arange(len(vals))
             )
+            self.plan.append((spos[order], starts, vals))
+        return mine
+
+
+class _PRShard(_GraphShard):
+    """PageRank shard: rank state + per-step contribution bincounts."""
+
+    def register(self, *incoming) -> int:
+        mine = self._register_nodes(incoming)
+        pos = np.searchsorted(mine, self._src)
+        self.deg = np.bincount(
+            pos, minlength=len(mine)
+        ).astype(np.float64)
         del self._src, self._dst, self._tgt
         return len(mine)
 
@@ -461,14 +432,12 @@ class _PRShard:
         """Per-target pre-aggregated (dst, sum) pairs — the only
         thing that moves between shards each step."""
         out = []
-        for spos, codes, vals in self.plan:
+        for spos, starts, vals in self.plan:
             if len(vals) == 0:
                 out.append((vals, np.array([], dtype=np.float64)))
             else:
                 out.append(
-                    (vals,
-                     np.bincount(codes, weights=self.w[spos],
-                                 minlength=len(vals)))
+                    (vals, np.add.reduceat(self.w[spos], starts))
                 )
         return out if self.B > 1 else out[0]
 
@@ -486,6 +455,91 @@ class _PRShard:
 
     def ranks(self) -> pd.DataFrame:
         return pd.DataFrame({"node": self.nodes, "rank": self.rank})
+
+
+class _CCShard(_GraphShard):
+    """Connected-components shard: min-label propagation plus an
+    optional pointer-jump exchange per round, all ref routing."""
+
+    def register(self, *incoming) -> int:
+        mine = self._register_nodes(incoming)
+        self.label = mine.copy()
+        del self._src, self._dst, self._tgt
+        return len(mine)
+
+    def propagate(self):
+        """Per-target pre-aggregated (dst, min label[src]) pairs."""
+        out = []
+        for spos, starts, vals in self.plan:
+            if len(vals) == 0:
+                out.append((vals, vals))
+            else:
+                out.append(
+                    (vals,
+                     np.minimum.reduceat(self.label[spos], starts))
+                )
+        return out if self.B > 1 else out[0]
+
+    def update(self, *parts) -> int:
+        """Fold incoming per-dst minima; return #labels changed —
+        the overflow-proof convergence scalar (a label SUM can wrap
+        int64 on billion-node graphs)."""
+        changed = 0
+        for vals, mins in parts:
+            if len(vals):
+                pos = np.searchsorted(self.nodes, vals)
+                new = np.minimum(self.label[pos], mins)
+                changed += int((new < self.label[pos]).sum())
+                self.label[pos] = new
+        return changed
+
+    def label_queries(self):
+        """Pointer-jump phase 1: distinct label values, routed to the
+        shard that owns each label's node (labels ARE node ids)."""
+        uniq = np.unique(self.label)
+        owner = _node_bucket(uniq, self.B)
+        self._q = [uniq[owner == t] for t in range(self.B)]
+        return self._q if self.B > 1 else self._q[0]
+
+    def label_answers(self, *queries):
+        """Pointer-jump phase 2: answer label[q] for each source
+        shard's query array (num_returns=B fan-back)."""
+        out = []
+        for q in queries:
+            q = np.asarray(q, dtype=np.int64)
+            if len(q) == 0 or len(self.nodes) == 0:
+                out.append(q)
+                continue
+            pos = np.clip(
+                np.searchsorted(self.nodes, q), 0, len(self.nodes) - 1
+            )
+            out.append(
+                np.where(self.nodes[pos] == q, self.label[pos], q)
+            )
+        return out if self.B > 1 else out[0]
+
+    def apply_jump(self, *answers) -> int:
+        """Pointer-jump phase 3: label <- label[label] via the
+        answered map; labels only decrease, so convergence stays
+        monotone.  Returns #labels changed."""
+        old = np.concatenate([np.asarray(q) for q in self._q]) \
+            if self._q else np.array([], dtype=np.int64)
+        del self._q
+        if len(old) == 0:
+            return 0
+        new = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in answers]
+        )
+        order = np.argsort(old, kind="stable")
+        old, new = old[order], new[order]
+        # every current label is in `old` (it came from unique(label))
+        mapped = new[np.searchsorted(old, self.label)]
+        changed = int((mapped < self.label).sum())
+        self.label = np.minimum(self.label, mapped)
+        return changed
+
+    def labels_df(self) -> pd.DataFrame:
+        return pd.DataFrame({"node": self.nodes, "label": self.label})
 
 
 def pagerank(edges, damping: float = 0.85, n_iter: int = 10,
@@ -516,9 +570,56 @@ def pagerank(edges, damping: float = 0.85, n_iter: int = 10,
     SPREAD scheduling."""
     import ray
 
+    actors, counts = _spawn_shards(
+        _PRShard, edges, n_buckets, src_col, dst_col
+    )
+    B = n_buckets
+    n = int(sum(counts))
+    if n == 0:
+        return _collect_shards(
+            actors, [], {"node": "int64", "rank": "float64"}
+        )
+    dangling = float(sum(ray.get(
+        [a.init_rank.remote(n) for a in actors]
+    )))
+
+    for _ in range(n_iter):
+        outs = [_fan(a, "contribs", B) for a in actors]
+        dangling = float(sum(ray.get(
+            [
+                actors[t].update.remote(
+                    damping, dangling, *[outs[i][t] for i in range(B)]
+                )
+                for t in range(B)
+            ]
+        )))
+
+    refs = [
+        a.ranks.remote() for a, c in zip(actors, counts) if c > 0
+    ]
+    return _collect_shards(
+        actors, refs, {"node": "int64", "rank": "float64"}
+    )
+
+
+def _fan(a, method, B: int, *args):
+    """Call an actor method with ``num_returns=B`` and normalize the
+    B == 1 single-ref case to a list."""
+    refs = getattr(a, method).options(num_returns=B).remote(*args)
+    return [refs] if B == 1 else refs
+
+
+def _spawn_shards(shard_cls, edges, B: int, src_col: str,
+                  dst_col: str):
+    """Shared graph-shard setup: hash-bucket the edge set by src ONCE
+    (one groupby shuffle — after it every out-edge of a node lives on
+    its owner shard), spawn B shard actors that load their blocks
+    from the object store, and run the discover/register node
+    exchange.  Returns (actors, per-shard node counts)."""
+    import ray
+
     from unfurl_ray.ops.relational import _arrow
 
-    B = n_buckets
     edges = edges.materialize()
 
     def tag_src(batch: pa.Table) -> pa.Table:
@@ -563,57 +664,43 @@ def pagerank(edges, damping: float = 0.85, n_iter: int = 10,
     # per shard deadlocks when B > cluster CPUs); their work is
     # short vectorized bursts, so logical-CPU oversubscription is
     # harmless.  SPREAD still balances them across nodes.
-    shard_cls = ray.remote(_PRShard).options(
+    remote_cls = ray.remote(shard_cls).options(
         num_cpus=0, scheduling_strategy="SPREAD"
     )
     actors = [
-        shard_cls.remote(b, B, src_col, dst_col, emap.get(b, []))
+        remote_cls.remote(b, B, src_col, dst_col, emap.get(b, []))
         for b in range(B)
     ]
-
-    def _fan(a, method):
-        refs = getattr(a, method).options(num_returns=B).remote()
-        return [refs] if B == 1 else refs
-
-    disc = [_fan(a, "discover") for a in actors]
+    disc = [_fan(a, "discover", B) for a in actors]
     counts = ray.get(
         [
             actors[t].register.remote(*[disc[i][t] for i in range(B)])
             for t in range(B)
         ]
     )
-    n = int(sum(counts))
-    if n == 0:
-        for a in actors:
-            ray.kill(a)
-        return ray.data.from_pandas(
-            pd.DataFrame({"node": pd.Series([], dtype="int64"),
-                          "rank": pd.Series([], dtype="float64")})
+    return actors, counts
+
+
+def _collect_shards(actors, refs, empty_schema: dict):
+    """Copy per-shard result frames out of actor-owned objects into a
+    Dataset, then kill the actors."""
+    import ray
+
+    from unfurl_ray.ops.relational import _arrow
+
+    if refs:
+        out = (
+            ray.data.from_pandas_refs(refs)
+            .map_batches(_arrow, batch_format="pandas")
+            .materialize()
         )
-    dangling = float(sum(ray.get(
-        [a.init_rank.remote(n) for a in actors]
-    )))
-
-    for _ in range(n_iter):
-        outs = [_fan(a, "contribs") for a in actors]
-        dangling = float(sum(ray.get(
-            [
-                actors[t].update.remote(
-                    damping, dangling, *[outs[i][t] for i in range(B)]
-                )
-                for t in range(B)
-            ]
-        )))
-
-    rank_refs = [
-        a.ranks.remote() for a, c in zip(actors, counts) if c > 0
-    ]
-    # copy out of actor-owned objects before the actors die
-    out = (
-        ray.data.from_pandas_refs(rank_refs)
-        .map_batches(_arrow, batch_format="pandas")
-        .materialize()
-    )
+    else:
+        out = ray.data.from_pandas(
+            pd.DataFrame(
+                {c: pd.Series([], dtype=t)
+                 for c, t in empty_schema.items()}
+            )
+        )
     for a in actors:
         ray.kill(a)
     return out
