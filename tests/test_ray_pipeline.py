@@ -2408,12 +2408,18 @@ def test_bpe_fit_matches_reference(ray_session):
         " ".join(rng.choice(vocab, rng.integers(3, 30)))
         for _ in range(200)
     ]
-    got = bpe_fit(
-        rd.from_pandas(pd.DataFrame({"text": texts})).repartition(4),
-        "text", n_merges=15, n_buckets=8,
-    )
+    ds = rd.from_pandas(
+        pd.DataFrame({"text": texts})
+    ).repartition(4).materialize()
+    got = bpe_fit(ds, "text", n_merges=15, n_buckets=8)
     want = bpe_fit_reference(texts, 15)
     pd.testing.assert_frame_equal(got, want)
+    # the shuffle-based fold (the over-cap scale path) must pick the
+    # identical sequence as the driver fold
+    bucketed = bpe_fit(
+        ds, "text", n_merges=15, n_buckets=8, driver_fold_rows=0
+    )
+    pd.testing.assert_frame_equal(bucketed, want)
 
 
 def test_compact_layout_crash_resume(ray_session, tmp_path):

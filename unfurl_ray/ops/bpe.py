@@ -217,26 +217,35 @@ def _sequential_prefix(cand: pd.DataFrame, cutoff: int,
     """Longest contiguous prefix of the sorted candidate window that
     PROVABLY equals the sequential Sennrich pick order.
 
-    Facts used: merging (a, b) leaves every symbol-disjoint pair's
-    count unchanged; pairs sharing a symbol only decrease; and any
-    NEW pair descending from the merge has count bounded by the
-    time-0 counts of pairs ending at ``a`` or starting at ``b``
-    (every later adjacency ending at ``a`` descends from one).  So
-    candidate j is still the exact next argmax if it is disjoint
-    from every accepted merge and its count strictly exceeds both
-    the accepted merges' new-pair bounds and the window cutoff
-    (everything below the window).  Ties are unsafe (a decreased or
-    new pair could tie with a better (left, right) string), hence
-    strict inequality.  The first candidate is the true argmax
-    unconditionally."""
-    chosen, used = [], set()
+    Facts used: merging (a, b) consumes exactly the "a b" adjacencies,
+    so the only EXISTING pairs whose counts change are those ending at
+    ``a`` (an "x a b" occurrence turns (x, a) into (x, ab)) or
+    starting at ``b`` ("a b y" turns (b, y) into (ab, y)) — and those
+    only DECREASE.  A pair like (a, y) with y != b or (x, b) with
+    x != a is untouched: none of its occurrences overlap a merged
+    adjacency.  Any NEW pair descending from the merge is bounded by
+    the time-0 counts of that same touching set (every (x, ab)
+    adjacency descends from an (x, a) one).  So candidate j is still
+    the exact next argmax if its right symbol is no accepted merge's
+    left, its left symbol is no accepted merge's right, and its count
+    strictly exceeds both the accepted merges' new-pair bounds and
+    the window cutoff (everything below the window).  Ties are unsafe
+    (a decreased or new pair could tie with a better (left, right)
+    string), hence strict inequality.  A candidate that MAY have
+    decreased ends the prefix — it could still be the true argmax, so
+    nothing after it is provable either.  The first candidate is the
+    true argmax unconditionally."""
+    chosen = []
+    acc_lefts, acc_rights = set(), set()
     bound = cutoff
     for row in cand.itertuples(index=False):
         a, b, c = str(row.left), str(row.right), int(row.c)
-        if chosen and (a in used or b in used or c <= bound):
+        if chosen and (b in acc_lefts or a in acc_rights
+                       or c <= bound):
             break
         chosen.append((a, b, c))
-        used.update((a, b))
+        acc_lefts.add(a)
+        acc_rights.add(b)
         touching = cand.loc[
             (cand["right"] == a) | (cand["left"] == b), "c"
         ]
@@ -248,21 +257,31 @@ def _sequential_prefix(cand: pd.DataFrame, cutoff: int,
 
 
 def bpe_fit(ds, text_col: str, n_merges: int,
-            n_buckets: int = 64, topk: int = 128) -> pd.DataFrame:
+            n_buckets: int = 64, topk: int = 128,
+            driver_fold_rows: int = 5_000_000) -> pd.DataFrame:
     """Learn ``n_merges`` BPE merge operations over ``ds[text_col]``.
 
     Returns a DataFrame (rank, left, right, pair_count) — the merge
     table a tokenizer would serialize.  Each ROUND batches as many
     merges as can be proven order-equal to the sequential algorithm
     (``_sequential_prefix``): per-batch vectorized pair partials ->
-    one small bucketed shuffle -> per-block top-``topk`` window ->
-    the driver folds the window, takes the provable prefix, and ONE
-    ``map_batches`` pass applies the whole prefix in rank order.
-    Natural-language pair histograms are heavy-tailed, so rounds
-    shrink from n_merges Ray executions toward n_merges / batch —
-    with sequential fallback (batch of 1) whenever candidates
-    interact.  The histogram is re-materialized per round so the
-    next round reads the merged lists, not a re-executed lineage.
+    global pair fold -> top-``topk`` window -> the driver takes the
+    provable prefix and ONE ``map_batches`` pass applies the whole
+    prefix in rank order.  Natural-language pair histograms are
+    heavy-tailed, so rounds shrink from n_merges Ray executions
+    toward n_merges / batch — with sequential fallback (batch of 1)
+    whenever candidates interact.  The histogram is re-materialized
+    per round so the next round reads the merged lists, not a
+    re-executed lineage.
+
+    The pair fold is size-adaptive: per-block partials are combiner
+    output (one row per distinct adjacent symbol pair per block), so
+    while the collected partial table stays under
+    ``driver_fold_rows`` it folds with one driver-side groupby — one
+    Ray execution per round, no shuffle.  The first round that
+    exceeds the cap flips the fold to ``bucketed_aggregate``
+    permanently (the distinct-pair table only grows with vocab), the
+    same collect-small/shuffle-big split connected_components uses.
     """
     from unfurl_ray.ops.relational import bucketed_aggregate
 
@@ -274,6 +293,7 @@ def bpe_fit(ds, text_col: str, n_merges: int,
     # compacted into a fresh materialization once the sweep count
     # would start to rival the saved execution
     pending: list = []
+    driver_fold = True
     while len(out) < n_merges:
         if len(pending) >= 8:
             hist = hist.map_batches(
@@ -287,25 +307,48 @@ def bpe_fit(ds, text_col: str, n_merges: int,
                 lambda t, ms=tuple(pending): _apply_merges(t, ms),
                 batch_format="pyarrow",
             )
-        # the pair table is adjacency-bounded (distinct symbol pairs),
-        # far smaller than the histogram — few merge buckets suffice
-        pairs = bucketed_aggregate(
-            stage.map_batches(_pair_partial, batch_format="pyarrow"),
-            ["left", "right"], {"c": ("c", "sum")},
-            n_buckets=max(8, n_buckets // 4),
+        partials = stage.map_batches(
+            _pair_partial, batch_format="pyarrow"
         )
-        cand = pairs.map_batches(
-            lambda t: _batch_topk(t, topk), batch_format="pyarrow"
-        ).to_pandas()
+        cand = None
+        if driver_fold:
+            pdf = partials.to_pandas()
+            if len(pdf) > driver_fold_rows:
+                driver_fold = False
+            else:
+                agg = pdf.groupby(
+                    ["left", "right"], as_index=False, sort=False
+                )["c"].sum()
+                cand = agg.sort_values(
+                    ["c", "left", "right"],
+                    ascending=[False, True, True],
+                )
+                cutoff = (
+                    int(cand["c"].iloc[topk])
+                    if len(cand) > topk else 0
+                )
+                cand = cand.head(topk)
+        if cand is None:
+            # the pair table is adjacency-bounded (distinct symbol
+            # pairs) — few merge buckets suffice
+            pairs = bucketed_aggregate(
+                partials, ["left", "right"], {"c": ("c", "sum")},
+                n_buckets=max(8, n_buckets // 4),
+            )
+            cand = pairs.map_batches(
+                lambda t: _batch_topk(t, topk), batch_format="pyarrow"
+            ).to_pandas()
+            if cand.empty:
+                break
+            cutoff = int(cand["cut"].max())
+            cand = cand.sort_values(
+                ["c", "left", "right"], ascending=[False, True, True]
+            )
+            if len(cand) > topk:  # rows dropped by the global fold
+                cutoff = max(cutoff, int(cand["c"].iloc[topk]))
+                cand = cand.head(topk)
         if cand.empty:
             break
-        cutoff = int(cand["cut"].max())
-        cand = cand.sort_values(
-            ["c", "left", "right"], ascending=[False, True, True]
-        )
-        if len(cand) > topk:  # rows dropped by the global fold are
-            cutoff = max(cutoff, int(cand["c"].iloc[topk]))  # bounded too
-            cand = cand.head(topk)
         chosen = _sequential_prefix(
             cand, cutoff, n_merges - len(out)
         )

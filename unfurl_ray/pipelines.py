@@ -3823,8 +3823,9 @@ def q_profile(sf_dir: str) -> pd.DataFrame:
 def q_pagerank(sf_dir: str) -> pd.DataFrame:
     """Centrality over the embedding similarity graph: bucketed
     cosine pairs (no corpus broadcast) become symmetric edges, then
-    PageRank runs by distributed power iteration — the edge set never
-    reshuffles; only per-node vectors move per round.  Rows-only
+    PageRank runs on co-partitioned shard actors — the edge set
+    shuffles once at setup; each power step moves only pre-aggregated
+    per-bucket (dst, contribution) arrays between shards.  Rows-only
     check (iterative fixpoint has no SQL twin); pytest parity against
     dense numpy power iteration covers exactness.  Returns the top-50
     nodes by rank (rounded so fold order can't flip the hash)."""
