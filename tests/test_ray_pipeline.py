@@ -793,6 +793,35 @@ def test_fingerprint_edges_and_assignment(ray_session):
     assert comp[3] == 3 and comp[4] == 4       # singletons keep own id
 
 
+def test_connected_components_no_pointer_jump(ray_session):
+    """Propagation-only convergence (pointer_jump=False): near-clique
+    clusters close in diameter rounds and match the driver path."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.graph import connected_components
+
+    base = np.arange(50, dtype=np.int64) * 4
+    u = np.concatenate([base, base + 1, base + 2])
+    v = np.concatenate([base + 1, base + 2, base + 3])
+    edges = pd.DataFrame(
+        {"u": np.concatenate([u, v]), "v": np.concatenate([v, u])}
+    )
+    ds = rd.from_pandas(edges).repartition(3)
+    got = (
+        connected_components(
+            ds, num_partitions=3, distributed=True, pointer_jump=False
+        )
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    want = connected_components(ds, distributed=False)
+    want = want.sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert (got["label"].to_numpy()
+            == (got["node"].to_numpy() // 4) * 4).all()
+
+
 def test_assign_components_join_fallback_parity(ray_session):
     """broadcast_limit=0 forces the bucketed left-hash-join path; it
     must produce exactly the broadcast searchsorted path's output,
