@@ -23,7 +23,7 @@ def entry() -> Any:
     from unfurl_ray.sources.transcripts import build_transcripts
 
     ds = build_transcripts("/root/testdata/sf0.001")
-    extracted = extract_turns(ds, concurrency=(1, 4))
+    extracted = extract_turns(ds, concurrency=4)
     return order_by_turn(extracted)
 
 

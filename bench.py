@@ -79,8 +79,14 @@ def run_headline() -> dict:
         # non-scaling cost; see order_by_turn docstring)
         ds = rd.read_parquet(path, override_num_blocks=4 * NUM_CPUS)
         t0 = time.time()
+        # fixed-size pool: the autoscaling (1,N) ramp left the pool
+        # ~57% utilized over a ~60 s stage (measured 59 s -> 36.5 s
+        # extract, 69.4 -> 47.1 s headline at 32 CPUs, same window).
+        # Safe here because this execution has exactly one actor-pool
+        # stage; N-2 leaves CPUs for the read and the overlapped sort.
+        pool = max(2, NUM_CPUS - 2)
         extracted = extract_turns(
-            ds, concurrency=(1, max(2, NUM_CPUS - 2)), batch_size=256
+            ds, concurrency=(pool, pool), batch_size=256
         )
         ordered = order_by_turn(extracted)
         n = (

@@ -1172,7 +1172,7 @@ def q_transcript_types(sf_dir: str) -> pd.DataFrame:
     from unfurl_ray.sources.transcripts import build_transcripts
 
     ds = build_transcripts(sf_dir)
-    extracted = extract_turns(ds, concurrency=(1, 4))
+    extracted = extract_turns(ds, concurrency=4)
     out = pre_aggregate(
         extracted, ["unfurl_type"], {"n": ("unfurl_type", "count")}
     ).to_pandas()
