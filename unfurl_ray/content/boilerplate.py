@@ -141,7 +141,12 @@ class ContentCollector:
         return self._drop == 0
 
 
-from html.parser import HTMLParser
+import os
+
+if os.environ.get("UNFURL_RAY_STDLIB_HTMLPARSER"):
+    from html.parser import HTMLParser
+else:
+    from unfurl_ray.html.fasttok import FastHTMLParser as HTMLParser
 
 
 class _ContentHandler(HTMLParser):
@@ -157,6 +162,9 @@ class _ContentHandler(HTMLParser):
         super().feed(data)
 
     def _offset(self) -> int:
+        off = getattr(self, "_data_offset", None)
+        if off is not None:
+            return off  # fast parser tracks char offsets directly
         if self._line_starts is None:
             text = self.rawdata if not self._fed else self._fed
             starts = [0]

@@ -236,6 +236,9 @@ class MetaContentHandler(MetaHandler):
         super().feed(data)
 
     def _offset(self) -> int:
+        off = getattr(self, "_data_offset", None)
+        if off is not None:
+            return off  # fast parser tracks char offsets directly
         if self._line_starts is None:
             text = self._fed_text or self.rawdata
             starts = [0]

@@ -32,10 +32,17 @@ needs real context processing for the ``jsonld`` bucket.
 from __future__ import annotations
 
 import json
+import os
 import re
-from html.parser import HTMLParser
 
 from unfurl_ray.core.url import to_url
+
+if os.environ.get("UNFURL_RAY_STDLIB_HTMLPARSER"):
+    # escape hatch + differential-test reference: the stdlib tokenizer
+    # the fast one reimplements (tests/test_fasttok.py compares them)
+    from html.parser import HTMLParser
+else:
+    from unfurl_ray.html.fasttok import FastHTMLParser as HTMLParser
 
 VOID_ELEMENTS = frozenset(
     "area base br col embed hr img input link meta param source track wbr".split()
@@ -174,6 +181,14 @@ class _Item:
         self.node = node
 
 
+# tags _element dispatches on, and attributes that activate its
+# RDFa / microdata branches on any other tag — everything else is a
+# provable no-op (see _element body)
+_ELEMENT_TAGS = frozenset(("title", "meta", "link", "base", "script"))
+_ELEMENT_ATTRS = frozenset(
+    ("prefix", "vocab", "property", "itemscope", "itemprop"))
+
+
 class MetaHandler(HTMLParser):
     """Single-pass streaming handler; feed() then call result()."""
 
@@ -198,21 +213,34 @@ class MetaHandler(HTMLParser):
     # -- tree bookkeeping ---------------------------------------------------
 
     def handle_starttag(self, tag, attrs):
-        attrd = {}
-        for k, v in attrs:
-            if k not in attrd:
-                attrd[k] = v if v is not None else ""
         void = tag in VOID_ELEMENTS
         if not void:
             self._depth += 1
-        self._element(tag, attrd, void)
+        if not attrs:
+            if tag in _ELEMENT_TAGS:
+                self._element(tag, {}, void)
+            return
+        attrd = dict(reversed(attrs))  # first occurrence wins
+        for k, v in attrd.items():
+            if v is None:
+                attrd[k] = ""
+        # _element is a no-op unless the tag is dispatched or an
+        # RDFa/microdata trigger attribute is present — skip the call
+        # for the typical <div class=...> / <a href=...> element
+        if tag in _ELEMENT_TAGS or not _ELEMENT_ATTRS.isdisjoint(attrd):
+            self._element(tag, attrd, void)
 
     def handle_startendtag(self, tag, attrs):
-        attrd = {}
-        for k, v in attrs:
-            if k not in attrd:
-                attrd[k] = v if v is not None else ""
-        self._element(tag, attrd, True)
+        if not attrs:
+            if tag in _ELEMENT_TAGS:
+                self._element(tag, {}, True)
+            return
+        attrd = dict(reversed(attrs))
+        for k, v in attrd.items():
+            if v is None:
+                attrd[k] = ""
+        if tag in _ELEMENT_TAGS or not _ELEMENT_ATTRS.isdisjoint(attrd):
+            self._element(tag, attrd, True)
 
     def handle_endtag(self, tag):
         if tag in VOID_ELEMENTS:
