@@ -73,18 +73,19 @@ def run_headline() -> dict:
     path = materialize_transcripts()
 
     def one_trial() -> tuple[float, int]:
-        # 4 blocks/CPU: enough extract tasks per actor to balance the
-        # pool, few enough that the sort's blocksxpartitions fragment
-        # count stays coarse (tiny fragments made the shuffle a flat,
-        # non-scaling cost; see order_by_turn docstring)
-        ds = rd.read_parquet(path, override_num_blocks=4 * NUM_CPUS)
+        # 4 blocks per ACTOR (not per CPU): tasks then fill the pool in
+        # even waves — at 4*CPUs blocks the last 0.27-wave left most of
+        # the pool idle for one full task at the tail (~6 s at 32 CPUs,
+        # ~14 s at 8).  Block count also sets the sort partition count;
+        # ~120 stays in the coarse-fragment regime (see order_by_turn)
+        pool = max(2, NUM_CPUS - 2)
+        ds = rd.read_parquet(path, override_num_blocks=4 * pool)
         t0 = time.time()
         # fixed-size pool: the autoscaling (1,N) ramp left the pool
         # ~57% utilized over a ~60 s stage (measured 59 s -> 36.5 s
         # extract, 69.4 -> 47.1 s headline at 32 CPUs, same window).
         # Safe here because this execution has exactly one actor-pool
         # stage; N-2 leaves CPUs for the read and the overlapped sort.
-        pool = max(2, NUM_CPUS - 2)
         extracted = extract_turns(
             ds, concurrency=(pool, pool), batch_size=256
         )
