@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup families
         "q_minhash_dedup": p.q_minhash_dedup,
         "q_simhash": p.q_simhash,
+        "q_setsim_join": p.q_setsim_join,
         "q_dedup_clusters": p.q_dedup_clusters,
         "q_curation": p.q_curation,
         "q_training_prep": p.q_training_prep,
@@ -1038,6 +1039,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT bigram, count(*) AS n FROM bg
             GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+        """,
+        # exact set-similarity join twin: distinct 3-word shingles
+        # over the whitespace token contract; integer threshold test
+        # (i*10 >= 4*union) and half-up 6dp jaccard, matching
+        # ops.dedup.set_similarity_join exactly
+        "q_setsim_join": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text),
+                           '[ \t\n\f\r]+'), x -> x <> '') AS ws
+                FROM documents
+            ), ix AS (
+                SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+                FROM w WHERE len(ws) >= 3
+            ), g AS (
+                SELECT DISTINCT doc_id,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+                FROM ix
+            ), sz AS (
+                SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+                FROM g a JOIN g b
+                  ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT da AS doc_a, db AS doc_b,
+                   floor(i * 1e6 / (sa.n + sb.n - i) + 0.5) / 1e6
+                       AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = da
+            JOIN sz sb ON sb.doc_id = db
+            WHERE i * 10 >= 4 * (sa.n + sb.n - i)
+            ORDER BY doc_a, doc_b
         """,
         # simhash twin: per-word hash = first 8 bytes of md5 (msb
         # first), +-1 vote per bit position per word occurrence,

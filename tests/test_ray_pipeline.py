@@ -3289,3 +3289,52 @@ def test_phash_banded_hamming_pairs(ray_session):
         (1, 2)
     ]
     assert int(pairs["dist"].iloc[0]) <= 4
+
+
+def test_set_similarity_join_brute_parity(ray_session):
+    """Prefix filtering must emit EXACTLY the brute-force Jaccard>=t
+    pairs — candidate pruning is allowed to drop only non-matches."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.dedup import set_similarity_join, _ws_words
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        words = rng.choice(vocab, size=rng.integers(5, 30)).tolist()
+        docs.append(" ".join(words))
+    # planted near-identical pair
+    docs.append(docs[0] + " extra")
+    docs.append(docs[1])
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                       "text": docs})
+
+    def gramset(text, k=3):
+        ws = _ws_words(text)
+        return set(" ".join(ws[i:i+k]) for i in range(len(ws)-k+1)) \
+            if len(ws) >= k else set()
+
+    want = []
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            sa, sb = gramset(docs[a]), gramset(docs[b])
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if inter * 10 >= 4 * union:
+                want.append((a, b, np.floor(inter * 1e6 / union + 0.5) / 1e6))
+    want = pd.DataFrame(want, columns=["doc_a", "doc_b", "jaccard"])
+    want = want.astype({"doc_a": "int64", "doc_b": "int64"})
+
+    got = set_similarity_join(
+        rd.from_pandas(df).repartition(4), threshold=0.4, n_buckets=8
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+    assert ((got["doc_a"] == 0) & (got["doc_b"] == 40)).any()
+    assert ((got["doc_a"] == 1) & (got["doc_b"] == 41)).any()

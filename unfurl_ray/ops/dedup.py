@@ -672,3 +672,204 @@ def duplicate_ngram_spans(ds, n: int = 5, column: str = "text",
     return bucketed_aggregate(
         partials, [id_column], {"n_dup_grams": ("n_dup_grams", "sum")},
     )
+
+
+# -- exact set-similarity self-join (prefix filtering) -----------------------
+
+def _ws_words(text: str) -> list[str]:
+    """The repo token contract: lowercase, ASCII-whitespace split,
+    empties dropped (SQL twin: list_filter(string_split_regex(
+    lower(text), '[ \\t\\n\\f\\r]+'), w -> w <> ''))."""
+    import re as _re
+
+    return [w for w in _re.split(r"[ \t\n\f\r]+", (text or "").lower()) if w]
+
+
+def set_similarity_join(ds, threshold: float = 0.4, k: int = 3,
+                        id_column: str = "doc_id", column: str = "text",
+                        n_buckets: int = 64) -> "pd.DataFrame":
+    """Exact Jaccard self-join over distinct k-word shingle sets —
+    the EXACT counterpart to ``minhash_near_dup`` (probabilistic),
+    distributed as prefix filtering (PPJoin-style; Xiao et al.,
+    "Efficient Similarity Joins for Near Duplicate Detection", WWW'08).
+
+    Semantics (SQL-twinned, q_setsim_join): a doc's set is its
+    DISTINCT k-word shingles (the whitespace token contract joined by
+    single spaces; docs with < k words have no shingles and cannot
+    match).  Emits (doc_a, doc_b, jaccard) for doc_a < doc_b with
+    jaccard >= threshold, threshold compared in exact integer
+    arithmetic (i * den >= num * union) so no float boundary flaps.
+
+    Scale shape — no stage ever holds the corpus:
+    1. explode to (gram, doc_id), distinct per doc (local).
+    2. gram-hash-bucket groupby: document frequency per gram computed
+       vectorized INSIDE ~n_buckets groups (one shuffle; same
+       granularity-only bucketing as the MinHash banding above).
+    3. doc-hash-bucket groupby: per doc, order grams rare-first by
+       (df, gram), keep the PPJoin prefix (n - ceil(t*n) + 1) —
+       vectorized cumcount/transform, one shuffle.
+    4. gram-bucket groupby over prefixes only: emit candidate pairs
+       within each gram, pre-filtered by the size bound
+       min(na,nb) >= t * max(na,nb); one shuffle, prefix-sized.
+    5. verify: candidate doc ids are few — their full gram sets are
+       collected once and the exact Jaccard evaluated vectorized.
+    At 10^10 docs the candidate table is the output-scale object; a
+    hot prefix gram can be salted the same way the MinHash band
+    buckets are (granularity, not semantics).
+    """
+    import zlib
+    from fractions import Fraction
+
+    import pandas as pd
+
+    frac = Fraction(threshold).limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_pylist()
+        texts = batch.column(column).to_pylist()
+        out_id, out_gram = [], []
+        for doc_id, text in zip(ids, texts):
+            ws = _ws_words(text)
+            if len(ws) < k:
+                continue
+            grams = set(
+                " ".join(ws[i: i + k]) for i in range(len(ws) - k + 1)
+            )
+            out_id.extend([doc_id] * len(grams))
+            out_gram.extend(grams)
+        buckets = [zlib.crc32(g.encode()) % n_buckets for g in out_gram]
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "gram": pa.array(out_gram, pa.string()),
+                "_bucket": pa.array(buckets, pa.int32()),
+            }
+        )
+
+    grams = ds.select_columns([id_column, column]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+    def df_in_bucket(group: pd.DataFrame) -> pa.Table:
+        g = group[["doc_id", "gram"]].copy()
+        g["df"] = g.groupby("gram")["gram"].transform("size")
+        g["_dbucket"] = (
+            g["doc_id"].to_numpy(np.int64) % np.int64(n_buckets)
+        ).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    with_df = grams.groupby("_bucket").map_groups(
+        df_in_bucket, batch_format="pandas"
+    )
+
+    def prefixes_in_bucket(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(
+            ["doc_id", "df", "gram"], kind="mergesort"
+        ).reset_index(drop=True)
+        n = g.groupby("doc_id")["doc_id"].transform("size").to_numpy(
+            np.int64
+        )
+        rank = g.groupby("doc_id").cumcount().to_numpy(np.int64)
+        # ceil(t*n) with exact integers: -(-num*n // den)
+        ceil_tn = -((-(np.int64(num) * n)) // np.int64(den))
+        plen = n - ceil_tn + 1
+        keep = rank < plen
+        out = g.loc[keep, ["gram", "doc_id"]].copy()
+        out["n"] = n[keep]
+        out["_bucket"] = [
+            zlib.crc32(s.encode()) % n_buckets for s in out["gram"]
+        ]
+        out["_bucket"] = out["_bucket"].astype(np.int32)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    prefixes = with_df.groupby("_dbucket").map_groups(
+        prefixes_in_bucket, batch_format="pandas"
+    )
+
+    def candidates_in_bucket(group: pd.DataFrame) -> pa.Table:
+        out_a, out_b, out_na, out_nb = [], [], [], []
+        g = group.sort_values(["gram", "doc_id"], kind="mergesort")
+        for _, sub in g.groupby("gram", sort=False):
+            if len(sub) < 2:
+                continue
+            ids = sub["doc_id"].to_numpy(np.int64)
+            ns = sub["n"].to_numpy(np.int64)
+            iu, il = np.triu_indices(len(ids), k=1)
+            a, b = ids[iu], ids[il]
+            na, nb = ns[iu], ns[il]
+            lo = np.minimum(na, nb)
+            hi = np.maximum(na, nb)
+            keep = lo * den >= num * hi  # size bound for jaccard >= t
+            out_a.append(a[keep]); out_b.append(b[keep])
+            out_na.append(na[keep]); out_nb.append(nb[keep])
+        if not out_a:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                }
+            )
+        a = np.concatenate(out_a); b = np.concatenate(out_b)
+        return pa.table(
+            {
+                "doc_a": pa.array(np.minimum(a, b), pa.int64()),
+                "doc_b": pa.array(np.maximum(a, b), pa.int64()),
+            }
+        )
+
+    cand = (
+        prefixes.groupby("_bucket")
+        .map_groups(candidates_in_bucket, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()  # candidate-table-sized (output scale)
+        .reset_index(drop=True)
+    )
+    if cand.empty:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64"),
+            }
+        )
+
+    # verify: exact Jaccard over the candidate docs' full gram sets
+    cand_ids = set(cand["doc_a"]) | set(cand["doc_b"])
+
+    def keep_cands(batch: pa.Table) -> pa.Table:
+        mask = pa.array(
+            [i in cand_ids for i in batch.column("doc_id").to_pylist()]
+        )
+        return batch.filter(mask)
+
+    cand_grams = (
+        grams.select_columns(["doc_id", "gram"])
+        .map_batches(keep_cands, batch_format="pyarrow")
+        .to_pandas()
+    )
+    sets = {
+        doc: set(sub["gram"])
+        for doc, sub in cand_grams.groupby("doc_id")
+    }
+    rows_a, rows_b, rows_j = [], [], []
+    for a, b in zip(cand["doc_a"], cand["doc_b"]):
+        sa, sb = sets[a], sets[b]
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        if inter * den >= num * union:  # exact threshold test
+            rows_a.append(a); rows_b.append(b)
+            rows_j.append(
+                np.floor(inter * 1e6 / union + 0.5) / 1e6
+            )
+    return (
+        pd.DataFrame(
+            {
+                "doc_a": pd.Series(rows_a, dtype="int64"),
+                "doc_b": pd.Series(rows_b, dtype="int64"),
+                "jaccard": pd.Series(rows_j, dtype="float64"),
+            }
+        )
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )

@@ -985,6 +985,19 @@ def q_simhash(sf_dir: str):
     ).select_columns(["doc_id", "simhash"])
 
 
+def q_setsim_join(sf_dir: str) -> pd.DataFrame:
+    """Exact set-similarity self-join (Jaccard >= 0.4 over distinct
+    3-word shingles) by distributed prefix filtering — the exact
+    counterpart to q_minhash_dedup's probabilistic path; see
+    ops.dedup.set_similarity_join for the PPJoin-shaped stage layout.
+    Hash-exact DuckDB twin (same token contract, integer threshold
+    test, half-up 6dp rounding)."""
+    from unfurl_ray.ops.dedup import set_similarity_join
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+    return set_similarity_join(ds, threshold=0.4, k=3)
+
+
 # -- embeddings -------------------------------------------------------------
 
 def q_cosine_to_query(sf_dir: str) -> pd.DataFrame:
