@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_semdedup": p.q_semdedup,
         "q_knn_topk": p.q_knn_topk,
         "q_knn_ivf": p.q_knn_ivf,
+        "q_knn_pq": p.q_knn_pq,
         "q_kmeans_sample": p.q_kmeans_sample,
         # multimodal plumbing
         "q_image_meta": p.q_image_meta,

@@ -3338,3 +3338,37 @@ def test_set_similarity_join_brute_parity(ray_session):
     )
     assert ((got["doc_a"] == 0) & (got["doc_b"] == 40)).any()
     assert ((got["doc_a"] == 1) & (got["doc_b"] == 41)).any()
+
+
+def test_knn_pq_recall_and_determinism(ray_session):
+    """PQ ANN: recall@10 vs brute >= 0.6 on the sf0.001 embeddings
+    (unclustered — PQ's worst case) and bit-identical across runs."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from unfurl_ray.ops.similarity import knn_brute, knn_pq
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    t = pq.read_table(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    mask = np.array(t.column("vec_id").to_pylist()) < 4
+    qs = np.array(t.column("embedding").to_pylist())[mask]
+
+    got = knn_pq(ds, qs, k=10)
+    brute = knn_brute(ds, qs, k=10)
+    recall = np.mean([
+        len(set(brute[brute["query_id"] == qi]["vec_id"])
+            & set(got[got["query_id"] == qi]["vec_id"])) / 10
+        for qi in range(4)
+    ])
+    assert recall >= 0.6, f"recall@10 {recall}"
+    again = knn_pq(ds, qs, k=10)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), again.reset_index(drop=True)
+    )

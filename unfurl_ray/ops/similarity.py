@@ -802,3 +802,180 @@ def kmeans_diversity_sample(ds, centroids: np.ndarray, m: int = 10,
         .reset_index(drop=True)
     )
     return out
+
+
+# -- product quantization (PQ) ANN -------------------------------------------
+
+def pq_train(ds, m: int = 16, n_centroids: int = 64, sample: int = 4096,
+             iters: int = 10) -> np.ndarray:
+    """Train PQ sub-codebooks on a deterministic sample (Jegou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+    Vectors are L2-normalized, split into ``m`` contiguous subspaces,
+    and each subspace gets an independent k-means (squared-L2 Lloyd,
+    seeded) codebook.  The sample + codebooks are tiny driver-side
+    objects (m * n_centroids * d/m floats) — the standard coarse-model
+    training shape (same contract as kmeans_centroids above).
+    Returns ``(m, n_centroids, d//m)`` float64.
+    """
+    rows = (
+        ds.select_columns(["vec_id", "embedding"]).limit(sample)
+        .to_pandas().sort_values("vec_id")
+    )
+    X = _normalize(np.array(rows["embedding"].tolist(), dtype=np.float64))
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = np.zeros((m, n_centroids, sub), dtype=np.float64)
+    for j in range(m):
+        Xj = X[:, j * sub: (j + 1) * sub]
+        rng = np.random.default_rng(42 + j)
+        kk = min(n_centroids, len(Xj))
+        c = Xj[rng.choice(len(Xj), size=kk, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((Xj[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for ci in range(kk):
+                members = Xj[assign == ci]
+                if len(members):
+                    c[ci] = members.mean(axis=0)
+        books[j, :kk] = c
+        if kk < n_centroids:
+            books[j, kk:] = c[0]  # degenerate tail duplicates
+    return books
+
+
+class PqEncode:
+    """Actor-pool encoder: vectors -> m uint8 codes (one binary col)."""
+
+    def __init__(self, books_ref):
+        import ray
+
+        b = (
+            ray.get(books_ref)
+            if isinstance(books_ref, ray.ObjectRef)
+            else books_ref
+        )
+        self.books = np.asarray(b)
+        # precompute ||c||^2 per subspace for the argmin
+        self.c2 = (self.books ** 2).sum(axis=2)  # (m, n_centroids)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            batch.column("vec_id").to_pylist(), dtype=np.int64
+        )
+        X = _normalize(_as_matrix(batch.column("embedding")))
+        m, _, sub = self.books.shape
+        codes = np.zeros((len(X), m), dtype=np.uint8)
+        for j in range(m):
+            Xj = X[:, j * sub: (j + 1) * sub]
+            # argmin ||x - c||^2 = argmin c^2 - 2 x.c  (x^2 constant)
+            scores = self.c2[j][None, :] - 2.0 * (Xj @ self.books[j].T)
+            codes[:, j] = scores.argmin(axis=1).astype(np.uint8)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "pq_code": pa.array(
+                    [c.tobytes() for c in codes], pa.binary()
+                ),
+            }
+        )
+
+
+class _PqScan:
+    """ADC scan: per-batch partial top-k from codes alone (no vectors)."""
+
+    def __init__(self, books_ref, queries, k):
+        import ray
+
+        b = (
+            ray.get(books_ref)
+            if isinstance(books_ref, ray.ObjectRef)
+            else books_ref
+        )
+        books = np.asarray(b)
+        q = _normalize(np.asarray(queries, dtype=np.float64))
+        m, nc, sub = books.shape
+        # lookup tables: (nq, m, n_centroids) of q_j . c
+        self.tables = np.einsum(
+            "qmd,mcd->qmc", q.reshape(len(q), m, sub), books
+        )
+        self.k = k
+        self.m = m
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            batch.column("vec_id").to_pylist(), dtype=np.int64
+        )
+        code_bytes = batch.column("pq_code").to_pylist()
+        codes = np.frombuffer(
+            b"".join(code_bytes), dtype=np.uint8
+        ).reshape(len(ids), self.m)
+        nq = self.tables.shape[0]
+        out_q, out_id, out_s = [], [], []
+        cols = np.arange(self.m)
+        for qi in range(nq):
+            # sum_j table[qi, j, code_j] — vectorized gather
+            s = self.tables[qi][cols[None, :], codes].sum(axis=1)
+            s = np.round(s, 6)
+            top = min(self.k, len(s))
+            order = np.lexsort((ids, -s))[:top]
+            out_q.extend([qi] * top)
+            out_id.extend(ids[order].tolist())
+            out_s.extend(s[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def knn_pq(ds, queries: np.ndarray, k: int = 10, m: int = 16,
+           n_centroids: int = 64, concurrency: int = 4) -> "pd.DataFrame":
+    """PQ-compressed ANN top-k: train sub-codebooks on a sample, encode
+    the corpus to m bytes/vector (a 32x compression of the 64-dim
+    float32 input), then answer queries from CODES ALONE via
+    asymmetric-distance lookup tables — the memory-scale path when
+    even the IVF lists are too large to hold uncompressed.  Per-batch
+    partial top-k merged driver-side, same total order contract as
+    knn_brute (rounded score, vec_id tiebreak)."""
+    import pandas as pd
+    import ray
+
+    # codebooks are tiny (m*n_centroids*d/m floats ~ tens of KB):
+    # pass BY VALUE so they inline into the actor spec (an ObjectRef
+    # constructor arg triggers Ray's actor-restart warning, ray#53727)
+    books = pq_train(ds, m=m, n_centroids=n_centroids)
+    books_ref = books
+    codes = ds.map_batches(
+        _strip_schema_metadata, batch_format="pyarrow", batch_size=None,
+    ).map_batches(
+        PqEncode,
+        fn_constructor_kwargs={"books_ref": books_ref},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, concurrency),
+    )
+    partials = codes.map_batches(
+        _PqScan,
+        fn_constructor_kwargs={
+            "books_ref": books_ref,
+            "queries": np.asarray(queries, dtype=np.float64),
+            "k": k,
+        },
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, concurrency),
+    ).to_pandas()
+    return (
+        partials.sort_values(
+            ["query_id", "score", "vec_id"],
+            ascending=[True, False, True],
+        )
+        .groupby("query_id", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
