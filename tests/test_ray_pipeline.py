@@ -3372,3 +3372,31 @@ def test_knn_pq_recall_and_determinism(ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), again.reset_index(drop=True)
     )
+
+
+def test_pagerank_shard_edge_dedup_parity(ray_session):
+    """dedup_edges=True on duplicated edge input must equal the
+    pre-deduped run — shard-local unique is a global edge dedup."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.graph import pagerank
+
+    u = np.array([0, 1, 2, 3, 4, 0, 1], dtype=np.int64)
+    v = np.array([1, 2, 3, 4, 0, 2, 3], dtype=np.int64)
+    base = pd.DataFrame(
+        {"src": np.concatenate([u, v]), "dst": np.concatenate([v, u])}
+    )
+    dup = pd.concat([base, base.iloc[::2], base.iloc[:5]])
+    want = (
+        pagerank(rd.from_pandas(base).repartition(2), n_iter=6,
+                 n_buckets=3)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    got = (
+        pagerank(rd.from_pandas(dup).repartition(3), n_iter=6,
+                 n_buckets=3, dedup_edges=True)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)

@@ -357,7 +357,7 @@ class _GraphShard:
     data."""
 
     def __init__(self, bucket: int, n_buckets: int, src_col: str,
-                 dst_col: str, edge_refs):
+                 dst_col: str, edge_refs, dedup_edges: bool = False):
         import ray
 
         self.b, self.B = bucket, n_buckets
@@ -377,6 +377,16 @@ class _GraphShard:
             src, dst = src[keep], dst[keep]
         else:
             src = dst = np.array([], dtype=np.int64)
+        if dedup_edges and len(src):
+            # an edge's bucket is a pure function of src, so every
+            # duplicate of a (src, dst) pair lands on THIS shard —
+            # per-shard unique equals a global edge dedup, letting
+            # callers skip a corpus-wide pair-dedup shuffle upstream
+            order = np.lexsort((dst, src))
+            src, dst = src[order], dst[order]
+            first = np.ones(len(src), dtype=bool)
+            first[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+            src, dst = src[first], dst[first]
         self._src, self._dst = src, dst
         self._tgt = _node_bucket(dst, n_buckets)
 
@@ -544,7 +554,7 @@ class _CCShard(_GraphShard):
 
 def pagerank(edges, damping: float = 0.85, n_iter: int = 10,
              src_col: str = "src", dst_col: str = "dst",
-             n_buckets: int = 32):
+             n_buckets: int = 32, dedup_edges: bool = False):
     """PageRank on ``n_buckets`` co-partitioned graph-shard actors
     (the Pregel layout).  Returns a ``ray.data.Dataset`` of
     ``(node, rank)`` — collect it only at small scale; at scale take
@@ -571,7 +581,8 @@ def pagerank(edges, damping: float = 0.85, n_iter: int = 10,
     import ray
 
     actors, counts = _spawn_shards(
-        _PRShard, edges, n_buckets, src_col, dst_col
+        _PRShard, edges, n_buckets, src_col, dst_col,
+        dedup_edges=dedup_edges,
     )
     B = n_buckets
     n = int(sum(counts))
@@ -610,7 +621,7 @@ def _fan(a, method, B: int, *args):
 
 
 def _spawn_shards(shard_cls, edges, B: int, src_col: str,
-                  dst_col: str):
+                  dst_col: str, dedup_edges: bool = False):
     """Shared graph-shard setup: hash-bucket the edge set by src ONCE
     (one groupby shuffle — after it every out-edge of a node lives on
     its owner shard), spawn B shard actors that load their blocks
@@ -668,7 +679,9 @@ def _spawn_shards(shard_cls, edges, B: int, src_col: str,
         num_cpus=0, scheduling_strategy="SPREAD"
     )
     actors = [
-        remote_cls.remote(b, B, src_col, dst_col, emap.get(b, []))
+        remote_cls.remote(
+            b, B, src_col, dst_col, emap.get(b, []), dedup_edges
+        )
         for b in range(B)
     ]
     disc = [_fan(a, "discover", B) for a in actors]

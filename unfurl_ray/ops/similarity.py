@@ -339,7 +339,7 @@ class CosinePairs:
 
 def cosine_pairs_bucketed(ds, threshold: float = 0.45,
                           n_centroids: int = 16, assign_top: int = 2,
-                          chunk: int = 1024):
+                          chunk: int = 1024, dedup: bool = True):
     """Embedding-cosine near-dup pairs WITHOUT broadcasting the corpus
     — the scale path for corpora too big for ``cosine_pair_dedup``'s
     exact broadcast baseline.
@@ -398,6 +398,11 @@ def cosine_pairs_bucketed(ds, threshold: float = 0.45,
         .groupby("bucket")
         .map_groups(pairs_in_bucket, batch_format="pandas")
     )
+    if not dedup:
+        # a pair found in several shared buckets repeats; callers that
+        # dedup downstream anyway (pagerank's per-shard edge unique)
+        # skip this corpus-pair-table shuffle
+        return pairs
     # a pair found in several shared buckets dedupes with a tiny
     # groupby over the (small) pair table
     return pairs.groupby(["vec_a", "vec_b"]).aggregate(

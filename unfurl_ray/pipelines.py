@@ -3865,7 +3865,12 @@ def q_pagerank(sf_dir: str) -> pd.DataFrame:
     from unfurl_ray.ops.similarity import cosine_pairs_bucketed
 
     ds = _parquet(sf_dir, "embeddings")
-    pairs = cosine_pairs_bucketed(ds, threshold=0.3, assign_top=3)
+    # dedup=False: a pair found in several probed buckets repeats, but
+    # pagerank's shards unique their own edges (bucket is a function of
+    # src, so all copies land together) — one corpus-pair shuffle saved
+    pairs = cosine_pairs_bucketed(
+        ds, threshold=0.3, assign_top=3, dedup=False
+    )
 
     def both_dirs(batch: pa.Table) -> pa.Table:
         a = batch.column("vec_a").to_numpy(zero_copy_only=False)
@@ -3886,7 +3891,9 @@ def q_pagerank(sf_dir: str) -> pd.DataFrame:
     edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
     # n_buckets=8: the per-round contrib table is node-sized (tiny
     # here); fewer merge groups cut fixed per-iteration overhead
-    rank_ds = pagerank(edges, damping=0.85, n_iter=8, n_buckets=8)
+    rank_ds = pagerank(
+        edges, damping=0.85, n_iter=8, n_buckets=8, dedup_edges=True
+    )
 
     def local_top(batch: pd.DataFrame) -> pa.Table:
         b = batch.copy()
