@@ -681,16 +681,25 @@ def kmeans_fit(ds, k: int = 8, iters: int = 4,
 
     import ray
 
-    # plain tasks, not an actor pool: a pool would respawn every
-    # iteration (centroids change), and the broadcast here is a k x d
-    # float64 matrix — a node-local plasma get per task, ~4 KB
-    def partial_sums(batch: pa.Table, centroid_ref=None) -> pa.Table:
-        cents = ray.get(centroid_ref)
-        m = _normalize(_as_matrix(batch.column(column))
+    # plain ray.remote tasks over the materialized block refs — each
+    # Lloyd pass previously ran a full Dataset execution PLUS a
+    # groupby("cid") shuffle just to merge ~4 KB of per-batch partials
+    # (k rows each); direct tasks skip the per-pass scheduling and the
+    # driver folds the tiny partials itself.  Block order is fixed by
+    # to_arrow_refs, so the float fold order is deterministic (the old
+    # shuffle merge folded in arrival order).
+    block_refs = proj.to_arrow_refs()
+
+    @ray.remote
+    def _psums(block: pa.Table, cents: np.ndarray):
+        if block.num_rows == 0 or column not in block.column_names:
+            d0 = cents.shape[1]
+            return (np.zeros((len(cents), d0)),
+                    np.zeros(len(cents), dtype=np.int64))
+        m = _normalize(_as_matrix(block.column(column))
                        .astype(np.float64))
         assign = (m @ cents.T).argmax(axis=1)
-        d = m.shape[1]
-        sums = np.zeros((len(cents), d), dtype=np.float64)
+        sums = np.zeros((len(cents), m.shape[1]), dtype=np.float64)
         counts = np.zeros(len(cents), dtype=np.int64)
         for c in range(len(cents)):  # k iterations, vectorized sum
             members = assign == c
@@ -698,46 +707,19 @@ def kmeans_fit(ds, k: int = 8, iters: int = 4,
             if n:
                 sums[c] = m[members].sum(axis=0)
                 counts[c] = n
-        return pa.table(
-            {
-                "cid": pa.array(np.arange(len(cents)), pa.int64()),
-                "vsum": pa.array(list(sums), pa.list_(pa.float64())),
-                "n": pa.array(counts, pa.int64()),
-            }
-        )
+        return sums, counts
 
     for _ in range(iters):
-        ref = ray.put(centroids)
-        parts = proj.map_batches(
-            partial_sums,
-            fn_kwargs={"centroid_ref": ref},
-            batch_format="pyarrow",
+        outs = ray.get(
+            [_psums.remote(b, centroids) for b in block_refs]
         )
-
-        def merge_cid(group: pd.DataFrame) -> pa.Table:
-            vs = np.array(group["vsum"].tolist(), dtype=np.float64)
-            return pa.table(
-                {
-                    "cid": pa.array([int(group["cid"].iloc[0])],
-                                    pa.int64()),
-                    "vsum": pa.array([vs.sum(axis=0)],
-                                     pa.list_(pa.float64())),
-                    "n": pa.array([int(group["n"].sum())], pa.int64()),
-                }
-            )
-
-        agg = (
-            parts.groupby("cid")
-            .map_groups(merge_cid, batch_format="pandas")
-            .to_pandas()
-        )
+        sums = np.sum([o[0] for o in outs], axis=0)
+        counts = np.sum([o[1] for o in outs], axis=0)
         new = centroids.copy()
-        for _, row in agg.iterrows():
-            if row["n"] > 0:
-                v = np.asarray(row["vsum"], dtype=np.float64)
-                nrm = np.linalg.norm(v)
-                if nrm > 0:
-                    new[int(row["cid"])] = v / nrm
+        for c in np.flatnonzero(counts > 0):
+            nrm = np.linalg.norm(sums[c])
+            if nrm > 0:
+                new[c] = sums[c] / nrm
         centroids = new
     return centroids
 
@@ -747,10 +729,8 @@ class _ClusterTopM:
     per cluster — the driver merge then sees at most m * k * n_blocks
     stub rows (id, cluster, sim), never an embedding."""
 
-    def __init__(self, centroid_ref, column: str, id_col: str, m: int):
-        import ray
-
-        self.c = ray.get(centroid_ref)
+    def __init__(self, centroids, column: str, id_col: str, m: int):
+        self.c = np.asarray(centroids)
         self.column = column
         self.id_col = id_col
         self.m = m
@@ -789,15 +769,12 @@ def kmeans_diversity_sample(ds, centroids: np.ndarray, m: int = 10,
     centroid, per cluster — the standard diversity-sampling step after
     k-means curation.  Partial per-batch top-m keeps the driver merge
     at stub rows only (same decomposition as ``knn_brute``)."""
-    import ray
-
-    ref = ray.put(centroids)
+    # stateless + tiny closure (k x d centroid matrix by value):
+    # a plain task pool — an actor pool buys nothing here and pays
+    # spin-up on every call (measured 3.3 s for a 50k-row pass)
     stubs = ds.map_batches(
-        _ClusterTopM,
-        fn_constructor_kwargs={"centroid_ref": ref, "column": column,
-                               "id_col": id_col, "m": m},
+        _ClusterTopM(centroids, column, id_col, m),
         batch_format="pyarrow",
-        concurrency=(1, concurrency),
     ).to_pandas()
     out = (
         stubs.sort_values(["cluster", "sim", id_col],
