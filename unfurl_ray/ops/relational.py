@@ -1407,10 +1407,22 @@ def percent_rank_by(ds, key_col: str, value_col: str,
     # rows); when it fits a worker heap, broadcast it once via ray.put
     # and map-side merge — no third all-to-all.  Past the threshold
     # (many keys x fine-grained values) fall back to the hash join.
-    if mapping.count() <= broadcast_threshold:
+    n_map = mapping.count()
+    if n_map <= broadcast_threshold:
+        mp_df = mapping.to_pandas()
+        if n_map <= 100_000:
+            # small enough to pickle into each task closure: a plain
+            # task map skips the actor-pool spin-up entirely
+            def lookup(batch: pd.DataFrame) -> pa.Table:
+                return _arrow(
+                    batch.merge(mp_df, on=[key_col, value_col],
+                                how="inner")
+                )
+
+            return ds.map_batches(lookup, batch_format="pandas")
         import ray as _ray
 
-        ref = _ray.put(mapping.to_pandas())
+        ref = _ray.put(mp_df)
 
         class PrLookup:
             def __init__(self):
