@@ -1345,7 +1345,7 @@ def test_kmeans_fit_matches_numpy_reference(ray_session):
                 want[c] = v / np.linalg.norm(v)
     assert np.allclose(got, want, atol=1e-9)
 
-    sample = kmeans_diversity_sample(ds, got, m=4, concurrency=2)
+    sample = kmeans_diversity_sample(ds, got, m=4)
     assert len(sample) == 12
     assert sample.groupby("cluster").size().tolist() == [4, 4, 4]
     # every sampled vector really is among its cluster's 4 nearest
@@ -3400,3 +3400,52 @@ def test_pagerank_shard_edge_dedup_parity(ray_session):
         .to_pandas().sort_values("node").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_bpe_fit_collision_corpus_parity(ray_session):
+    """Two-letter alphabet: merged-symbol strings collide constantly
+    ('a'+'ab' == 'aa'+'b' == 'aab'), the channel through which a
+    batched round could pick a different order than sequential BPE —
+    the collision-aware prover must still match exactly."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.bpe import bpe_fit, bpe_fit_reference
+
+    rng = np.random.default_rng(5)
+    vocab = ["".join(rng.choice(["a", "b"], rng.integers(2, 9)))
+             for _ in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(3, 25)))
+        for _ in range(300)
+    ]
+    ds = rd.from_pandas(
+        pd.DataFrame({"text": texts})
+    ).repartition(4).materialize()
+    got = bpe_fit(ds, "text", n_merges=20, n_buckets=8)
+    want = bpe_fit_reference(texts, 20)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_sequential_prefix_collision_soundness():
+    """Window where the accepted merge ('a','bc') creates the string
+    'abc' that already exists as a symbol: the pre-existing pair
+    ('x','abc') can GAIN the occurrences of ('x','a') and overtake
+    later candidates, so the prover must stop the batch — accepting
+    ('e','f') (the pre-fix behavior) would diverge from sequential."""
+    import pandas as pd
+
+    from unfurl_ray.ops.bpe import _sequential_prefix
+
+    cand = pd.DataFrame(
+        {
+            "left": ["a", "e", "x", "x"],
+            "right": ["bc", "f", "abc", "a"],
+            "c": [100, 96, 95, 30],
+        }
+    )
+    chosen = _sequential_prefix(cand, cutoff=10, limit=8)
+    # ('a','bc') is the unconditional argmax; nothing after it is
+    # provable here: ('x','abc') may rise to 95 + 30 = 125 > 96
+    assert chosen == [("a", "bc", 100)]

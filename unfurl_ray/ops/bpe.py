@@ -236,21 +236,34 @@ def _sequential_prefix(cand: pd.DataFrame, cutoff: int,
     nothing after it is provable either.  The first candidate is the
     true argmax unconditionally."""
     chosen = []
-    acc_lefts, acc_rights = set(), set()
+    acc_lefts, acc_rights, acc_merged = set(), set(), set()
     bound = cutoff
     for row in cand.itertuples(index=False):
         a, b, c = str(row.left), str(row.right), int(row.c)
+        s = a + b
+        # collision channel: the merged STRING a+b can equal a symbol
+        # that already exists at round start (e.g. 'ab'+'c' after an
+        # earlier 'a'+'bc'), so pair keys containing it can INCREASE —
+        # a candidate referencing any accepted merge's concatenation
+        # (or re-creating the same concatenation) is therefore unsafe
         if chosen and (b in acc_lefts or a in acc_rights
+                       or a in acc_merged or b in acc_merged
+                       or s in acc_merged
                        or c <= bound):
             break
         chosen.append((a, b, c))
         acc_lefts.add(a)
         acc_rights.add(b)
+        acc_merged.add(s)
         touching = cand.loc[
-            (cand["right"] == a) | (cand["left"] == b), "c"
+            (cand["right"] == a) | (cand["left"] == b)
+            | (cand["right"] == s) | (cand["left"] == s), "c"
         ]
-        bound = max(bound, cutoff,
-                    int(touching.max()) if len(touching) else 0)
+        tmax = int(touching.max()) if len(touching) else 0
+        # 2x: a collision-merged key (x, a+b) combines its pre-existing
+        # count with the occurrences inherited from (x, a); each term
+        # is bounded by max(extended-touching window count, cutoff)
+        bound = max(bound, 2 * max(cutoff, tmax))
         if len(chosen) >= limit:
             break
     return chosen
@@ -307,15 +320,19 @@ def bpe_fit(ds, text_col: str, n_merges: int,
                 lambda t, ms=tuple(pending): _apply_merges(t, ms),
                 batch_format="pyarrow",
             )
+        # materialized so the under/over-cap decision is a metadata
+        # count — the over-cap round must NOT first pull the whole
+        # oversized pair table onto the driver (nor re-execute the
+        # lineage for the bucketed fold afterwards)
         partials = stage.map_batches(
             _pair_partial, batch_format="pyarrow"
-        )
+        ).materialize()
         cand = None
         if driver_fold:
-            pdf = partials.to_pandas()
-            if len(pdf) > driver_fold_rows:
+            if partials.count() > driver_fold_rows:
                 driver_fold = False
             else:
+                pdf = partials.to_pandas()
                 agg = pdf.groupby(
                     ["left", "right"], as_index=False, sort=False
                 )["c"].sum()

@@ -679,10 +679,11 @@ def duplicate_ngram_spans(ds, n: int = 5, column: str = "text",
 def _ws_words(text: str) -> list[str]:
     """The repo token contract: lowercase, ASCII-whitespace split,
     empties dropped (SQL twin: list_filter(string_split_regex(
-    lower(text), '[ \\t\\n\\f\\r]+'), w -> w <> ''))."""
-    import re as _re
+    lower(text), '[ \\t\\n\\f\\r]+'), w -> w <> '')).  The regex is
+    the ONE shared definition every token-contract site uses."""
+    from unfurl_ray.ops.textstats import _WS_SPLIT_RE
 
-    return [w for w in _re.split(r"[ \t\n\f\r]+", (text or "").lower()) if w]
+    return [w for w in _WS_SPLIT_RE.split((text or "").lower()) if w]
 
 
 def set_similarity_join(ds, threshold: float = 0.4, k: int = 3,
@@ -834,24 +835,31 @@ def set_similarity_join(ds, threshold: float = 0.4, k: int = 3,
             }
         )
 
-    # verify: exact Jaccard over the candidate docs' full gram sets
+    # verify: exact Jaccard over the candidate docs' full gram sets —
+    # re-shingle ONLY the candidate docs from the source (the grams
+    # lineage is unmaterialized; consuming it again would re-explode
+    # the whole corpus), filtering with a vectorized is_in
+    import pyarrow.compute as pc
+
     cand_ids = set(cand["doc_a"]) | set(cand["doc_b"])
+    id_set = pa.array(sorted(cand_ids), pa.int64())
 
     def keep_cands(batch: pa.Table) -> pa.Table:
-        mask = pa.array(
-            [i in cand_ids for i in batch.column("doc_id").to_pylist()]
+        return batch.filter(
+            pc.is_in(batch.column(id_column), value_set=id_set)
         )
-        return batch.filter(mask)
 
-    cand_grams = (
-        grams.select_columns(["doc_id", "gram"])
+    cand_docs = (
+        ds.select_columns([id_column, column])
         .map_batches(keep_cands, batch_format="pyarrow")
         .to_pandas()
     )
-    sets = {
-        doc: set(sub["gram"])
-        for doc, sub in cand_grams.groupby("doc_id")
-    }
+    sets = {}
+    for doc, text in zip(cand_docs[id_column], cand_docs[column]):
+        ws = _ws_words(text)
+        sets[int(doc)] = set(
+            " ".join(ws[i: i + k]) for i in range(len(ws) - k + 1)
+        ) if len(ws) >= k else set()
     rows_a, rows_b, rows_j = [], [], []
     for a, b in zip(cand["doc_a"], cand["doc_b"]):
         sa, sb = sets[a], sets[b]

@@ -763,8 +763,7 @@ class _ClusterTopM:
 
 def kmeans_diversity_sample(ds, centroids: np.ndarray, m: int = 10,
                             column: str = "embedding",
-                            id_col: str = "vec_id",
-                            concurrency: int = 8) -> pd.DataFrame:
+                            id_col: str = "vec_id") -> pd.DataFrame:
     """Cluster-balanced coreset: the m vectors nearest their own
     centroid, per cluster — the standard diversity-sampling step after
     k-means curation.  Partial per-batch top-m keeps the driver merge
@@ -800,6 +799,10 @@ def pq_train(ds, m: int = 16, n_centroids: int = 64, sample: int = 4096,
     training shape (same contract as kmeans_centroids above).
     Returns ``(m, n_centroids, d//m)`` float64.
     """
+    if n_centroids > 256:
+        raise ValueError(
+            "n_centroids > 256 would overflow the uint8 PQ codes"
+        )
     rows = (
         ds.select_columns(["vec_id", "embedding"]).limit(sample)
         .to_pandas().sort_values("vec_id")
