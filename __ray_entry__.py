@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_psi_drift": p.q_psi_drift,
         "q_normalize_text": p.q_normalize_text,
         "q_profile": p.q_profile,
+        "q_corr_matrix": p.q_corr_matrix,
         "q_pagerank": p.q_pagerank,
         "q_sliding_mau": p.q_sliding_mau,
         "q_time_travel": p.q_time_travel,
@@ -1418,6 +1419,22 @@ def oracle_sql() -> dict[str, str]:
             """
             for c in ["doc_id", "lang", "source", "n_chars"]
         ) + " ORDER BY col",
+        # pairwise Pearson: one branch per ordered column pair, same
+        # half-up 6dp float ops as the co-moment fold
+        "q_corr_matrix": " UNION ALL ".join(
+            f"""
+            SELECT '{a}' AS col_a, '{b}' AS col_b,
+                   floor(corr({a}, {b}) * 1000000 + 0.5) / 1000000
+                       AS corr
+            FROM lineitem
+            """
+            for i, a in enumerate(
+                ["l_quantity", "l_extendedprice", "l_discount",
+                 "l_tax"]
+            )
+            for b in ["l_quantity", "l_extendedprice", "l_discount",
+                      "l_tax"][i + 1:]
+        ) + " ORDER BY col_a, col_b",
         # EWMA via the weighted-prefix-sum identity; per-key t0
         # anchor bounds exp args; round(6) absorbs fold-order noise
         "q_ewma": """

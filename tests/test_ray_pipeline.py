@@ -3449,3 +3449,39 @@ def test_sequential_prefix_collision_soundness():
     # ('a','bc') is the unconditional argmax; nothing after it is
     # provable here: ('x','abc') may rise to 95 + 30 = 125 > 96
     assert chosen == [("a", "bc", 100)]
+
+
+def test_corr_matrix_matches_numpy(ray_session):
+    """Chan co-moment fold across many small blocks == one-shot
+    np.corrcoef, including a NULL row drop."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.profile import corr_matrix
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    x = rng.normal(1000.0, 200.0, n)
+    df = pd.DataFrame(
+        {
+            "a": x,
+            "b": 0.8 * x + rng.normal(0, 50.0, n),
+            "c": rng.uniform(0, 1, n),
+        }
+    )
+    df.loc[17, "b"] = np.nan  # any-null row must drop everywhere
+    ds = ray.data.from_pandas(df).repartition(23)
+    got = corr_matrix(ds, ["a", "b", "c"])
+
+    kept = df.dropna().to_numpy()
+    ref = np.corrcoef(kept, rowvar=False)
+    want = {
+        ("a", "b"): ref[0, 1],
+        ("a", "c"): ref[0, 2],
+        ("b", "c"): ref[1, 2],
+    }
+    assert len(got) == 3
+    for _, row in got.iterrows():
+        assert abs(row["corr"] - want[(row["col_a"], row["col_b"])]) \
+            < 1e-6

@@ -149,3 +149,89 @@ def profile_table(ds, columns: list[str],
         .sort_values("col")
         .reset_index(drop=True)
     )
+
+
+def corr_matrix(ds, columns: list[str], ndigits: int = 6) -> pd.DataFrame:
+    """Pairwise Pearson correlation over ``columns`` in ONE projected
+    pass: each batch collapses to (n, mean vector, centered co-moment
+    matrix) — a p + p*p float payload regardless of batch size — and
+    the driver folds the per-batch partials with Chan's pairwise
+    update (Chan, Golub & LeVeque 1983), the numerically stable
+    parallel form (raw Σx² moments cancel catastrophically at
+    10^12-row scale; centered co-moments don't).  The shuffle-free
+    shape: the only exchange is #batches tiny rows to the driver.
+
+    Output: (col_a, col_b, corr) for col_a < col_b in column-list
+    order, half-up rounded so the DuckDB ``corr()`` twin hashes equal.
+    NULLs: rows with any NULL among ``columns`` are dropped (matching
+    a SQL twin that filters ``col IS NOT NULL`` conjunctively —
+    plain SQL ``corr(x, y)`` is pairwise-null, which differs on
+    tables with scattered nulls; the TPC-H lineitem columns have
+    none, and the contract is documented here for ones that do)."""
+    from unfurl_ray.ops.textstats import _half_up
+
+    p = len(columns)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = np.column_stack(
+            [
+                batch.column(c).to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                for c in columns
+            ]
+        )
+        x = x[~np.isnan(x).any(axis=1)]
+        n = x.shape[0]
+        if n == 0:
+            mean = np.zeros(p)
+            com = np.zeros((p, p))
+        else:
+            mean = x.mean(axis=0)
+            d = x - mean
+            com = d.T @ d
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "mean": pa.array([mean.tolist()],
+                                 pa.list_(pa.float64())),
+                "com": pa.array([com.ravel().tolist()],
+                                pa.list_(pa.float64())),
+            }
+        )
+
+    parts = ds.select_columns(columns).map_batches(
+        partial, batch_format="pyarrow"
+    ).to_pandas()
+
+    n_tot, mean_tot, com_tot = 0, np.zeros(p), np.zeros((p, p))
+    for _, row in parts.iterrows():
+        nb = int(row["n"])
+        if nb == 0:
+            continue
+        mb = np.asarray(row["mean"], dtype=np.float64)
+        cb = np.asarray(row["com"], dtype=np.float64).reshape(p, p)
+        if n_tot == 0:
+            n_tot, mean_tot, com_tot = nb, mb, cb
+            continue
+        delta = mb - mean_tot
+        n_new = n_tot + nb
+        com_tot = com_tot + cb + np.outer(delta, delta) * (
+            n_tot * nb / n_new
+        )
+        mean_tot = mean_tot + delta * (nb / n_new)
+        n_tot = n_new
+
+    sd = np.sqrt(np.diag(com_tot))
+    out_a, out_b, out_r = [], [], []
+    for i in range(p):
+        for j in range(i + 1, p):
+            denom = sd[i] * sd[j]
+            r = com_tot[i, j] / denom if denom > 0 else np.nan
+            out_a.append(columns[i])
+            out_b.append(columns[j])
+            out_r.append(float(_half_up(np.float64(r), ndigits)))
+    return (
+        pd.DataFrame({"col_a": out_a, "col_b": out_b, "corr": out_r})
+        .sort_values(["col_a", "col_b"])
+        .reset_index(drop=True)
+    )

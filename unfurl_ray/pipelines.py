@@ -3850,6 +3850,19 @@ def q_profile(sf_dir: str) -> pd.DataFrame:
     return profile_table(ds, cols)
 
 
+def q_corr_matrix(sf_dir: str) -> pd.DataFrame:
+    """Pairwise Pearson correlation of the four lineitem value
+    columns in one projected pass: per-batch centered co-moment
+    partials (p + p² floats per batch) folded driver-side with
+    Chan's parallel update — no shuffle, no raw-moment cancellation
+    at scale.  Hash-exact DuckDB corr() twin at 6dp half-up."""
+    from unfurl_ray.ops.profile import corr_matrix
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = _parquet_sh(sf_dir, "lineitem", cols)
+    return corr_matrix(ds, cols)
+
+
 def q_pagerank(sf_dir: str) -> pd.DataFrame:
     """Centrality over the embedding similarity graph: bucketed
     cosine pairs (no corpus broadcast) become symmetric edges, then
