@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_normalize_text": p.q_normalize_text,
         "q_profile": p.q_profile,
         "q_corr_matrix": p.q_corr_matrix,
+        "q_editdist_join": p.q_editdist_join,
         "q_pagerank": p.q_pagerank,
         "q_sliding_mau": p.q_sliding_mau,
         "q_time_travel": p.q_time_travel,
@@ -1419,6 +1420,24 @@ def oracle_sql() -> dict[str, str]:
             """
             for c in ["doc_id", "lang", "source", "n_chars"]
         ) + " ORDER BY col",
+        # FastSS blocking is complete for k=1, so the brute
+        # length-banded levenshtein join is the exact twin
+        "q_editdist_join": """
+            WITH d AS (
+                SELECT doc_id,
+                       substr(trim(regexp_replace(
+                           lower(coalesce(text, '')),
+                           '[ \t\n\f\r]+', ' ', 'g')), 1, 24) AS s
+                FROM documents
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+            FROM d a JOIN d b
+              ON a.doc_id < b.doc_id
+             AND abs(length(a.s) - length(b.s)) <= 1
+             AND levenshtein(a.s, b.s) <= 1
+            ORDER BY doc_a, doc_b
+        """,
         # pairwise Pearson: one branch per ordered column pair, same
         # half-up 6dp float ops as the co-moment fold
         "q_corr_matrix": " UNION ALL ".join(

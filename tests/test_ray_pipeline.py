@@ -3485,3 +3485,71 @@ def test_corr_matrix_matches_numpy(ray_session):
     for _, row in got.iterrows():
         assert abs(row["corr"] - want[(row["col_a"], row["col_b"])]) \
             < 1e-6
+
+
+def test_edit_distance_join_brute_parity(ray_session):
+    """FastSS-blocked join == brute O(n^2) banded Levenshtein, at
+    k=1 and k=2, over strings planted with subs/inserts/deletes,
+    empties, and exact dups."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.dedup import _lev_leq, edit_distance_join
+
+    rng = np.random.default_rng(11)
+    base = [
+        "".join(rng.choice(list("abcdef "), size=rng.integers(5, 30)))
+        for _ in range(60)
+    ]
+    texts = list(base)
+    for s in base[:20]:
+        i = int(rng.integers(0, max(1, len(s))))
+        texts.append(s[:i] + "x" + s[i + 1:])   # substitution
+        texts.append(s[:i] + "q" + s[i:])       # insertion
+        texts.append(s[:i] + s[i + 1:])         # deletion
+    texts += ["", "", "a", base[0], base[0]]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64),
+         "text": texts}
+    )
+
+    import re
+    def key(t):
+        return re.sub(r"[ \t\n\f\r]+", " ", t.lower()).strip()[:24]
+
+    for k in (1, 2):
+        got = edit_distance_join(
+            ray.data.from_pandas(df).repartition(7), k=k
+        )
+        want = set()
+        for i in range(len(texts)):
+            for j in range(i + 1, len(texts)):
+                d = _lev_leq(key(texts[i]), key(texts[j]), k)
+                if d <= k:
+                    want.add((i, j, d))
+        got_set = set(
+            zip(got["doc_a"].astype(int), got["doc_b"].astype(int),
+                got["dist"].astype(int))
+        )
+        assert got_set == want, f"k={k}: {got_set ^ want}"
+
+    # _lev_leq itself vs a reference full DP
+    def full_dp(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                            prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[n]
+
+    for _ in range(200):
+        a = "".join(rng.choice(list("ab "), size=rng.integers(0, 9)))
+        b = "".join(rng.choice(list("ab "), size=rng.integers(0, 9)))
+        for k in (1, 2, 3):
+            d = full_dp(a, b)
+            assert _lev_leq(a, b, k) == (d if d <= k else k + 1)

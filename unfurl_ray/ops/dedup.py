@@ -881,3 +881,149 @@ def set_similarity_join(ds, threshold: float = 0.4, k: int = 3,
         .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
     )
+
+
+def _lev_leq(a: str, b: str, k: int) -> int:
+    """Banded Levenshtein: exact distance if <= k, else k+1.  Runs on
+    CANDIDATE pairs only (output-scale), never the corpus."""
+    la, lb = len(a), len(b)
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    if lb - la > k:
+        return k + 1
+    # Ukkonen band: only cells |i - j| <= k can stay within budget
+    prev = list(range(min(lb, k) + 1)) + [k + 1] * max(0, lb - k)
+    for i in range(1, la + 1):
+        cur = [k + 1] * (lb + 1)
+        if i <= k:
+            cur[0] = i
+        lo = max(1, i - k)
+        hi = min(lb, i + k)
+        ca = a[i - 1]
+        best = k + 1
+        for j in range(lo, hi + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            cur[j] = v
+            if v < best:
+                best = v
+        if best > k:
+            return k + 1
+        prev = cur
+    return prev[lb] if prev[lb] <= k else k + 1
+
+
+def edit_distance_join(ds, k: int = 1, key_len: int = 24,
+                       id_column: str = "doc_id", column: str = "text",
+                       n_buckets: int = 64,
+                       variant_cap: int | None = None) -> pd.DataFrame:
+    """Exact edit-distance self-join (Levenshtein <= k on a derived
+    short key) by FastSS deletion-neighborhood blocking (Bocek et al.
+    2007, "Fast Similarity Search in Large Dictionaries") — a third
+    algorithmic family next to PPJoin prefix filtering
+    (``set_similarity_join``) and MinHash banding: exact like the
+    former, but with a SHUFFLE-ONLY plan (no document-frequency
+    pre-pass).
+
+    Key contract (mirrored in the SQL twin): lowercase text,
+    ``[ \\t\\n\\f\\r]`` runs collapsed to one space, trimmed, first
+    ``key_len`` chars.  Completeness of the blocking for k=1:
+    ed(a,b) <= 1 implies a and b share a member of their <=1-deletion
+    neighborhoods (equal / substitution -> delete the differing
+    position from both; insertion -> delete the inserted char).  For
+    general k, <=k-deletion neighborhoods are complete likewise
+    (delete the k edit positions from each side).  Soundness comes
+    from the verify stage: exact banded Levenshtein on candidates.
+
+    Scale shape: explode is a bounded x~(key_len choose <=k) fan-out
+    of (id, short-key) rows; one groupby on a crc32 hash bucket of
+    the variant; pairs generated per variant INSIDE the group and
+    verified there (keys ride along, so no second join to fetch
+    text); a final (doc_a, doc_b) groupby dedups pairs found via
+    multiple shared variants.  ``variant_cap`` guards a degenerate
+    hot variant (e.g. the empty key) at scale — default None keeps
+    the oracle exact."""
+    from itertools import combinations
+
+    from ray.data.aggregate import Min
+
+    _ws_run = re.compile(r"[ \t\n\f\r]+")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_pylist()
+        texts = batch.column(column).to_pylist()
+        out_id, out_v, out_s, out_b = [], [], [], []
+        for doc_id, text in zip(ids, texts):
+            s = _ws_run.sub(" ", (text or "").lower()).strip()[:key_len]
+            seen = {s}
+            for drop in range(1, k + 1):
+                for pos in combinations(range(len(s)), drop):
+                    v = "".join(
+                        c for i, c in enumerate(s) if i not in pos
+                    )
+                    seen.add(v)
+            for v in seen:
+                out_id.append(doc_id)
+                out_v.append(v)
+                out_s.append(s)
+                out_b.append(zlib.crc32(v.encode()) % n_buckets)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "v": pa.array(out_v, pa.string()),
+                "s": pa.array(out_s, pa.string()),
+                "_bucket": pa.array(out_b, pa.int32()),
+            }
+        )
+
+    rows = ds.select_columns([id_column, column]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+    def pairs_in_bucket(group: pd.DataFrame) -> pa.Table:
+        out_a, out_b, out_d = [], [], []
+        emitted: set[tuple[int, int]] = set()
+        for _, sub in group.groupby("v", sort=False):
+            # a doc can reach the same variant via several deletions;
+            # keep one row per doc
+            sub = sub.drop_duplicates("doc_id")
+            if variant_cap is not None and len(sub) > variant_cap:
+                sub = sub.nsmallest(variant_cap, "doc_id")
+            if len(sub) < 2:
+                continue
+            ids = sub["doc_id"].to_numpy(np.int64)
+            keys = sub["s"].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids, keys = ids[order], keys[order]
+            for i, j in zip(*np.triu_indices(len(ids), k=1)):
+                pair = (int(ids[i]), int(ids[j]))
+                if pair in emitted:
+                    continue
+                emitted.add(pair)
+                d = _lev_leq(keys[i], keys[j], k)
+                if d <= k:
+                    out_a.append(pair[0])
+                    out_b.append(pair[1])
+                    out_d.append(d)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "dist": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    verified = rows.groupby("_bucket").map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )
+    # cross-bucket dedup: the same pair verified under variants that
+    # hash to different buckets; dist is identical on every copy
+    out = (
+        verified.groupby(["doc_a", "doc_b"])
+        .aggregate(Min("dist", alias_name="dist"))
+        .to_pandas()
+    )
+    out["dist"] = out["dist"].astype("int64")
+    return (
+        out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )

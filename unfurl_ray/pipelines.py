@@ -3850,6 +3850,17 @@ def q_profile(sf_dir: str) -> pd.DataFrame:
     return profile_table(ds, cols)
 
 
+def q_editdist_join(sf_dir: str) -> pd.DataFrame:
+    """Exact Levenshtein<=1 self-join over a 24-char normalized text
+    key, blocked by FastSS deletion neighborhoods — the exact
+    edit-distance counterpart to q_setsim_join's Jaccard prefix
+    filter.  Hash-exact DuckDB levenshtein() twin."""
+    from unfurl_ray.ops.dedup import edit_distance_join
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+    return edit_distance_join(ds, k=1, key_len=24)
+
+
 def q_corr_matrix(sf_dir: str) -> pd.DataFrame:
     """Pairwise Pearson correlation of the four lineitem value
     columns in one projected pass: per-batch centered co-moment
