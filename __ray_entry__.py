@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_profile": p.q_profile,
         "q_corr_matrix": p.q_corr_matrix,
         "q_editdist_join": p.q_editdist_join,
+        "q_row_number": p.q_row_number,
+        "q_sorted_neighborhood": p.q_sorted_neighborhood,
         "q_pagerank": p.q_pagerank,
         "q_sliding_mau": p.q_sliding_mau,
         "q_time_travel": p.q_time_travel,
@@ -1420,6 +1422,33 @@ def oracle_sql() -> dict[str, str]:
             """
             for c in ["doc_id", "lang", "source", "n_chars"]
         ) + " ORDER BY col",
+        "q_row_number": """
+            SELECT doc_id, n_chars,
+                   row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+            FROM documents ORDER BY rn
+        """,
+        # pairs keyed LEAST/GREATEST because rank order sorts by key
+        # first, not doc_id
+        "q_sorted_neighborhood": """
+            WITH d AS (
+                SELECT doc_id,
+                       substr(trim(regexp_replace(
+                           lower(coalesce(text, '')),
+                           '[ \t\n\f\r]+', ' ', 'g')), 1, 24) AS s
+                FROM documents
+            ), r AS (
+                SELECT doc_id, s,
+                       row_number() OVER (ORDER BY s, doc_id) AS rn
+                FROM d
+            )
+            SELECT least(a.doc_id, b.doc_id) AS doc_a,
+                   greatest(a.doc_id, b.doc_id) AS doc_b,
+                   CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+            FROM r a JOIN r b
+              ON b.rn > a.rn AND b.rn <= a.rn + 5
+             AND levenshtein(a.s, b.s) <= 4
+            ORDER BY doc_a, doc_b
+        """,
         # FastSS blocking is complete for k=1, so the brute
         # length-banded levenshtein join is the exact twin
         "q_editdist_join": """

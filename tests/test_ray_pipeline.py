@@ -3553,3 +3553,85 @@ def test_edit_distance_join_brute_parity(ray_session):
         for k in (1, 2, 3):
             d = full_dp(a, b)
             assert _lev_leq(a, b, k) == (d if d <= k else k + 1)
+
+
+def test_global_row_number_dense_and_stable(ray_session):
+    """rn is a dense 1..n permutation matching the sort order, with
+    heavy key duplication broken by the id tiebreaker, across many
+    blocks."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.relational import global_row_number
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "k": rng.integers(0, 7, n),  # ~570 dups per key value
+        }
+    )
+    out = (
+        global_row_number(
+            ray.data.from_pandas(df).repartition(17), ["k", "id"]
+        )
+        .to_pandas()
+        .sort_values("rn")
+        .reset_index(drop=True)
+    )
+    assert list(out["rn"]) == list(range(1, n + 1))
+    want = df.sort_values(["k", "id"]).reset_index(drop=True)
+    assert list(out["id"]) == list(want["id"])
+
+
+def test_sorted_neighborhood_matches_brute_window(ray_session):
+    """SNM fan-out pairs == brute rank-window pairs, no dups, no
+    misses across bucket boundaries."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from unfurl_ray.ops.dedup import _lev_leq
+    from unfurl_ray.ops.relational import sorted_neighborhood_join
+
+    rng = np.random.default_rng(5)
+    keys = [
+        "".join(rng.choice(list("abc"), size=rng.integers(1, 8)))
+        for _ in range(300)
+    ]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(300, dtype=np.int64), "text": keys}
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "s": batch.column("text"),
+            }
+        )
+
+    w, md = 4, 2
+    got = sorted_neighborhood_join(
+        ray.data.from_pandas(df).repartition(11), keyed,
+        window=w, max_dist=md,
+    )
+    ranked = df.assign(s=df["text"]).sort_values(
+        ["s", "doc_id"]
+    ).reset_index(drop=True)
+    want = set()
+    for i in range(len(ranked)):
+        for j in range(i + 1, min(i + w + 1, len(ranked))):
+            d = _lev_leq(ranked["s"][i], ranked["s"][j], md)
+            if d <= md:
+                a, b = int(ranked["doc_id"][i]), int(ranked["doc_id"][j])
+                want.add((min(a, b), max(a, b), d))
+    got_list = list(
+        zip(got["doc_a"].astype(int), got["doc_b"].astype(int),
+            got["dist"].astype(int))
+    )
+    assert len(got_list) == len(set(got_list)), "duplicate pairs"
+    assert set(got_list) == want

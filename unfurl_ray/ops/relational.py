@@ -2567,3 +2567,131 @@ def hist_quantile_disc_by(hist, key_col: str, value_col: str,
         .groupby("_mb")
         .map_groups(pick, batch_format="pandas")
     )
+
+
+def global_row_number(ds, sort_cols: list[str], out_col: str = "rn",
+                      start: int = 1):
+    """Stable global row numbers over a total order — the distributed
+    ``row_number() OVER (ORDER BY ...)``, zipWithIndex-shaped: one
+    range-partitioning sort, then per-block offsets computed from a
+    #blocks-row summary pass (first-key + count per block) and looked
+    up BY KEY, not by block id — the offset table is O(#blocks) on
+    the driver and broadcasts once.
+
+    Contract: ``sort_cols`` must be a UNIQUE key (append the row id
+    as the last column) — uniqueness is what lets a block's first-row
+    key identify its global rank range.  Both passes map whole blocks
+    (``batch_size=None``) of the SAME materialized sorted dataset, so
+    the block decomposition is identical by construction."""
+    import ray
+
+    sorted_ds = ds.sort(sort_cols).materialize()
+
+    def head_row(batch: pa.Table) -> pa.Table:
+        t = batch.select(sort_cols).slice(0, 1)
+        return t.append_column("_n", pa.array([len(batch)], pa.int64()))
+
+    heads = sorted_ds.map_batches(
+        head_row, batch_format="pyarrow", batch_size=None
+    ).to_pandas().sort_values(sort_cols).reset_index(drop=True)
+    offsets = np.concatenate(
+        [[0], heads["_n"].to_numpy(np.int64).cumsum()[:-1]]
+    ) + np.int64(start)
+    table = {
+        tuple(row): int(off)
+        for row, off in zip(
+            heads[sort_cols].itertuples(index=False, name=None),
+            offsets,
+        )
+    }
+    table_ref = ray.put(table)
+
+    class Number:
+        def __init__(self):
+            self.table = ray.get(table_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pa.Table:
+            first = tuple(batch.iloc[0][sort_cols])
+            off = self.table[first]
+            out = batch.copy()
+            out[out_col] = np.arange(
+                off, off + len(batch), dtype=np.int64
+            )
+            return _arrow(out)
+
+    return sorted_ds.map_batches(
+        Number, batch_format="pandas", batch_size=None,
+        concurrency=(1, 8),
+    )
+
+
+def sorted_neighborhood_join(ds, key_expr, window: int = 5,
+                             max_dist: int = 4,
+                             id_column: str = "doc_id") -> pd.DataFrame:
+    """Sorted Neighborhood Method (Hernandez & Stolfo 1995) candidate
+    join: sort by a blocking key, compare each row to the next
+    ``window`` rows in rank order, keep pairs within Levenshtein
+    ``max_dist`` on the key.  The classic entity-resolution
+    complement to q-gram blocking — catches near-keys that share no
+    q-gram prefix but sort adjacently.
+
+    Distributed shape: ``global_row_number`` (one sort + a #blocks
+    summary), then every row fans out to rank buckets ``rn//window``
+    and ``rn//window - 1`` so any pair within ``window`` co-locates;
+    pairs are generated only in the bucket owning the smaller rank,
+    so no cross-bucket dedup pass is needed.  The shuffle carries
+    (id, short key, rn) rows — never documents."""
+    from unfurl_ray.ops.dedup import _lev_leq
+
+    keyed = ds.map_batches(
+        lambda b: key_expr(b), batch_format="pyarrow"
+    )
+    numbered = global_row_number(keyed, ["s", id_column])
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        rn = batch.column("rn").to_numpy()
+        g = rn // window
+        both = pa.concat_tables(
+            [
+                batch.append_column("_g", pa.array(g, pa.int64())),
+                batch.append_column("_g", pa.array(g - 1, pa.int64())),
+            ]
+        )
+        return both
+
+    def pairs_in_bucket(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values("rn", kind="mergesort")
+        bucket = int(g["_g"].iloc[0])
+        rn = g["rn"].to_numpy(np.int64)
+        ids = g[id_column].to_numpy(np.int64)
+        keys = g["s"].to_numpy()
+        out_a, out_b, out_d = [], [], []
+        for i in range(len(g)):
+            if rn[i] // window != bucket:
+                continue  # the copy fanned down owns no pairs here
+            for j in range(i + 1, len(g)):
+                if rn[j] == rn[i]:
+                    continue  # the same row's two fan-out copies
+                if rn[j] - rn[i] > window:
+                    break
+                d = _lev_leq(keys[i], keys[j], max_dist)
+                if d <= max_dist:
+                    a, b = int(ids[i]), int(ids[j])
+                    out_a.append(min(a, b))
+                    out_b.append(max(a, b))
+                    out_d.append(d)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "dist": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    out = (
+        numbered.map_batches(fan_out, batch_format="pyarrow")
+        .groupby("_g")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

@@ -3850,6 +3850,45 @@ def q_profile(sf_dir: str) -> pd.DataFrame:
     return profile_table(ds, cols)
 
 
+def q_row_number(sf_dir: str) -> pd.DataFrame:
+    """Global stable row numbers over (n_chars, doc_id) — the
+    distributed row_number() OVER (ORDER BY ...): one sort, then
+    per-block offsets from a #blocks-row summary, looked up by first
+    key.  Hash-exact window-function twin."""
+    from unfurl_ray.ops.relational import global_row_number
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = global_row_number(ds, ["n_chars", "doc_id"]).to_pandas()
+    return out.sort_values("rn").reset_index(drop=True)
+
+
+def q_sorted_neighborhood(sf_dir: str) -> pd.DataFrame:
+    """Sorted-Neighborhood entity-resolution candidates: rank docs by
+    the 24-char normalized key, compare each row to the next 5 in
+    rank order, keep Levenshtein<=4 pairs.  Complements q-gram /
+    deletion-neighborhood blocking; hash-exact DuckDB window twin."""
+    import re as _re
+
+    from unfurl_ray.ops.relational import sorted_neighborhood_join
+
+    ws = _re.compile(r"[ \t\n\f\r]+")
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        keys = [
+            ws.sub(" ", (t or "").lower()).strip()[:24] for t in texts
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "s": pa.array(keys, pa.string()),
+            }
+        )
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+    return sorted_neighborhood_join(ds, keyed, window=5, max_dist=4)
+
+
 def q_editdist_join(sf_dir: str) -> pd.DataFrame:
     """Exact Levenshtein<=1 self-join over a 24-char normalized text
     key, blocked by FastSS deletion neighborhoods — the exact
