@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_simhash": p.q_simhash,
         "q_setsim_join": p.q_setsim_join,
         "q_dedup_clusters": p.q_dedup_clusters,
+        "q_bfs_hops": p.q_bfs_hops,
         "q_curation": p.q_curation,
         "q_training_prep": p.q_training_prep,
         # embeddings / similarity
@@ -1030,6 +1031,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, min(label) AS component
             FROM reach GROUP BY node ORDER BY doc_id
+        """,
+        # BFS twin: recursive UNION (dedup) keeps each level bounded
+        # by nodes x hops; min(hops) is the BFS distance
+        "q_bfs_hops": """
+            WITH RECURSIVE feats AS (
+                SELECT doc_id,
+                       unnest([md5(substr(text, 64*g + 1, 64))
+                               for g in range(0, CAST(ceil(length(text)
+                                                          / 64.0)
+                                                   AS BIGINT))]) AS f
+                FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0
+            ), e AS (
+                SELECT a.doc_id AS u, b.doc_id AS v
+                FROM feats a JOIN feats b USING (f)
+                WHERE a.doc_id <> b.doc_id
+                GROUP BY 1, 2
+            ), walk(node, hops) AS (
+                SELECT DISTINCT u, 0 FROM e WHERE u < 100
+                UNION
+                SELECT e.v, w.hops + 1
+                FROM walk w JOIN e ON e.u = w.node
+                WHERE w.hops < 3
+            )
+            SELECT node, min(hops) AS hops FROM walk
+            GROUP BY node ORDER BY node
         """,
         "q_bigram_counts": """
             WITH toks AS (

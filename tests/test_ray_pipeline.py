@@ -3635,3 +3635,67 @@ def test_sorted_neighborhood_matches_brute_window(ray_session):
     )
     assert len(got_list) == len(set(got_list)), "duplicate pairs"
     assert set(got_list) == want
+
+
+def test_bfs_hops_matches_driver_bfs(ray_session):
+    """Shard-actor BFS == networkx-free reference BFS: random graph +
+    a 12-node chain (needs every round), multi-source, absent seeds,
+    hop cap, and the all-unreachable empty result."""
+    from collections import deque
+
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.graph import bfs_hops
+
+    rng = np.random.default_rng(13)
+    u = rng.integers(0, 60, 150)
+    v = rng.integers(0, 60, 150)
+    keep = u != v
+    u, v = u[keep], v[keep]
+    # a chain hanging off node 0: 100..111
+    chain = np.arange(100, 112, dtype=np.int64)
+    cu = np.concatenate([[0], chain[:-1]])
+    cv = chain
+    u = np.concatenate([u, cu])
+    v = np.concatenate([v, cv])
+    both = pd.DataFrame(
+        {"u": np.concatenate([u, v]), "v": np.concatenate([v, u])}
+    )
+    seeds = [0, 7, 9999]  # 9999 absent from the graph
+    max_hops = 20
+
+    adj: dict[int, set] = {}
+    for a, b in zip(both["u"], both["v"]):
+        adj.setdefault(int(a), set()).add(int(b))
+    want: dict[int, int] = {}
+    dq = deque()
+    for s in seeds:
+        if s in adj:
+            want[s] = 0
+            dq.append(s)
+    while dq:
+        n = dq.popleft()
+        if want[n] >= max_hops:
+            continue
+        for m in adj.get(n, ()):
+            if m not in want:
+                want[m] = want[n] + 1
+                dq.append(m)
+
+    ds = ray.data.from_pandas(both).repartition(9)
+    got = bfs_hops(ds, seeds=np.array(seeds), max_hops=max_hops,
+                   num_partitions=5)
+    got_map = dict(zip(got["node"].astype(int), got["hops"].astype(int)))
+    assert got_map == want
+    assert max(want.values()) >= 12  # the chain actually exercised depth
+
+    # hop cap truncates
+    got2 = bfs_hops(ds, seeds=np.array([0]), max_hops=2,
+                    num_partitions=4)
+    assert int(got2["hops"].max()) == 2
+
+    # all seeds absent -> clean empty typed frame
+    got3 = bfs_hops(ds, seeds=np.array([777777]), max_hops=3)
+    assert len(got3) == 0 and list(got3.columns) == ["node", "hops"]

@@ -875,3 +875,117 @@ def triangle_count(edges, n_buckets: int = 64) -> int:
         close, batch_format="pandas"
     ).to_pandas()
     return int(parts["n"].sum())
+
+
+class _BFSShard(_GraphShard):
+    """Multi-source BFS shard: hop-distance state, min(label+1)
+    propagation — plain frontier expansion (NO pointer jumping: the
+    jump rewrites labels through non-adjacent hops, which is correct
+    for component ids but not for distances)."""
+
+    _INF = np.iinfo(np.int64).max
+
+    def register(self, *incoming) -> int:
+        mine = self._register_nodes(incoming)
+        self.hop = np.full(len(mine), self._INF, dtype=np.int64)
+        del self._src, self._dst, self._tgt
+        return len(mine)
+
+    def seed(self, seeds: np.ndarray) -> int:
+        """Set hop 0 for the seed ids this shard owns (the full seed
+        array broadcasts to every shard; each keeps its own)."""
+        seeds = np.asarray(seeds, dtype=np.int64)
+        if len(self.nodes) == 0 or len(seeds) == 0:
+            return 0
+        pos = np.searchsorted(self.nodes, seeds)
+        ok = pos < len(self.nodes)
+        ok[ok] = self.nodes[pos[ok]] == seeds[ok]
+        self.hop[pos[ok]] = 0
+        return int(ok.sum())
+
+    def propagate(self):
+        out = []
+        for spos, starts, vals in self.plan:
+            if len(vals) == 0:
+                out.append((vals, vals))
+            else:
+                m = np.minimum.reduceat(self.hop[spos], starts)
+                out.append(
+                    (vals, np.where(m == self._INF, m, m + 1))
+                )
+        return out if self.B > 1 else out[0]
+
+    def update(self, *parts) -> int:
+        changed = 0
+        for vals, mins in parts:
+            if len(vals):
+                pos = np.searchsorted(self.nodes, vals)
+                new = np.minimum(self.hop[pos], mins)
+                changed += int((new < self.hop[pos]).sum())
+                self.hop[pos] = new
+        return changed
+
+    def hops_df(self) -> pd.DataFrame:
+        keep = self.hop < self._INF
+        return pd.DataFrame(
+            {
+                "node": pd.Series(self.nodes[keep], dtype="int64"),
+                "hops": pd.Series(self.hop[keep], dtype="int64"),
+            }
+        )
+
+
+def bfs_hops(edges, seeds, max_hops: int = 3,
+             num_partitions: int = 8) -> pd.DataFrame:
+    """Multi-source BFS hop distances over an edge Dataset [(u, v),
+    both directions]: (node, hops) for every node within ``max_hops``
+    of any seed — k-hop neighborhood expansion (contamination blast
+    radius around known-bad documents, dup-cluster fringes).
+
+    Same Pregel layout as ``connected_components``: the edge set
+    shuffles once into ``num_partitions`` shard actors, then exactly
+    ``max_hops`` rounds of pre-aggregated (dst, min hop+1) ref
+    exchange — or fewer if a round moves nothing.  BFS hop r is final
+    after round r (min-propagation is monotone), so the round count
+    is the radius, never the graph size.  Seeds not present in the
+    edge set are ignored (isolated nodes have no edges here)."""
+    import ray
+
+    seeds = np.asarray(seeds, dtype=np.int64)
+    B = max(1, num_partitions)
+    actors, counts = _spawn_shards(_BFSShard, edges, B, "u", "v")
+    if int(sum(counts)) == 0:
+        out = _collect_shards(
+            actors, [], {"node": "int64", "hops": "int64"}
+        )
+        return out.to_pandas()
+    seed_ref = ray.put(seeds)
+    ray.get([a.seed.remote(seed_ref) for a in actors])
+    for _ in range(max_hops):
+        outs = [_fan(a, "propagate", B) for a in actors]
+        changed = sum(ray.get(
+            [
+                actors[t].update.remote(*[outs[i][t] for i in range(B)])
+                for t in range(B)
+            ]
+        ))
+        if changed == 0:
+            break
+    refs = [
+        a.hops_df.remote() for a, c in zip(actors, counts) if c > 0
+    ]
+    out = _collect_shards(
+        actors, refs, {"node": "int64", "hops": "int64"}
+    ).to_pandas()
+    if "node" not in out.columns:
+        # every shard's reachable set was empty: all-empty pandas
+        # blocks union to a schema-less frame
+        out = pd.DataFrame(
+            {
+                "node": pd.Series([], dtype="int64"),
+                "hops": pd.Series([], dtype="int64"),
+            }
+        )
+    return (
+        out.sort_values("node").reset_index(drop=True)
+    )

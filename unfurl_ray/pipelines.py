@@ -1558,6 +1558,19 @@ def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     return out.astype({"doc_id": "int64", "component": "int64"})
 
 
+def q_bfs_hops(sf_dir: str) -> pd.DataFrame:
+    """Contamination blast radius: multi-source BFS hop distances
+    (<= 3) from the seed docs (doc_id < 100) over the chunk-fingerprint
+    duplicate graph — who is transitively linked to a known-bad doc,
+    and how closely.  Shard-actor frontier exchange; hash-exact
+    recursive-CTE twin."""
+    from unfurl_ray.ops.graph import bfs_hops, fingerprint_edges
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+    edges = fingerprint_edges(ds, chunk_size=64)
+    return bfs_hops(edges, seeds=np.arange(100), max_hops=3)
+
+
 def q_bigram_counts(sf_dir: str) -> pd.DataFrame:
     """Top-20 corpus bigrams: the bigram fan-out and a per-batch
     partial count (combiner) stay inside ``map_batches``; the shuffle
