@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_editdist_join": p.q_editdist_join,
         "q_row_number": p.q_row_number,
         "q_sorted_neighborhood": p.q_sorted_neighborhood,
+        "q_unpivot": p.q_unpivot,
         "q_pagerank": p.q_pagerank,
         "q_sliding_mau": p.q_sliding_mau,
         "q_time_travel": p.q_time_travel,
@@ -1449,6 +1450,27 @@ def oracle_sql() -> dict[str, str]:
             """
             for c in ["doc_id", "lang", "source", "n_chars"]
         ) + " ORDER BY col",
+        "q_unpivot": """
+            WITH pvt AS (
+                SELECT user_id,
+                       count(*) FILTER (event_type = 'click')
+                           AS click,
+                       count(*) FILTER (event_type = 'error')
+                           AS error,
+                       count(*) FILTER (event_type = 'purchase')
+                           AS purchase,
+                       count(*) FILTER (event_type = 'signup')
+                           AS signup,
+                       count(*) FILTER (event_type = 'view')
+                           AS view
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id, event_type, n
+            FROM pvt UNPIVOT INCLUDE NULLS
+                 (n FOR event_type IN
+                  (click, error, purchase, signup, view))
+            ORDER BY user_id, event_type
+        """,
         "q_row_number": """
             SELECT doc_id, n_chars,
                    row_number() OVER (ORDER BY n_chars, doc_id) AS rn

@@ -2695,3 +2695,20 @@ def sorted_neighborhood_join(ds, key_expr, window: int = 5,
         .to_pandas()
     )
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def unpivot(ds, id_cols: list[str], value_cols: list[str],
+            name_col: str = "name", value_col: str = "value"):
+    """UNPIVOT / melt: wide columns -> (id..., name, value) long rows.
+    Purely batch-local (each output row derives from one input row),
+    so it composes with any upstream without a shuffle; the fan-out
+    is len(value_cols) x rows, vectorized as one concat per column."""
+
+    def melt(batch: pd.DataFrame) -> pa.Table:
+        long = batch.melt(
+            id_vars=id_cols, value_vars=value_cols,
+            var_name=name_col, value_name=value_col,
+        )
+        return _arrow(long)
+
+    return ds.map_batches(melt, batch_format="pandas")

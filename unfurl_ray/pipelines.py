@@ -416,6 +416,28 @@ def q_pivot_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_unpivot(sf_dir: str) -> pd.DataFrame:
+    """UNPIVOT: the per-user event-type crosstab melted back to
+    (user_id, event_type, n) long rows — wide-to-long without a
+    shuffle (each long row derives from one wide row).  Hash-exact
+    DuckDB UNPIVOT twin."""
+    from unfurl_ray.ops.relational import pivot_counts, unpivot
+
+    cats = ["click", "error", "purchase", "signup", "view"]
+    ds = _parquet_sh(sf_dir, "events", ["user_id", "event_type"])
+    wide = pivot_counts(ds, "user_id", "event_type", cats)
+    out = unpivot(
+        wide, ["user_id"], [f"n_{c}" for c in cats],
+        name_col="event_type", value_col="n",
+    ).to_pandas()
+    out["event_type"] = out["event_type"].str.removeprefix("n_")
+    out["n"] = out["n"].astype("int64")
+    return (
+        out.sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+    )
+
+
 def q_stream_dedup(sf_dir: str) -> pd.DataFrame:
     """Incremental cross-run dedup through the sharded index: even
     doc_ids ingest as 'day 1', odd as 'day 2'; each day reports rows
