@@ -181,6 +181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_main_text": p.q_main_text,
         "q_transcript_types": p.q_transcript_types,
         "q_conv_stats": p.q_conv_stats,
+        # session-11 additions
+        "q_event_runs": p.q_event_runs,
     }
 
 
@@ -2312,6 +2314,24 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN k = 50 THEN 'ZeroDivisionError' ELSE '' END
                        AS error
             FROM x ORDER BY event_id
+        """,
+        # gaps-and-islands twin of the distributed RLE: run id = the
+        # row_number-difference trick, runs of >= 2 kept
+        "q_event_runs": """
+            WITH r AS (
+                SELECT user_id, event_type, ts,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)
+                       - row_number() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS grp
+                FROM events)
+            SELECT user_id, event_type,
+                   CAST(count(*) AS BIGINT) AS run_len,
+                   min(ts) AS start_ts, max(ts) AS end_ts
+            FROM r GROUP BY user_id, event_type, grp
+            HAVING count(*) >= 2
+            ORDER BY user_id, start_ts, event_type
         """,
         # q_minhash_dedup / q_simhash / q_knn_ivf / q_hll_users /
         # q_quantile_sketch / q_group_quantile_sketch /

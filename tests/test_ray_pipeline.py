@@ -3699,3 +3699,71 @@ def test_bfs_hops_matches_driver_bfs(ray_session):
     # all seeds absent -> clean empty typed frame
     got3 = bfs_hops(ds, seeds=np.array([777777]), max_hops=3)
     assert len(got3) == 0 and list(got3.columns) == ["node", "hops"]
+
+
+def test_collapse_runs_stitches_block_edges(ray_session):
+    """Distributed RLE == pandas reference RLE, with blocks sliced so
+    runs provably cross block edges (incl. a run spanning >= 3 whole
+    blocks, exercising the chained stitch through single-run blocks)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.relational import collapse_runs
+
+    rng = np.random.default_rng(7)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 5, n),
+            "event_type": rng.choice(["a", "b"], n),  # long runs likely
+            "ts": pd.to_datetime(
+                rng.integers(0, 10_000, n), unit="s"
+            ).astype("datetime64[us]"),
+            "event_id": np.arange(n, dtype=np.int64),
+        }
+    )
+    # one run guaranteed to span many blocks: user 9, 120 equal rows
+    big = pd.DataFrame(
+        {
+            "user_id": 9,
+            "event_type": "a",
+            "ts": pd.to_datetime(
+                np.arange(120) + 20_000, unit="s"
+            ).astype("datetime64[us]"),
+            "event_id": np.arange(1000, 1120, dtype=np.int64),
+        }
+    )
+    df = pd.concat([df, big], ignore_index=True)
+
+    # reference RLE
+    ref = df.sort_values(["user_id", "ts", "event_id"]).reset_index(
+        drop=True
+    )
+    brk = (ref["user_id"].ne(ref["user_id"].shift())
+           | ref["event_type"].ne(ref["event_type"].shift()))
+    ref["_rid"] = brk.cumsum()
+    want = (
+        ref.groupby("_rid")
+        .agg(
+            user_id=("user_id", "first"),
+            event_type=("event_type", "first"),
+            run_len=("event_type", "size"),
+            start_ts=("ts", "first"),
+            end_ts=("ts", "last"),
+        )
+        .reset_index(drop=True)
+        .sort_values(["user_id", "start_ts", "event_type", "run_len"])
+        .reset_index(drop=True)
+    )
+    want["run_len"] = want["run_len"].astype("int64")
+
+    ds = ray.data.from_pandas(df).repartition(40)  # ~13 rows/block
+    got = (
+        collapse_runs(ds, "user_id", "event_type", ["ts", "event_id"])
+        .to_pandas()
+        .sort_values(["user_id", "start_ts", "event_type", "run_len"])
+        .reset_index(drop=True)
+    )[want.columns.tolist()]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert int(want["run_len"].max()) == 120  # the planted giant run

@@ -2712,3 +2712,123 @@ def unpivot(ds, id_cols: list[str], value_cols: list[str],
         return _arrow(long)
 
     return ds.map_batches(melt, batch_format="pandas")
+
+
+def collapse_runs(ds, key_col: str, val_col: str, order_cols: list[str],
+                  ts_col: str | None = None):
+    """Distributed run-length encoding (gaps-and-islands collapse):
+    maximal runs of consecutive equal ``val_col`` per ``key_col`` under
+    the total order ``order_cols`` -> one row per run
+    ``(key, val, run_len, start_ts, end_ts)``.  The repeated-action
+    collapse a transcript/event pipeline uses to spot tool-call loops,
+    stuck agents and bot bursts.
+
+    Distributed shape (the ``global_row_number`` layout): ONE
+    range-partitioning sort on ``(key,) + order_cols`` (a unique key —
+    required, as in ``global_row_number``), then two whole-block map
+    passes over the SAME materialized sorted dataset: a #blocks-row
+    head summary assigns each block an ordinal by its first-row key,
+    and a second pass RLE-encodes each block vectorized (boundary =
+    key change | value change).  Runs are block-local, so each block's
+    FIRST and LAST runs may continue across block edges: those edge
+    stubs (exactly <= 2 per block) come back to the driver, are
+    stitched by ordinal adjacency + (key, val) equality — a chain
+    through single-run blocks keeps merging — and union back with the
+    untouched interior runs.  The driver never holds more than
+    O(#blocks) rows; events move only in the sort."""
+    import ray
+
+    ts_col = ts_col or order_cols[0]
+    sort_cols = [key_col] + list(order_cols)
+    sorted_ds = ds.sort(sort_cols).materialize()
+
+    def head_row(batch: pa.Table) -> pa.Table:
+        t = batch.select(sort_cols).slice(0, 1)
+        return t.append_column("_n", pa.array([len(batch)], pa.int64()))
+
+    heads = sorted_ds.map_batches(
+        head_row, batch_format="pyarrow", batch_size=None
+    ).to_pandas().sort_values(sort_cols).reset_index(drop=True)
+    ordinal = {
+        tuple(row): i
+        for i, row in enumerate(
+            heads[sort_cols].itertuples(index=False, name=None)
+        )
+    }
+    ord_ref = ray.put(ordinal)
+
+    class BlockRLE:
+        def __init__(self):
+            self.ordinal = ray.get(ord_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pa.Table:
+            blk = self.ordinal[tuple(batch.iloc[0][sort_cols])]
+            k = batch[key_col].to_numpy()
+            v = batch[val_col].to_numpy()
+            new = np.ones(len(batch), dtype=bool)
+            new[1:] = (k[1:] != k[:-1]) | (v[1:] != v[:-1])
+            rid = np.cumsum(new) - 1
+            g = batch.assign(_rid=rid).groupby("_rid", sort=True)
+            runs = pd.DataFrame(
+                {
+                    key_col: g[key_col].first(),
+                    val_col: g[val_col].first(),
+                    "run_len": g.size().astype("int64"),
+                    "start_ts": g[ts_col].first(),
+                    "end_ts": g[ts_col].last(),
+                }
+            ).reset_index(drop=True)
+            n = len(runs)
+            runs["_blk"] = np.int64(blk)
+            runs["_first"] = np.arange(n) == 0
+            runs["_last"] = np.arange(n) == n - 1
+            return _arrow(runs)
+
+    runs = sorted_ds.map_batches(
+        BlockRLE, batch_format="pandas", batch_size=None,
+        concurrency=(1, 8),
+    ).materialize()
+
+    helper = ["_blk", "_first", "_last"]
+    interior = runs.filter(
+        expr="_first == False and _last == False"
+    ).drop_columns(helper)
+
+    edges = runs.filter(
+        expr="_first == True or _last == True"
+    ).to_pandas().sort_values(["_blk", "_first"], ascending=[True, False])
+
+    out_rows: list[dict] = []
+    for row in edges.to_dict("records"):
+        prev = out_rows[-1] if out_rows else None
+        if (
+            prev is not None
+            and prev["_last"]
+            and row["_first"]
+            and prev["_blk"] + 1 == row["_blk"]
+            and prev[key_col] == row[key_col]
+            and prev[val_col] == row[val_col]
+        ):
+            prev["run_len"] += row["run_len"]
+            prev["end_ts"] = row["end_ts"]
+            # the chain continues past this block only if this run
+            # also closed it
+            prev["_blk"] = row["_blk"]
+            prev["_last"] = row["_last"]
+        else:
+            out_rows.append(dict(row))
+
+    stitched = pd.DataFrame(out_rows).drop(columns=helper) if out_rows \
+        else pd.DataFrame(
+            {c: pd.Series([], dtype=d)
+             for c, d in zip(
+                 [key_col, val_col, "run_len", "start_ts", "end_ts"],
+                 ["int64", "object", "int64",
+                  "datetime64[us]", "datetime64[us]"])}
+        )
+    # round-tripping rows through Python re-infers ns timestamps;
+    # restore the source dtypes so the union is schema-stable
+    for c in stitched.columns:
+        if len(edges) and stitched[c].dtype != edges[c].dtype:
+            stitched[c] = stitched[c].astype(edges[c].dtype)
+    return interior.union(ray.data.from_arrow(_arrow(stitched)))

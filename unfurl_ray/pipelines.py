@@ -4839,3 +4839,25 @@ def q_scd2(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(
         ["doc_id", "valid_from"]
     ).reset_index(drop=True)
+
+
+def q_event_runs(sf_dir: str) -> pd.DataFrame:
+    """Repeated-action collapse: maximal runs of >= 2 consecutive
+    identical event_types per user (the bot-burst / stuck-agent /
+    tool-loop detector).  ``ops.relational.collapse_runs`` — ONE
+    range-partitioning sort, per-block vectorized RLE, O(#blocks)
+    driver stitch of block-edge runs.  Hash-exact vs the DuckDB
+    gaps-and-islands twin (row_number difference)."""
+    from unfurl_ray.ops.relational import collapse_runs
+
+    ds = _parquet_sh(sf_dir, "events", ["user_id", "event_type", "ts",
+                                        "event_id"])
+    runs = collapse_runs(
+        ds, "user_id", "event_type", ["ts", "event_id"]
+    )
+    out = runs.filter(expr="run_len >= 2").to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["run_len"] = out["run_len"].astype("int64")
+    return out.sort_values(
+        ["user_id", "start_ts", "event_type"]
+    ).reset_index(drop=True)
