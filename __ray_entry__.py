@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_conv_stats": p.q_conv_stats,
         # session-11 additions
         "q_event_runs": p.q_event_runs,
+        "q_auc": p.q_auc,
     }
 
 
@@ -2332,6 +2333,33 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY user_id, event_type, grp
             HAVING count(*) >= 2
             ORDER BY user_id, start_ts, event_type
+        """,
+        # the same midrank identity as ops.fit.roc_auc, windowed over
+        # the distinct-score histogram
+        "q_auc": """
+            WITH s AS (
+                SELECT value AS score,
+                       CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END AS y
+                FROM events),
+            h AS (
+                SELECT score,
+                       CAST(sum(y) AS DOUBLE) AS np_,
+                       CAST(sum(1 - y) AS DOUBLE) AS nn_
+                FROM s GROUP BY score),
+            c AS (
+                SELECT np_, nn_,
+                       coalesce(sum(nn_) OVER (
+                           ORDER BY score
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cum_neg
+                FROM h)
+            SELECT round(sum(np_ * (cum_neg + nn_ / 2))
+                         / ((SELECT sum(np_) FROM h)
+                            * (SELECT sum(nn_) FROM h)), 6) AS auc,
+                   CAST((SELECT sum(np_) FROM h) AS BIGINT) AS n_pos,
+                   CAST((SELECT sum(nn_) FROM h) AS BIGINT) AS n_neg
+            FROM c
         """,
         # q_minhash_dedup / q_simhash / q_knn_ivf / q_hll_users /
         # q_quantile_sketch / q_group_quantile_sketch /

@@ -3767,3 +3767,44 @@ def test_collapse_runs_stitches_block_edges(ray_session):
     )[want.columns.tolist()]
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert int(want["run_len"].max()) == 120  # the planted giant run
+
+
+def test_roc_auc_matches_brute_pair_count(ray_session):
+    """Distributed midrank AUC == the O(n^2) pair definition
+    (P(score_pos > score_neg) + 0.5 P(=)), on data with heavy ties
+    and blocks split so the offset stitch is exercised; plus the
+    degenerate one-class NaN case."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.fit import roc_auc
+
+    rng = np.random.default_rng(11)
+    n = 500
+    score = rng.integers(0, 20, n).astype(np.float64)  # heavy ties
+    y = (rng.random(n) < 1 / (1 + np.exp(2 - score / 5))).astype(
+        np.int64
+    )
+    if y.sum() == 0 or y.sum() == n:  # keep both classes
+        y[0], y[1] = 0, 1
+
+    pos = score[y == 1][:, None]
+    neg = score[y == 0][None, :]
+    want = (
+        (pos > neg).sum() + 0.5 * (pos == neg).sum()
+    ) / (len(pos) * neg.shape[1])
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"score": score, "y": y})
+    ).repartition(16)
+    got = roc_auc(ds, "score", "y")
+    assert abs(got["auc"] - want) < 1e-12
+    assert got["n_pos"] == int(y.sum())
+    assert got["n_neg"] == int(n - y.sum())
+
+    one_class = ray.data.from_pandas(
+        pd.DataFrame({"score": score[:10], "y": np.ones(10, np.int64)})
+    )
+    import math
+    assert math.isnan(roc_auc(one_class, "score", "y")["auc"])

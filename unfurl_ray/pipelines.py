@@ -4861,3 +4861,36 @@ def q_event_runs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(
         ["user_id", "start_ts", "event_type"]
     ).reset_index(drop=True)
+
+
+def q_auc(sf_dir: str) -> pd.DataFrame:
+    """Exact ROC AUC of `value` as a score for purchase events — the
+    classifier-evaluation metric a quality-filter pipeline reports,
+    computed distributed in the Mann-Whitney midrank form
+    (ops.fit.roc_auc: histogram shuffle carries one row per DISTINCT
+    score; driver holds O(#blocks)).  Hash-exact vs a DuckDB window
+    twin of the same identity."""
+    from unfurl_ray.ops.fit import roc_auc
+
+    ds = _parquet_sh(sf_dir, "events", ["event_type", "value"])
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "score": batch["value"].astype("float64"),
+                "y": (batch["event_type"] == "purchase").astype(
+                    "int64"
+                ),
+            }
+        )
+
+    r = roc_auc(
+        ds.map_batches(tag, batch_format="pandas"), "score", "y"
+    )
+    return pd.DataFrame(
+        {
+            "auc": [round(r["auc"], 6)],
+            "n_pos": [np.int64(r["n_pos"])],
+            "n_neg": [np.int64(r["n_neg"])],
+        }
+    )
