@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # session-11 additions
         "q_event_runs": p.q_event_runs,
         "q_auc": p.q_auc,
+        "q_mutual_info": p.q_mutual_info,
     }
 
 
@@ -2360,6 +2361,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SELECT sum(np_) FROM h) AS BIGINT) AS n_pos,
                    CAST((SELECT sum(nn_) FROM h) AS BIGINT) AS n_neg
             FROM c
+        """,
+        # same joint-histogram identities as ops.profile
+        # .mutual_information: MI and both entropies from one
+        # (x, y, n) table with window-sum marginals
+        "q_mutual_info": """
+            WITH j AS (
+                SELECT event_type AS x,
+                       CAST(dayofweek(ts) AS BIGINT) AS y,
+                       CAST(count(*) AS DOUBLE) AS n
+                FROM events GROUP BY 1, 2),
+            t AS (SELECT sum(n) AS tot FROM j),
+            m AS (
+                SELECT n,
+                       sum(n) OVER (PARTITION BY x) AS nx,
+                       sum(n) OVER (PARTITION BY y) AS ny
+                FROM j)
+            SELECT round(sum((n / tot) * ln(n * tot / (nx * ny))), 6)
+                       AS mi,
+                   round(-sum((n / tot) * ln(nx / tot)), 6) AS h_x,
+                   round(-sum((n / tot) * ln(ny / tot)), 6) AS h_y
+            FROM m, t
         """,
         # q_minhash_dedup / q_simhash / q_knn_ivf / q_hll_users /
         # q_quantile_sketch / q_group_quantile_sketch /

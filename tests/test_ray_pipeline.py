@@ -3808,3 +3808,52 @@ def test_roc_auc_matches_brute_pair_count(ray_session):
     )
     import math
     assert math.isnan(roc_auc(one_class, "score", "y")["auc"])
+
+
+def test_mutual_information_identities(ray_session):
+    """MI == 0 for independent columns (exact uniform grid), MI ==
+    H(X) == H(Y) for a bijection, and MI matches a scipy-free direct
+    computation on a random joint."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.profile import mutual_information
+
+    # exact independence: full cartesian grid, equal counts
+    grid = pd.DataFrame(
+        [(x, y) for x in "abc" for y in range(4) for _ in range(5)],
+        columns=["x", "y"],
+    )
+    r = mutual_information(
+        ray.data.from_pandas(grid).repartition(6), "x", "y", ndigits=9
+    )
+    assert abs(float(r["mi"].iloc[0])) < 1e-9
+
+    # bijection: MI = H(X) = H(Y)
+    bij = pd.DataFrame(
+        {"x": list("aabbbcccc"), "y": [0] * 2 + [1] * 3 + [2] * 4}
+    )
+    r2 = mutual_information(
+        ray.data.from_pandas(bij).repartition(3), "x", "y", ndigits=9
+    )
+    p = np.array([2, 3, 4]) / 9.0
+    h = float(-(p * np.log(p)).sum())
+    for c in ("mi", "h_x", "h_y"):
+        assert abs(float(r2[c].iloc[0]) - h) < 1e-9
+
+    # random joint vs direct definition
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {"x": rng.choice(list("pqr"), 300), "y": rng.integers(0, 5, 300)}
+    )
+    r3 = mutual_information(
+        ray.data.from_pandas(df).repartition(7), "x", "y", ndigits=9
+    )
+    ct = df.value_counts().rename("n").reset_index()
+    n = ct["n"].to_numpy(float)
+    tot = n.sum()
+    nx = ct.groupby("x")["n"].transform("sum").to_numpy(float)
+    ny = ct.groupby("y")["n"].transform("sum").to_numpy(float)
+    want = ((n / tot) * np.log(n * tot / (nx * ny))).sum()
+    assert abs(float(r3["mi"].iloc[0]) - want) < 1e-9

@@ -235,3 +235,39 @@ def corr_matrix(ds, columns: list[str], ndigits: int = 6) -> pd.DataFrame:
         .sort_values(["col_a", "col_b"])
         .reset_index(drop=True)
     )
+
+
+def mutual_information(ds, x_col: str, y_col: str,
+                       ndigits: int = 6) -> pd.DataFrame:
+    """Mutual information (nats) between two categorical columns, plus
+    both marginal entropies — the feature-dependence profile a
+    curation pipeline uses to pick stratification keys and catch
+    leaky features.
+
+    Everything derives from the JOINT histogram: one pre-aggregated
+    (x, y, n) count shuffle (|X| x |Y| rows, never events), then the
+    identities ``MI = sum p_xy ln(p_xy / (p_x p_y))``,
+    ``H(X) = -sum_xy p_xy ln(p_x)`` (the inner y-sum collapses the
+    marginal) finish on the |X| x |Y| table — driver state is the
+    joint histogram, which for categorical profiling is tiny by
+    construction."""
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    joint = pre_aggregate(
+        ds, [x_col, y_col], {"n": (x_col, "count")}
+    ).to_pandas()
+    n = joint["n"].to_numpy(np.float64)
+    tot = n.sum()
+    nx = joint.groupby(x_col)["n"].transform("sum").to_numpy(np.float64)
+    ny = joint.groupby(y_col)["n"].transform("sum").to_numpy(np.float64)
+    p = n / tot
+    mi = float((p * np.log(n * tot / (nx * ny))).sum())
+    h_x = float(-(p * np.log(nx / tot)).sum())
+    h_y = float(-(p * np.log(ny / tot)).sum())
+    return pd.DataFrame(
+        {
+            "mi": [round(mi, ndigits)],
+            "h_x": [round(h_x, ndigits)],
+            "h_y": [round(h_y, ndigits)],
+        }
+    )

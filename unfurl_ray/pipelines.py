@@ -4894,3 +4894,29 @@ def q_auc(sf_dir: str) -> pd.DataFrame:
             "n_neg": [np.int64(r["n_neg"])],
         }
     )
+
+
+def q_mutual_info(sf_dir: str) -> pd.DataFrame:
+    """Mutual information between event type and day-of-week (is
+    behavior time-dependent?), with both marginal entropies —
+    ops.profile.mutual_information over the pre-aggregated joint
+    histogram.  DuckDB twin computes the same identities with window
+    sums; day-of-week matches DuckDB's dayofweek (Sunday = 0)."""
+    from unfurl_ray.ops.profile import mutual_information
+
+    ds = _parquet_sh(sf_dir, "events", ["event_type", "ts"])
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                # pandas dayofweek: Monday = 0; DuckDB: Sunday = 0
+                "dow": ((batch["ts"].dt.dayofweek + 1) % 7).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    return mutual_information(
+        ds.map_batches(tag, batch_format="pandas"), "event_type", "dow"
+    )
