@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_event_runs": p.q_event_runs,
         "q_auc": p.q_auc,
         "q_mutual_info": p.q_mutual_info,
+        "q_prefix_dedup": p.q_prefix_dedup,
     }
 
 
@@ -2382,6 +2383,30 @@ def oracle_sql() -> dict[str, str]:
                    round(-sum((n / tot) * ln(nx / tot)), 6) AS h_x,
                    round(-sum((n / tot) * ln(ny / tot)), 6) AS h_y
             FROM m, t
+        """,
+        # blocked self-join twin of the adjacent-successor prefix
+        # check; a prefix relation implies equal first-24 chars, so
+        # the block join is complete
+        "q_prefix_dedup": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(coalesce(text, '')),
+                            '[ \t\n\f\r]+', ' ', 'g')) AS s
+                FROM documents),
+            e AS (
+                SELECT doc_id, s, substr(s, 1, 24) AS blk
+                FROM d WHERE length(s) >= 24)
+            SELECT a.doc_id,
+                   CASE WHEN max(CASE WHEN b.s = a.s
+                                 THEN 1 ELSE 0 END) = 1
+                        THEN 'exact' ELSE 'prefix' END AS reason
+            FROM e a JOIN e b
+              ON a.blk = b.blk AND a.doc_id <> b.doc_id
+             AND ((b.s = a.s AND b.doc_id < a.doc_id)
+                  OR (length(b.s) > length(a.s)
+                      AND substr(b.s, 1, length(a.s)) = a.s))
+            GROUP BY a.doc_id
+            ORDER BY a.doc_id
         """,
         # q_minhash_dedup / q_simhash / q_knn_ivf / q_hll_users /
         # q_quantile_sketch / q_group_quantile_sketch /

@@ -3857,3 +3857,64 @@ def test_mutual_information_identities(ray_session):
     ny = ct.groupby("y")["n"].transform("sum").to_numpy(float)
     want = ((n / tot) * np.log(n * tot / (nx * ny))).sum()
     assert abs(float(r3["mi"].iloc[0]) - want) < 1e-9
+
+
+def test_prefix_containment_dedup_planted(ray_session):
+    """Planted prefix chains vs a brute-force O(n^2) reference:
+    chained containment (a < ab < abc), an exact dup that only
+    normalization reveals, a prefix whose extension sorts between it
+    and an unrelated sibling, and an under-block_chars doc out of
+    scope."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.dedup import prefix_containment_dedup
+
+    base = "the quick brown fox jumps over the lazy dog"
+    docs = {
+        0: base,                       # prefix of 1 and 2
+        1: base + " again and again",  # prefix of 2
+        2: base + " again and again more",
+        3: "The   Quick\tbrown fox JUMPS over the lazy dog",  # exact dup of 0 after norm
+        4: "completely different content that is long enough",
+        5: "zz " + "a" * 30,           # prefix of 7, NOT of 6
+        6: "zz " + "a" * 30 + "a",     # extension of 5 (sorts between 5 and 7)
+        7: "zz " + "a" * 30 + "b tail",
+        8: "short",                    # under block_chars, out of scope
+    }
+    df = pd.DataFrame(
+        {"doc_id": list(docs), "text": list(docs.values())}
+    )
+
+    # brute reference
+    import re
+    norm = {
+        k: re.sub(r"[ \t\n\f\r]+", " ", v.lower()).strip()
+        for k, v in docs.items()
+    }
+    norm = {k: v for k, v in norm.items() if len(v) >= 24}
+    want = {}
+    for a, sa in norm.items():
+        exact = any(
+            sb == sa and b < a for b, sb in norm.items() if b != a
+        )
+        pref = any(
+            len(sb) > len(sa) and sb.startswith(sa)
+            for b, sb in norm.items() if b != a
+        )
+        if exact:
+            want[a] = "exact"
+        elif pref:
+            want[a] = "prefix"
+
+    got = prefix_containment_dedup(
+        ray.data.from_pandas(df).repartition(4)
+    ).to_pandas()
+    got_map = dict(zip(got["doc_id"].astype(int), got["reason"]))
+    assert got_map == want
+    # spot-check the planted structure: 0 is a prefix of 1/2, 3 is an
+    # exact dup of 0 after normalization, 5 is a prefix of 6 only
+    # (6 diverges from 7 at the char after the shared run), 6/7 are
+    # contained in nothing, 8 is under block_chars and out of scope
+    assert want == {0: "prefix", 1: "prefix", 3: "exact", 5: "prefix"}

@@ -1027,3 +1027,79 @@ def edit_distance_join(ds, k: int = 1, key_len: int = 24,
     return (
         out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     )
+
+
+def prefix_containment_dedup(ds, column: str = "text",
+                             id_column: str = "doc_id",
+                             block_chars: int = 24):
+    """Prefix-containment dedup: drop every doc whose normalized text
+    is a PROPER PREFIX of another doc's (truncated re-crawls, retry
+    prefixes, boilerplate-extended copies), plus exact dups keeping
+    the smallest id.  Returns ``(id, reason)`` rows for the dropped
+    docs, reason in {'exact', 'prefix'}.
+
+    Normalization matches ``edit_distance_join``'s key contract
+    (lowercase, ``[ \\t\\n\\f\\r]`` runs -> one space, trim); docs
+    shorter than ``block_chars`` after normalization are out of scope
+    (a prefix relation implies equal first-``block_chars`` chars, the
+    shuffle block key).
+
+    Scale shape: one groupby on the 24-char block key (normalized
+    text rides the shuffle ONCE, like exact dedup); in-group the sort
+    order does the work — a string is a proper prefix of SOME group
+    member iff it is a prefix of its immediate DISTINCT successor
+    (any string sorting between s and an extension of s itself starts
+    with s), so the check is one adjacent pass over unique strings,
+    never pairs."""
+    import re
+
+    ws = re.compile(r"[ \t\n\f\r]+")
+
+    def norm(batch: pd.DataFrame) -> pa.Table:
+        s = (
+            batch[column].fillna("").str.lower()
+            .str.replace(ws, " ", regex=True).str.strip()
+        )
+        keep = s.str.len() >= block_chars
+        return pa.table(
+            {
+                id_column: pa.array(
+                    batch.loc[keep, id_column].to_numpy(np.int64),
+                    pa.int64(),
+                ),
+                "s": pa.array(s[keep].to_numpy(), pa.large_string()),
+                "blk": pa.array(
+                    s[keep].str.slice(0, block_chars).to_numpy(),
+                    pa.string(),
+                ),
+            }
+        )
+
+    def contained(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(["s", id_column])
+        s = g["s"].to_numpy()
+        ids = g[id_column].to_numpy(np.int64)
+        n = len(g)
+        exact = np.zeros(n, dtype=bool)
+        exact[1:] = s[1:] == s[:-1]
+        su = pd.unique(s)
+        is_pref = {
+            a for a, b in zip(su[:-1], su[1:]) if b.startswith(a)
+        }
+        pref = np.fromiter(
+            (x in is_pref for x in s), dtype=bool, count=n
+        )
+        drop = exact | pref
+        reason = np.where(exact[drop], "exact", "prefix")
+        return pa.table(
+            {
+                id_column: pa.array(ids[drop], pa.int64()),
+                "reason": pa.array(reason, pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(norm, batch_format="pandas")
+        .groupby("blk")
+        .map_groups(contained, batch_format="pandas")
+    )

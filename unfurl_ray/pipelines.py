@@ -4920,3 +4920,16 @@ def q_mutual_info(sf_dir: str) -> pd.DataFrame:
     return mutual_information(
         ds.map_batches(tag, batch_format="pandas"), "event_type", "dow"
     )
+
+
+def q_prefix_dedup(sf_dir: str) -> pd.DataFrame:
+    """Prefix-containment dedup over documents (truncated re-crawls /
+    boilerplate-extended copies): dropped docs + reason.  Hash-exact
+    vs a blocked self-join DuckDB twin — the Ray side never forms
+    pairs (adjacent-successor check inside the block group)."""
+    from unfurl_ray.ops.dedup import prefix_containment_dedup
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+    out = prefix_containment_dedup(ds).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
