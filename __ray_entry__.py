@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_auc": p.q_auc,
         "q_mutual_info": p.q_mutual_info,
         "q_prefix_dedup": p.q_prefix_dedup,
+        "q_tree_split": p.q_tree_split,
     }
 
 
@@ -2407,6 +2408,49 @@ def oracle_sql() -> dict[str, str]:
                       AND substr(b.s, 1, length(a.s)) = a.s))
             GROUP BY a.doc_id
             ORDER BY a.doc_id
+        """,
+        # same cumulative-gain identity as ops.fit.best_split; the
+        # sumsq terms cancel in SSE reduction so only (n, sum) move
+        "q_tree_split": """
+            WITH long AS (
+                SELECT 'l_discount' AS feature, l_discount AS value,
+                       l_extendedprice AS y FROM lineitem
+                UNION ALL
+                SELECT 'l_quantity', l_quantity, l_extendedprice
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_tax', l_tax, l_extendedprice FROM lineitem),
+            h AS (
+                SELECT feature, value,
+                       CAST(count(*) AS DOUBLE) AS n, sum(y) AS s
+                FROM long GROUP BY 1, 2),
+            tot AS (
+                SELECT feature, sum(n) AS np_, sum(s) AS sp
+                FROM h GROUP BY 1),
+            c AS (
+                SELECT feature, value,
+                       sum(n) OVER w AS nl, sum(s) OVER w AS sl
+                FROM h WINDOW w AS (
+                    PARTITION BY feature ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)),
+            g AS (
+                SELECT c.feature, c.value AS threshold,
+                       (sl * sl / nl
+                        + (sp - sl) * (sp - sl) / (np_ - nl)
+                        - sp * sp / np_) / np_ AS mean_gain,
+                       sl / nl AS left_mean,
+                       (sp - sl) / (np_ - nl) AS right_mean,
+                       CAST(nl AS BIGINT) AS n_left,
+                       CAST(np_ - nl AS BIGINT) AS n_right
+                FROM c JOIN tot ON c.feature = tot.feature
+                WHERE nl < np_)
+            SELECT feature, threshold, round(mean_gain, 4) AS mean_gain,
+                   round(left_mean, 2) AS left_mean,
+                   round(right_mean, 2) AS right_mean,
+                   n_left, n_right
+            FROM g ORDER BY mean_gain DESC, feature, threshold
+            LIMIT 1
         """,
         # q_minhash_dedup / q_simhash / q_knn_ivf / q_hll_users /
         # q_quantile_sketch / q_group_quantile_sketch /

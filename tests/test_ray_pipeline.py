@@ -3918,3 +3918,46 @@ def test_prefix_containment_dedup_planted(ray_session):
     # (6 diverges from 7 at the char after the shared run), 6/7 are
     # contained in nothing, 8 is under block_chars and out of scope
     assert want == {0: "prefix", 1: "prefix", 3: "exact", 5: "prefix"}
+
+
+def test_best_split_matches_exact_greedy(ray_session):
+    """Histogram split == brute-force exact greedy over every
+    (feature, threshold) candidate, on a planted piecewise target
+    where the winning split is known."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.fit import best_split
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    f1 = rng.integers(0, 10, n).astype(np.float64)
+    f2 = rng.integers(0, 4, n).astype(np.float64)
+    # target jumps at f1 <= 6 — f1 at threshold 6 must win
+    y = np.where(f1 <= 6, 10.0, 50.0) + rng.normal(0, 1, n)
+    df = pd.DataFrame({"f1": f1, "f2": f2, "y": y})
+
+    def sse(v):
+        return float((v * v).sum() - v.sum() ** 2 / len(v)) if len(v) \
+            else 0.0
+
+    best_gain, best_key = -1.0, None
+    for f in ("f1", "f2"):
+        for t in np.unique(df[f])[:-1]:
+            left = df.loc[df[f] <= t, "y"]
+            right = df.loc[df[f] > t, "y"]
+            gain = (sse(df["y"]) - sse(left) - sse(right)) / n
+            if gain > best_gain + 1e-12:
+                best_gain, best_key = gain, (f, float(t))
+
+    got = best_split(
+        ray.data.from_pandas(df).repartition(8), ["f1", "f2"], "y",
+        gain_digits=6,
+    )
+    assert (got["feature"].iloc[0], float(got["threshold"].iloc[0])) \
+        == best_key == ("f1", 6.0)
+    assert abs(float(got["mean_gain"].iloc[0]) - best_gain) < 1e-5
+    assert int(got["n_left"].iloc[0]) == int((f1 <= 6).sum())
+    lm = float(df.loc[f1 <= 6, "y"].mean())
+    assert abs(float(got["left_mean"].iloc[0]) - lm) < 0.01

@@ -332,3 +332,92 @@ def roc_auc(ds, score_col: str, label_col: str) -> dict:
     ).to_pandas()
     auc = float(parts["part"].sum()) / (float(n_pos) * float(n_neg))
     return {"auc": auc, "n_pos": n_pos, "n_neg": n_neg}
+
+
+def best_split(ds, feature_cols: list[str], target_col: str,
+               gain_digits: int = 4, mean_digits: int = 2
+               ) -> pd.DataFrame:
+    """Histogram-based regression-tree split finding (the
+    LightGBM/XGBoost approx-split primitive): the single
+    variance-reducing split ``feature <= threshold`` across all
+    candidate features.
+
+    Scale shape: each input row melts to (feature, value, y) and
+    ``pre_aggregate`` folds per-batch partial (n, sum_y) BEFORE the
+    shuffle, so the exchange carries one row per (feature, DISTINCT
+    value) per batch — never data rows.  The driver scans the final
+    histogram (|features| x |distinct values|, bounded for
+    discretized/low-cardinality features by construction — bin
+    continuous features upstream, e.g. with ntile) with one cumsum
+    per feature: gain(t) = S_l^2/n_l + S_r^2/n_r - S^2/n (the sumsq
+    terms cancel in SSE reduction).
+
+    ``mean_gain`` = gain / n is reported instead of raw gain: the raw
+    value scales with sum(y)^2 and would swamp float-reproducibility
+    tolerances; dividing by the (feature-independent) total preserves
+    the argmax order.  Ties break by (feature, threshold)."""
+    def melt(batch: pd.DataFrame) -> pd.DataFrame:
+        y = batch[target_col].astype("float64")
+        frames = [
+            pd.DataFrame(
+                {
+                    "feature": f,
+                    "value": batch[f].astype("float64"),
+                    "y": y,
+                }
+            )
+            for f in feature_cols
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    hist = pre_aggregate(
+        ds.map_batches(melt, batch_format="pandas"),
+        ["feature", "value"],
+        {"n": ("y", "count"), "s": ("y", "sum")},
+    ).to_pandas().sort_values(["feature", "value"]).reset_index(
+        drop=True
+    )
+
+    best = None
+    for f, g in hist.groupby("feature", sort=True):
+        n = g["n"].to_numpy(np.float64)
+        s = g["s"].to_numpy(np.float64)
+        np_, sp = n.sum(), s.sum()
+        nl, sl = n.cumsum()[:-1], s.cumsum()[:-1]  # right side nonempty
+        if len(nl) == 0:
+            continue
+        nr, sr = np_ - nl, sp - sl
+        gain = (sl * sl / nl + sr * sr / nr - sp * sp / np_) / np_
+        i = int(np.argmax(gain))
+        cand = (
+            -gain[i], f, float(g["value"].iloc[i]),
+            float(sl[i] / nl[i]), float(sr[i] / nr[i]),
+            int(nl[i]), int(nr[i]),
+        )
+        if best is None or cand < best:
+            best = cand
+    if best is None:
+        return pd.DataFrame(
+            {
+                "feature": pd.Series([], dtype="object"),
+                "threshold": pd.Series([], dtype="float64"),
+                "mean_gain": pd.Series([], dtype="float64"),
+                "left_mean": pd.Series([], dtype="float64"),
+                "right_mean": pd.Series([], dtype="float64"),
+                "n_left": pd.Series([], dtype="int64"),
+                "n_right": pd.Series([], dtype="int64"),
+            }
+        )
+    return pd.DataFrame(
+        {
+            "feature": [best[1]],
+            "threshold": [best[2]],
+            "mean_gain": [round(-best[0], gain_digits)],
+            "left_mean": [round(best[3], mean_digits)],
+            "right_mean": [round(best[4], mean_digits)],
+            "n_left": [np.int64(best[5])],
+            "n_right": [np.int64(best[6])],
+        }
+    )

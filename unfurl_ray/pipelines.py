@@ -4933,3 +4933,22 @@ def q_prefix_dedup(sf_dir: str) -> pd.DataFrame:
     out = prefix_containment_dedup(ds).to_pandas()
     out["doc_id"] = out["doc_id"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_tree_split(sf_dir: str) -> pd.DataFrame:
+    """GBDT-style best regression split for l_extendedprice across
+    (l_quantity, l_discount, l_tax) — ops.fit.best_split: the shuffle
+    carries per-batch (feature, distinct value, n, sum_y) partials,
+    never rows; the driver scans the tiny histogram.  Hash-exact vs a
+    DuckDB window twin of the same cumulative-gain identity
+    (mean_gain = gain / n keeps the compare inside float tolerance;
+    argmax order is unchanged since n is feature-independent)."""
+    from unfurl_ray.ops.fit import best_split
+
+    ds = _parquet_sh(
+        sf_dir, "lineitem",
+        ["l_quantity", "l_discount", "l_tax", "l_extendedprice"],
+    )
+    return best_split(
+        ds, ["l_discount", "l_quantity", "l_tax"], "l_extendedprice"
+    )
