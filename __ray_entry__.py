@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mutual_info": p.q_mutual_info,
         "q_prefix_dedup": p.q_prefix_dedup,
         "q_tree_split": p.q_tree_split,
+        "q_kcore": p.q_kcore,
     }
 
 

@@ -3961,3 +3961,60 @@ def test_best_split_matches_exact_greedy(ray_session):
     assert int(got["n_left"].iloc[0]) == int((f1 <= 6).sum())
     lm = float(df.loc[f1 <= 6, "y"].mean())
     assert abs(float(got["left_mean"].iloc[0]) - lm) < 0.01
+
+
+def test_kcore_matches_exact_peeling(ray_session):
+    """Shard-actor k-core == driver-side exact peeling on a random
+    graph plus a planted clique (which must survive) and a long chain
+    (which must fully peel at k >= 2... chain nodes have degree 2, so
+    they survive k=2 but die at k=3)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.graph import kcore
+
+    rng = np.random.default_rng(17)
+    u = rng.integers(0, 40, 120)
+    v = rng.integers(0, 40, 120)
+    keep = u != v
+    pairs = {tuple(sorted((int(a), int(b))))
+             for a, b in zip(u[keep], v[keep])}
+    # planted 6-clique on 100..105: every node degree 5 inside
+    for i in range(100, 106):
+        for j in range(i + 1, 106):
+            pairs.add((i, j))
+    # chain 200..214: internal degree 2
+    for i in range(200, 214):
+        pairs.add((i, i + 1))
+    ua = np.array([p[0] for p in pairs], dtype=np.int64)
+    va = np.array([p[1] for p in pairs], dtype=np.int64)
+    both = pd.DataFrame(
+        {"u": np.concatenate([ua, va]), "v": np.concatenate([va, ua])}
+    )
+
+    def exact_kcore(k):
+        adj: dict[int, set] = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        alive = set(adj)
+        while True:
+            dead = {n for n in alive
+                    if len(adj[n] & alive) < k}
+            if not dead:
+                break
+            alive -= dead
+        return {n: len(adj[n] & alive) for n in alive}
+
+    ds = ray.data.from_pandas(both).repartition(7)
+    for k in (2, 3, 4):
+        got = kcore(ds, k=k, num_partitions=5).to_pandas()
+        got_map = dict(
+            zip(got["node"].astype(int), got["degree"].astype(int))
+        )
+        assert got_map == exact_kcore(k), f"k={k}"
+    # sanity on the planted structure
+    c3 = exact_kcore(3)
+    assert all(n in c3 for n in range(100, 106))
+    assert not any(n in c3 for n in range(200, 215))

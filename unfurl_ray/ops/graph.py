@@ -989,3 +989,110 @@ def bfs_hops(edges, seeds, max_hops: int = 3,
     return (
         out.sort_values("node").reset_index(drop=True)
     )
+
+
+class _KCoreShard(_GraphShard):
+    """k-core peeling shard: alive/degree state; each round kills
+    nodes with residual degree < k and emits per-target decrement
+    counts from the newly-dead nodes' out-edges (the same
+    pre-aggregated reduceat fold as PageRank contributions)."""
+
+    def register(self, *incoming) -> int:
+        mine = self._register_nodes(incoming)
+        pos = np.searchsorted(mine, self._src)
+        self.deg = np.bincount(pos, minlength=len(mine)).astype(
+            np.int64
+        )
+        self.alive = np.ones(len(mine), dtype=bool)
+        del self._src, self._dst, self._tgt
+        return len(mine)
+
+    def kill(self, k: int) -> int:
+        """Mark this round's deaths; return how many died."""
+        self._newly = self.alive & (self.deg < k)
+        self.alive &= ~self._newly
+        return int(self._newly.sum())
+
+    def decrements(self):
+        """Per-target (dst, #edges-from-newly-dead) — the degree
+        decrement messages for this round."""
+        newly = self._newly
+        out = []
+        for spos, starts, vals in self.plan:
+            if len(vals) == 0:
+                out.append((vals, vals))
+            else:
+                w = newly[spos].astype(np.float64)
+                out.append(
+                    (vals,
+                     np.add.reduceat(w, starts).astype(np.int64))
+                )
+        return out if self.B > 1 else out[0]
+
+    def apply(self, *parts) -> None:
+        for vals, cnt in parts:
+            if len(vals):
+                pos = np.searchsorted(self.nodes, vals)
+                self.deg[pos] -= cnt
+        del self._newly
+
+    def core_df(self) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": pd.Series(
+                    self.nodes[self.alive], dtype="int64"
+                ),
+                "degree": pd.Series(
+                    self.deg[self.alive], dtype="int64"
+                ),
+            }
+        )
+
+
+def kcore(edges, k: int, num_partitions: int = 8,
+          max_iters: int = 10_000):
+    """k-core of an edge Dataset [(u, v), both directions, no
+    self-loops]: the maximal subgraph where every node keeps degree
+    >= k — the density filter a dup-graph / citation-graph pipeline
+    runs before community analysis (peels hangers-on, keeps the
+    tightly-connected cores).  Returns a Dataset of (node, degree)
+    for surviving nodes, degree = residual degree inside the core.
+
+    Same Pregel layout as ``connected_components``: the edge set
+    shuffles once into shard actors; each peeling round is (a) a
+    local kill of alive nodes under degree k, (b) one pre-aggregated
+    (dst, decrement) ref exchange from the newly-dead nodes' edges,
+    (c) local degree updates.  Rounds = peeling depth (bounded by
+    the degeneracy ordering length), each O(B^2) refs; converges
+    when a round kills nothing, which is exact: residual degrees
+    always equal true degrees within the remaining subgraph.
+
+    NOTE: if the input has duplicate (u, v) rows they count as
+    parallel edges; feed unique edges for simple-graph semantics."""
+    import ray
+
+    B = max(1, num_partitions)
+    actors, counts = _spawn_shards(_KCoreShard, edges, B, "u", "v")
+    if int(sum(counts)) == 0:
+        return _collect_shards(
+            actors, [], {"node": "int64", "degree": "int64"}
+        )
+
+    for _ in range(max_iters):
+        died = sum(ray.get([a.kill.remote(k) for a in actors]))
+        if died == 0:
+            break
+        outs = [_fan(a, "decrements", B) for a in actors]
+        ray.get(
+            [
+                actors[t].apply.remote(*[outs[i][t] for i in range(B)])
+                for t in range(B)
+            ]
+        )
+
+    refs = [
+        a.core_df.remote() for a, c in zip(actors, counts) if c > 0
+    ]
+    return _collect_shards(
+        actors, refs, {"node": "int64", "degree": "int64"}
+    )

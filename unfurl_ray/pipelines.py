@@ -4952,3 +4952,37 @@ def q_tree_split(sf_dir: str) -> pd.DataFrame:
     return best_split(
         ds, ["l_discount", "l_quantity", "l_tax"], "l_extendedprice"
     )
+
+
+def q_kcore(sf_dir: str) -> pd.DataFrame:
+    """3-core of the embedding similarity graph (cosine >= 0.3):
+    iterative peeling on co-partitioned shard actors — each round is
+    one pre-aggregated decrement exchange, rounds = peeling depth.
+    Rows-only check (iterative fixpoint has no SQL twin in DuckDB
+    1.0); pytest parity against driver-side exact peeling covers
+    exactness.  Output: surviving (node, residual core degree)."""
+    from unfurl_ray.ops.graph import kcore
+    from unfurl_ray.ops.similarity import cosine_pair_dedup
+
+    ds = _parquet(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = cosine_pair_dedup(ds, threshold=0.3)
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch.column("vec_a").to_numpy(zero_copy_only=False)
+        b = batch.column("vec_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": pa.array(
+                    np.concatenate([a, b]).astype(np.int64), pa.int64()
+                ),
+                "v": pa.array(
+                    np.concatenate([b, a]).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
+    out = kcore(edges, k=3, num_partitions=8).to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["degree"] = out["degree"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
