@@ -188,6 +188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_prefix_dedup": p.q_prefix_dedup,
         "q_tree_split": p.q_tree_split,
         "q_kcore": p.q_kcore,
+        "q_group_mode": p.q_group_mode,
+        "q_welch_ttest": p.q_welch_ttest,
     }
 
 
@@ -2452,6 +2454,51 @@ def oracle_sql() -> dict[str, str]:
                    n_left, n_right
             FROM g ORDER BY mean_gain DESC, feature, threshold
             LIMIT 1
+        """,
+        "q_group_mode": """
+            WITH c AS (
+                SELECT user_id, event_type,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2),
+            r AS (
+                SELECT user_id, event_type AS mode_type, n,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY n DESC, event_type) AS rk
+                FROM c)
+            SELECT user_id, mode_type, n FROM r WHERE rk = 1
+            ORDER BY user_id
+        """,
+        # explicit sum-of-squares variance so both engines do the
+        # same float ops (var_samp uses a different accumulation)
+        "q_welch_ttest": """
+            WITH a AS (
+                SELECT event_type AS grp,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       sum(value) AS s,
+                       sum(value * value) AS ss
+                FROM events
+                WHERE event_type IN ('purchase', 'click')
+                GROUP BY 1),
+            m AS (
+                SELECT grp, n, s / n AS mean,
+                       (ss - s * s / n) / (n - 1) AS var
+                FROM a),
+            w AS (
+                SELECT p.mean AS m1, c.mean AS m2,
+                       p.var / p.n AS a1, c.var / c.n AS a2,
+                       p.n AS n1, c.n AS n2
+                FROM (SELECT * FROM m WHERE grp = 'purchase') p,
+                     (SELECT * FROM m WHERE grp = 'click') c)
+            SELECT round(m1, 6) AS mean_purchase,
+                   round(m2, 6) AS mean_click,
+                   round((m1 - m2) / sqrt(a1 + a2), 6) AS t_stat,
+                   round((a1 + a2) * (a1 + a2)
+                         / (a1 * a1 / (n1 - 1) + a2 * a2 / (n2 - 1)),
+                         6) AS df,
+                   CAST(n1 AS BIGINT) AS n_purchase,
+                   CAST(n2 AS BIGINT) AS n_click
+            FROM w
         """,
         # q_minhash_dedup / q_simhash / q_knn_ivf / q_hll_users /
         # q_quantile_sketch / q_group_quantile_sketch /

@@ -4986,3 +4986,76 @@ def q_kcore(sf_dir: str) -> pd.DataFrame:
     out["node"] = out["node"].astype("int64")
     out["degree"] = out["degree"].astype("int64")
     return out.sort_values("node").reset_index(drop=True)
+
+
+def q_group_mode(sf_dir: str) -> pd.DataFrame:
+    """Mode (most frequent event_type) per user with deterministic
+    ties (min type) — composition of pre_aggregate (the only shuffle,
+    one row per (user, type) per batch) and topk_per_group's partial
+    top-k.  Hash-exact vs a row_number window twin."""
+    from unfurl_ray.ops.relational import pre_aggregate, topk_per_group
+
+    ds = _parquet_sh(sf_dir, "events", ["user_id", "event_type"])
+    counts = pre_aggregate(
+        ds, ["user_id", "event_type"], {"n": ("event_type", "count")}
+    )
+    out = topk_per_group(
+        counts, "user_id", "n", 1, tiebreak_col="event_type"
+    )
+    out = out.rename(columns={"event_type": "mode_type"})
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_welch_ttest(sf_dir: str) -> pd.DataFrame:
+    """Welch two-sample t-test: purchase vs click event values — the
+    A/B significance primitive, from one pre-aggregated
+    (group, n, sum, sumsq) shuffle (three numbers per group per
+    batch, never rows).  Variance uses the explicit sum-of-squares
+    form so the DuckDB twin performs the identical float ops;
+    t and the Welch-Satterthwaite df round to 6dp."""
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    ds = _parquet_sh(sf_dir, "events", ["event_type", "value"])
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["event_type"].isin(["purchase", "click"])
+        v = batch.loc[m, "value"].astype("float64")
+        return pd.DataFrame(
+            {
+                "grp": batch.loc[m, "event_type"],
+                "v": v,
+                "v2": v * v,
+            }
+        )
+
+    agg = pre_aggregate(
+        ds.map_batches(tag, batch_format="pandas"),
+        ["grp"],
+        {"n": ("v", "count"), "s": ("v", "sum"), "ss": ("v2", "sum")},
+    ).to_pandas().set_index("grp")
+    out = {}
+    for g in ("purchase", "click"):
+        n = float(agg.loc[g, "n"])
+        s = float(agg.loc[g, "s"])
+        ss = float(agg.loc[g, "ss"])
+        mean = s / n
+        var = (ss - s * s / n) / (n - 1.0)
+        out[g] = (n, mean, var)
+    (n1, m1, v1), (n2, m2, v2) = out["purchase"], out["click"]
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / np.sqrt(se2)
+    df = se2 * se2 / (
+        (v1 / n1) ** 2 / (n1 - 1.0) + (v2 / n2) ** 2 / (n2 - 1.0)
+    )
+    return pd.DataFrame(
+        {
+            "mean_purchase": [round(m1, 6)],
+            "mean_click": [round(m2, 6)],
+            "t_stat": [round(float(t), 6)],
+            "df": [round(float(df), 6)],
+            "n_purchase": [np.int64(n1)],
+            "n_click": [np.int64(n2)],
+        }
+    )
