@@ -190,6 +190,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kcore": p.q_kcore,
         "q_group_mode": p.q_group_mode,
         "q_welch_ttest": p.q_welch_ttest,
+        "q_weighted_median": p.q_weighted_median,
+        "q_calibration": p.q_calibration,
+        "q_changepoint": p.q_changepoint,
+        "q_ks_drift": p.q_ks_drift,
+        "q_spearman": p.q_spearman,
+        "q_gini": p.q_gini,
+        "q_isotonic": p.q_isotonic,
     }
 
 
@@ -2499,6 +2506,157 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n1 AS BIGINT) AS n_purchase,
                    CAST(n2 AS BIGINT) AS n_click
             FROM w
+        """,
+        # cumulative-weight selection twin of weighted_quantile; the
+        # cum_weight at the selected row rides along as a check
+        "q_weighted_median": """
+            WITH h AS (
+                SELECT l_extendedprice AS v, sum(l_quantity) AS w
+                FROM lineitem GROUP BY 1),
+            t AS (SELECT sum(w) AS tot FROM h),
+            c AS (
+                SELECT v, sum(w) OVER (
+                    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cw
+                FROM h)
+            SELECT round(v, 2) AS wmedian,
+                   CAST(cw AS BIGINT) AS cum_weight,
+                   CAST(tot AS BIGINT) AS total_weight
+            FROM c, t WHERE cw >= 0.5 * tot
+            ORDER BY v LIMIT 1
+        """,
+        # NTILE twin of the calibration deciles (ties broken by
+        # event_id, same as ntile_by's (order, id) rank)
+        "q_calibration": """
+            WITH b AS (
+                SELECT value AS score,
+                       CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END AS y,
+                       ntile(10) OVER (ORDER BY value, event_id)
+                           AS bucket
+                FROM events)
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(score) / count(*), 6) AS mean_score,
+                   round(CAST(sum(y) AS DOUBLE) / count(*), 6)
+                       AS purchase_rate
+            FROM b GROUP BY bucket ORDER BY bucket
+        """,
+        # binary-segmentation changepoint = best_split on the day
+        # axis; same identity as q_tree_split with one feature
+        "q_changepoint": """
+            WITH h AS (
+                SELECT CAST(epoch_us(ts) // 86400000000 AS DOUBLE)
+                           AS day,
+                       CAST(count(*) AS DOUBLE) AS n, sum(value) AS s
+                FROM events GROUP BY 1),
+            tot AS (SELECT sum(n) AS np_, sum(s) AS sp FROM h),
+            c AS (
+                SELECT day, sum(n) OVER w AS nl, sum(s) OVER w AS sl
+                FROM h WINDOW w AS (
+                    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)),
+            g AS (
+                SELECT day,
+                       (sl * sl / nl
+                        + (sp - sl) * (sp - sl) / (np_ - nl)
+                        - sp * sp / np_) / np_ AS mean_gain,
+                       sl / nl AS left_mean,
+                       (sp - sl) / (np_ - nl) AS right_mean,
+                       CAST(nl AS BIGINT) AS n_left,
+                       CAST(np_ - nl AS BIGINT) AS n_right
+                FROM c, tot WHERE nl < np_)
+            SELECT 'daily_value' AS series,
+                   CAST(day AS BIGINT) AS break_day,
+                   round(mean_gain, 6) AS mean_gain,
+                   round(left_mean, 2) AS left_mean,
+                   round(right_mean, 2) AS right_mean,
+                   n_left, n_right
+            FROM g ORDER BY mean_gain DESC, day LIMIT 1
+        """,
+        # cumulative-ECDF twin of ks_test; ECDF ratios are exact-int
+        # divisions so both sides bit-agree; ties on D break to the
+        # smallest value on both sides
+        "q_ks_drift": """
+            WITH h AS (
+                SELECT value AS v,
+                       sum(CASE WHEN event_type = 'click'
+                                THEN 1 ELSE 0 END) AS na,
+                       sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS nb
+                FROM events
+                WHERE event_type IN ('click', 'purchase')
+                GROUP BY 1),
+            t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM h),
+            c AS (
+                SELECT v,
+                       sum(na) OVER w AS ca, sum(nb) OVER w AS cb
+                FROM h WINDOW w AS (
+                    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW))
+            SELECT round(abs(CAST(ca AS DOUBLE) / ta
+                             - CAST(cb AS DOUBLE) / tb), 6) AS ks_d,
+                   v AS at_value,
+                   CAST(ta AS BIGINT) AS n_a,
+                   CAST(tb AS BIGINT) AS n_b
+            FROM c, t
+            ORDER BY abs(CAST(ca AS DOUBLE) / ta
+                         - CAST(cb AS DOUBLE) / tb) DESC, v
+            LIMIT 1
+        """,
+        # midrank (avg of row_number) Spearman twin in the explicit
+        # sum-of-squares form: midranks are half-integers, so every
+        # sum is an exact multiple of 0.25 on both sides
+        "q_spearman": """
+            WITH b AS (
+                SELECT l_quantity AS x, l_extendedprice AS y
+                FROM lineitem),
+            rx AS (
+                SELECT x, avg(rn) AS r FROM (
+                    SELECT x, row_number() OVER (ORDER BY x) AS rn
+                    FROM b) GROUP BY x),
+            ry AS (
+                SELECT y, avg(rn) AS r FROM (
+                    SELECT y, row_number() OVER (ORDER BY y) AS rn
+                    FROM b) GROUP BY y),
+            j AS (
+                SELECT rx.r AS u, ry.r AS v
+                FROM b JOIN rx ON b.x = rx.x
+                       JOIN ry ON b.y = ry.y),
+            s AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                       sum(u) AS su, sum(v) AS sv,
+                       sum(u * u) AS suu, sum(v * v) AS svv,
+                       sum(u * v) AS suv
+                FROM j)
+            SELECT round((n * suv - su * sv)
+                         / sqrt((n * suu - su * su)
+                                * (n * svv - sv * sv)), 6)
+                       AS spearman_rho,
+                   CAST(n AS BIGINT) AS n
+            FROM s
+        """,
+        # rank-identity Gini twin over the distinct-value histogram
+        # with closed-form tie runs (off = exclusive cumulative count)
+        "q_gini": """
+            WITH h AS (
+                SELECT o_totalprice AS v,
+                       CAST(count(*) AS DOUBLE) AS c
+                FROM orders GROUP BY 1),
+            c2 AS (
+                SELECT v, c,
+                       sum(c) OVER (ORDER BY v ROWS BETWEEN
+                           UNBOUNDED PRECEDING AND CURRENT ROW) - c
+                           AS off
+                FROM h),
+            s AS (
+                SELECT sum(v * (c * off + c * (c + 1) / 2)) AS num,
+                       sum(v * c) AS tot, sum(c) AS n
+                FROM c2)
+            SELECT round(2 * num / (n * tot) - (n + 1) / n, 6)
+                       AS gini,
+                   CAST(n AS BIGINT) AS n,
+                   round(tot, 2) AS total
+            FROM s
         """,
         # q_minhash_dedup / q_simhash / q_knn_ivf / q_hll_users /
         # q_quantile_sketch / q_group_quantile_sketch /

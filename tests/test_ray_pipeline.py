@@ -4018,3 +4018,165 @@ def test_kcore_matches_exact_peeling(ray_session):
     c3 = exact_kcore(3)
     assert all(n in c3 for n in range(100, 106))
     assert not any(n in c3 for n in range(200, 215))
+
+
+def test_weighted_quantile_matches_reference(ray_session):
+    """Owner-block weighted quantile == direct cumulative-weight scan,
+    across quantiles, with duplicate values (histogram collapse),
+    block-boundary targets, and zero-weight rows."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.relational import weighted_quantile
+
+    rng = np.random.default_rng(23)
+    v = rng.integers(0, 50, 800).astype(np.float64)  # many dups
+    w = rng.integers(0, 5, 800).astype(np.float64)   # some zeros
+    df = pd.DataFrame({"v": v, "w": w})
+    ds = ray.data.from_pandas(df).repartition(12)
+
+    h = df.groupby("v", as_index=False)["w"].sum().sort_values("v")
+    cw = h["w"].cumsum().to_numpy()
+    tot = float(cw[-1])
+    for q in (0.0, 0.1, 0.5, 0.9, 1.0):
+        i = int(np.searchsorted(cw, q * tot))
+        i = min(i, len(cw) - 1)
+        want_v = float(h["v"].iloc[i])
+        got = weighted_quantile(ds, "v", "w", q=q)
+        assert got["value"] == want_v, q
+        assert got["cum_weight"] == float(cw[i]), q
+        assert got["total_weight"] == tot
+
+
+def test_ks_test_matches_brute_ecdf(ray_session):
+    """Distributed KS D == brute-force max ECDF gap, with ties and
+    multi-block histograms; smallest-value tie-break."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.profile import ks_test
+
+    rng = np.random.default_rng(7)
+    va = rng.integers(0, 40, 600).astype(np.float64)  # ties
+    vb = (rng.integers(0, 40, 500) + rng.integers(0, 2, 500)).astype(
+        np.float64
+    )
+    df = pd.DataFrame(
+        {
+            "v": np.concatenate([va, vb]),
+            "g": ["a"] * len(va) + ["b"] * len(vb),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(9)
+    got = ks_test(ds, "v", "g", "a", "b")
+
+    grid = np.unique(df["v"].to_numpy())
+    ca = np.searchsorted(np.sort(va), grid, side="right") / len(va)
+    cb = np.searchsorted(np.sort(vb), grid, side="right") / len(vb)
+    d = np.abs(ca - cb)
+    i = int(d.argmax())
+    assert got["ks_d"] == round(float(d[i]), 6)
+    assert got["at_value"] == float(grid[i])
+    assert got["n_a"] == len(va) and got["n_b"] == len(vb)
+
+
+def test_spearman_matches_pandas_rank_corr(ray_session):
+    """Both broadcast and join paths == pandas midrank Pearson."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.profile import spearman_corr
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 30, 700).astype(np.float64)  # heavy ties
+    y = x * 2.0 + rng.normal(0, 10, 700)
+    df = pd.DataFrame({"x": x, "y": y})
+    ds = ray.data.from_pandas(df).repartition(8)
+
+    u = df["x"].rank(method="average").to_numpy()
+    v = df["y"].rank(method="average").to_numpy()
+    want = round(float(np.corrcoef(u, v)[0, 1]), 6)
+
+    got = spearman_corr(ds, "x", "y")
+    assert abs(got["rho"] - want) <= 1e-6
+    assert got["n"] == 700
+
+    joined = spearman_corr(ds, "x", "y", broadcast_limit=10)
+    assert joined["rho"] == got["rho"]
+    assert joined["n"] == 700
+
+
+def test_gini_matches_sorted_rank_formula(ray_session):
+    """Histogram-run Gini == textbook sorted-rank formula."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.profile import gini
+
+    rng = np.random.default_rng(3)
+    w = np.round(rng.lognormal(3, 1, 900), 2)  # skewed, some ties
+    ds = ray.data.from_pandas(pd.DataFrame({"w": w})).repartition(7)
+    got = gini(ds, "w")
+
+    v = np.sort(w)
+    n = len(v)
+    want = 2.0 * float(
+        (np.arange(1, n + 1) * v).sum()
+    ) / (n * float(v.sum())) - (n + 1.0) / n
+    assert abs(got["gini"] - round(want, 6)) <= 1e-6
+    assert got["n"] == n
+
+
+def test_isotonic_fit_matches_sequential_pav(ray_session):
+    """Parallel run-stack PAV == sequential element-wise PAV: same
+    fitted value at every x, across blocks, ties, and equal means."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.fit import isotonic_fit
+
+    rng = np.random.default_rng(19)
+    x = rng.integers(0, 80, 1200).astype(np.float64)
+    p = 1.0 / (1.0 + np.exp(-(x - 40) / 10.0))
+    y = (rng.random(1200) < p).astype(np.float64)
+    df = pd.DataFrame({"x": x, "y": y})
+    ds = ray.data.from_pandas(df).repartition(10)
+
+    fit = isotonic_fit(ds, "x", "y")
+    # monotone, contiguous, covers all data
+    assert (fit["rate"].diff().dropna() > 0).all()
+    assert fit["n"].sum() == 1200
+
+    # sequential reference PAV over the per-x histogram
+    h = df.groupby("x").agg(n=("y", "size"), s=("y", "sum"))
+    h = h.sort_index()
+    ns, ss, xe = [], [], []
+    for xi, row in h.iterrows():
+        ns.append(float(row["n"])); ss.append(float(row["s"]))
+        xe.append(float(xi))
+        while len(ns) > 1 and ss[-2] * ns[-1] >= ss[-1] * ns[-2]:
+            ns[-2] += ns[-1]; ss[-2] += ss[-1]; xe[-2] = xe[-1]
+            ns.pop(); ss.pop(); xe.pop()
+    # fitted value per distinct x from the reference runs
+    ref_rate = {}
+    start = 0
+    xs_sorted = h.index.to_numpy()
+    for k in range(len(ns)):
+        end_x = xe[k]
+        while start < len(xs_sorted) and xs_sorted[start] <= end_x:
+            ref_rate[float(xs_sorted[start])] = round(
+                ss[k] / ns[k], 6
+            )
+            start += 1
+    got_rate = {}
+    for _, r in fit.iterrows():
+        for xv in xs_sorted[
+            (xs_sorted >= r["x_start"]) & (xs_sorted <= r["x_end"])
+        ]:
+            got_rate[float(xv)] = float(r["rate"])
+    assert got_rate == ref_rate

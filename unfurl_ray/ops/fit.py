@@ -421,3 +421,110 @@ def best_split(ds, feature_cols: list[str], target_col: str,
             "n_right": [np.int64(best[6])],
         }
     )
+
+
+def _pav_runs(x0, x1, n, s):
+    """Pool-adjacent-violators over a sorted run sequence.
+
+    Inputs are parallel arrays of runs — (x_start, x_end, count,
+    sum_y) — already ascending in x.  Returns the pooled runs as the
+    same four arrays, each pool's fitted value being sum/count.
+    Classic stack algorithm: amortized O(#runs); pooling two runs
+    only needs their (n, s), which is what makes PAV mergeable."""
+    xs, xe, ns, ss = [], [], [], []
+    for i in range(len(n)):
+        xs.append(float(x0[i]))
+        xe.append(float(x1[i]))
+        ns.append(float(n[i]))
+        ss.append(float(s[i]))
+        # pool while the new tail violates monotonicity
+        while (
+            len(ns) > 1
+            and ss[-2] * ns[-1] >= ss[-1] * ns[-2]  # mean_prev >= mean
+        ):
+            ns[-2] += ns[-1]
+            ss[-2] += ss[-1]
+            xe[-2] = xe[-1]
+            for a in (xs, xe, ns, ss):
+                a.pop()
+    return (
+        np.asarray(xs), np.asarray(xe),
+        np.asarray(ns), np.asarray(ss),
+    )
+
+
+def isotonic_fit(ds, x_col: str, y_col: str,
+                 ndigits: int = 6) -> pd.DataFrame:
+    """Distributed isotonic regression (least-squares monotone fit of
+    y on x) — the non-parametric calibrator behind reward-model /
+    quality-score calibration, where ``q_calibration``'s fixed deciles
+    assume a bin width and PAV does not.
+
+    Parallel PAV via mergeable run stacks: the (x, n, sum_y) DISTINCT-
+    value histogram (pre-aggregated shuffle, never rows) range-sorts
+    once; each block runs the stack PAV over its own rows and emits
+    its pooled runs; the driver concatenates the per-block runs in x
+    order and runs PAV once more over RUNS.  Correct because pooling
+    depends only on each run's (n, sum): a solved segment's pooled
+    runs are exactly the state the sequential stack would carry past
+    that segment.  Driver state: O(total pooled runs) <= O(distinct x)
+    worst case (strictly increasing data) — bin continuous scores
+    upstream when distinct x is unbounded, as with ``best_split``.
+
+    Returns one row per final pooled run: (x_start, x_end, n, rate)
+    with rate = pooled mean of y, rounded to ``ndigits``."""
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "x": batch[x_col].astype("float64"),
+                "y": batch[y_col].astype("float64"),
+            }
+        )
+
+    hist = pre_aggregate(
+        ds.map_batches(tag, batch_format="pandas"),
+        ["x"], {"n": ("x", "count"), "s": ("y", "sum")},
+    ).sort("x").materialize()
+
+    def block_pav(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "x0": pa.array([], pa.float64()),
+                    "x1": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.float64()),
+                    "s": pa.array([], pa.float64()),
+                }
+            )
+        x = batch["x"].to_numpy(np.float64)
+        x0, x1, n, s = _pav_runs(
+            x, x,
+            batch["n"].to_numpy(np.float64),
+            batch["s"].to_numpy(np.float64),
+        )
+        return pa.table(
+            {
+                "x0": pa.array(x0, pa.float64()),
+                "x1": pa.array(x1, pa.float64()),
+                "n": pa.array(n, pa.float64()),
+                "s": pa.array(s, pa.float64()),
+            }
+        )
+
+    runs = hist.map_batches(
+        block_pav, batch_format="pandas", batch_size=None
+    ).to_pandas().sort_values("x0").reset_index(drop=True)
+    x0, x1, n, s = _pav_runs(
+        runs["x0"].to_numpy(), runs["x1"].to_numpy(),
+        runs["n"].to_numpy(), runs["s"].to_numpy(),
+    )
+    return pd.DataFrame(
+        {
+            "x_start": x0,
+            "x_end": x1,
+            "n": n.astype(np.int64),
+            "rate": np.round(s / n, ndigits),
+        }
+    )

@@ -271,3 +271,353 @@ def mutual_information(ds, x_col: str, y_col: str,
             "h_y": [round(h_y, ndigits)],
         }
     )
+
+
+def ks_test(ds, value_col: str, group_col: str, group_a: str,
+            group_b: str, ndigits: int = 6) -> dict:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    ``value_col`` distributions of two groups — the distribution-drift
+    gate (did this source/snapshot shift?) that KL-over-bins only
+    approximates.
+
+    D = max over distinct values v of |ECDF_a(v) - ECDF_b(v)|, exact
+    under ties.  Same summary layout as ``roc_auc``: per-batch partial
+    (value, n_a, n_b) counts -> one histogram shuffle (one row per
+    DISTINCT value), ONE range sort, a #blocks-row head pass giving
+    each block its exclusive cumulative (a, b) offsets, then each
+    block folds its local max vectorized.  Driver state: O(#blocks)
+    heads + per-block candidates; ties on D break to the SMALLEST
+    value, matching an ``ORDER BY d DESC, v`` SQL twin.
+
+    Returns ``{"ks_d", "at_value", "n_a", "n_b"}``."""
+    import ray
+
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch[group_col]
+        keep = g.isin([group_a, group_b])
+        v = batch.loc[keep, value_col].astype("float64")
+        g = g[keep]
+        a = (g == group_a).astype("int64")
+        return pd.DataFrame({"v": v, "a": a, "b": 1 - a})
+
+    hist = pre_aggregate(
+        ds.map_batches(tag, batch_format="pandas"),
+        ["v"], {"n_a": ("a", "sum"), "n_b": ("b", "sum")},
+    ).sort("v").materialize()
+
+    def head(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "v": pa.array([], pa.float64()),
+                    "blk_a": pa.array([], pa.int64()),
+                    "blk_b": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "v": batch.column("v").slice(0, 1),
+                "blk_a": pa.array(
+                    [pc.sum(batch.column("n_a")).as_py() or 0],
+                    pa.int64(),
+                ),
+                "blk_b": pa.array(
+                    [pc.sum(batch.column("n_b")).as_py() or 0],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    heads = hist.map_batches(
+        head, batch_format="pyarrow", batch_size=None
+    ).to_pandas().sort_values("v").reset_index(drop=True)
+    tot_a = int(heads["blk_a"].sum())
+    tot_b = int(heads["blk_b"].sum())
+    if tot_a == 0 or tot_b == 0:
+        return {"ks_d": float("nan"), "at_value": float("nan"),
+                "n_a": tot_a, "n_b": tot_b}
+    off_a = np.concatenate(
+        [[0], heads["blk_a"].to_numpy(np.int64).cumsum()[:-1]]
+    )
+    off_b = np.concatenate(
+        [[0], heads["blk_b"].to_numpy(np.int64).cumsum()[:-1]]
+    )
+    off_ref = ray.put(
+        {
+            float(v): (int(oa), int(ob))
+            for v, oa, ob in zip(heads["v"], off_a, off_b)
+        }
+    )
+
+    class Fold:
+        def __init__(self):
+            self.off = ray.get(off_ref)
+            self.ta = float(tot_a)
+            self.tb = float(tot_b)
+
+        def __call__(self, batch: pd.DataFrame) -> pa.Table:
+            empty = pa.table(
+                {
+                    "d": pa.array([], pa.float64()),
+                    "v": pa.array([], pa.float64()),
+                }
+            )
+            if len(batch) == 0:
+                return empty
+            oa, ob = self.off[float(batch["v"].iloc[0])]
+            ca = oa + batch["n_a"].to_numpy(np.float64).cumsum()
+            cb = ob + batch["n_b"].to_numpy(np.float64).cumsum()
+            d = np.abs(ca / self.ta - cb / self.tb)
+            i = int(d.argmax())  # first (smallest-v) argmax in block
+            return pa.table(
+                {
+                    "d": pa.array([float(d[i])], pa.float64()),
+                    "v": pa.array(
+                        [float(batch["v"].iloc[i])], pa.float64()
+                    ),
+                }
+            )
+
+    cand = hist.map_batches(
+        Fold, batch_format="pandas", batch_size=None,
+        concurrency=(1, 8),
+    ).to_pandas().sort_values(["d", "v"], ascending=[False, True])
+    return {
+        "ks_d": round(float(cand["d"].iloc[0]), ndigits),
+        "at_value": float(cand["v"].iloc[0]),
+        "n_a": tot_a,
+        "n_b": tot_b,
+    }
+
+
+def _midrank_table(ds, col: str) -> pd.DataFrame:
+    """(value, midrank) over the distinct values of ``col`` — the
+    tie-averaged rank ``avg(row_number)`` collapses to.  Built from
+    the (value, count) histogram: one pre-aggregated shuffle + one
+    sort; ranks finish on the driver over the DISTINCT-value table
+    (the same O(distinct) object the caller is about to broadcast, so
+    no extra distributed pass buys anything).  Midranks are exact
+    half-integers: off + (n + 1) / 2."""
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    h = pre_aggregate(
+        ds.select_columns([col]), [col], {"n": (col, "count")}
+    ).to_pandas().sort_values(col).reset_index(drop=True)
+    n = h["n"].to_numpy(np.float64)
+    off = np.concatenate([[0.0], n.cumsum()[:-1]])
+    h["rank"] = off + (n + 1.0) / 2.0
+    return h[[col, "rank"]]
+
+
+def spearman_corr(ds, x_col: str, y_col: str, ndigits: int = 6,
+                  broadcast_limit: int = 2_000_000) -> dict:
+    """Exact Spearman rank correlation (midranks under ties) between
+    two numeric columns — the monotone-dependence profile that
+    Pearson misses on skewed quality signals.
+
+    rho = Pearson over (midrank_x, midrank_y).  Shape: two DISTINCT-
+    value histograms give the value->midrank maps; below
+    ``broadcast_limit`` distinct values each map broadcasts ONCE via
+    ``ray.put`` as sorted arrays and every batch substitutes ranks
+    with one vectorized ``searchsorted``; above it the substitution
+    becomes two bucketed LEFT hash joins on the value (rank tables
+    only, never payload).  The moment fold then carries ONE
+    (n, sx, sy, sxx, syy, sxy) row per batch.  Midranks are
+    half-integers, so every sum term is an exact multiple of 0.25 —
+    the sums are float-EXACT at oracle scales regardless of
+    summation order, which is what lets a DuckDB twin hash-match.
+
+    Returns ``{"rho": float, "n": int}``."""
+    import ray
+
+    pair = ds.select_columns([x_col, y_col])
+    rx = _midrank_table(pair, x_col)
+    ry = _midrank_table(pair, y_col)
+
+    if max(len(rx), len(ry)) <= broadcast_limit:
+        ref = ray.put(
+            (
+                rx[x_col].to_numpy(np.float64),
+                rx["rank"].to_numpy(np.float64),
+                ry[y_col].to_numpy(np.float64),
+                ry["rank"].to_numpy(np.float64),
+            )
+        )
+
+        class Moments:
+            def __init__(self):
+                self.xv, self.xr, self.yv, self.yr = ray.get(ref)
+
+            def __call__(self, batch: pd.DataFrame) -> pa.Table:
+                u = self.xr[
+                    np.searchsorted(
+                        self.xv, batch[x_col].to_numpy(np.float64)
+                    )
+                ]
+                v = self.yr[
+                    np.searchsorted(
+                        self.yv, batch[y_col].to_numpy(np.float64)
+                    )
+                ]
+                return pa.table(
+                    {
+                        "n": pa.array([float(len(u))], pa.float64()),
+                        "sx": pa.array([u.sum()], pa.float64()),
+                        "sy": pa.array([v.sum()], pa.float64()),
+                        "sxx": pa.array([(u * u).sum()], pa.float64()),
+                        "syy": pa.array([(v * v).sum()], pa.float64()),
+                        "sxy": pa.array([(u * v).sum()], pa.float64()),
+                    }
+                )
+
+        parts = pair.map_batches(
+            Moments, batch_format="pandas", concurrency=(1, 8)
+        ).to_pandas()
+    else:
+        from unfurl_ray.ops.relational import (
+            _arrow, bucketed_hash_join,
+        )
+
+        rx_ds = ray.data.from_arrow(
+            _arrow(rx.rename(columns={"rank": "_rx"}))
+        )
+        ry_ds = ray.data.from_arrow(
+            _arrow(ry.rename(columns={"rank": "_ry"}))
+        )
+        joined = bucketed_hash_join(
+            bucketed_hash_join(
+                pair, rx_ds, on=x_col, right_on=x_col, how="left"
+            ),
+            ry_ds, on=y_col, right_on=y_col, how="left",
+        )
+
+        def fold(batch: pd.DataFrame) -> pa.Table:
+            u = batch["_rx"].to_numpy(np.float64)
+            v = batch["_ry"].to_numpy(np.float64)
+            return pa.table(
+                {
+                    "n": pa.array([float(len(u))], pa.float64()),
+                    "sx": pa.array([u.sum()], pa.float64()),
+                    "sy": pa.array([v.sum()], pa.float64()),
+                    "sxx": pa.array([(u * u).sum()], pa.float64()),
+                    "syy": pa.array([(v * v).sum()], pa.float64()),
+                    "sxy": pa.array([(u * v).sum()], pa.float64()),
+                }
+            )
+
+        parts = joined.map_batches(
+            fold, batch_format="pandas"
+        ).to_pandas()
+
+    n = float(parts["n"].sum())
+    sx, sy = float(parts["sx"].sum()), float(parts["sy"].sum())
+    sxx, syy = float(parts["sxx"].sum()), float(parts["syy"].sum())
+    sxy = float(parts["sxy"].sum())
+    # mirror the SQL twin's expression shape exactly: the inputs are
+    # float-exact, so same-shape arithmetic gives bit-equal output
+    rho = (n * sxy - sx * sy) / np.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return {"rho": round(float(rho), ndigits), "n": int(n)}
+
+
+def gini(ds, value_col: str, ndigits: int = 6) -> dict:
+    """Exact Gini coefficient of a non-negative quantity — the
+    source/shard concentration audit (how unevenly is token mass or
+    spend spread?).
+
+    Rank identity over the sorted DISTINCT-value histogram:
+    G = 2 * sum_v v * (c_v * off_v + c_v * (c_v + 1) / 2)
+          / (n * total) - (n + 1) / n,
+    where off_v is the exclusive cumulative count — ties contribute
+    their rank-run sum in closed form, so any tie order is exact.
+    Same O(#blocks)-driver summary layout as ``roc_auc``: histogram
+    shuffle -> one sort -> head-offset pass -> vectorized per-block
+    fold.
+
+    Returns ``{"gini", "n", "total"}``."""
+    import ray
+
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"v": batch[value_col].astype("float64"), "c": np.int64(1)}
+        )
+
+    hist = pre_aggregate(
+        ds.map_batches(tag, batch_format="pandas"),
+        ["v"], {"c": ("c", "sum")},
+    ).sort("v").materialize()
+
+    def head(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "v": pa.array([], pa.float64()),
+                    "blk_c": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "v": batch.column("v").slice(0, 1),
+                "blk_c": pa.array(
+                    [pc.sum(batch.column("c")).as_py() or 0],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    heads = hist.map_batches(
+        head, batch_format="pyarrow", batch_size=None
+    ).to_pandas().sort_values("v").reset_index(drop=True)
+    n = int(heads["blk_c"].sum())
+    if n == 0:
+        return {"gini": float("nan"), "n": 0, "total": 0.0}
+    offs = np.concatenate(
+        [[0], heads["blk_c"].to_numpy(np.int64).cumsum()[:-1]]
+    )
+    off_ref = ray.put(
+        {float(v): int(o) for v, o in zip(heads["v"], offs)}
+    )
+
+    class Fold:
+        def __init__(self):
+            self.off = ray.get(off_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pa.Table:
+            empty = pa.table(
+                {
+                    "num": pa.array([], pa.float64()),
+                    "tot": pa.array([], pa.float64()),
+                }
+            )
+            if len(batch) == 0:
+                return empty
+            off = self.off[float(batch["v"].iloc[0])]
+            v = batch["v"].to_numpy(np.float64)
+            c = batch["c"].to_numpy(np.float64)
+            start = off + np.concatenate([[0.0], c.cumsum()[:-1]])
+            num = float((v * (c * start + c * (c + 1.0) / 2.0)).sum())
+            return pa.table(
+                {
+                    "num": pa.array([num], pa.float64()),
+                    "tot": pa.array([float((v * c).sum())], pa.float64()),
+                }
+            )
+
+    parts = hist.map_batches(
+        Fold, batch_format="pandas", batch_size=None,
+        concurrency=(1, 8),
+    ).to_pandas()
+    num = float(parts["num"].sum())
+    tot = float(parts["tot"].sum())
+    nf = float(n)
+    g = 2.0 * num / (nf * tot) - (nf + 1.0) / nf
+    return {"gini": round(g, ndigits), "n": n, "total": tot}

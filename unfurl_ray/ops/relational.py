@@ -2832,3 +2832,93 @@ def collapse_runs(ds, key_col: str, val_col: str, order_cols: list[str],
         if len(edges) and stitched[c].dtype != edges[c].dtype:
             stitched[c] = stitched[c].astype(edges[c].dtype)
     return interior.union(ray.data.from_arrow(_arrow(stitched)))
+
+
+def weighted_quantile(ds, value_col: str, weight_col: str,
+                      q: float = 0.5) -> dict:
+    """Exact weighted quantile: the smallest value v with cumulative
+    weight(<= v) >= q * total_weight — weighted median for q = 0.5
+    (token-budget medians, cost-weighted SLOs).
+
+    Selection-by-prefix, not a global collect: the (value, weight)
+    HISTOGRAM (one row per distinct value, pre-aggregated per batch)
+    range-sorts once; a #blocks-row head pass gives the driver each
+    block's weight subtotal, which identifies the single OWNER block
+    whose range crosses the target; one more whole-block pass has the
+    owner emit the answer row vectorized and everyone else emit
+    nothing.  Driver state: O(#blocks) heads + 3 scalars.
+
+    Returns ``{"value": v, "cum_weight": w<=v, "total_weight": W}``."""
+    import ray
+
+    hist = pre_aggregate(
+        ds.select_columns([value_col, weight_col]),
+        [value_col], {"w": (weight_col, "sum")},
+    ).sort(value_col).materialize()
+
+    def head(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "v": pa.array([], pa.float64()),
+                    "bw": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "v": batch.column(value_col).slice(0, 1)
+                .cast(pa.float64()),
+                "bw": pa.array(
+                    [pc.sum(batch.column("w")).as_py() or 0.0],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    heads = hist.map_batches(
+        head, batch_format="pyarrow", batch_size=None
+    ).to_pandas().sort_values("v").reset_index(drop=True)
+    total = float(heads["bw"].sum())
+    if total <= 0 or len(heads) == 0:
+        return {"value": float("nan"), "cum_weight": 0.0,
+                "total_weight": total}
+    target = q * total
+    ends = heads["bw"].to_numpy(np.float64).cumsum()
+    k = int(np.searchsorted(ends, target))  # first block reaching it
+    k = min(k, len(ends) - 1)
+    owner = float(heads["v"].iloc[k])
+    off = float(ends[k] - heads["bw"].iloc[k])
+    pick_ref = ray.put((owner, off, target))
+
+    def pick(batch: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "value": pa.array([], pa.float64()),
+                "cum_weight": pa.array([], pa.float64()),
+            }
+        )
+        if len(batch) == 0:
+            return empty
+        o, base, tgt = ray.get(pick_ref)
+        if float(batch[value_col].iloc[0]) != o:
+            return empty
+        cw = base + batch["w"].to_numpy(np.float64).cumsum()
+        i = int(np.searchsorted(cw, tgt))
+        i = min(i, len(cw) - 1)
+        return pa.table(
+            {
+                "value": pa.array(
+                    [float(batch[value_col].iloc[i])], pa.float64()
+                ),
+                "cum_weight": pa.array([float(cw[i])], pa.float64()),
+            }
+        )
+
+    row = hist.map_batches(
+        pick, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    return {
+        "value": float(row["value"].iloc[0]),
+        "cum_weight": float(row["cum_weight"].iloc[0]),
+        "total_weight": total,
+    }

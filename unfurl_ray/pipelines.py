@@ -5059,3 +5059,185 @@ def q_welch_ttest(sf_dir: str) -> pd.DataFrame:
             "n_click": [np.int64(n2)],
         }
     )
+
+
+def q_weighted_median(sf_dir: str) -> pd.DataFrame:
+    """Quantity-weighted median unit price — the weighted selection
+    primitive (token-budget medians at corpus scale).
+    ops.relational.weighted_quantile: histogram shuffle + owner-block
+    selection, driver holds O(#blocks).  Hash-exact vs a cumulative-
+    weight window twin (all weights integral, so the comparisons are
+    float-exact on both sides)."""
+    from unfurl_ray.ops.relational import weighted_quantile
+
+    ds = _parquet_sh(
+        sf_dir, "lineitem", ["l_extendedprice", "l_quantity"]
+    )
+    r = weighted_quantile(ds, "l_extendedprice", "l_quantity", q=0.5)
+    return pd.DataFrame(
+        {
+            "wmedian": [round(r["value"], 2)],
+            "cum_weight": [np.int64(r["cum_weight"])],
+            "total_weight": [np.int64(r["total_weight"])],
+        }
+    )
+
+
+def q_calibration(sf_dir: str) -> pd.DataFrame:
+    """Decile calibration curve: bucket events by score (value) into
+    exact NTILE(10) bins, report per-bin mean score vs observed
+    purchase rate — the reliability diagram behind every quality/
+    reward-model audit.  Composition: ntile_by's histogram-offset
+    rank (no bin ever centralizes) + one pre-aggregated per-bin fold.
+    Hash-exact vs an NTILE window twin."""
+    from unfurl_ray.ops.relational import ntile_by, pre_aggregate
+
+    ds = _parquet_sh(
+        sf_dir, "events", ["event_id", "event_type", "value"]
+    )
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"].astype("int64"),
+                "c": np.int64(0),
+                "score": batch["value"].astype("float64"),
+                "y": (batch["event_type"] == "purchase").astype(
+                    "int64"
+                ),
+            }
+        )
+
+    binned = ntile_by(
+        ds.map_batches(tag, batch_format="pandas"),
+        part_col="c", order_col="score", id_col="event_id", k=10,
+    )
+    agg = pre_aggregate(
+        binned, ["bucket"],
+        {"n": ("y", "count"), "sy": ("y", "sum"),
+         "ss": ("score", "sum")},
+    ).to_pandas()
+    agg["mean_score"] = (agg["ss"] / agg["n"]).round(6)
+    agg["purchase_rate"] = (agg["sy"] / agg["n"]).round(6)
+    agg["bucket"] = agg["bucket"].astype("int64")
+    agg["n"] = agg["n"].astype("int64")
+    out = agg[["bucket", "n", "mean_score", "purchase_rate"]]
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def q_changepoint(sf_dir: str) -> pd.DataFrame:
+    """Single-changepoint detection on the daily event-value series:
+    the day boundary that best splits the series into two
+    constant-mean segments is exactly ops.fit.best_split on the day
+    axis (binary segmentation's first step).  Shuffle carries
+    (day, n, sum) partials only.  Hash-exact vs the same
+    cumulative-gain DuckDB window twin restricted to one feature."""
+    from unfurl_ray.ops.fit import best_split
+
+    ds = _parquet_sh(sf_dir, "events", ["ts", "value"])
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        epoch_day = (
+            batch["ts"].astype("int64") // 86_400_000_000
+        ).astype("float64")
+        return pd.DataFrame(
+            {"day": epoch_day, "value": batch["value"].astype(
+                "float64")}
+        )
+
+    out = best_split(
+        ds.map_batches(tag, batch_format="pandas"), ["day"], "value",
+        gain_digits=6,
+    )
+    out = out.rename(
+        columns={"threshold": "break_day", "feature": "series"}
+    )
+    out["series"] = "daily_value"
+    out["break_day"] = out["break_day"].astype("int64")
+    return out
+
+
+def q_ks_drift(sf_dir: str) -> pd.DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the value
+    distributions of 'click' and 'purchase' events — the exact
+    distribution-drift gate.  ops.profile.ks_test: one DISTINCT-value
+    histogram shuffle + head-offset cumulative fold (the roc_auc
+    layout).  Hash-exact vs a window-cumulative DuckDB twin: the
+    ECDFs are ratios of exact integers, so both sides bit-agree."""
+    from unfurl_ray.ops.profile import ks_test
+
+    ds = _parquet_sh(sf_dir, "events", ["event_type", "value"])
+    r = ks_test(ds, "value", "event_type", "click", "purchase")
+    return pd.DataFrame(
+        {
+            "ks_d": [r["ks_d"]],
+            "at_value": [r["at_value"]],
+            "n_a": [np.int64(r["n_a"])],
+            "n_b": [np.int64(r["n_b"])],
+        }
+    )
+
+
+def q_spearman(sf_dir: str) -> pd.DataFrame:
+    """Spearman rank correlation between quantity and extended price
+    on lineitem (heavy ties on quantity exercise the midranks).
+    ops.profile.spearman_corr: two distinct-value midrank maps
+    broadcast once, one (n, sums) moment row per batch.  Midranks are
+    half-integers -> all sums float-exact at sf0.01, so the explicit
+    sum-of-squares DuckDB twin hash-matches."""
+    from unfurl_ray.ops.profile import spearman_corr
+
+    ds = _parquet_sh(
+        sf_dir, "lineitem", ["l_quantity", "l_extendedprice"]
+    )
+    r = spearman_corr(ds, "l_quantity", "l_extendedprice")
+    return pd.DataFrame(
+        {"spearman_rho": [r["rho"]], "n": [np.int64(r["n"])]}
+    )
+
+
+def q_gini(sf_dir: str) -> pd.DataFrame:
+    """Gini coefficient of order spend — the concentration audit run
+    over source token mass at corpus scale.  ops.profile.gini: rank
+    identity over the sorted distinct-value histogram with closed-form
+    tie runs; O(#blocks) driver state.  Hash-exact vs a cumulative-
+    count window twin."""
+    from unfurl_ray.ops.profile import gini
+
+    ds = _parquet_sh(sf_dir, "orders", ["o_totalprice"])
+    r = gini(ds, "o_totalprice")
+    return pd.DataFrame(
+        {
+            "gini": [r["gini"]],
+            "n": [np.int64(r["n"])],
+            "total": [round(r["total"], 2)],
+        }
+    )
+
+
+def q_isotonic(sf_dir: str) -> pd.DataFrame:
+    """Isotonic (monotone) calibration of purchase propensity vs
+    event value: least-squares monotone step fit by parallel PAV with
+    mergeable run stacks (ops.fit.isotonic_fit).  Rows-only — PAV's
+    fixpoint has no DuckDB 1.0 twin; exactness is pinned by the
+    element-wise parity pytest against a sequential reference."""
+    from unfurl_ray.ops.fit import isotonic_fit
+
+    ds = _parquet_sh(sf_dir, "events", ["event_type", "value"])
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "score": batch["value"].astype("float64"),
+                "y": (batch["event_type"] == "purchase").astype(
+                    "int64"
+                ),
+            }
+        )
+
+    out = isotonic_fit(
+        ds.map_batches(tag, batch_format="pandas"), "score", "y"
+    )
+    out["x_start"] = out["x_start"].round(6)
+    out["x_end"] = out["x_end"].round(6)
+    return out
