@@ -253,7 +253,7 @@ def roc_auc(ds, score_col: str, label_col: str) -> dict:
     Returns ``{"auc": float, "n_pos": int, "n_neg": int}``."""
     import ray
 
-    from unfurl_ray.ops.relational import pre_aggregate
+    from unfurl_ray.ops.relational import bucketed_aggregate
 
     def tag(batch: pd.DataFrame) -> pd.DataFrame:
         pos = batch[label_col].astype("int64")
@@ -265,7 +265,7 @@ def roc_auc(ds, score_col: str, label_col: str) -> dict:
             }
         )
 
-    hist = pre_aggregate(
+    hist = bucketed_aggregate(
         ds.map_batches(tag, batch_format="pandas"),
         ["score"],
         {"n_pos": ("pos", "sum"), "n_neg": ("neg", "sum")},
@@ -473,7 +473,7 @@ def isotonic_fit(ds, x_col: str, y_col: str,
 
     Returns one row per final pooled run: (x_start, x_end, n, rate)
     with rate = pooled mean of y, rounded to ``ndigits``."""
-    from unfurl_ray.ops.relational import pre_aggregate
+    from unfurl_ray.ops.relational import bucketed_aggregate
 
     def tag(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -483,7 +483,7 @@ def isotonic_fit(ds, x_col: str, y_col: str,
             }
         )
 
-    hist = pre_aggregate(
+    hist = bucketed_aggregate(
         ds.map_batches(tag, batch_format="pandas"),
         ["x"], {"n": ("x", "count"), "s": ("y", "sum")},
     ).sort("x").materialize()

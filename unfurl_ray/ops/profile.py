@@ -290,9 +290,7 @@ def ks_test(ds, value_col: str, group_col: str, group_a: str,
     value, matching an ``ORDER BY d DESC, v`` SQL twin.
 
     Returns ``{"ks_d", "at_value", "n_a", "n_b"}``."""
-    import ray
-
-    from unfurl_ray.ops.relational import pre_aggregate
+    from unfurl_ray.ops.relational import bucketed_aggregate
 
     def tag(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch[group_col]
@@ -302,7 +300,7 @@ def ks_test(ds, value_col: str, group_col: str, group_a: str,
         a = (g == group_a).astype("int64")
         return pd.DataFrame({"v": v, "a": a, "b": 1 - a})
 
-    hist = pre_aggregate(
+    hist = bucketed_aggregate(
         ds.map_batches(tag, batch_format="pandas"),
         ["v"], {"n_a": ("a", "sum"), "n_b": ("b", "sum")},
     ).sort("v").materialize()
@@ -346,45 +344,39 @@ def ks_test(ds, value_col: str, group_col: str, group_a: str,
     off_b = np.concatenate(
         [[0], heads["blk_b"].to_numpy(np.int64).cumsum()[:-1]]
     )
-    off_ref = ray.put(
-        {
-            float(v): (int(oa), int(ob))
-            for v, oa, ob in zip(heads["v"], off_a, off_b)
-        }
-    )
+    # O(#blocks) offset table: pickles into each task closure — a
+    # plain task map skips the actor-pool spin-up entirely
+    off = {
+        float(v): (int(oa), int(ob))
+        for v, oa, ob in zip(heads["v"], off_a, off_b)
+    }
+    ta, tb = float(tot_a), float(tot_b)
 
-    class Fold:
-        def __init__(self):
-            self.off = ray.get(off_ref)
-            self.ta = float(tot_a)
-            self.tb = float(tot_b)
-
-        def __call__(self, batch: pd.DataFrame) -> pa.Table:
-            empty = pa.table(
-                {
-                    "d": pa.array([], pa.float64()),
-                    "v": pa.array([], pa.float64()),
-                }
-            )
-            if len(batch) == 0:
-                return empty
-            oa, ob = self.off[float(batch["v"].iloc[0])]
-            ca = oa + batch["n_a"].to_numpy(np.float64).cumsum()
-            cb = ob + batch["n_b"].to_numpy(np.float64).cumsum()
-            d = np.abs(ca / self.ta - cb / self.tb)
-            i = int(d.argmax())  # first (smallest-v) argmax in block
-            return pa.table(
-                {
-                    "d": pa.array([float(d[i])], pa.float64()),
-                    "v": pa.array(
-                        [float(batch["v"].iloc[i])], pa.float64()
-                    ),
-                }
-            )
+    def fold(batch: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "d": pa.array([], pa.float64()),
+                "v": pa.array([], pa.float64()),
+            }
+        )
+        if len(batch) == 0:
+            return empty
+        oa, ob = off[float(batch["v"].iloc[0])]
+        ca = oa + batch["n_a"].to_numpy(np.float64).cumsum()
+        cb = ob + batch["n_b"].to_numpy(np.float64).cumsum()
+        d = np.abs(ca / ta - cb / tb)
+        i = int(d.argmax())  # first (smallest-v) argmax in block
+        return pa.table(
+            {
+                "d": pa.array([float(d[i])], pa.float64()),
+                "v": pa.array(
+                    [float(batch["v"].iloc[i])], pa.float64()
+                ),
+            }
+        )
 
     cand = hist.map_batches(
-        Fold, batch_format="pandas", batch_size=None,
-        concurrency=(1, 8),
+        fold, batch_format="pandas", batch_size=None
     ).to_pandas().sort_values(["d", "v"], ascending=[False, True])
     return {
         "ks_d": round(float(cand["d"].iloc[0]), ndigits),
@@ -402,9 +394,9 @@ def _midrank_table(ds, col: str) -> pd.DataFrame:
     (the same O(distinct) object the caller is about to broadcast, so
     no extra distributed pass buys anything).  Midranks are exact
     half-integers: off + (n + 1) / 2."""
-    from unfurl_ray.ops.relational import pre_aggregate
+    from unfurl_ray.ops.relational import bucketed_aggregate
 
-    h = pre_aggregate(
+    h = bucketed_aggregate(
         ds.select_columns([col]), [col], {"n": (col, "count")}
     ).to_pandas().sort_values(col).reset_index(drop=True)
     n = h["n"].to_numpy(np.float64)
@@ -438,45 +430,59 @@ def spearman_corr(ds, x_col: str, y_col: str, ndigits: int = 6,
     rx = _midrank_table(pair, x_col)
     ry = _midrank_table(pair, y_col)
 
-    if max(len(rx), len(ry)) <= broadcast_limit:
-        ref = ray.put(
-            (
-                rx[x_col].to_numpy(np.float64),
-                rx["rank"].to_numpy(np.float64),
-                ry[y_col].to_numpy(np.float64),
-                ry["rank"].to_numpy(np.float64),
-            )
+    def _moment_row(u, v):
+        return pa.table(
+            {
+                "n": pa.array([float(len(u))], pa.float64()),
+                "sx": pa.array([u.sum()], pa.float64()),
+                "sy": pa.array([v.sum()], pa.float64()),
+                "sxx": pa.array([(u * u).sum()], pa.float64()),
+                "syy": pa.array([(v * v).sum()], pa.float64()),
+                "sxy": pa.array([(u * v).sum()], pa.float64()),
+            }
         )
+
+    if max(len(rx), len(ry)) <= broadcast_limit:
+        xv = rx[x_col].to_numpy(np.float64)
+        xr = rx["rank"].to_numpy(np.float64)
+        yv = ry[y_col].to_numpy(np.float64)
+        yr = ry["rank"].to_numpy(np.float64)
+        small = max(len(rx), len(ry)) <= 100_000
+        # rank maps <= 100k rows pickle into each task closure (a
+        # plain task map skips actor-pool spin-up); larger maps go
+        # through the object store once and an actor pool reads them
+        ref = None if small else ray.put((xv, xr, yv, yr))
 
         class Moments:
             def __init__(self):
-                self.xv, self.xr, self.yv, self.yr = ray.get(ref)
+                if ref is None:
+                    self.m = (xv, xr, yv, yr)
+                else:
+                    self.m = ray.get(ref)
 
             def __call__(self, batch: pd.DataFrame) -> pa.Table:
-                u = self.xr[
-                    np.searchsorted(
-                        self.xv, batch[x_col].to_numpy(np.float64)
-                    )
-                ]
-                v = self.yr[
-                    np.searchsorted(
-                        self.yv, batch[y_col].to_numpy(np.float64)
-                    )
-                ]
-                return pa.table(
-                    {
-                        "n": pa.array([float(len(u))], pa.float64()),
-                        "sx": pa.array([u.sum()], pa.float64()),
-                        "sy": pa.array([v.sum()], pa.float64()),
-                        "sxx": pa.array([(u * u).sum()], pa.float64()),
-                        "syy": pa.array([(v * v).sum()], pa.float64()),
-                        "sxy": pa.array([(u * v).sum()], pa.float64()),
-                    }
-                )
+                mxv, mxr, myv, myr = self.m
+                u = mxr[np.searchsorted(
+                    mxv, batch[x_col].to_numpy(np.float64))]
+                v = myr[np.searchsorted(
+                    myv, batch[y_col].to_numpy(np.float64))]
+                return _moment_row(u, v)
 
-        parts = pair.map_batches(
-            Moments, batch_format="pandas", concurrency=(1, 8)
-        ).to_pandas()
+        if small:
+            def moments(batch: pd.DataFrame) -> pa.Table:
+                u = xr[np.searchsorted(
+                    xv, batch[x_col].to_numpy(np.float64))]
+                v = yr[np.searchsorted(
+                    yv, batch[y_col].to_numpy(np.float64))]
+                return _moment_row(u, v)
+
+            parts = pair.map_batches(
+                moments, batch_format="pandas"
+            ).to_pandas()
+        else:
+            parts = pair.map_batches(
+                Moments, batch_format="pandas", concurrency=(1, 8)
+            ).to_pandas()
     else:
         from unfurl_ray.ops.relational import (
             _arrow, bucketed_hash_join,
@@ -496,17 +502,9 @@ def spearman_corr(ds, x_col: str, y_col: str, ndigits: int = 6,
         )
 
         def fold(batch: pd.DataFrame) -> pa.Table:
-            u = batch["_rx"].to_numpy(np.float64)
-            v = batch["_ry"].to_numpy(np.float64)
-            return pa.table(
-                {
-                    "n": pa.array([float(len(u))], pa.float64()),
-                    "sx": pa.array([u.sum()], pa.float64()),
-                    "sy": pa.array([v.sum()], pa.float64()),
-                    "sxx": pa.array([(u * u).sum()], pa.float64()),
-                    "syy": pa.array([(v * v).sum()], pa.float64()),
-                    "sxy": pa.array([(u * v).sum()], pa.float64()),
-                }
+            return _moment_row(
+                batch["_rx"].to_numpy(np.float64),
+                batch["_ry"].to_numpy(np.float64),
             )
 
         parts = joined.map_batches(
@@ -540,16 +538,14 @@ def gini(ds, value_col: str, ndigits: int = 6) -> dict:
     fold.
 
     Returns ``{"gini", "n", "total"}``."""
-    import ray
-
-    from unfurl_ray.ops.relational import pre_aggregate
+    from unfurl_ray.ops.relational import bucketed_aggregate
 
     def tag(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {"v": batch[value_col].astype("float64"), "c": np.int64(1)}
         )
 
-    hist = pre_aggregate(
+    hist = bucketed_aggregate(
         ds.map_batches(tag, batch_format="pandas"),
         ["v"], {"c": ("c", "sum")},
     ).sort("v").materialize()
@@ -583,38 +579,33 @@ def gini(ds, value_col: str, ndigits: int = 6) -> dict:
     offs = np.concatenate(
         [[0], heads["blk_c"].to_numpy(np.int64).cumsum()[:-1]]
     )
-    off_ref = ray.put(
-        {float(v): int(o) for v, o in zip(heads["v"], offs)}
-    )
+    # O(#blocks) offset table: pickles into each task closure — a
+    # plain task map skips the actor-pool spin-up entirely
+    off_map = {float(v): int(o) for v, o in zip(heads["v"], offs)}
 
-    class Fold:
-        def __init__(self):
-            self.off = ray.get(off_ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pa.Table:
-            empty = pa.table(
-                {
-                    "num": pa.array([], pa.float64()),
-                    "tot": pa.array([], pa.float64()),
-                }
-            )
-            if len(batch) == 0:
-                return empty
-            off = self.off[float(batch["v"].iloc[0])]
-            v = batch["v"].to_numpy(np.float64)
-            c = batch["c"].to_numpy(np.float64)
-            start = off + np.concatenate([[0.0], c.cumsum()[:-1]])
-            num = float((v * (c * start + c * (c + 1.0) / 2.0)).sum())
-            return pa.table(
-                {
-                    "num": pa.array([num], pa.float64()),
-                    "tot": pa.array([float((v * c).sum())], pa.float64()),
-                }
-            )
+    def fold(batch: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "num": pa.array([], pa.float64()),
+                "tot": pa.array([], pa.float64()),
+            }
+        )
+        if len(batch) == 0:
+            return empty
+        off = off_map[float(batch["v"].iloc[0])]
+        v = batch["v"].to_numpy(np.float64)
+        c = batch["c"].to_numpy(np.float64)
+        start = off + np.concatenate([[0.0], c.cumsum()[:-1]])
+        num = float((v * (c * start + c * (c + 1.0) / 2.0)).sum())
+        return pa.table(
+            {
+                "num": pa.array([num], pa.float64()),
+                "tot": pa.array([float((v * c).sum())], pa.float64()),
+            }
+        )
 
     parts = hist.map_batches(
-        Fold, batch_format="pandas", batch_size=None,
-        concurrency=(1, 8),
+        fold, batch_format="pandas", batch_size=None
     ).to_pandas()
     num = float(parts["num"].sum())
     tot = float(parts["tot"].sum())

@@ -2851,7 +2851,7 @@ def weighted_quantile(ds, value_col: str, weight_col: str,
     Returns ``{"value": v, "cum_weight": w<=v, "total_weight": W}``."""
     import ray
 
-    hist = pre_aggregate(
+    hist = bucketed_aggregate(
         ds.select_columns([value_col, weight_col]),
         [value_col], {"w": (weight_col, "sum")},
     ).sort(value_col).materialize()
