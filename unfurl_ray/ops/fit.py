@@ -370,9 +370,9 @@ def best_split(ds, feature_cols: list[str], target_col: str,
         ]
         return pd.concat(frames, ignore_index=True)
 
-    from unfurl_ray.ops.relational import pre_aggregate
+    from unfurl_ray.ops.relational import bucketed_aggregate
 
-    hist = pre_aggregate(
+    hist = bucketed_aggregate(
         ds.map_batches(melt, batch_format="pandas"),
         ["feature", "value"],
         {"n": ("y", "count"), "s": ("y", "sum")},
