@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_spearman": p.q_spearman,
         "q_gini": p.q_gini,
         "q_isotonic": p.q_isotonic,
+        "q_cm_counts": p.q_cm_counts,
     }
 
 

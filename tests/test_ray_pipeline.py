@@ -4180,3 +4180,41 @@ def test_isotonic_fit_matches_sequential_pav(ray_session):
         ]:
             got_rate[float(xv)] = float(r["rate"])
     assert got_rate == ref_rate
+
+
+def test_count_min_error_contract(ray_session):
+    """CM estimates are one-sided (est >= true) and within the
+    eps*N bound on an adversarial many-distinct-keys input; the
+    distributed tree merge equals a single-process fold."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.sketch import (
+        cm_fold, cm_query, count_min_sketch,
+    )
+
+    rng = np.random.default_rng(5)
+    # zipf-ish: few heavy keys + a long tail of distinct keys
+    heavy = np.repeat(np.arange(10), 300)
+    tail = rng.integers(1000, 50_000, 8_000)
+    keys = np.concatenate([heavy, tail]).astype(np.int64)
+    rng.shuffle(keys)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"k": keys})
+    ).repartition(11)
+
+    cm, n = count_min_sketch(ds, "k", width=2048, depth=4)
+    assert n == len(keys)
+    assert (cm.sum(axis=1) == len(keys)).all()  # each row folds all
+
+    probe = np.arange(10, dtype=np.int64)
+    est = cm_query(cm, probe)
+    true = pd.Series(keys).value_counts()
+    truth = np.array([true.get(k, 0) for k in probe])
+    assert (est >= truth).all()
+    assert (est - truth <= 2 * len(keys) * np.e / 2048).all()
+
+    # distributed merge == single fold (associativity)
+    ref = cm_fold(keys, width=2048, depth=4)
+    assert (cm == ref).all()

@@ -656,3 +656,101 @@ def sliding_distinct_hll(ds, ts_col: str, id_col: str,
             "estimate": [hll_estimate(acc[i]) for i in range(n_days)],
         }
     )
+
+
+# -- Count-Min sketch ---------------------------------------------------------
+
+_CM_SEEDS = np.array(
+    [0xA076_1D64_78BD_642F, 0xE703_7ED1_A0B4_28DB,
+     0x8EBC_6AF0_9C88_C6E3, 0x5899_65CC_7537_4CC3,
+     0x1D8E_4E27_C47D_124F, 0xEB44_ACCA_B455_D165],
+    dtype=np.uint64,
+)
+
+
+def cm_fold(values, width: int = 4096, depth: int = 4) -> np.ndarray:
+    """Fold values into a fresh depth x width Count-Min sketch
+    (Cormode & Muthukrishnan 2005).  Fully vectorized: one
+    ``_hash64`` pass, then per-row splitmix remixes with fixed odd
+    seeds and ``np.bincount`` per row — no Python per-value work.
+    int64 counters; merge is elementwise ADD (associative), so the
+    sketch is a fixed-size commutative monoid like the HLL
+    registers."""
+    cm = np.zeros((depth, width), dtype=np.int64)
+    if len(values) == 0:
+        return cm
+    h = _hash64(values)
+    for d in range(depth):
+        with np.errstate(over="ignore"):
+            g = (h ^ _CM_SEEDS[d]) * np.uint64(0x9E3779B97F4A7C15)
+            g ^= g >> np.uint64(29)
+            g = g * np.uint64(0xBF58476D1CE4E5B9)
+            g ^= g >> np.uint64(32)
+        idx = (g % np.uint64(width)).astype(np.int64)
+        cm[d] += np.bincount(idx, minlength=width)
+    return cm
+
+
+def cm_query(cm: np.ndarray, values) -> np.ndarray:
+    """Point-estimate counts: min over the depth rows.  Guarantees
+    est >= true and, with prob >= 1 - (1/2)^depth-ish,
+    est <= true + e * N / width (N = total folded count)."""
+    depth, width = cm.shape
+    h = _hash64(values)
+    est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        with np.errstate(over="ignore"):
+            g = (h ^ _CM_SEEDS[d]) * np.uint64(0x9E3779B97F4A7C15)
+            g ^= g >> np.uint64(29)
+            g = g * np.uint64(0xBF58476D1CE4E5B9)
+            g ^= g >> np.uint64(32)
+        idx = (g % np.uint64(width)).astype(np.int64)
+        np.minimum(est, cm[d, idx], out=est)
+    return est
+
+
+def count_min_sketch(ds, column: str, width: int = 4096,
+                     depth: int = 4) -> tuple[np.ndarray, int]:
+    """Distributed Count-Min over ``column``: per-batch vectorized
+    fold, then the HLL-style TREE merge (repartition to <=8 blocks,
+    elementwise-ADD per block in workers) so the driver only ever
+    sums <=8 sketches — the exchange is fixed-size (depth x width x
+    8 B) regardless of input rows, the approximate dual of the exact
+    ``heavy_hitters`` space-saving fold.
+
+    Returns ``(sketch, n_total)``."""
+    def fold(batch: pa.Table) -> pa.Table:
+        cm = cm_fold(batch.column(column), width, depth)
+        return pa.table(
+            {
+                "sketch": pa.array([cm.tobytes()], pa.binary()),
+                "n": pa.array([len(batch)], pa.int64()),
+            }
+        )
+
+    def merge_block(batch: pa.Table) -> pa.Table:
+        cm = np.zeros(depth * width, dtype=np.int64)
+        for blob in batch.column("sketch").to_pylist():
+            cm += np.frombuffer(blob, dtype=np.int64)
+        n = int(
+            pa.compute.sum(batch.column("n")).as_py() or 0
+        )
+        return pa.table(
+            {
+                "sketch": pa.array([cm.tobytes()], pa.binary()),
+                "n": pa.array([n], pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.select_columns([column])
+        .map_batches(fold, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(merge_block, batch_size=None,
+                     batch_format="pyarrow")
+        .to_pandas()
+    )
+    cm = np.zeros(depth * width, dtype=np.int64)
+    for blob in parts["sketch"]:
+        cm = cm + np.frombuffer(blob, dtype=np.int64)
+    return cm.reshape(depth, width), int(parts["n"].sum())

@@ -5241,3 +5241,28 @@ def q_isotonic(sf_dir: str) -> pd.DataFrame:
     out["x_start"] = out["x_start"].round(6)
     out["x_end"] = out["x_end"].round(6)
     return out
+
+
+def q_cm_counts(sf_dir: str) -> pd.DataFrame:
+    """Count-Min point estimates of per-user event counts for the ten
+    smallest user_ids — the fixed-memory frequency sketch for key
+    spaces too wide to heavy-hitter exactly.  ops.sketch
+    count_min_sketch: per-batch vectorized fold, tree merge, driver
+    sums <=8 sketches.  Rows-only: the estimates are sketch outputs;
+    the one-sided error contract (est >= true,
+    est - true <= 2 * N / width whp) is pinned by pytest."""
+    import numpy as np
+
+    from unfurl_ray.ops.sketch import cm_query, count_min_sketch
+
+    ds = _parquet_sh(sf_dir, "events", ["user_id"])
+    cm, n = count_min_sketch(ds, "user_id", width=4096, depth=4)
+    users = np.arange(1, 11, dtype=np.int64)
+    est = cm_query(cm, users)
+    return pd.DataFrame(
+        {
+            "user_id": users,
+            "est_events": est.astype(np.int64),
+            "n_total": np.int64(n),
+        }
+    )
