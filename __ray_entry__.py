@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_gini": p.q_gini,
         "q_isotonic": p.q_isotonic,
         "q_cm_counts": p.q_cm_counts,
+        "q_dup_cap": p.q_dup_cap,
     }
 
 
@@ -2573,6 +2574,17 @@ def oracle_sql() -> dict[str, str]:
                    round(right_mean, 2) AS right_mean,
                    n_left, n_right
             FROM g ORDER BY mean_gain DESC, day LIMIT 1
+        """,
+        # row_number twin of the dup-frequency cap
+        "q_dup_cap": """
+            WITH r AS (
+                SELECT doc_id, md5(text) AS content_hash,
+                       row_number() OVER (
+                           PARTITION BY md5(text) ORDER BY doc_id
+                       ) AS rn
+                FROM documents)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, content_hash
+            FROM r WHERE rn <= 2 ORDER BY doc_id
         """,
         # cumulative-ECDF twin of ks_test; ECDF ratios are exact-int
         # divisions so both sides bit-agree; ties on D break to the

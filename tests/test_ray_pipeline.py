@@ -4218,3 +4218,25 @@ def test_count_min_error_contract(ray_session):
     # distributed merge == single fold (associativity)
     ref = cm_fold(keys, width=2048, depth=4)
     assert (cm == ref).all()
+
+
+def test_frequency_cap_keeps_k_lowest_ids(ray_session):
+    """Cap keeps exactly min(k, group size) lowest ids per hash,
+    across batch boundaries (planted 5-copy dup split over blocks)."""
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.dedup import frequency_cap
+
+    rows = [{"doc_id": i, "text": f"unique {i}"} for i in range(20)]
+    rows += [{"doc_id": 100 + j, "text": "dup A"} for j in range(5)]
+    rows += [{"doc_id": 200 + j, "text": "dup B"} for j in range(2)]
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(df).repartition(6)
+
+    out = frequency_cap(ds, k=2).to_pandas()
+    kept = set(out["doc_id"])
+    assert {100, 101} <= kept and not {102, 103, 104} & kept
+    assert {200, 201} <= kept
+    assert kept >= set(range(20))
+    assert len(out) == 20 + 2 + 2

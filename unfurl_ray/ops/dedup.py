@@ -1103,3 +1103,53 @@ def prefix_containment_dedup(ds, column: str = "text",
         .groupby("blk")
         .map_groups(contained, batch_format="pandas")
     )
+
+
+def frequency_cap(ds, column: str = "text", id_column: str = "doc_id",
+                  k: int = 2):
+    """Keep at most ``k`` copies (lowest ids) per exact content hash —
+    the dup-frequency cap curation step (full dedup deletes signal;
+    capping bounds memorization pressure while keeping popular
+    boilerplate represented).
+
+    Same scale shape as ``exact_dedup``: the payload drops before the
+    shuffle (only (content_hash, id) moves), each batch pre-prunes to
+    its local k-smallest ids per hash, and the exchange is a hash-
+    BUCKET groupby whose per-bucket cap is ONE vectorized pandas
+    sort + groupby-head — never per-key Python dispatch, no bucket
+    grows with the corpus (hashes spread uniformly)."""
+    from unfurl_ray.ops.relational import _arrow
+
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b, column), batch_format="pyarrow"
+    ).select_columns(["content_hash", id_column])
+
+    n_buckets = 64
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        kept = (
+            batch.sort_values(["content_hash", id_column])
+            .groupby("content_hash", as_index=False)
+            .head(k)
+        )
+        kept["_bucket"] = (
+            pd.util.hash_pandas_object(
+                kept["content_hash"], index=False
+            ).to_numpy() % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return _arrow(kept)
+
+    def cap_bucket(group: pd.DataFrame) -> pa.Table:
+        out = (
+            group.drop(columns=["_bucket"])
+            .sort_values(["content_hash", id_column])
+            .groupby("content_hash", as_index=False)
+            .head(k)
+        )
+        return _arrow(out)
+
+    return (
+        hashed.map_batches(partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(cap_bucket, batch_format="pandas")
+    )

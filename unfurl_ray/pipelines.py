@@ -5266,3 +5266,21 @@ def q_cm_counts(sf_dir: str) -> pd.DataFrame:
             "n_total": np.int64(n),
         }
     )
+
+
+def q_dup_cap(sf_dir: str) -> pd.DataFrame:
+    """Frequency-capped dedup: keep at most 2 copies (lowest doc_ids)
+    of each exact-duplicate text — the memorization-pressure cap that
+    full dedup overshoots.  ops.dedup.frequency_cap: payload dropped
+    pre-shuffle, per-batch k-prune, hash-bucket cap.  Hash-exact vs a
+    row_number() twin."""
+    from unfurl_ray.ops.dedup import frequency_cap
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+    out = frequency_cap(ds, k=2).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return (
+        out[["doc_id", "content_hash"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
