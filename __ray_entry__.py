@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_isotonic": p.q_isotonic,
         "q_cm_counts": p.q_cm_counts,
         "q_dup_cap": p.q_dup_cap,
+        "q_ecdf_norm": p.q_ecdf_norm,
     }
 
 
@@ -2574,6 +2575,28 @@ def oracle_sql() -> dict[str, str]:
                    round(right_mean, 2) AS right_mean,
                    n_left, n_right
             FROM g ORDER BY mean_gain DESC, day LIMIT 1
+        """,
+        # ASOF-join twin of the reference-ECDF normalization: the
+        # largest reference value <= each row's value carries the
+        # cumulative count; integer ratios keep both sides bit-equal
+        "q_ecdf_norm": """
+            WITH ref AS (
+                SELECT value AS v, count(*) AS c
+                FROM events WHERE event_type = 'view' GROUP BY 1),
+            cw AS (
+                SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM ref),
+            n AS (SELECT count(*) AS nn FROM events
+                  WHERE event_type = 'view'),
+            p AS (SELECT event_id, value FROM events
+                  WHERE event_type = 'purchase')
+            SELECT CAST(p.event_id AS BIGINT) AS event_id,
+                   round(CAST(coalesce(cw.cum, 0) AS DOUBLE)
+                         / n.nn, 6) AS ref_pct
+            FROM p ASOF LEFT JOIN cw ON p.value >= cw.v
+            CROSS JOIN n
+            ORDER BY event_id
         """,
         # row_number twin of the dup-frequency cap
         "q_dup_cap": """

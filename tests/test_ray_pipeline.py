@@ -4240,3 +4240,34 @@ def test_frequency_cap_keeps_k_lowest_ids(ray_session):
     assert {200, 201} <= kept
     assert kept >= set(range(20))
     assert len(out) == 20 + 2 + 2
+
+
+def test_ecdf_normalize_matches_reference(ray_session):
+    """Per-row reference ECDF == brute searchsorted over the raw
+    reference, including values below/above the reference range and
+    exact ties."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.profile import ecdf_normalize
+
+    rng = np.random.default_rng(13)
+    ref = rng.integers(10, 90, 500).astype(np.float64)
+    q = np.concatenate(
+        [[0.0, 9.9, 10.0, 95.0], rng.integers(0, 100, 200)]
+    ).astype(np.float64)
+    ref_ds = ray.data.from_pandas(
+        pd.DataFrame({"v": ref})
+    ).repartition(5)
+    q_ds = ray.data.from_pandas(
+        pd.DataFrame({"i": np.arange(len(q)), "x": q})
+    ).repartition(4)
+
+    out = ecdf_normalize(q_ds, "x", ref_ds, "v").to_pandas()
+    out = out.sort_values("i").reset_index(drop=True)
+    srt = np.sort(ref)
+    want = np.searchsorted(srt, q, side="right") / len(ref)
+    assert np.array_equal(
+        out["ref_pct"].to_numpy(), np.round(want, 6)
+    )

@@ -612,3 +612,47 @@ def gini(ds, value_col: str, ndigits: int = 6) -> dict:
     nf = float(n)
     g = 2.0 * num / (nf * tot) - (nf + 1.0) / nf
     return {"gini": round(g, ndigits), "n": n, "total": tot}
+
+
+def ecdf_normalize(ds, value_col: str, ref_ds, ref_col: str,
+                   out_col: str = "ref_pct", ndigits: int = 6,
+                   broadcast_limit: int = 2_000_000):
+    """Score normalization against a REFERENCE distribution: append
+    the fraction of reference values <= each row's value (the
+    reference ECDF evaluated per row) — how quality/reward scores
+    from one source are made comparable to another's.
+
+    The reference collapses to its distinct-value cumulative
+    histogram (bucketed pre-aggregated shuffle, never reference
+    rows); below ``broadcast_limit`` distinct values it broadcasts as
+    two sorted arrays and every batch evaluates with one vectorized
+    ``searchsorted`` — exact integer-ratio outputs, so an ASOF-join
+    SQL twin hashes equal.  Past the limit, range-partition both
+    sides by value instead (compose ``asof_join_partitioned`` keyed
+    on value buckets); the histogram for any real scoring column is
+    far below it."""
+    from unfurl_ray.ops.relational import bucketed_aggregate
+
+    h = bucketed_aggregate(
+        ref_ds.select_columns([ref_col]), [ref_col],
+        {"c": (ref_col, "count")},
+    ).to_pandas().sort_values(ref_col).reset_index(drop=True)
+    if len(h) > broadcast_limit:
+        raise ValueError(
+            "reference histogram exceeds broadcast_limit; "
+            "range-partition by value (see docstring)"
+        )
+    vs = h[ref_col].to_numpy(np.float64)
+    cum = h["c"].to_numpy(np.float64).cumsum()
+    n = float(cum[-1]) if len(cum) else 0.0
+
+    def norm(batch: pd.DataFrame) -> pd.DataFrame:
+        idx = np.searchsorted(
+            vs, batch[value_col].to_numpy(np.float64), side="right"
+        )
+        pct = np.where(idx > 0, cum[np.maximum(idx - 1, 0)], 0.0) / n
+        out = batch.copy()
+        out[out_col] = np.round(pct, ndigits)
+        return out
+
+    return ds.map_batches(norm, batch_format="pandas")

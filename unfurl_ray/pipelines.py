@@ -5284,3 +5284,29 @@ def q_dup_cap(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def q_ecdf_norm(sf_dir: str) -> pd.DataFrame:
+    """Normalize purchase-event values against the ECDF of view-event
+    values — cross-source score alignment.  ops.profile.ecdf_normalize:
+    the reference collapses to its cumulative distinct-value
+    histogram, broadcast once; outputs are exact integer ratios, so
+    the ASOF-join DuckDB twin hashes equal."""
+    from unfurl_ray.ops.profile import ecdf_normalize
+
+    ev = _parquet_sh(
+        sf_dir, "events", ["event_id", "event_type", "value"]
+    )
+    purchases = ev.filter(
+        expr="event_type == 'purchase'"
+    ).select_columns(["event_id", "value"])
+    views = ev.filter(expr="event_type == 'view'")
+    out = ecdf_normalize(
+        purchases, "value", views, "value"
+    ).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    return (
+        out[["event_id", "ref_pct"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
