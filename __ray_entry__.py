@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cm_counts": p.q_cm_counts,
         "q_dup_cap": p.q_dup_cap,
         "q_ecdf_norm": p.q_ecdf_norm,
+        "q_group_wmedian": p.q_group_wmedian,
     }
 
 
@@ -2575,6 +2576,30 @@ def oracle_sql() -> dict[str, str]:
                    round(right_mean, 2) AS right_mean,
                    n_left, n_right
             FROM g ORDER BY mean_gain DESC, day LIMIT 1
+        """,
+        # per-group cumulative-weight selection twin of
+        # grouped_weighted_quantile
+        "q_group_wmedian": """
+            WITH h AS (
+                SELECT l_returnflag AS k, l_extendedprice AS v,
+                       sum(l_quantity) AS w
+                FROM lineitem GROUP BY 1, 2),
+            c AS (
+                SELECT k, v, w,
+                       sum(w) OVER (PARTITION BY k ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cw,
+                       sum(w) OVER (PARTITION BY k) AS tot
+                FROM h),
+            r AS (
+                SELECT k, v, tot,
+                       row_number() OVER (PARTITION BY k
+                           ORDER BY CASE WHEN cw >= 0.5 * tot
+                                    THEN 0 ELSE 1 END, v) AS rn
+                FROM c)
+            SELECT k AS l_returnflag, round(v, 2) AS wmedian,
+                   CAST(tot AS BIGINT) AS total_weight
+            FROM r WHERE rn = 1 ORDER BY l_returnflag
         """,
         # ASOF-join twin of the reference-ECDF normalization: the
         # largest reference value <= each row's value carries the

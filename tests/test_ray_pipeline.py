@@ -4271,3 +4271,35 @@ def test_ecdf_normalize_matches_reference(ray_session):
     assert np.array_equal(
         out["ref_pct"].to_numpy(), np.round(want, 6)
     )
+
+
+def test_grouped_weighted_quantile_matches_reference(ray_session):
+    """Per-group weighted quantile == direct cumulative-weight scan,
+    with ties, zero weights, and several quantiles."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.relational import grouped_weighted_quantile
+
+    rng = np.random.default_rng(29)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 1000).astype(str),
+            "v": rng.integers(0, 40, 1000).astype(np.float64),
+            "w": rng.integers(0, 6, 1000).astype(np.float64),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+    for q in (0.1, 0.5, 0.9):
+        got = (
+            grouped_weighted_quantile(ds, "k", "v", "w", q=q)
+            .to_pandas().set_index("k")
+        )
+        for k, g in df.groupby("k"):
+            h = g.groupby("v")["w"].sum().sort_index()
+            cw = h.cumsum().to_numpy()
+            tot = float(cw[-1])
+            i = min(int(np.searchsorted(cw, q * tot)), len(cw) - 1)
+            assert got.loc[k, "wq_value"] == float(h.index[i]), (k, q)
+            assert got.loc[k, "total_weight"] == tot

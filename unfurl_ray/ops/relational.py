@@ -2922,3 +2922,48 @@ def weighted_quantile(ds, value_col: str, weight_col: str,
         "cum_weight": float(row["cum_weight"].iloc[0]),
         "total_weight": total,
     }
+
+
+def grouped_weighted_quantile(ds, key_col: str, value_col: str,
+                              weight_col: str, q: float = 0.5):
+    """Exact weighted quantile PER GROUP: smallest value with
+    cumulative weight >= q * group total — per-source token-budget
+    medians, per-segment cost SLOs.
+
+    The shuffle carries the (key, value, weight-sum) HISTOGRAM
+    (bucketed pre-aggregated, one row per distinct (key, value),
+    never input rows); each key's histogram then selects its quantile
+    with ONE vectorized cumsum+searchsorted inside map_groups.
+    Partitioning assumption: one key's DISTINCT values fit one group
+    — the same contract as ``group_quantile_disc``; use the global
+    ``weighted_quantile`` owner-block layout per key when a single
+    key's value space outgrows a worker."""
+    hist = bucketed_aggregate(
+        ds.select_columns([key_col, value_col, weight_col]),
+        [key_col, value_col], {"w": (weight_col, "sum")},
+    )
+
+    def pick(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(value_col)
+        cw = g["w"].to_numpy(np.float64).cumsum()
+        tot = float(cw[-1])
+        if tot <= 0:
+            return pd.DataFrame(
+                {
+                    key_col: [g[key_col].iloc[0]],
+                    "wq_value": [np.nan],
+                    "total_weight": [0.0],
+                }
+            )
+        i = min(int(np.searchsorted(cw, q * tot)), len(cw) - 1)
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]],
+                "wq_value": [float(g[value_col].iloc[i])],
+                "total_weight": [tot],
+            }
+        )
+
+    return hist.groupby(key_col).map_groups(
+        pick, batch_format="pandas"
+    )

@@ -5310,3 +5310,28 @@ def q_ecdf_norm(sf_dir: str) -> pd.DataFrame:
         .sort_values("event_id")
         .reset_index(drop=True)
     )
+
+
+def q_group_wmedian(sf_dir: str) -> pd.DataFrame:
+    """Quantity-weighted median unit price per return flag — the
+    per-group weighted selection primitive.
+    ops.relational.grouped_weighted_quantile: (key, value, weight)
+    histogram shuffle, one vectorized selection per key.  Hash-exact
+    vs a per-group cumulative-weight window twin (integral weights
+    keep comparisons float-exact)."""
+    from unfurl_ray.ops.relational import grouped_weighted_quantile
+
+    ds = _parquet_sh(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+    out = grouped_weighted_quantile(
+        ds, "l_returnflag", "l_extendedprice", "l_quantity", q=0.5
+    ).to_pandas()
+    out["wq_value"] = out["wq_value"].round(2)
+    out["total_weight"] = out["total_weight"].astype("int64")
+    return (
+        out.rename(columns={"wq_value": "wmedian"})
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
