@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dup_cap": p.q_dup_cap,
         "q_ecdf_norm": p.q_ecdf_norm,
         "q_group_wmedian": p.q_group_wmedian,
+        "q_fdr": p.q_fdr,
     }
 
 
@@ -2576,6 +2577,31 @@ def oracle_sql() -> dict[str, str]:
                    round(right_mean, 2) AS right_mean,
                    n_left, n_right
             FROM g ORDER BY mean_gain DESC, day LIMIT 1
+        """,
+        # suffix-window-min twin of Benjamini-Hochberg: adj =
+        # min(1, min over j>=i of p_(j)*m/j); identical float
+        # expressions keep both sides bit-equal pre-round
+        "q_fdr": """
+            WITH t AS (
+                SELECT event_id AS id,
+                       value - floor(value) AS p
+                FROM events WHERE event_type = 'error'),
+            r AS (
+                SELECT id, p,
+                       row_number() OVER (ORDER BY p, id) AS rn,
+                       count(*) OVER () AS m
+                FROM t),
+            a AS (
+                SELECT id, p, rn,
+                       min(p * m / rn) OVER (
+                           ORDER BY rn ROWS BETWEEN CURRENT ROW
+                                AND UNBOUNDED FOLLOWING) AS q
+                FROM r)
+            SELECT CAST(id AS BIGINT) AS event_id,
+                   round(p, 6) AS p_value,
+                   CAST(rn AS BIGINT) AS rank,
+                   round(least(q, 1.0), 6) AS p_adj
+            FROM a ORDER BY rank
         """,
         # per-group cumulative-weight selection twin of
         # grouped_weighted_quantile

@@ -4303,3 +4303,31 @@ def test_grouped_weighted_quantile_matches_reference(ray_session):
             i = min(int(np.searchsorted(cw, q * tot)), len(cw) - 1)
             assert got.loc[k, "wq_value"] == float(h.index[i]), (k, q)
             assert got.loc[k, "total_weight"] == tot
+
+
+def test_bh_adjust_matches_sequential_reference(ray_session):
+    """Distributed suffix-min BH == textbook single-pass BH, with
+    duplicate p-values and multi-block inputs; adjusted p monotone
+    in rank and capped at 1."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.profile import bh_adjust
+
+    rng = np.random.default_rng(37)
+    p = np.round(rng.random(500), 3)  # many exact ties
+    df = pd.DataFrame({"id": np.arange(500, dtype=np.int64), "p": p})
+    ds = ray.data.from_pandas(df).repartition(7)
+
+    out = (
+        bh_adjust(ds, "p", "id").to_pandas()
+        .sort_values("rank").reset_index(drop=True)
+    )
+    ref = df.sort_values(["p", "id"]).reset_index(drop=True)
+    m = len(ref)
+    crit = ref["p"].to_numpy() * m / np.arange(1, m + 1)
+    adj = np.minimum(np.minimum.accumulate(crit[::-1])[::-1], 1.0)
+    assert np.array_equal(out["id"].to_numpy(), ref["id"].to_numpy())
+    assert np.array_equal(out["p_adj"].to_numpy(), adj)
+    assert (np.diff(out["p_adj"].to_numpy()) >= 0).all()

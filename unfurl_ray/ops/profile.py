@@ -656,3 +656,133 @@ def ecdf_normalize(ds, value_col: str, ref_ds, ref_col: str,
         return out
 
     return ds.map_batches(norm, batch_format="pandas")
+
+
+def bh_adjust(ds, p_col: str, id_col: str) -> "object":
+    """Benjamini-Hochberg FDR adjustment of a p-value column — the
+    multiple-testing correction applied after any per-group test
+    battery (Welch/chi-square over thousands of segments).
+
+    adj_i = min(1, min_{j >= i} p_(j) * m / j) over the ascending
+    p-order.  Distributed suffix-min in three whole-block passes over
+    ONE materialized (p, id) sort: a #blocks-row head pass gives each
+    block its exclusive rank offset; a summary pass folds each
+    block's min criterion; the driver suffix-mins the O(#blocks)
+    summaries into per-block carries; the final pass emits each row's
+    reversed cumulative min combined with its carry, vectorized.
+    Driver state: O(#blocks).  Returns (id, p, rank, p_adj) rows."""
+    import ray
+
+    from unfurl_ray.ops.relational import _arrow
+
+    pair = ds.select_columns([p_col, id_col])
+    srt = pair.sort([p_col, id_col]).materialize()
+
+    def head(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "p0": pa.array([], pa.float64()),
+                    "i0": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "p0": batch.column(p_col).slice(0, 1)
+                .cast(pa.float64()),
+                "i0": batch.column(id_col).slice(0, 1)
+                .cast(pa.int64()),
+                "n": pa.array([len(batch)], pa.int64()),
+            }
+        )
+
+    heads = srt.map_batches(
+        head, batch_format="pyarrow", batch_size=None
+    ).to_pandas().sort_values(["p0", "i0"]).reset_index(drop=True)
+    m = int(heads["n"].sum())
+    if m == 0:
+        return srt
+    offs = np.concatenate(
+        [[0], heads["n"].to_numpy(np.int64).cumsum()[:-1]]
+    )
+    off_map = {
+        (float(p), int(i)): int(o)
+        for p, i, o in zip(heads["p0"], heads["i0"], offs)
+    }
+
+    def crit(batch: pd.DataFrame) -> np.ndarray:
+        key = (
+            float(batch[p_col].iloc[0]), int(batch[id_col].iloc[0])
+        )
+        rn = off_map[key] + np.arange(1, len(batch) + 1)
+        return batch[p_col].to_numpy(np.float64) * float(m) / rn
+
+    def summary(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "p0": pa.array([], pa.float64()),
+                    "i0": pa.array([], pa.int64()),
+                    "cmin": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "p0": pa.array(
+                    [float(batch[p_col].iloc[0])], pa.float64()
+                ),
+                "i0": pa.array(
+                    [int(batch[id_col].iloc[0])], pa.int64()
+                ),
+                "cmin": pa.array(
+                    [float(crit(batch).min())], pa.float64()
+                ),
+            }
+        )
+
+    summ = srt.map_batches(
+        summary, batch_format="pandas", batch_size=None
+    ).to_pandas().sort_values(["p0", "i0"]).reset_index(drop=True)
+    # carry[k] = min criterion over all blocks AFTER block k
+    rev = summ["cmin"].to_numpy(np.float64)[::-1]
+    suffix = np.minimum.accumulate(rev)[::-1]
+    carries = np.concatenate([suffix[1:], [np.inf]])
+    carry_map = {
+        (float(p), int(i)): float(c)
+        for p, i, c in zip(summ["p0"], summ["i0"], carries)
+    }
+
+    def finish(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "p_value": pa.array([], pa.float64()),
+                    "rank": pa.array([], pa.int64()),
+                    "p_adj": pa.array([], pa.float64()),
+                }
+            )
+        key = (
+            float(batch[p_col].iloc[0]), int(batch[id_col].iloc[0])
+        )
+        c = crit(batch)
+        # reversed cumulative min within the block, then the carry
+        # from all later blocks
+        local = np.minimum.accumulate(c[::-1])[::-1]
+        adj = np.minimum(np.minimum(local, carry_map[key]), 1.0)
+        rn = off_map[key] + np.arange(1, len(batch) + 1)
+        return _arrow(
+            pd.DataFrame(
+                {
+                    id_col: batch[id_col].astype("int64").to_numpy(),
+                    "p_value": batch[p_col].to_numpy(np.float64),
+                    "rank": rn.astype(np.int64),
+                    "p_adj": adj,
+                }
+            )
+        )
+
+    return srt.map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )

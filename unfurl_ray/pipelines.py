@@ -5335,3 +5335,36 @@ def q_group_wmedian(sf_dir: str) -> pd.DataFrame:
         .sort_values("l_returnflag")
         .reset_index(drop=True)
     )
+
+
+def q_fdr(sf_dir: str) -> pd.DataFrame:
+    """Benjamini-Hochberg FDR adjustment over a battery of per-event
+    p-values (here a deterministic pseudo-p: the fractional part of
+    value — the correction is input-agnostic; real batteries feed
+    Welch/chi-square outputs).  ops.profile.bh_adjust: one sort +
+    three whole-block passes, O(#blocks) driver suffix-min.
+    Hash-exact vs a suffix-window-min DuckDB twin."""
+    from unfurl_ray.ops.profile import bh_adjust
+
+    ds = _parquet_sh(
+        sf_dir, "events", ["event_id", "event_type", "value"]
+    )
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch["event_type"] == "error"
+        v = batch.loc[keep, "value"].astype("float64")
+        return pd.DataFrame(
+            {
+                "event_id": batch.loc[keep, "event_id"].astype(
+                    "int64"
+                ),
+                "p": v - np.floor(v),
+            }
+        )
+
+    out = bh_adjust(
+        ds.map_batches(tag, batch_format="pandas"), "p", "event_id"
+    ).to_pandas()
+    out["p_value"] = out["p_value"].round(6)
+    out["p_adj"] = out["p_adj"].round(6)
+    return out.sort_values("rank").reset_index(drop=True)
