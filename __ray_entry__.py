@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ecdf_norm": p.q_ecdf_norm,
         "q_group_wmedian": p.q_group_wmedian,
         "q_fdr": p.q_fdr,
+        "q_pareto": p.q_pareto,
     }
 
 
@@ -2577,6 +2578,26 @@ def oracle_sql() -> dict[str, str]:
                    round(right_mean, 2) AS right_mean,
                    n_left, n_right
             FROM g ORDER BY mean_gain DESC, day LIMIT 1
+        """,
+        # exclusive-prefix-max twin of the 2-D Pareto frontier:
+        # a row survives iff its y beats the max y over strictly
+        # larger x (NULL prefix = largest x, always kept)
+        "q_pareto": """
+            WITH mx AS (
+                SELECT l_quantity AS x, max(l_extendedprice) AS my
+                FROM lineitem GROUP BY 1),
+            c AS (
+                SELECT x, max(my) OVER (ORDER BY x DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS pm
+                FROM mx)
+            SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
+                   CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+                   round(l.l_quantity, 2) AS l_quantity,
+                   round(l.l_extendedprice, 2) AS l_extendedprice
+            FROM lineitem l JOIN c ON l.l_quantity = c.x
+            WHERE c.pm IS NULL OR l.l_extendedprice > c.pm
+            ORDER BY l_orderkey, l_linenumber
         """,
         # suffix-window-min twin of Benjamini-Hochberg: adj =
         # min(1, min over j>=i of p_(j)*m/j); identical float

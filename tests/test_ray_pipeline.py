@@ -4331,3 +4331,34 @@ def test_bh_adjust_matches_sequential_reference(ray_session):
     assert np.array_equal(out["id"].to_numpy(), ref["id"].to_numpy())
     assert np.array_equal(out["p_adj"].to_numpy(), adj)
     assert (np.diff(out["p_adj"].to_numpy()) >= 0).all()
+
+
+def test_pareto_frontier_matches_brute_dominance(ray_session):
+    """Distributed frontier == brute-force strict-x dominance check,
+    with ties on both axes and multi-block inputs."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.relational import pareto_frontier_2d
+
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame(
+        {
+            "i": np.arange(800, dtype=np.int64),
+            "x": rng.integers(0, 50, 800).astype(np.float64),
+            "y": rng.integers(0, 50, 800).astype(np.float64),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(9)
+    got = set(
+        pareto_frontier_2d(ds, "x", "y").to_pandas()["i"]
+    )
+
+    x, y = df["x"].to_numpy(), df["y"].to_numpy()
+    want = {
+        int(df["i"].iloc[k])
+        for k in range(len(df))
+        if not ((x > x[k]) & (y >= y[k])).any()
+    }
+    assert got == want

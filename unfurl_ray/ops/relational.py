@@ -2967,3 +2967,42 @@ def grouped_weighted_quantile(ds, key_col: str, value_col: str,
     return hist.groupby(key_col).map_groups(
         pick, batch_format="pandas"
     )
+
+
+def pareto_frontier_2d(ds, x_col: str, y_col: str):
+    """2-D Pareto frontier (maximize both axes): keep rows whose
+    ``y_col`` strictly exceeds every y at strictly larger ``x_col`` —
+    the quality-vs-coverage tradeoff curve a curation pass selects
+    along.  Ties in x are NOT mutually dominating (both survive if
+    they beat the higher-x maximum); dominance is strict on x.
+
+    Shape: the input collapses to the per-distinct-x max-y histogram
+    (bucketed pre-aggregated shuffle, never rows); the exclusive
+    prefix-max over descending x finishes on the driver over the
+    DISTINCT-x table and broadcasts as two sorted arrays; one
+    vectorized probe per batch keeps survivors.  Driver state:
+    O(distinct x) — the same contract as ``percent_rank_by``'s
+    broadcast mapping."""
+    hist = bucketed_aggregate(
+        ds.select_columns([x_col, y_col]),
+        [x_col], {"my": (y_col, "max")},
+    ).to_pandas().sort_values(x_col, ascending=False).reset_index(
+        drop=True
+    )
+    my = hist["my"].to_numpy(np.float64)
+    # pm[i] = max y over all STRICTLY larger x (exclusive prefix max
+    # in descending-x order)
+    pm = np.concatenate(
+        [[-np.inf], np.maximum.accumulate(my)[:-1]]
+    )
+    xs = hist[x_col].to_numpy(np.float64)[::-1]  # ascending for probe
+    pm_asc = pm[::-1].copy()
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        idx = np.searchsorted(
+            xs, batch[x_col].to_numpy(np.float64)
+        )
+        thr = pm_asc[idx]
+        return batch[batch[y_col].to_numpy(np.float64) > thr]
+
+    return ds.map_batches(keep, batch_format="pandas")

@@ -5368,3 +5368,30 @@ def q_fdr(sf_dir: str) -> pd.DataFrame:
     out["p_value"] = out["p_value"].round(6)
     out["p_adj"] = out["p_adj"].round(6)
     return out.sort_values("rank").reset_index(drop=True)
+
+
+def q_pareto(sf_dir: str) -> pd.DataFrame:
+    """2-D Pareto frontier of lineitem over (quantity, extended
+    price): the rows no other row beats on both axes (strict-x
+    dominance; ties on x are not mutually dominating) — the
+    quality-vs-coverage selection curve.
+    ops.relational.pareto_frontier_2d: per-distinct-x max-y histogram
+    shuffle, driver prefix-max over distinct x, one vectorized probe
+    per batch.  Hash-exact vs an exclusive-prefix window twin."""
+    from unfurl_ray.ops.relational import pareto_frontier_2d
+
+    ds = _parquet_sh(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity",
+         "l_extendedprice"],
+    )
+    out = pareto_frontier_2d(
+        ds, "l_quantity", "l_extendedprice"
+    ).to_pandas()
+    out["l_orderkey"] = out["l_orderkey"].astype("int64")
+    out["l_linenumber"] = out["l_linenumber"].astype("int64")
+    out["l_quantity"] = out["l_quantity"].round(2)
+    out["l_extendedprice"] = out["l_extendedprice"].round(2)
+    return out.sort_values(
+        ["l_orderkey", "l_linenumber"]
+    ).reset_index(drop=True)
