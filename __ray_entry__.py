@@ -203,6 +203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_group_wmedian": p.q_group_wmedian,
         "q_fdr": p.q_fdr,
         "q_pareto": p.q_pareto,
+        "q_group_auc": p.q_group_auc,
+        "q_join_size_est": p.q_join_size_est,
     }
 
 
@@ -2578,6 +2580,35 @@ def oracle_sql() -> dict[str, str]:
                    round(right_mean, 2) AS right_mean,
                    n_left, n_right
             FROM g ORDER BY mean_gain DESC, day LIMIT 1
+        """,
+        # per-group midrank-AUC window twin of group_roc_auc
+        "q_group_auc": """
+            WITH t AS (
+                SELECT CAST(epoch_us(ts) // 86400000000 % 7
+                            AS BIGINT) AS dow,
+                       value AS s,
+                       CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END AS pos
+                FROM events),
+            h AS (
+                SELECT dow, s, sum(pos) AS np_,
+                       sum(1 - pos) AS nn
+                FROM t GROUP BY dow, s),
+            c AS (
+                SELECT dow, s, np_, nn,
+                       sum(nn) OVER (PARTITION BY dow ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - nn AS cnb
+                FROM h),
+            a AS (
+                SELECT dow,
+                       sum(np_ * (cnb + nn / 2.0)) AS num,
+                       sum(np_) AS p, sum(nn) AS n
+                FROM c GROUP BY dow)
+            SELECT dow, round(num / (p * n), 6) AS auc,
+                   CAST(p AS BIGINT) AS n_pos,
+                   CAST(n AS BIGINT) AS n_neg
+            FROM a ORDER BY dow
         """,
         # exclusive-prefix-max twin of the 2-D Pareto frontier:
         # a row survives iff its y beats the max y over strictly

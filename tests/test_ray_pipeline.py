@@ -4362,3 +4362,61 @@ def test_pareto_frontier_matches_brute_dominance(ray_session):
         if not ((x > x[k]) & (y >= y[k])).any()
     }
     assert got == want
+
+
+def test_group_roc_auc_matches_pair_definition(ray_session):
+    """Per-group midrank AUC == the O(n^2) pair definition
+    (P(score_pos > score_neg) + 0.5 P(tie)) within every group."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.fit import group_roc_auc
+
+    rng = np.random.default_rng(43)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 3, 600).astype(str),
+            "s": rng.integers(0, 25, 600).astype(np.float64),
+            "y": rng.integers(0, 2, 600).astype(np.int64),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+    got = (
+        group_roc_auc(ds, "g", "s", "y").to_pandas()
+        .set_index("k")
+    )
+    for g, sub in df.groupby("g"):
+        pos = sub.loc[sub["y"] == 1, "s"].to_numpy()
+        neg = sub.loc[sub["y"] == 0, "s"].to_numpy()
+        wins = (pos[:, None] > neg[None, :]).sum()
+        ties = (pos[:, None] == neg[None, :]).sum()
+        want = (wins + 0.5 * ties) / (len(pos) * len(neg))
+        assert got.loc[g, "auc"] == round(float(want), 6), g
+        assert got.loc[g, "n_pos"] == len(pos)
+        assert got.loc[g, "n_neg"] == len(neg)
+
+
+def test_cm_join_size_bounds_exact_join(ray_session):
+    """CM inner-product estimate >= exact join cardinality and within
+    the eps bound; exact on a collision-free width."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.sketch import cm_join_size, count_min_sketch
+
+    rng = np.random.default_rng(47)
+    a = rng.integers(0, 200, 3000).astype(np.int64)
+    b = rng.integers(100, 300, 2000).astype(np.int64)
+    ds_a = ray.data.from_pandas(pd.DataFrame({"k": a})).repartition(6)
+    ds_b = ray.data.from_pandas(pd.DataFrame({"k": b})).repartition(5)
+    cm_a, na = count_min_sketch(ds_a, "k", width=8192)
+    cm_b, nb = count_min_sketch(ds_b, "k", width=8192)
+    est = cm_join_size(cm_a, cm_b)
+
+    ca = pd.Series(a).value_counts()
+    cb = pd.Series(b).value_counts()
+    exact = int((ca * cb).dropna().sum())
+    assert est >= exact
+    assert est - exact <= np.e * na * nb / 8192

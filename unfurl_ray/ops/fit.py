@@ -528,3 +528,60 @@ def isotonic_fit(ds, x_col: str, y_col: str,
             "rate": np.round(s / n, ndigits),
         }
     )
+
+
+def group_roc_auc(ds, key_col: str, score_col: str,
+                  label_col: str, ndigits: int = 6):
+    """Exact ROC AUC PER GROUP (midrank identity, ties-exact) — the
+    per-segment model-quality audit (does the quality classifier hold
+    up per language / per source?).
+
+    The shuffle carries the (key, score, n_pos, n_neg) histogram
+    (bucketed pre-aggregated, one row per distinct (key, score) pair,
+    never events); each key then folds its AUC with one vectorized
+    cumsum inside map_groups.  Partitioning assumption: one key's
+    DISTINCT scores fit one group — the ``group_quantile_disc``
+    contract; use the global ``roc_auc`` owner-block layout per key
+    past that.  All sums are exact half-integer arithmetic, so a SQL
+    window twin hashes equal."""
+    from unfurl_ray.ops.relational import bucketed_aggregate
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        pos = batch[label_col].astype("int64")
+        return pd.DataFrame(
+            {
+                "k": batch[key_col],
+                "s": batch[score_col].astype("float64"),
+                "pos": pos,
+                "neg": 1 - pos,
+            }
+        )
+
+    hist = bucketed_aggregate(
+        ds.map_batches(tag, batch_format="pandas"),
+        ["k", "s"],
+        {"n_pos": ("pos", "sum"), "n_neg": ("neg", "sum")},
+    )
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("s")
+        npos = g["n_pos"].to_numpy(np.float64)
+        nneg = g["n_neg"].to_numpy(np.float64)
+        p, n = npos.sum(), nneg.sum()
+        if p == 0 or n == 0:
+            auc = np.nan
+        else:
+            cum_before = np.concatenate([[0.0], nneg.cumsum()[:-1]])
+            auc = float(
+                (npos * (cum_before + nneg / 2.0)).sum()
+            ) / (p * n)
+        return pd.DataFrame(
+            {
+                "k": [g["k"].iloc[0]],
+                "auc": [round(auc, ndigits)],
+                "n_pos": [np.int64(p)],
+                "n_neg": [np.int64(n)],
+            }
+        )
+
+    return hist.groupby("k").map_groups(fold, batch_format="pandas")

@@ -754,3 +754,19 @@ def count_min_sketch(ds, column: str, width: int = 4096,
     for blob in parts["sketch"]:
         cm = cm + np.frombuffer(blob, dtype=np.int64)
     return cm.reshape(depth, width), int(parts["n"].sum())
+
+
+def cm_join_size(cm_a: np.ndarray, cm_b: np.ndarray) -> int:
+    """Equi-join cardinality estimate from two Count-Min sketches
+    built with the SAME width/depth/seeds: |A join B on k| =
+    sum_k f_A(k) * f_B(k), estimated as the MIN over depth rows of
+    the row dot products (AGMS/Count-Min inner-product estimator,
+    Cormode & Muthukrishnan 2005 s4.2).  One-sided like the point
+    estimate: est >= true, and est <= true + e * N_a * N_b / width
+    whp — the shuffle-free join-size probe a planner runs before
+    choosing broadcast vs shuffle join."""
+    assert cm_a.shape == cm_b.shape
+    dots = (
+        cm_a.astype(np.float64) * cm_b.astype(np.float64)
+    ).sum(axis=1)
+    return int(dots.min())

@@ -5395,3 +5395,63 @@ def q_pareto(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(
         ["l_orderkey", "l_linenumber"]
     ).reset_index(drop=True)
+
+
+def q_group_auc(sf_dir: str) -> pd.DataFrame:
+    """Per-segment ROC AUC: does event value separate purchases from
+    the rest within each day-of-week cohort?  The per-segment model-
+    quality audit.  ops.fit.group_roc_auc: (key, score, pos/neg)
+    histogram shuffle + one vectorized midrank fold per key.
+    Hash-exact vs a per-group window twin (half-integer sums are
+    float-exact on both sides)."""
+    from unfurl_ray.ops.fit import group_roc_auc
+
+    ds = _parquet_sh(
+        sf_dir, "events", ["ts", "event_type", "value"]
+    )
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        dow = (
+            batch["ts"].astype("int64") // 86_400_000_000 % 7
+        ).astype("int64")
+        return pd.DataFrame(
+            {
+                "dow": dow,
+                "score": batch["value"].astype("float64"),
+                "y": (batch["event_type"] == "purchase").astype(
+                    "int64"
+                ),
+            }
+        )
+
+    out = group_roc_auc(
+        ds.map_batches(tag, batch_format="pandas"),
+        "dow", "score", "y",
+    ).to_pandas()
+    out = out.rename(columns={"k": "dow"})
+    out["dow"] = out["dow"].astype("int64")
+    return out.sort_values("dow").reset_index(drop=True)
+
+
+def q_join_size_est(sf_dir: str) -> pd.DataFrame:
+    """Shuffle-free equi-join cardinality estimate (orders x lineitem
+    on orderkey) from two Count-Min sketches — the probe a planner
+    runs before choosing broadcast vs shuffle join.  Rows-only: the
+    estimate is a sketch output; the one-sided contract
+    (est >= exact, within eps * Na * Nb / width) is pinned by pytest
+    against the exact join count."""
+    import numpy as np
+
+    from unfurl_ray.ops.sketch import cm_join_size, count_min_sketch
+
+    o = _parquet_sh(sf_dir, "orders", ["o_orderkey"])
+    li = _parquet_sh(sf_dir, "lineitem", ["l_orderkey"])
+    cm_o, n_o = count_min_sketch(o, "o_orderkey", width=65536)
+    cm_l, n_l = count_min_sketch(li, "l_orderkey", width=65536)
+    return pd.DataFrame(
+        {
+            "est_join_rows": [np.int64(cm_join_size(cm_o, cm_l))],
+            "n_orders": [np.int64(n_o)],
+            "n_lineitem": [np.int64(n_l)],
+        }
+    )
