@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pareto": p.q_pareto,
         "q_group_auc": p.q_group_auc,
         "q_join_size_est": p.q_join_size_est,
+        "q_cond_entropy": p.q_cond_entropy,
+        "q_group_gini": p.q_group_gini,
     }
 
 
@@ -2580,6 +2582,53 @@ def oracle_sql() -> dict[str, str]:
                    round(right_mean, 2) AS right_mean,
                    n_left, n_right
             FROM g ORDER BY mean_gain DESC, day LIMIT 1
+        """,
+        # window-sum identity twin of conditional_entropy:
+        # H(Y|X) = H(Y) - MI over the same joint histogram
+        "q_cond_entropy": """
+            WITH j AS (
+                SELECT event_type AS x,
+                       CAST(dayofweek(ts) AS BIGINT) AS y,
+                       CAST(count(*) AS DOUBLE) AS n
+                FROM events GROUP BY 1, 2),
+            t AS (SELECT sum(n) AS tot FROM j),
+            m AS (
+                SELECT n,
+                       sum(n) OVER (PARTITION BY x) AS nx,
+                       sum(n) OVER (PARTITION BY y) AS ny
+                FROM j),
+            s AS (
+                SELECT sum((n / tot) * ln(n * tot / (nx * ny)))
+                           AS mi,
+                       -sum((n / tot) * ln(ny / tot)) AS h_y
+                FROM m, t)
+            SELECT round(h_y - mi, 6) AS h_y_given_x,
+                   round(mi / h_y, 6) AS u_y_given_x
+            FROM s
+        """,
+        # per-group rank-identity Gini twin with closed-form tie runs
+        "q_group_gini": """
+            WITH h AS (
+                SELECT o_orderpriority AS k, o_totalprice AS v,
+                       CAST(count(*) AS DOUBLE) AS c
+                FROM orders GROUP BY 1, 2),
+            c2 AS (
+                SELECT k, v, c,
+                       sum(c) OVER (PARTITION BY k ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - c AS off
+                FROM h),
+            s AS (
+                SELECT k,
+                       sum(v * (c * off + c * (c + 1) / 2)) AS num,
+                       sum(v * c) AS tot, sum(c) AS n
+                FROM c2 GROUP BY k)
+            SELECT k AS o_orderpriority,
+                   round(2 * num / (n * tot) - (n + 1) / n, 6)
+                       AS gini,
+                   CAST(n AS BIGINT) AS n,
+                   round(tot, 2) AS total
+            FROM s ORDER BY o_orderpriority
         """,
         # per-group midrank-AUC window twin of group_roc_auc
         "q_group_auc": """

@@ -4420,3 +4420,57 @@ def test_cm_join_size_bounds_exact_join(ray_session):
     exact = int((ca * cb).dropna().sum())
     assert est >= exact
     assert est - exact <= np.e * na * nb / 8192
+
+
+def test_grouped_gini_matches_sorted_rank_formula(ray_session):
+    """Per-group Gini == textbook sorted-rank formula per group."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.profile import grouped_gini
+
+    rng = np.random.default_rng(53)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 3, 600).astype(str),
+            "w": np.round(rng.lognormal(2, 1, 600), 2),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = grouped_gini(ds, "g", "w").to_pandas().set_index("k")
+    for g, sub in df.groupby("g"):
+        v = np.sort(sub["w"].to_numpy())
+        n = len(v)
+        want = 2.0 * float(
+            (np.arange(1, n + 1) * v).sum()
+        ) / (n * float(v.sum())) - (n + 1.0) / n
+        assert abs(got.loc[g, "gini"] - round(want, 6)) <= 1e-6, g
+        assert got.loc[g, "n"] == n
+
+
+def test_conditional_entropy_identities(ray_session):
+    """H(Y|X) = H(Y) - MI and 0 <= U <= 1; U = 1 when Y is a
+    function of X, U = 0 under independence."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.profile import conditional_entropy
+
+    x = np.repeat(["a", "b", "c"], 200)
+    y_det = np.repeat([0, 1, 2], 200)  # Y = f(X)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"x": x, "y": y_det})
+    ).repartition(5)
+    out = conditional_entropy(ds, "x", "y").iloc[0]
+    assert out["h_y_given_x"] == 0.0
+    assert out["u_y_given_x"] == 1.0
+
+    rng = np.random.default_rng(59)
+    y_ind = rng.integers(0, 3, 600)  # independent of X
+    ds2 = ray.data.from_pandas(
+        pd.DataFrame({"x": x, "y": y_ind})
+    ).repartition(5)
+    out2 = conditional_entropy(ds2, "x", "y").iloc[0]
+    assert 0.0 <= out2["u_y_given_x"] < 0.02

@@ -786,3 +786,82 @@ def bh_adjust(ds, p_col: str, id_col: str) -> "object":
     return srt.map_batches(
         finish, batch_format="pandas", batch_size=None
     )
+
+
+def grouped_gini(ds, key_col: str, value_col: str,
+                 ndigits: int = 6):
+    """Exact Gini coefficient PER GROUP — per-source concentration
+    audit (is one shard's token mass dominated by a few documents?).
+
+    Same rank identity as ``gini`` but the (key, value, count)
+    histogram shuffle feeds one vectorized closed-form fold per key
+    inside map_groups.  Partitioning assumption: one key's DISTINCT
+    values fit one group (the ``group_quantile_disc`` contract)."""
+    from unfurl_ray.ops.relational import bucketed_aggregate
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": batch[key_col],
+                "v": batch[value_col].astype("float64"),
+                "c": np.int64(1),
+            }
+        )
+
+    hist = bucketed_aggregate(
+        ds.map_batches(tag, batch_format="pandas"),
+        ["k", "v"], {"c": ("c", "sum")},
+    )
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("v")
+        v = g["v"].to_numpy(np.float64)
+        c = g["c"].to_numpy(np.float64)
+        n = c.sum()
+        tot = float((v * c).sum())
+        start = np.concatenate([[0.0], c.cumsum()[:-1]])
+        num = float((v * (c * start + c * (c + 1.0) / 2.0)).sum())
+        gini_v = 2.0 * num / (n * tot) - (n + 1.0) / n
+        return pd.DataFrame(
+            {
+                "k": [g["k"].iloc[0]],
+                "gini": [round(gini_v, ndigits)],
+                "n": [np.int64(n)],
+                "total": [tot],
+            }
+        )
+
+    return hist.groupby("k").map_groups(fold, batch_format="pandas")
+
+
+def conditional_entropy(ds, x_col: str, y_col: str,
+                        ndigits: int = 6) -> pd.DataFrame:
+    """Conditional entropy H(Y|X) and the uncertainty coefficient
+    U(Y|X) = MI / H(Y) — "how much of Y does knowing X explain",
+    the normalized form of ``mutual_information`` used to rank
+    candidate stratification keys on one scale.
+
+    Same single (x, y, n) joint-histogram shuffle; identities
+    ``H(Y|X) = H(Y) - MI`` finish on the tiny joint table."""
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    joint = pre_aggregate(
+        ds, [x_col, y_col], {"n": (x_col, "count")}
+    ).to_pandas()
+    n = joint["n"].to_numpy(np.float64)
+    tot = n.sum()
+    nx = joint.groupby(x_col)["n"].transform("sum").to_numpy(
+        np.float64
+    )
+    ny = joint.groupby(y_col)["n"].transform("sum").to_numpy(
+        np.float64
+    )
+    p = n / tot
+    mi = float((p * np.log(n * tot / (nx * ny))).sum())
+    h_y = float(-(p * np.log(ny / tot)).sum())
+    return pd.DataFrame(
+        {
+            "h_y_given_x": [round(h_y - mi, ndigits)],
+            "u_y_given_x": [round(mi / h_y, ndigits)],
+        }
+    )

@@ -5455,3 +5455,47 @@ def q_join_size_est(sf_dir: str) -> pd.DataFrame:
             "n_lineitem": [np.int64(n_l)],
         }
     )
+
+
+def q_cond_entropy(sf_dir: str) -> pd.DataFrame:
+    """Conditional entropy H(dow | event_type) and the uncertainty
+    coefficient U — how much of the day-of-week is explained by the
+    event type, on one normalized scale.
+    ops.profile.conditional_entropy over the same joint histogram as
+    q_mutual_info.  Hash-exact vs the window-sum identity twin."""
+    from unfurl_ray.ops.profile import conditional_entropy
+
+    ds = _parquet_sh(sf_dir, "events", ["event_type", "ts"])
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "dow": ((batch["ts"].dt.dayofweek + 1) % 7).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    return conditional_entropy(
+        ds.map_batches(tag, batch_format="pandas"),
+        "event_type", "dow",
+    )
+
+
+def q_group_gini(sf_dir: str) -> pd.DataFrame:
+    """Per-priority Gini of order spend — the per-source
+    concentration audit.  ops.profile.grouped_gini: (key, value,
+    count) histogram shuffle + one closed-form fold per key.
+    Hash-exact vs a per-group cumulative-count window twin."""
+    from unfurl_ray.ops.profile import grouped_gini
+
+    ds = _parquet_sh(
+        sf_dir, "orders", ["o_orderpriority", "o_totalprice"]
+    )
+    out = grouped_gini(
+        ds, "o_orderpriority", "o_totalprice"
+    ).to_pandas()
+    out = out.rename(columns={"k": "o_orderpriority"})
+    out["total"] = out["total"].round(2)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
