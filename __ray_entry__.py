@@ -2458,18 +2458,20 @@ def oracle_sql() -> dict[str, str]:
                 SELECT c.feature, c.value AS threshold,
                        (sl * sl / nl
                         + (sp - sl) * (sp - sl) / (np_ - nl)
-                        - sp * sp / np_) / np_ AS mean_gain,
+                        - sp * sp / np_) / np_ AS mg,
                        sl / nl AS left_mean,
                        (sp - sl) / (np_ - nl) AS right_mean,
                        CAST(nl AS BIGINT) AS n_left,
                        CAST(np_ - nl AS BIGINT) AS n_right
                 FROM c JOIN tot ON c.feature = tot.feature
                 WHERE nl < np_)
-            SELECT feature, threshold, round(mean_gain, 4) AS mean_gain,
+            SELECT feature, threshold, round(mg, 4) AS mean_gain,
                    round(left_mean, 2) AS left_mean,
                    round(right_mean, 2) AS right_mean,
                    n_left, n_right
-            FROM g ORDER BY mean_gain DESC, feature, threshold
+            -- order by the UNROUNDED gain: the kernel ties on full
+            -- precision, rounding only the reported value
+            FROM g ORDER BY mg DESC, feature, threshold
             LIMIT 1
         """,
         "q_group_mode": """
@@ -2569,7 +2571,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT day,
                        (sl * sl / nl
                         + (sp - sl) * (sp - sl) / (np_ - nl)
-                        - sp * sp / np_) / np_ AS mean_gain,
+                        - sp * sp / np_) / np_ AS mg,
                        sl / nl AS left_mean,
                        (sp - sl) / (np_ - nl) AS right_mean,
                        CAST(nl AS BIGINT) AS n_left,
@@ -2577,11 +2579,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM c, tot WHERE nl < np_)
             SELECT 'daily_value' AS series,
                    CAST(day AS BIGINT) AS break_day,
-                   round(mean_gain, 6) AS mean_gain,
+                   round(mg, 6) AS mean_gain,
                    round(left_mean, 2) AS left_mean,
                    round(right_mean, 2) AS right_mean,
                    n_left, n_right
-            FROM g ORDER BY mean_gain DESC, day LIMIT 1
+            -- order by the UNROUNDED gain (kernel ties on full
+            -- precision)
+            FROM g ORDER BY mg DESC, day LIMIT 1
         """,
         # window-sum identity twin of conditional_entropy:
         # H(Y|X) = H(Y) - MI over the same joint histogram

@@ -4474,3 +4474,28 @@ def test_conditional_entropy_identities(ray_session):
     ).repartition(5)
     out2 = conditional_entropy(ds2, "x", "y").iloc[0]
     assert 0.0 <= out2["u_y_given_x"] < 0.02
+
+
+def test_spearman_actor_pool_path(ray_session):
+    """The >100k-distinct rank-map path (object-store broadcast +
+    actor pool) returns the same rho as the task-closure path."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.profile import spearman_corr
+
+    rng = np.random.default_rng(61)
+    n = 120_001  # distinct count > the 100k task-closure cutoff
+    x = rng.permutation(n).astype(np.float64)
+    y = x + rng.normal(0, n / 10, n)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"x": x, "y": y})
+    ).repartition(6)
+    got = spearman_corr(ds, "x", "y")
+
+    u = pd.Series(x).rank(method="average").to_numpy()
+    v = pd.Series(y).rank(method="average").to_numpy()
+    want = round(float(np.corrcoef(u, v)[0, 1]), 6)
+    assert abs(got["rho"] - want) <= 1e-6
+    assert got["n"] == n

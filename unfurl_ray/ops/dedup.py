@@ -1106,7 +1106,7 @@ def prefix_containment_dedup(ds, column: str = "text",
 
 
 def frequency_cap(ds, column: str = "text", id_column: str = "doc_id",
-                  k: int = 2):
+                  k: int = 2, n_buckets: int = 64):
     """Keep at most ``k`` copies (lowest ids) per exact content hash —
     the dup-frequency cap curation step (full dedup deletes signal;
     capping bounds memorization pressure while keeping popular
@@ -1124,14 +1124,15 @@ def frequency_cap(ds, column: str = "text", id_column: str = "doc_id",
         lambda b: add_content_hash(b, column), batch_format="pyarrow"
     ).select_columns(["content_hash", id_column])
 
-    n_buckets = 64
-
-    def partial(batch: pd.DataFrame) -> pa.Table:
-        kept = (
-            batch.sort_values(["content_hash", id_column])
+    def cap(frame: pd.DataFrame) -> pd.DataFrame:
+        return (
+            frame.sort_values(["content_hash", id_column])
             .groupby("content_hash", as_index=False)
             .head(k)
         )
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        kept = cap(batch)
         kept["_bucket"] = (
             pd.util.hash_pandas_object(
                 kept["content_hash"], index=False
@@ -1140,13 +1141,7 @@ def frequency_cap(ds, column: str = "text", id_column: str = "doc_id",
         return _arrow(kept)
 
     def cap_bucket(group: pd.DataFrame) -> pa.Table:
-        out = (
-            group.drop(columns=["_bucket"])
-            .sort_values(["content_hash", id_column])
-            .groupby("content_hash", as_index=False)
-            .head(k)
-        )
-        return _arrow(out)
+        return _arrow(cap(group.drop(columns=["_bucket"])))
 
     return (
         hashed.map_batches(partial, batch_format="pandas")

@@ -265,46 +265,21 @@ def roc_auc(ds, score_col: str, label_col: str) -> dict:
             }
         )
 
+    from unfurl_ray.ops.relational import block_heads
+
     hist = bucketed_aggregate(
         ds.map_batches(tag, batch_format="pandas"),
         ["score"],
         {"n_pos": ("pos", "sum"), "n_neg": ("neg", "sum")},
     ).sort("score").materialize()
 
-    def head(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        if len(batch) == 0:  # sorts can emit empty partitions
-            return pa.table(
-                {
-                    "score": pa.array([], pa.float64()),
-                    "blk_pos": pa.array([], pa.int64()),
-                    "blk_neg": pa.array([], pa.int64()),
-                }
-            )
-        return pa.table(
-            {
-                "score": batch.column("score").slice(0, 1),
-                "blk_pos": pa.array(
-                    [pc.sum(batch.column("n_pos")).as_py() or 0],
-                    pa.int64(),
-                ),
-                "blk_neg": pa.array(
-                    [pc.sum(batch.column("n_neg")).as_py() or 0],
-                    pa.int64(),
-                ),
-            }
-        )
-
-    heads = hist.map_batches(
-        head, batch_format="pyarrow", batch_size=None
-    ).to_pandas().sort_values("score").reset_index(drop=True)
-    n_pos = int(heads["blk_pos"].sum())
-    n_neg = int(heads["blk_neg"].sum())
+    heads = block_heads(hist, "score", ["n_pos", "n_neg"])
+    n_pos = int(heads["n_pos"].sum())
+    n_neg = int(heads["n_neg"].sum())
     if n_pos == 0 or n_neg == 0:
         return {"auc": float("nan"), "n_pos": n_pos, "n_neg": n_neg}
     neg_off = np.concatenate(
-        [[0], heads["blk_neg"].to_numpy(np.int64).cumsum()[:-1]]
+        [[0], heads["n_neg"].to_numpy(np.int64).cumsum()[:-1]]
     )
     off_ref = ray.put(
         dict(zip(heads["score"].to_numpy(), neg_off.astype(np.int64)))

@@ -300,49 +300,24 @@ def ks_test(ds, value_col: str, group_col: str, group_a: str,
         a = (g == group_a).astype("int64")
         return pd.DataFrame({"v": v, "a": a, "b": 1 - a})
 
+    from unfurl_ray.ops.relational import block_heads
+
     hist = bucketed_aggregate(
         ds.map_batches(tag, batch_format="pandas"),
         ["v"], {"n_a": ("a", "sum"), "n_b": ("b", "sum")},
     ).sort("v").materialize()
 
-    def head(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        if len(batch) == 0:
-            return pa.table(
-                {
-                    "v": pa.array([], pa.float64()),
-                    "blk_a": pa.array([], pa.int64()),
-                    "blk_b": pa.array([], pa.int64()),
-                }
-            )
-        return pa.table(
-            {
-                "v": batch.column("v").slice(0, 1),
-                "blk_a": pa.array(
-                    [pc.sum(batch.column("n_a")).as_py() or 0],
-                    pa.int64(),
-                ),
-                "blk_b": pa.array(
-                    [pc.sum(batch.column("n_b")).as_py() or 0],
-                    pa.int64(),
-                ),
-            }
-        )
-
-    heads = hist.map_batches(
-        head, batch_format="pyarrow", batch_size=None
-    ).to_pandas().sort_values("v").reset_index(drop=True)
-    tot_a = int(heads["blk_a"].sum())
-    tot_b = int(heads["blk_b"].sum())
+    heads = block_heads(hist, "v", ["n_a", "n_b"])
+    tot_a = int(heads["n_a"].sum())
+    tot_b = int(heads["n_b"].sum())
     if tot_a == 0 or tot_b == 0:
         return {"ks_d": float("nan"), "at_value": float("nan"),
                 "n_a": tot_a, "n_b": tot_b}
     off_a = np.concatenate(
-        [[0], heads["blk_a"].to_numpy(np.int64).cumsum()[:-1]]
+        [[0], heads["n_a"].to_numpy(np.int64).cumsum()[:-1]]
     )
     off_b = np.concatenate(
-        [[0], heads["blk_b"].to_numpy(np.int64).cumsum()[:-1]]
+        [[0], heads["n_b"].to_numpy(np.int64).cumsum()[:-1]]
     )
     # O(#blocks) offset table: pickles into each task closure — a
     # plain task map skips the actor-pool spin-up entirely
@@ -448,27 +423,9 @@ def spearman_corr(ds, x_col: str, y_col: str, ndigits: int = 6,
         yv = ry[y_col].to_numpy(np.float64)
         yr = ry["rank"].to_numpy(np.float64)
         small = max(len(rx), len(ry)) <= 100_000
-        # rank maps <= 100k rows pickle into each task closure (a
-        # plain task map skips actor-pool spin-up); larger maps go
-        # through the object store once and an actor pool reads them
-        ref = None if small else ray.put((xv, xr, yv, yr))
-
-        class Moments:
-            def __init__(self):
-                if ref is None:
-                    self.m = (xv, xr, yv, yr)
-                else:
-                    self.m = ray.get(ref)
-
-            def __call__(self, batch: pd.DataFrame) -> pa.Table:
-                mxv, mxr, myv, myr = self.m
-                u = mxr[np.searchsorted(
-                    mxv, batch[x_col].to_numpy(np.float64))]
-                v = myr[np.searchsorted(
-                    myv, batch[y_col].to_numpy(np.float64))]
-                return _moment_row(u, v)
-
         if small:
+            # rank maps <= 100k rows pickle into each task closure
+            # (a plain task map skips actor-pool spin-up)
             def moments(batch: pd.DataFrame) -> pa.Table:
                 u = xr[np.searchsorted(
                     xv, batch[x_col].to_numpy(np.float64))]
@@ -480,6 +437,23 @@ def spearman_corr(ds, x_col: str, y_col: str, ndigits: int = 6,
                 moments, batch_format="pandas"
             ).to_pandas()
         else:
+            # larger maps go through the object store ONCE; the
+            # actor class references only the ref, so the arrays
+            # are not also pickled into its closure
+            ref = ray.put((xv, xr, yv, yr))
+
+            class Moments:
+                def __init__(self):
+                    self.m = ray.get(ref)
+
+                def __call__(self, batch: pd.DataFrame) -> pa.Table:
+                    mxv, mxr, myv, myr = self.m
+                    u = mxr[np.searchsorted(
+                        mxv, batch[x_col].to_numpy(np.float64))]
+                    v = myr[np.searchsorted(
+                        myv, batch[y_col].to_numpy(np.float64))]
+                    return _moment_row(u, v)
+
             parts = pair.map_batches(
                 Moments, batch_format="pandas", concurrency=(1, 8)
             ).to_pandas()
@@ -545,39 +519,19 @@ def gini(ds, value_col: str, ndigits: int = 6) -> dict:
             {"v": batch[value_col].astype("float64"), "c": np.int64(1)}
         )
 
+    from unfurl_ray.ops.relational import block_heads
+
     hist = bucketed_aggregate(
         ds.map_batches(tag, batch_format="pandas"),
         ["v"], {"c": ("c", "sum")},
     ).sort("v").materialize()
 
-    def head(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        if len(batch) == 0:
-            return pa.table(
-                {
-                    "v": pa.array([], pa.float64()),
-                    "blk_c": pa.array([], pa.int64()),
-                }
-            )
-        return pa.table(
-            {
-                "v": batch.column("v").slice(0, 1),
-                "blk_c": pa.array(
-                    [pc.sum(batch.column("c")).as_py() or 0],
-                    pa.int64(),
-                ),
-            }
-        )
-
-    heads = hist.map_batches(
-        head, batch_format="pyarrow", batch_size=None
-    ).to_pandas().sort_values("v").reset_index(drop=True)
-    n = int(heads["blk_c"].sum())
+    heads = block_heads(hist, "v", ["c"])
+    n = int(heads["c"].sum())
     if n == 0:
         return {"gini": float("nan"), "n": 0, "total": 0.0}
     offs = np.concatenate(
-        [[0], heads["blk_c"].to_numpy(np.int64).cumsum()[:-1]]
+        [[0], heads["c"].to_numpy(np.int64).cumsum()[:-1]]
     )
     # O(#blocks) offset table: pickles into each task closure — a
     # plain task map skips the actor-pool spin-up entirely
@@ -702,7 +656,18 @@ def bh_adjust(ds, p_col: str, id_col: str) -> "object":
     ).to_pandas().sort_values(["p0", "i0"]).reset_index(drop=True)
     m = int(heads["n"].sum())
     if m == 0:
-        return srt
+        import ray as _ray
+
+        return _ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "p_value": pa.array([], pa.float64()),
+                    "rank": pa.array([], pa.int64()),
+                    "p_adj": pa.array([], pa.float64()),
+                }
+            )
+        )
     offs = np.concatenate(
         [[0], heads["n"].to_numpy(np.int64).cumsum()[:-1]]
     )

@@ -2849,46 +2849,23 @@ def weighted_quantile(ds, value_col: str, weight_col: str,
     nothing.  Driver state: O(#blocks) heads + 3 scalars.
 
     Returns ``{"value": v, "cum_weight": w<=v, "total_weight": W}``."""
-    import ray
-
     hist = bucketed_aggregate(
         ds.select_columns([value_col, weight_col]),
         [value_col], {"w": (weight_col, "sum")},
     ).sort(value_col).materialize()
 
-    def head(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return pa.table(
-                {
-                    "v": pa.array([], pa.float64()),
-                    "bw": pa.array([], pa.float64()),
-                }
-            )
-        return pa.table(
-            {
-                "v": batch.column(value_col).slice(0, 1)
-                .cast(pa.float64()),
-                "bw": pa.array(
-                    [pc.sum(batch.column("w")).as_py() or 0.0],
-                    pa.float64(),
-                ),
-            }
-        )
-
-    heads = hist.map_batches(
-        head, batch_format="pyarrow", batch_size=None
-    ).to_pandas().sort_values("v").reset_index(drop=True)
-    total = float(heads["bw"].sum())
+    heads = block_heads(hist, value_col, ["w"])
+    total = float(heads["w"].sum())
     if total <= 0 or len(heads) == 0:
         return {"value": float("nan"), "cum_weight": 0.0,
                 "total_weight": total}
     target = q * total
-    ends = heads["bw"].to_numpy(np.float64).cumsum()
+    ends = heads["w"].to_numpy(np.float64).cumsum()
     k = int(np.searchsorted(ends, target))  # first block reaching it
     k = min(k, len(ends) - 1)
-    owner = float(heads["v"].iloc[k])
-    off = float(ends[k] - heads["bw"].iloc[k])
-    pick_ref = ray.put((owner, off, target))
+    # three scalars: pickle into the task closure, no object store
+    owner = float(heads[value_col].iloc[k])
+    off = float(ends[k] - heads["w"].iloc[k])
 
     def pick(batch: pd.DataFrame) -> pa.Table:
         empty = pa.table(
@@ -2899,7 +2876,7 @@ def weighted_quantile(ds, value_col: str, weight_col: str,
         )
         if len(batch) == 0:
             return empty
-        o, base, tgt = ray.get(pick_ref)
+        o, base, tgt = owner, off, target
         if float(batch[value_col].iloc[0]) != o:
             return empty
         cw = base + batch["w"].to_numpy(np.float64).cumsum()
@@ -3006,3 +2983,53 @@ def pareto_frontier_2d(ds, x_col: str, y_col: str):
         return batch[batch[y_col].to_numpy(np.float64) > thr]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def block_heads(sorted_ds, key_col: str,
+                sum_cols: list[str]) -> pd.DataFrame:
+    """One summary row per block of a materialized range-sorted
+    histogram: the block's FIRST key plus its per-column sums
+    (float64) — the O(#blocks) driver summary behind the owner-block
+    / offset-fold family (roc_auc, ks_test, gini, weighted_quantile).
+    Empty sort partitions contribute nothing; callers key their
+    offset tables by the first-key value, which is unique because
+    the histogram has one row per distinct key."""
+    import pyarrow.compute as pc
+
+    def head(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.float64()),
+                    **{
+                        c: pa.array([], pa.float64())
+                        for c in sum_cols
+                    },
+                }
+            )
+        return pa.table(
+            {
+                key_col: batch.column(key_col).slice(0, 1)
+                .cast(pa.float64()),
+                **{
+                    c: pa.array(
+                        [
+                            float(
+                                pc.sum(batch.column(c)).as_py() or 0
+                            )
+                        ],
+                        pa.float64(),
+                    )
+                    for c in sum_cols
+                },
+            }
+        )
+
+    return (
+        sorted_ds.map_batches(
+            head, batch_format="pyarrow", batch_size=None
+        )
+        .to_pandas()
+        .sort_values(key_col)
+        .reset_index(drop=True)
+    )

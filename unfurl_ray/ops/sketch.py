@@ -676,6 +676,11 @@ def cm_fold(values, width: int = 4096, depth: int = 4) -> np.ndarray:
     int64 counters; merge is elementwise ADD (associative), so the
     sketch is a fixed-size commutative monoid like the HLL
     registers."""
+    if not 1 <= depth <= len(_CM_SEEDS):
+        raise ValueError(
+            f"depth must be in [1, {len(_CM_SEEDS)}] "
+            "(fixed seed table)"
+        )
     cm = np.zeros((depth, width), dtype=np.int64)
     if len(values) == 0:
         return cm
@@ -696,6 +701,11 @@ def cm_query(cm: np.ndarray, values) -> np.ndarray:
     est >= true and, with prob >= 1 - (1/2)^depth-ish,
     est <= true + e * N / width (N = total folded count)."""
     depth, width = cm.shape
+    if depth > len(_CM_SEEDS):
+        raise ValueError(
+            f"sketch depth {depth} exceeds the fixed seed table "
+            f"({len(_CM_SEEDS)})"
+        )
     h = _hash64(values)
     est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
     for d in range(depth):
