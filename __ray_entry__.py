@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_join_size_est": p.q_join_size_est,
         "q_cond_entropy": p.q_cond_entropy,
         "q_group_gini": p.q_group_gini,
+        "q_group_isotonic": p.q_group_isotonic,
     }
 
 

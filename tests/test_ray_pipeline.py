@@ -4499,3 +4499,43 @@ def test_spearman_actor_pool_path(ray_session):
     want = round(float(np.corrcoef(u, v)[0, 1]), 6)
     assert abs(got["rho"] - want) <= 1e-6
     assert got["n"] == n
+
+
+def test_grouped_isotonic_matches_per_group_pav(ray_session):
+    """Per-group PAV == running single-group isotonic_fit on each
+    group separately."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.fit import grouped_isotonic_fit, isotonic_fit
+
+    rng = np.random.default_rng(67)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 3, 900).astype(str),
+            "x": rng.integers(0, 40, 900).astype(np.float64),
+        }
+    )
+    df["y"] = (
+        rng.random(900) < 1 / (1 + np.exp(-(df["x"] - 20) / 6))
+    ).astype(np.float64)
+    ds = ray.data.from_pandas(df).repartition(8)
+
+    got = (
+        grouped_isotonic_fit(ds, "g", "x", "y").to_pandas()
+        .sort_values(["k", "x_start"]).reset_index(drop=True)
+    )
+    for g, sub in df.groupby("g"):
+        want = isotonic_fit(
+            ray.data.from_pandas(sub[["x", "y"]]).repartition(3),
+            "x", "y",
+        )
+        mine = got[got["k"] == g].reset_index(drop=True)
+        assert np.array_equal(
+            mine["rate"].to_numpy(), want["rate"].to_numpy()
+        ), g
+        assert np.array_equal(
+            mine["x_start"].to_numpy(), want["x_start"].to_numpy()
+        ), g
+        assert int(mine["n"].sum()) == len(sub)

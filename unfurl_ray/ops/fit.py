@@ -560,3 +560,52 @@ def group_roc_auc(ds, key_col: str, score_col: str,
         )
 
     return hist.groupby("k").map_groups(fold, batch_format="pandas")
+
+
+def grouped_isotonic_fit(ds, key_col: str, x_col: str, y_col: str,
+                         ndigits: int = 6):
+    """Isotonic regression PER GROUP (per-language / per-source
+    calibration curves): least-squares monotone fit of y on x within
+    each key.
+
+    The (key, x, n, sum_y) histogram shuffle feeds ONE stack-PAV per
+    key inside map_groups (each group is already whole, so no run
+    merging is needed — the parallel-merge machinery of
+    ``isotonic_fit`` is only for a single fit split across blocks).
+    Partitioning assumption: one key's DISTINCT x values fit one
+    group — the ``group_quantile_disc`` contract."""
+    from unfurl_ray.ops.relational import bucketed_aggregate
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": batch[key_col],
+                "x": batch[x_col].astype("float64"),
+                "y": batch[y_col].astype("float64"),
+            }
+        )
+
+    hist = bucketed_aggregate(
+        ds.map_batches(tag, batch_format="pandas"),
+        ["k", "x"], {"n": ("x", "count"), "s": ("y", "sum")},
+    )
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("x")
+        x = g["x"].to_numpy(np.float64)
+        x0, x1, n, s = _pav_runs(
+            x, x,
+            g["n"].to_numpy(np.float64),
+            g["s"].to_numpy(np.float64),
+        )
+        return pd.DataFrame(
+            {
+                "k": g["k"].iloc[0],
+                "x_start": x0,
+                "x_end": x1,
+                "n": n.astype(np.int64),
+                "rate": np.round(s / n, ndigits),
+            }
+        )
+
+    return hist.groupby("k").map_groups(fold, batch_format="pandas")

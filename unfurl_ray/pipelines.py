@@ -5499,3 +5499,39 @@ def q_group_gini(sf_dir: str) -> pd.DataFrame:
     out = out.rename(columns={"k": "o_orderpriority"})
     out["total"] = out["total"].round(2)
     return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_group_isotonic(sf_dir: str) -> pd.DataFrame:
+    """Per-day-of-week isotonic calibration of purchase propensity vs
+    event value — grouped monotone calibration curves.
+    ops.fit.grouped_isotonic_fit: (key, x, n, sum_y) histogram
+    shuffle, one stack-PAV per key.  Rows-only (PAV fixpoint); the
+    per-group parity pytest pins exactness."""
+    from unfurl_ray.ops.fit import grouped_isotonic_fit
+
+    ds = _parquet_sh(
+        sf_dir, "events", ["ts", "event_type", "value"]
+    )
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "dow": (
+                    batch["ts"].astype("int64") // 86_400_000_000 % 7
+                ).astype("int64"),
+                "score": batch["value"].astype("float64"),
+                "y": (batch["event_type"] == "purchase").astype(
+                    "int64"
+                ),
+            }
+        )
+
+    out = grouped_isotonic_fit(
+        ds.map_batches(tag, batch_format="pandas"),
+        "dow", "score", "y",
+    ).to_pandas()
+    out = out.rename(columns={"k": "dow"})
+    out["dow"] = out["dow"].astype("int64")
+    out["x_start"] = out["x_start"].round(6)
+    out["x_end"] = out["x_end"].round(6)
+    return out.sort_values(["dow", "x_start"]).reset_index(drop=True)
