@@ -4539,3 +4539,19 @@ def test_grouped_isotonic_matches_per_group_pav(ray_session):
             mine["x_start"].to_numpy(), want["x_start"].to_numpy()
         ), g
         assert int(mine["n"].sum()) == len(sub)
+
+
+def test_kcore_full_peel_returns_typed_empty(ray_session):
+    """A graph whose every node dies below k returns an empty frame
+    WITH the (node, degree) schema, not a schema-less Dataset."""
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.graph import kcore
+
+    # chain: max degree 2, so k=3 peels everything
+    e = pd.DataFrame({"u": [0, 1, 1, 2, 2, 3], "v": [1, 0, 2, 1, 3, 2]})
+    ds = kcore(ray.data.from_pandas(e).repartition(3), k=3)
+    schema = ds.schema()
+    assert schema.names == ["node", "degree"]
+    assert ds.count() == 0

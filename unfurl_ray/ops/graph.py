@@ -707,7 +707,13 @@ def _collect_shards(actors, refs, empty_schema: dict):
             .map_batches(_arrow, batch_format="pandas")
             .materialize()
         )
-    else:
+        # all-empty shard frames leave zero blocks (map_batches
+        # skips empties) -> a schema-less Dataset; fall through to
+        # the typed empty so callers can index columns (e.g. kcore
+        # when the whole graph peels away)
+        if out.count() == 0:
+            refs = []
+    if not refs:
         out = ray.data.from_pandas(
             pd.DataFrame(
                 {c: pd.Series([], dtype=t)

@@ -4983,6 +4983,13 @@ def q_kcore(sf_dir: str) -> pd.DataFrame:
 
     edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
     out = kcore(edges, k=3, num_partitions=8).to_pandas()
+    if len(out) == 0:  # Ray's to_pandas drops the schema when empty
+        out = pd.DataFrame(
+            {
+                "node": pd.Series([], dtype="int64"),
+                "degree": pd.Series([], dtype="int64"),
+            }
+        )
     out["node"] = out["node"].astype("int64")
     out["degree"] = out["degree"].astype("int64")
     return out.sort_values("node").reset_index(drop=True)
