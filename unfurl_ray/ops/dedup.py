@@ -758,7 +758,9 @@ def set_similarity_join(ds, threshold: float = 0.4, k: int = 3,
         g["_dbucket"] = (
             g["doc_id"].to_numpy(np.int64) % np.int64(n_buckets)
         ).astype(np.int32)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
 
     with_df = grams.groupby("_bucket").map_groups(
         df_in_bucket, batch_format="pandas"
@@ -782,7 +784,9 @@ def set_similarity_join(ds, threshold: float = 0.4, k: int = 3,
             zlib.crc32(s.encode()) % n_buckets for s in out["gram"]
         ]
         out["_bucket"] = out["_bucket"].astype(np.int32)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
 
     prefixes = with_df.groupby("_dbucket").map_groups(
         prefixes_in_bucket, batch_format="pandas"
