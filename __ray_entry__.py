@@ -208,6 +208,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cond_entropy": p.q_cond_entropy,
         "q_group_gini": p.q_group_gini,
         "q_group_isotonic": p.q_group_isotonic,
+        "q_twap": p.q_twap,
+        "q_assortativity": p.q_assortativity,
+        "q_common_neighbors": p.q_common_neighbors,
     }
 
 
@@ -2850,6 +2853,89 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS BIGINT) AS n,
                    round(tot, 2) AS total
             FROM s
+        """,
+        # per-user time-weighted average via the lead() window
+        "q_twap": """
+            WITH w AS (
+                SELECT user_id, value,
+                       lead(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id)
+                           - epoch_us(ts) AS dt
+                FROM events),
+            s AS (
+                SELECT user_id, sum(value * dt) AS num,
+                       sum(dt) AS den, count(dt) AS n
+                FROM w WHERE dt IS NOT NULL
+                GROUP BY user_id HAVING sum(dt) > 0)
+            SELECT user_id, round(num / den, 6) AS twap,
+                   CAST(den AS BIGINT) AS span_us,
+                   CAST(n AS BIGINT) AS n_intervals
+            FROM s ORDER BY user_id
+        """,
+        # degree assortativity over the cosine >= 0.3 embedding graph:
+        # explicit integer sufficient sums mirror the Ray fold exactly
+        "q_assortativity": """
+            WITH p AS (
+                SELECT a.vec_id AS u, b.vec_id AS v
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(
+                          CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) >= 0.3
+            ), e AS (
+                SELECT u, v FROM p UNION ALL SELECT v, u FROM p
+            ), d AS (
+                SELECT u AS node, count(*) AS deg FROM e GROUP BY u
+            ), j AS (
+                SELECT du.deg AS x, dv.deg AS y
+                FROM e JOIN d du ON du.node = e.u
+                       JOIN d dv ON dv.node = e.v
+            ), s AS (
+                SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                       sum(x * y) AS sxy, sum(x * x) AS sxx,
+                       sum(y * y) AS syy
+                FROM j)
+            SELECT CAST(n AS BIGINT) AS n_directed,
+                   round((n * sxy - sx * sy)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))),
+                         6) AS assortativity
+            FROM s
+        """,
+        # top-20 neighborhood-Jaccard link predictions: wedge
+        # self-join counts common neighbors, NOT EXISTS drops pairs
+        # that are already edges
+        "q_common_neighbors": """
+            WITH p AS (
+                SELECT a.vec_id AS u, b.vec_id AS v
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(
+                          CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) >= 0.3
+            ), e AS (
+                SELECT u, v FROM p UNION ALL SELECT v, u FROM p
+            ), d AS (
+                SELECT u AS node, count(*) AS deg FROM e GROUP BY u
+            ), w AS (
+                SELECT e1.v AS x, e2.v AS y, count(*) AS common
+                FROM e e1 JOIN e e2
+                  ON e1.u = e2.u AND e1.v < e2.v
+                GROUP BY 1, 2
+            ), nc AS (
+                SELECT x, y, common FROM w
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM p WHERE p.u = w.x AND p.v = w.y)
+            )
+            SELECT x, y, CAST(common AS BIGINT) AS common,
+                   round(common * 1.0
+                         / (dx.deg + dy.deg - common), 6) AS jaccard
+            FROM nc JOIN d dx ON dx.node = nc.x
+                    JOIN d dy ON dy.node = nc.y
+            ORDER BY common * 1.0 / (dx.deg + dy.deg - common) DESC,
+                     x, y
+            LIMIT 20
         """,
         # q_minhash_dedup / q_simhash / q_knn_ivf / q_hll_users /
         # q_quantile_sketch / q_group_quantile_sketch /

@@ -4555,3 +4555,77 @@ def test_kcore_full_peel_returns_typed_empty(ray_session):
     schema = ds.schema()
     assert schema.names == ["node", "degree"]
     assert ds.count() == 0
+
+
+def test_time_weighted_avg_matches_pandas(ray_session):
+    """TWAP vs a per-key pandas reference; single-event and
+    all-simultaneous keys are dropped like the twin's HAVING."""
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.relational import time_weighted_avg
+
+    rng = np.random.default_rng(7)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "k": rng.integers(0, 12, n),
+            "ts": pd.to_datetime(
+                rng.integers(0, 10**7, n), unit="s"
+            ).astype("datetime64[us]"),
+            "v": rng.normal(10, 3, n),
+        }
+    )
+    # key 10: single event; key 11: all events share one timestamp
+    df = df[(df["k"] != 10) | (df.index == df[df["k"] == 10].index[0])]
+    df.loc[df["k"] == 11, "ts"] = pd.Timestamp("2020-01-01")
+
+    out = time_weighted_avg(
+        ray.data.from_pandas(df).repartition(5),
+        key_col="k", ts_col="ts", value_col="v", id_col="id",
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+
+    want = {}
+    for k, g in df.groupby("k"):
+        g = g.sort_values(["ts", "id"])
+        dt = g["ts"].astype("int64").diff().dropna().to_numpy()
+        if len(dt) == 0 or dt.sum() == 0:
+            continue
+        want[k] = float((g["v"].to_numpy()[:-1] * dt).sum() / dt.sum())
+    assert set(out["k"]) == set(want)
+    for _, row in out.iterrows():
+        assert abs(row["twap"] - want[row["k"]]) < 1e-9
+
+
+def test_degree_assortativity_star_is_minus_one(ray_session):
+    """A star graph is perfectly disassortative: r = -1."""
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.graph import degree_assortativity
+
+    e = pd.DataFrame({"a": [0] * 6, "b": [1, 2, 3, 4, 5, 6]})
+    out = degree_assortativity(ray.data.from_pandas(e).repartition(3))
+    assert out["n_directed"].iloc[0] == 12
+    assert abs(out["assortativity"].iloc[0] + 1.0) < 1e-12
+
+
+def test_common_neighbor_scores_hand_graph(ray_session):
+    """Path 0-1-2 plus 2-3: (0, 2) are adjacent? no — edges are
+    (0,1),(1,2),(2,3): pair (0,2) shares neighbor 1, jaccard
+    1/(1+2-1); pair (1,3) shares 2, jaccard 1/(2+1-1)."""
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.graph import common_neighbor_scores
+
+    e = pd.DataFrame({"a": [0, 1, 2], "b": [1, 2, 3]})
+    out = common_neighbor_scores(
+        ray.data.from_pandas(e).repartition(2), top_k=10
+    )
+    got = {
+        (int(r["x"]), int(r["y"])): (int(r["common"]), r["jaccard"])
+        for _, r in out.iterrows()
+    }
+    assert got == {(0, 2): (1, 0.5), (1, 3): (1, 0.5)}

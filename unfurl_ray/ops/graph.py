@@ -1102,3 +1102,273 @@ def kcore(edges, k: int, num_partitions: int = 8,
     return _collect_shards(
         actors, refs, {"node": "int64", "degree": "int64"}
     )
+
+
+def degree_assortativity(edges, n_buckets: int = 32):
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of (deg(u), deg(v)) over the DIRECTED edge list (each
+    undirected edge contributes both orientations), answering "do
+    hubs link to hubs?".
+
+    Input: canonical undirected edges ``(a, b)``, a < b, unique rows.
+
+    Distributed shape: degrees via ``bucketed_aggregate`` (one row per
+    node), attached to each directed edge with TWO
+    ``bucketed_hash_join`` passes — no driver- or broadcast-held
+    O(nodes) structure, unlike ``triangle_count``'s rank map.  The
+    correlation itself folds from per-batch integer sufficient stats
+    (n, sx, sy, sxy, sxx, syy): one tiny row per block, summed as
+    exact Python ints on the driver, so the closing float expression
+    is computed from the same integers as the SQL twin's HUGEINT sums
+    and hash-matches at round(6).
+
+    Returns (n_directed, assortativity) as a one-row DataFrame.
+    """
+    from unfurl_ray.ops.relational import (
+        bucketed_aggregate, bucketed_hash_join,
+    )
+
+    edges = edges.materialize()
+
+    def both(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([a, b]), pa.int64()),
+                "v": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    directed = edges.map_batches(both, batch_format="pyarrow")
+    deg = bucketed_aggregate(
+        directed.select_columns(["u"]).map_batches(
+            lambda t: t.rename_columns(["node"]),
+            batch_format="pyarrow",
+        ),
+        ["node"], {"deg": ("node", "count")},
+    )
+
+    def as_du(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["node" if c == "node" else "du" for c in t.column_names]
+        )
+
+    def as_dv(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["node" if c == "node" else "dv" for c in t.column_names]
+        )
+
+    deg = deg.materialize()
+    with_du = bucketed_hash_join(
+        directed, deg.map_batches(as_du, batch_format="pyarrow"),
+        on="u", right_on="node", n_buckets=n_buckets,
+    )
+    with_both = bucketed_hash_join(
+        with_du, deg.map_batches(as_dv, batch_format="pyarrow"),
+        on="v", right_on="node", n_buckets=n_buckets,
+    )
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        x = batch["du"].to_numpy(dtype=np.int64)
+        y = batch["dv"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64()),
+            }
+        )
+
+    parts = with_both.map_batches(
+        partial, batch_format="pandas"
+    ).to_pandas()
+    n = int(parts["n"].sum())
+    sx, sy = int(parts["sx"].sum()), int(parts["sy"].sum())
+    sxy = int(parts["sxy"].sum())
+    sxx, syy = int(parts["sxx"].sum()), int(parts["syy"].sum())
+    denom = float(
+        np.sqrt(float(n * sxx - sx * sx))
+        * np.sqrt(float(n * syy - sy * sy))
+    )
+    r = (n * sxy - sx * sy) / denom if denom else 0.0
+    return pd.DataFrame(
+        {
+            "n_directed": np.array([n], dtype=np.int64),
+            "assortativity": np.array([r], dtype=np.float64),
+        }
+    )
+
+
+def common_neighbor_scores(edges, top_k: int = 20,
+                           n_buckets: int = 64,
+                           max_degree: int | None = None):
+    """Link prediction by neighborhood overlap: for every NON-adjacent
+    node pair sharing at least one neighbor, the common-neighbor count
+    and Jaccard similarity |N(x) & N(y)| / |N(x) | N(y)|; returns the
+    global top ``top_k`` by (jaccard desc, x, y).
+
+    Distributed shape: each node's adjacency list (one
+    ``groupby(center)`` group) emits its C(deg, 2) canonical neighbor
+    pairs — the classic wedge blowup; ``max_degree`` caps it by
+    SKIPPING hub centers (an approximation, so the default is exact
+    and the cap is the documented scale knob, like
+    ``fingerprint_edges``' hot-bucket cap).  Pair counts fold via
+    ``bucketed_aggregate``; already-adjacent pairs are removed with a
+    one-shuffle composite-key anti-join (tag + union + per-bucket
+    drop), degrees attach with two ``bucketed_hash_join`` passes, and
+    the top-k closes with per-block partials (k rows per block, never
+    the full pair set on the driver).
+    """
+    import ray as _ray  # noqa: F401  (parity with module siblings)
+
+    from unfurl_ray.ops.relational import (
+        _arrow, bucketed_aggregate, bucketed_hash_join,
+    )
+
+    edges = edges.materialize()
+
+    def both(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c": pa.array(np.concatenate([a, b]), pa.int64()),
+                "nb": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    directed = edges.map_batches(both, batch_format="pyarrow")
+
+    def wedges(group: pd.DataFrame) -> pa.Table:
+        xs, ys = [], []
+        for _, g in group.groupby("c", sort=False):
+            nb = np.sort(g["nb"].to_numpy())
+            k = len(nb)
+            if k < 2 or (max_degree is not None and k > max_degree):
+                continue
+            iu, iv = np.triu_indices(k, 1)
+            xs.append(nb[iu])
+            ys.append(nb[iv])
+        if not xs:
+            return pa.table(
+                {
+                    "x": pa.array([], pa.int64()),
+                    "y": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "x": pa.array(np.concatenate(xs), pa.int64()),
+                "y": pa.array(np.concatenate(ys), pa.int64()),
+            }
+        )
+
+    pair_counts = bucketed_aggregate(
+        directed.groupby("c").map_groups(
+            wedges, batch_format="pandas"
+        ),
+        ["x", "y"], {"common": ("x", "count")},
+        n_buckets=n_buckets,
+    )
+
+    # composite-key anti-join: drop (x, y) pairs that are edges
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_side", pa.array(np.zeros(len(t), dtype=np.int8))
+        )
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "x": t.column("a").cast(pa.int64()),
+                "y": t.column("b").cast(pa.int64()),
+                "common": pa.array(
+                    np.zeros(len(t), dtype=np.int64)
+                ),
+                "_side": pa.array(np.ones(len(t), dtype=np.int8)),
+            }
+        )
+
+    tagged = pair_counts.map_batches(
+        tag_pairs, batch_format="pyarrow"
+    ).union(edges.map_batches(tag_edges, batch_format="pyarrow"))
+
+    def bucket(batch: pd.DataFrame) -> pa.Table:
+        batch["_bucket"] = (
+            pd.util.hash_pandas_object(
+                batch[["x", "y"]], index=False
+            ).to_numpy() % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return _arrow(batch)
+
+    def drop_adjacent(group: pd.DataFrame) -> pa.Table:
+        is_edge = group["_side"] == 1
+        keys = pd.MultiIndex.from_frame(group.loc[is_edge, ["x", "y"]])
+        cand = group.loc[~is_edge]
+        keep = ~pd.MultiIndex.from_frame(cand[["x", "y"]]).isin(keys)
+        return _arrow(cand.loc[keep, ["x", "y", "common"]])
+
+    non_adjacent = (
+        tagged.map_batches(bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(drop_adjacent, batch_format="pandas")
+    )
+
+    deg = bucketed_aggregate(
+        directed.select_columns(["c"]).map_batches(
+            lambda t: t.rename_columns(["node"]),
+            batch_format="pyarrow",
+        ),
+        ["node"], {"deg": ("node", "count")},
+    ).materialize()
+
+    def as_dx(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["node" if c == "node" else "dx" for c in t.column_names]
+        )
+
+    def as_dy(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["node" if c == "node" else "dy" for c in t.column_names]
+        )
+
+    with_dx = bucketed_hash_join(
+        non_adjacent, deg.map_batches(as_dx, batch_format="pyarrow"),
+        on="x", right_on="node", n_buckets=n_buckets,
+    )
+    scored = bucketed_hash_join(
+        with_dx, deg.map_batches(as_dy, batch_format="pyarrow"),
+        on="y", right_on="node", n_buckets=n_buckets,
+    )
+
+    def block_topk(batch: pd.DataFrame) -> pa.Table:
+        common = batch["common"].to_numpy(dtype=np.int64)
+        dx = batch["dx"].to_numpy(dtype=np.int64)
+        dy = batch["dy"].to_numpy(dtype=np.int64)
+        out = pd.DataFrame(
+            {
+                "x": batch["x"].to_numpy(dtype=np.int64),
+                "y": batch["y"].to_numpy(dtype=np.int64),
+                "common": common,
+                "jaccard": common / (dx + dy - common),
+            }
+        )
+        out = out.sort_values(
+            ["jaccard", "x", "y"], ascending=[False, True, True]
+        ).head(top_k)
+        return _arrow(out)
+
+    best = scored.map_batches(
+        block_topk, batch_format="pandas"
+    ).to_pandas()
+    return (
+        best.sort_values(
+            ["jaccard", "x", "y"], ascending=[False, True, True]
+        )
+        .head(top_k)
+        .reset_index(drop=True)
+    )

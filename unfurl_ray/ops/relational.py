@@ -709,6 +709,58 @@ def lag_rolling(ds, key_col: str, ts_col: str, value_col: str,
     return ds.groupby(key_col).map_groups(windows, batch_format="pandas")
 
 
+def time_weighted_avg(ds, key_col: str, ts_col: str, value_col: str,
+                      id_col: str):
+    """Per-key time-weighted average over an irregular event stream
+    (TWAP): each value is weighted by the interval until the key's
+    NEXT event, so a value that stood for an hour counts 60x one that
+    stood for a minute.  The last event of a key carries no weight,
+    and keys with a single event are dropped — the same rows a
+    ``lead()``-window twin's ``WHERE dt IS NOT NULL`` keeps.
+
+    Same partitioning contract as ``lag_rolling``: one
+    ``groupby(key).map_groups`` pass over the (ts, id)-sorted key
+    stream; project to (id, key, ts, value) BEFORE this op so the
+    shuffle never carries payload.  Interval sums are exact int64
+    microseconds; the weighted numerator is a float64 sum whose
+    magnitude matches the oracle's, so round(6) after the division
+    hash-matches.
+
+    Output: (key, twap, span_us, n_intervals), one row per key with
+    >= 2 events.
+    """
+    _empty = pa.table(
+        {
+            key_col: pa.array([], pa.int64()),
+            "twap": pa.array([], pa.float64()),
+            "span_us": pa.array([], pa.int64()),
+            "n_intervals": pa.array([], pa.int64()),
+        }
+    )
+
+    def fold(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values([ts_col, id_col]).reset_index(drop=True)
+        if len(g) < 2:
+            return _empty
+        ts = _ts_us(g[ts_col]).to_numpy()
+        dt = ts[1:] - ts[:-1]
+        den = int(dt.sum())
+        if den == 0:  # all events simultaneous; twin's HAVING drops it
+            return _empty
+        v = g[value_col].to_numpy(dtype=np.float64)[:-1]
+        num = float(np.sum(v * dt))
+        return pa.table(
+            {
+                key_col: pa.array([int(g[key_col].iloc[0])], pa.int64()),
+                "twap": pa.array([num / den], pa.float64()),
+                "span_us": pa.array([den], pa.int64()),
+                "n_intervals": pa.array([len(dt)], pa.int64()),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(fold, batch_format="pandas")
+
+
 def ntile_by(ds, part_col: str, order_col: str, id_col: str, k: int):
     """Distributed exact NTILE(k) OVER (PARTITION BY part ORDER BY
     order, id) — without ever putting one partition's rows in one

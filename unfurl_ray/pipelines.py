@@ -5542,3 +5542,70 @@ def q_group_isotonic(sf_dir: str) -> pd.DataFrame:
     out["x_start"] = out["x_start"].round(6)
     out["x_end"] = out["x_end"].round(6)
     return out.sort_values(["dow", "x_start"]).reset_index(drop=True)
+
+
+def q_twap(sf_dir: str) -> pd.DataFrame:
+    """Per-user time-weighted average event value (TWAP): each value
+    weighted by the interval until the user's next event.
+    ops.relational.time_weighted_avg — one groupby(user).map_groups
+    pass over the (ts, event_id)-sorted stream; int64-exact interval
+    sums.  Hash-exact vs a lead()-window DuckDB twin."""
+    from unfurl_ray.ops.relational import time_weighted_avg
+
+    ds = _parquet_sh(
+        sf_dir, "events", ["event_id", "ts", "user_id", "value"]
+    )
+    out = time_weighted_avg(
+        ds, key_col="user_id", ts_col="ts", value_col="value",
+        id_col="event_id",
+    ).to_pandas()
+    out["twap"] = out["twap"].round(6)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _embedding_edges(sf_dir: str, threshold: float = 0.3):
+    """Canonical (a, b) cosine-similarity edges over embeddings —
+    the shared edge set of the graph-op queries (q_triangles'
+    construction, factored)."""
+    from unfurl_ray.ops.similarity import cosine_pair_dedup
+
+    ds = _parquet(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = cosine_pair_dedup(ds, threshold=threshold)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": batch.column("vec_a").cast(pa.int64()),
+                "b": batch.column("vec_b").cast(pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(rename, batch_format="pyarrow")
+
+
+def q_assortativity(sf_dir: str) -> pd.DataFrame:
+    """Degree assortativity of the embedding similarity graph
+    (cosine >= 0.3): do well-connected vectors cluster with each
+    other?  ops.graph.degree_assortativity — degrees attach via two
+    bucketed hash joins (no broadcast node table); integer sufficient
+    stats make the coefficient hash-exact vs the explicit-sums SQL
+    twin."""
+    from unfurl_ray.ops.graph import degree_assortativity
+
+    out = degree_assortativity(_embedding_edges(sf_dir))
+    out["assortativity"] = out["assortativity"].round(6)
+    return out
+
+
+def q_common_neighbors(sf_dir: str) -> pd.DataFrame:
+    """Top-20 link predictions on the embedding similarity graph:
+    non-adjacent pairs ranked by neighborhood Jaccard.
+    ops.graph.common_neighbor_scores — per-center wedge emission,
+    bucketed pair-count fold, composite-key anti-join against the
+    edge set, two degree joins, per-block top-k.  Hash-exact vs a
+    wedge self-join twin."""
+    from unfurl_ray.ops.graph import common_neighbor_scores
+
+    out = common_neighbor_scores(_embedding_edges(sf_dir), top_k=20)
+    out["jaccard"] = out["jaccard"].round(6)
+    return out.reset_index(drop=True)
