@@ -211,6 +211,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_twap": p.q_twap,
         "q_assortativity": p.q_assortativity,
         "q_common_neighbors": p.q_common_neighbors,
+        "q_naive_bayes": p.q_naive_bayes,
+        "q_kaplan_meier": p.q_kaplan_meier,
+        "q_acf": p.q_acf,
+        "q_throttle": p.q_throttle,
+        "q_ols_multi": p.q_ols_multi,
+        "q_rank_fusion": p.q_rank_fusion,
     }
 
 
@@ -2937,6 +2943,141 @@ def oracle_sql() -> dict[str, str]:
                      x, y
             LIMIT 20
         """,
+        # Laplace-smoothed categorical NB over the full value x class
+        # grid (zero-count cells via the grid LEFT JOIN)
+        "q_naive_bayes": """
+            WITH t AS (
+                SELECT o_orderstatus AS cls,
+                       o_orderpriority AS v1,
+                       CAST(epoch_us(o_orderdate) // 86400000000 % 7
+                            AS VARCHAR) AS v2
+                FROM orders),
+            m AS (
+                SELECT cls, 'priority' AS feature, v1 AS value FROM t
+                UNION ALL SELECT cls, 'dow', v2 FROM t),
+            c AS (
+                SELECT feature, value, cls, count(*) AS cnt
+                FROM m GROUP BY 1, 2, 3),
+            vf AS (
+                SELECT feature, count(DISTINCT value) AS nv
+                FROM c GROUP BY 1),
+            cn AS (SELECT cls, count(*) AS n FROM t GROUP BY 1),
+            grid AS (
+                SELECT v.feature, v.value, k.cls
+                FROM (SELECT DISTINCT feature, value FROM c) v
+                CROSS JOIN (SELECT DISTINCT cls FROM t) k),
+            j AS (
+                SELECT g.feature, g.value, g.cls,
+                       COALESCE(c.cnt, 0) AS cnt
+                FROM grid g LEFT JOIN c
+                  ON c.feature = g.feature AND c.value = g.value
+                 AND c.cls = g.cls),
+            rows_ AS (
+                SELECT j.feature, j.value, j.cls,
+                       CAST(j.cnt AS BIGINT) AS cnt,
+                       round(ln(j.cnt + 1.0)
+                             - ln(cn.n + 1.0 * vf.nv), 6) AS logp
+                FROM j JOIN cn ON cn.cls = j.cls
+                       JOIN vf ON vf.feature = j.feature
+                UNION ALL
+                SELECT '__prior__', cls, cls, CAST(n AS BIGINT),
+                       round(ln(1.0 * n)
+                             - ln((SELECT 1.0 * count(*) FROM t)), 6)
+                FROM cn)
+            SELECT * FROM rows_ ORDER BY feature, value, cls
+        """,
+        # KM estimator: at-risk from the cumulative histogram,
+        # survival via the ordered product() window at event times
+        "q_kaplan_meier": """
+            WITH u AS (
+                SELECT user_id,
+                       (epoch_us(max(ts)) - epoch_us(min(ts)))
+                           // 86400000000 AS t,
+                       max(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS ev
+                FROM events GROUP BY 1),
+            h AS (
+                SELECT t, sum(ev) AS d, count(*) AS c
+                FROM u GROUP BY 1),
+            w AS (
+                SELECT t, d, c,
+                       (SELECT count(*) FROM u)
+                       - COALESCE(sum(c) OVER (ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS n_risk
+                FROM h),
+            k AS (
+                SELECT t, d, n_risk,
+                       product(1 - d * 1.0 / n_risk)
+                           OVER (ORDER BY t) AS s
+                FROM w WHERE d > 0)
+            SELECT CAST(t AS BIGINT) AS t,
+                   CAST(n_risk AS BIGINT) AS n_risk,
+                   CAST(d AS BIGINT) AS d,
+                   round(s, 6) AS survival
+            FROM k ORDER BY t
+        """,
+        # gap-tolerant ACF: pairs by exact day offset, full-series
+        # denominator
+        "q_acf": """
+            WITH d AS (
+                SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                       sum(o_totalprice) AS x
+                FROM orders GROUP BY 1),
+            s AS (SELECT sum(x) / count(*) AS m FROM d),
+            den AS (
+                SELECT sum((x - m) * (x - m)) AS den FROM d, s),
+            p AS (
+                SELECT r.lag AS lag,
+                       sum((a.x - m) * (b.x - m)) AS num,
+                       count(*) AS n_pairs
+                FROM range(1, 8) r(lag)
+                CROSS JOIN s
+                CROSS JOIN d a
+                JOIN d b ON b.day = a.day + r.lag
+                GROUP BY 1)
+            SELECT CAST(lag AS BIGINT) AS lag,
+                   round(num / den.den, 6) AS acf,
+                   CAST(n_pairs AS BIGINT) AS n_pairs
+            FROM p, den ORDER BY lag
+        """,
+        # lag-semantics rapid-repeat filter (1 h)
+        "q_throttle": """
+            WITH w AS (
+                SELECT event_id, user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS dt
+                FROM events)
+            SELECT event_id, user_id FROM w
+            WHERE dt IS NULL OR dt >= 3600000000
+            ORDER BY event_id
+        """,
+        # RRF of spend and order-count rankings; spend in exact cents
+        "q_rank_fusion": """
+            WITH a AS (
+                SELECT o_custkey,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS spend,
+                       count(*) AS n
+                FROM orders GROUP BY 1),
+            r AS (
+                SELECT o_custkey,
+                       row_number() OVER (
+                           ORDER BY spend DESC, o_custkey) AS r1,
+                       row_number() OVER (
+                           ORDER BY n DESC, o_custkey) AS r2
+                FROM a)
+            SELECT o_custkey,
+                   CAST(r1 AS BIGINT) AS spend_rank,
+                   CAST(r2 AS BIGINT) AS count_rank,
+                   round(1.0 / (60 + r1) + 1.0 / (60 + r2), 6) AS rrf
+            FROM r
+            ORDER BY 1.0 / (60 + r1) + 1.0 / (60 + r2) DESC, o_custkey
+            LIMIT 20
+        """,
+        # q_ols_multi: float Gram-partial fold (summation-order noise)
+        # -> rows-only with a numpy lstsq parity pytest.
         # q_minhash_dedup / q_simhash / q_knn_ivf / q_hll_users /
         # q_quantile_sketch / q_group_quantile_sketch /
         # q_embed_neardup_ann: heuristic, sketch-based or multi-stage

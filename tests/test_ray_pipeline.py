@@ -4629,3 +4629,91 @@ def test_common_neighbor_scores_hand_graph(ray_session):
         for _, r in out.iterrows()
     }
     assert got == {(0, 2): (1, 0.5), (1, 3): (1, 0.5)}
+
+
+def test_ols_fit_matches_lstsq(ray_session):
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.fit import ols_fit
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    x1, x2 = rng.normal(0, 2, n), rng.uniform(-1, 1, n)
+    y = 3.0 + 1.5 * x1 - 2.25 * x2 + rng.normal(0, 0.5, n)
+    df = pd.DataFrame({"y": y, "x1": x1, "x2": x2})
+    out = ols_fit(
+        ray.data.from_pandas(df).repartition(8), "y", ["x1", "x2"]
+    )
+    X = np.column_stack([np.ones(n), x1, x2])
+    want, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert np.allclose(out["coef"].to_numpy(), want, atol=1e-8)
+
+
+def test_kaplan_meier_hand_example(ray_session):
+    """Classic worked example: durations 1,2,2,3,4 with events
+    1,1,0,1,0 -> S(1)=4/5, S(2)=4/5*3/4=3/5, S(3)=3/5*1/2=3/10."""
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.fit import kaplan_meier
+
+    df = pd.DataFrame(
+        {"dur": [1, 2, 2, 3, 4], "ev": [1, 1, 0, 1, 0]}
+    )
+    out = kaplan_meier(
+        ray.data.from_pandas(df).repartition(3), "dur", "ev"
+    )
+    assert out["t"].tolist() == [1, 2, 3]
+    assert out["n_risk"].tolist() == [5, 4, 2]
+    assert out["d"].tolist() == [1, 1, 1]
+    assert np.allclose(out["survival"], [0.8, 0.6, 0.3])
+
+
+def test_naive_bayes_probabilities_normalize(ray_session):
+    """Smoothed conditionals sum to 1 over each feature's value set,
+    and priors sum to 1."""
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.fit import naive_bayes_fit
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "cls": rng.choice(["a", "b"], 300),
+            "f1": rng.choice(["x", "y", "z"], 300),
+            "f2": rng.choice(["p", "q"], 300),
+        }
+    )
+    out = naive_bayes_fit(
+        ray.data.from_pandas(df).repartition(4), "cls", ["f1", "f2"]
+    )
+    cond = out[out["feature"] != "__prior__"]
+    for (_f, _c), sub in cond.groupby(["feature", "class"]):
+        assert abs(np.exp(sub["logp"]).sum() - 1.0) < 1e-12
+    pri = out[out["feature"] == "__prior__"]
+    assert abs(np.exp(pri["logp"]).sum() - 1.0) < 1e-12
+
+
+def test_autocorrelation_matches_definition(ray_session):
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.profile import autocorrelation
+
+    rng = np.random.default_rng(5)
+    n = 200
+    x = np.sin(np.arange(n) * 2 * np.pi / 7) + rng.normal(0, 0.1, n)
+    df = pd.DataFrame({"t": np.arange(n, dtype=np.int64), "x": x})
+    out = autocorrelation(
+        ray.data.from_pandas(df).repartition(4), "t", "x", max_lag=7
+    )
+    m = x.mean()
+    den = ((x - m) ** 2).sum()
+    for k in range(1, 8):
+        want = ((x[:-k] - m) * (x[k:] - m)).sum() / den
+        got = out.loc[out["lag"] == k, "acf"].iloc[0]
+        assert abs(got - want) < 1e-9, k
+    # period-7 signal: lag-7 autocorrelation is the strongest
+    assert out.loc[out["lag"] == 7, "acf"].iloc[0] > 0.8

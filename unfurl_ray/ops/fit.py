@@ -609,3 +609,170 @@ def grouped_isotonic_fit(ds, key_col: str, x_col: str, y_col: str,
         )
 
     return hist.groupby("k").map_groups(fold, batch_format="pandas")
+
+
+def naive_bayes_fit(ds, class_col: str, feature_cols: list[str],
+                    alpha: float = 1.0) -> pd.DataFrame:
+    """Categorical naive Bayes as pure counting: the model IS a
+    grouped aggregation, so the fit is one melt + one bucketed count
+    shuffle — no iterations, no row ever leaves its worker twice.
+
+    Per batch each feature column melts to (feature, value, class)
+    rows; ``bucketed_aggregate`` folds the counts; the closing table
+    is O(sum of feature cardinalities x classes) — vocabulary-sized,
+    the standard NB model size — so Laplace smoothing over the FULL
+    value x class cross product (zero-count cells included) happens
+    vectorized on the collected model table.
+
+    Output rows: (feature, value, class, cnt, logp) with
+    logp = ln(cnt + alpha) - ln(class_n + alpha * |values(feature)|),
+    plus one ('__prior__', class, class, n, ln(n/N)) row per class.
+    All inputs to the logs are exact integers (alpha folds in as a
+    literal), so a SQL twin hash-matches at round(6).
+    """
+    from unfurl_ray.ops.relational import _arrow, bucketed_aggregate
+
+    def melt(batch: pd.DataFrame) -> pa.Table:
+        pieces = []
+        cls = batch[class_col].astype(str)
+        for f in feature_cols:
+            pieces.append(
+                pd.DataFrame(
+                    {
+                        "feature": f,
+                        "value": batch[f].astype(str),
+                        "class": cls,
+                    }
+                )
+            )
+        return _arrow(pd.concat(pieces, ignore_index=True))
+
+    counts = bucketed_aggregate(
+        ds.map_batches(melt, batch_format="pandas"),
+        ["feature", "value", "class"], {"cnt": ("class", "count")},
+    ).to_pandas()
+
+    class_n = (
+        counts[counts["feature"] == feature_cols[0]]
+        .groupby("class")["cnt"].sum()
+    )
+    total = int(class_n.sum())
+
+    # full cross product per feature: observed values x all classes
+    frames = []
+    for f, sub in counts.groupby("feature"):
+        values = sub["value"].unique()
+        nv = len(values)
+        grid = pd.MultiIndex.from_product(
+            [values, class_n.index], names=["value", "class"]
+        ).to_frame(index=False)
+        grid["feature"] = f
+        grid = grid.merge(
+            sub[["value", "class", "cnt"]], on=["value", "class"],
+            how="left",
+        )
+        grid["cnt"] = grid["cnt"].fillna(0).astype(np.int64)
+        grid["logp"] = np.log(
+            grid["cnt"].to_numpy(np.float64) + alpha
+        ) - np.log(
+            class_n.reindex(grid["class"]).to_numpy(np.float64)
+            + alpha * nv
+        )
+        frames.append(grid[["feature", "value", "class", "cnt", "logp"]])
+
+    priors = pd.DataFrame(
+        {
+            "feature": "__prior__",
+            "value": class_n.index,
+            "class": class_n.index,
+            "cnt": class_n.to_numpy(np.int64),
+            "logp": np.log(class_n.to_numpy(np.float64))
+            - np.log(float(total)),
+        }
+    )
+    out = pd.concat(frames + [priors], ignore_index=True)
+    return out.sort_values(
+        ["feature", "value", "class"]
+    ).reset_index(drop=True)
+
+
+def kaplan_meier(ds, duration_col: str, event_col: str) -> pd.DataFrame:
+    """Kaplan-Meier survival curve from (duration, event 0/1) rows:
+    S(t) = prod over event times t_i <= t of (1 - d_i / n_i).
+
+    Distributed shape: one ``bucketed_aggregate`` collapses the corpus
+    to the (duration, deaths, observations) histogram — one row per
+    DISTINCT duration, the bounded time axis — and the at-risk
+    counts / cumulative product close vectorized on that tiny table.
+    d_i and n_i are exact integers; the product accumulates in time
+    order exactly like the SQL twin's ordered ``product()`` window,
+    so round(6) hash-matches.
+
+    Output: (t, n_risk, d, survival) at event times (d > 0) only —
+    censoring-only times don't change S, per the KM estimator.
+    """
+    from unfurl_ray.ops.relational import bucketed_aggregate
+
+    hist = bucketed_aggregate(
+        ds, [duration_col],
+        {"d": (event_col, "sum"), "c": (event_col, "count")},
+    ).to_pandas().sort_values(duration_col).reset_index(drop=True)
+
+    c = hist["c"].to_numpy(np.int64)
+    total = int(c.sum())
+    n_risk = total - np.concatenate(([0], np.cumsum(c)[:-1]))
+    d = hist["d"].to_numpy(np.int64)
+    keep = d > 0
+    surv = np.cumprod(1.0 - d[keep] / n_risk[keep])
+    return pd.DataFrame(
+        {
+            "t": hist.loc[keep, duration_col].to_numpy(np.int64),
+            "n_risk": n_risk[keep].astype(np.int64),
+            "d": d[keep],
+            "survival": surv,
+        }
+    ).reset_index(drop=True)
+
+
+def ols_fit(ds, y_col: str, x_cols: list[str],
+            ridge: float = 0.0) -> pd.DataFrame:
+    """Multi-feature least squares by normal equations — the
+    one-pass, shuffle-free fit: each batch emits its (d+1)x(d+1)
+    Gram partial X'X and moment vector X'y (flattened to one tiny
+    row), the driver folds #blocks rows and solves.  ``ridge`` adds
+    an L2 penalty on the non-intercept terms (closed form).
+
+    Float partial sums mean the coefficients carry summation-order
+    noise ~1e-12 relative — fine for a rows-only check + parity
+    pytest, not for a hash-exact twin.
+
+    Output: (term, coef) with term in ['intercept', *x_cols].
+    """
+    d = len(x_cols) + 1
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        X = np.column_stack(
+            [np.ones(len(batch))]
+            + [batch[c].to_numpy(np.float64) for c in x_cols]
+        )
+        y = batch[y_col].to_numpy(np.float64)
+        g = X.T @ X
+        b = X.T @ y
+        flat = np.concatenate([g.ravel(), b])
+        return pa.table(
+            {f"p{i}": pa.array([v], pa.float64())
+             for i, v in enumerate(flat)}
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pandas"
+    ).to_pandas()
+    flat = parts.to_numpy(np.float64).sum(axis=0)
+    G = flat[: d * d].reshape(d, d)
+    b = flat[d * d:]
+    if ridge:
+        G = G + ridge * np.diag([0.0] + [1.0] * (d - 1))
+    coef = np.linalg.solve(G, b)
+    return pd.DataFrame(
+        {"term": ["intercept"] + list(x_cols), "coef": coef}
+    )

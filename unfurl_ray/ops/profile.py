@@ -830,3 +830,42 @@ def conditional_entropy(ds, x_col: str, y_col: str,
             "u_y_given_x": [round(mi / h_y, ndigits)],
         }
     )
+
+
+def autocorrelation(ds, t_col: str, value_col: str,
+                    max_lag: int = 7) -> pd.DataFrame:
+    """Autocorrelation function of a pre-aggregated regular series at
+    lags 1..max_lag: acf(k) = sum((x_t - m)(x_{t+k} - m)) /
+    sum((x_t - m)^2), pairs with a missing t+k skipped (gap-tolerant,
+    full-series denominator — the standard estimator).
+
+    ``ds`` is the AGGREGATED (t, x) series — one row per time unit,
+    the bounded axis (produce it with pre_aggregate /
+    bucketed_aggregate; that shuffle is the distributed part).  The
+    fold collects the series once (O(#time units), like
+    kaplan_meier's histogram close) and computes all lags with one
+    vectorized reindex per lag.
+
+    Output: (lag, acf, n_pairs).
+    """
+    s = ds.to_pandas().sort_values(t_col).reset_index(drop=True)
+    t = s[t_col].to_numpy(np.int64)
+    x = s[value_col].to_numpy(np.float64)
+    m = x.sum() / len(x)
+    cx = x - m
+    den = float((cx * cx).sum())
+    by_t = pd.Series(cx, index=t)
+    lags, acfs, pairs = [], [], []
+    for k in range(1, max_lag + 1):
+        nxt = by_t.reindex(t + k)
+        mask = ~nxt.isna().to_numpy()
+        lags.append(k)
+        acfs.append(float((cx[mask] * nxt.to_numpy()[mask]).sum()) / den)
+        pairs.append(int(mask.sum()))
+    return pd.DataFrame(
+        {
+            "lag": np.array(lags, dtype=np.int64),
+            "acf": np.array(acfs, dtype=np.float64),
+            "n_pairs": np.array(pairs, dtype=np.int64),
+        }
+    )

@@ -3085,3 +3085,38 @@ def block_heads(sorted_ds, key_col: str,
         .sort_values(key_col)
         .reset_index(drop=True)
     )
+
+
+def throttle_events(ds, key_col: str, ts_col: str, id_col: str,
+                    min_gap_us: int):
+    """Rapid-repeat event filter: drop a row when it lands within
+    ``min_gap_us`` of the key's PREVIOUS raw event (SQL ``lag()``
+    semantics — each event compares to its immediate predecessor, so
+    the op stays hash-checkable; a true debounce, comparing to the
+    previous KEPT event, is the same pass with a per-group scan and
+    no SQL twin).  First event of a key always survives.
+
+    Same partitioning contract as ``lag_rolling``: one
+    ``groupby(key).map_groups`` over the (ts, id)-sorted key stream,
+    shuffle carries only (id, key, ts).
+
+    Output: (id, key) of surviving events.
+    """
+    def fold(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values([ts_col, id_col]).reset_index(drop=True)
+        ts = _ts_us(g[ts_col]).to_numpy()
+        keep = np.empty(len(g), dtype=bool)
+        keep[0] = True
+        keep[1:] = (ts[1:] - ts[:-1]) >= min_gap_us
+        return pa.table(
+            {
+                id_col: pa.array(
+                    g[id_col].to_numpy(np.int64)[keep], pa.int64()
+                ),
+                key_col: pa.array(
+                    g[key_col].to_numpy(np.int64)[keep], pa.int64()
+                ),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(fold, batch_format="pandas")

@@ -5609,3 +5609,214 @@ def q_common_neighbors(sf_dir: str) -> pd.DataFrame:
     out = common_neighbor_scores(_embedding_edges(sf_dir), top_k=20)
     out["jaccard"] = out["jaccard"].round(6)
     return out.reset_index(drop=True)
+
+
+def q_naive_bayes(sf_dir: str) -> pd.DataFrame:
+    """Categorical naive Bayes model over orders (class = status,
+    features = priority + order day-of-week): the classifier-as-
+    aggregation primitive.  ops.fit.naive_bayes_fit — one melt + one
+    bucketed count shuffle; Laplace-smoothed over the full value x
+    class grid.  Hash-exact vs a count-based SQL twin."""
+    from unfurl_ray.ops.fit import naive_bayes_fit
+
+    ds = _parquet_sh(
+        sf_dir, "orders",
+        ["o_orderstatus", "o_orderpriority", "o_orderdate"],
+    )
+
+    def feat(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cls": batch["o_orderstatus"],
+                "priority": batch["o_orderpriority"],
+                "dow": (
+                    batch["o_orderdate"].astype("int64")
+                    // 86_400_000_000 % 7
+                ).astype(str),
+            }
+        )
+
+    out = naive_bayes_fit(
+        ds.map_batches(feat, batch_format="pandas"),
+        "cls", ["priority", "dow"],
+    )
+    out = out.rename(columns={"class": "cls"})
+    out["logp"] = out["logp"].round(6)
+    return out.sort_values(
+        ["feature", "value", "cls"]
+    ).reset_index(drop=True)
+
+
+def q_kaplan_meier(sf_dir: str) -> pd.DataFrame:
+    """Kaplan-Meier survival of user lifetimes (days from first to
+    last event; 'event' = the user ever purchased, else censored).
+    ops.fit.kaplan_meier over a per-user bucketed aggregate; the
+    curve closes on the distinct-duration histogram.  Hash-exact vs
+    an ordered product()-window twin."""
+    from unfurl_ray.ops.fit import kaplan_meier
+    from unfurl_ray.ops.relational import bucketed_aggregate
+
+    ds = _parquet_sh(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].astype("int64"),
+                "is_p": (batch["event_type"] == "purchase").astype(
+                    "int64"
+                ),
+            }
+        )
+
+    users = bucketed_aggregate(
+        ds.map_batches(tag, batch_format="pandas"),
+        ["user_id"],
+        {"t0": ("ts_us", "min"), "t1": ("ts_us", "max"),
+         "ev": ("is_p", "max")},
+    )
+
+    def dur(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "dur": (
+                    (batch["t1"] - batch["t0"]) // 86_400_000_000
+                ).astype("int64"),
+                "event": batch["ev"].astype("int64"),
+            }
+        )
+
+    out = kaplan_meier(
+        users.map_batches(dur, batch_format="pandas"), "dur", "event"
+    )
+    out["survival"] = out["survival"].round(6)
+    return out
+
+
+def q_acf(sf_dir: str) -> pd.DataFrame:
+    """Autocorrelation of the daily revenue series at lags 1..7 —
+    seasonality detection over the bounded time axis.
+    ops.profile.autocorrelation on the pre-aggregated (day, revenue)
+    series.  Hash-exact vs a lag self-join twin."""
+    from unfurl_ray.ops.profile import autocorrelation
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    ds = _parquet_sh(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": (
+                    batch["o_orderdate"].astype("int64")
+                    // 86_400_000_000
+                ).astype("int64"),
+                "x": batch["o_totalprice"],
+            }
+        )
+
+    daily = pre_aggregate(
+        ds.map_batches(tag, batch_format="pandas"),
+        ["day"], {"x": ("x", "sum")},
+    )
+    out = autocorrelation(daily, "day", "x", max_lag=7)
+    out["acf"] = out["acf"].round(6)
+    return out
+
+
+def q_throttle(sf_dir: str) -> pd.DataFrame:
+    """Rapid-repeat event filter: drop events within 1 h of the same
+    user's previous event (lag semantics).
+    ops.relational.throttle_events — one groupby(user).map_groups
+    pass.  Hash-exact vs a lag-window twin."""
+    from unfurl_ray.ops.relational import throttle_events
+
+    ds = _parquet_sh(sf_dir, "events", ["event_id", "ts", "user_id"])
+    out = throttle_events(
+        ds, key_col="user_id", ts_col="ts", id_col="event_id",
+        min_gap_us=3_600_000_000,
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_ols_multi(sf_dir: str) -> pd.DataFrame:
+    """Multi-feature OLS (extendedprice ~ quantity + discount) by
+    one-pass normal equations: per-batch Gram partials, driver solve.
+    ops.fit.ols_fit.  Rows-only (float partial fold) + a numpy
+    lstsq parity pytest."""
+    from unfurl_ray.ops.fit import ols_fit
+
+    ds = _parquet_sh(
+        sf_dir, "lineitem",
+        ["l_extendedprice", "l_quantity", "l_discount"],
+    )
+    out = ols_fit(ds, "l_extendedprice", ["l_quantity", "l_discount"])
+    out["coef"] = out["coef"].round(4)
+    return out
+
+
+def q_rank_fusion(sf_dir: str) -> pd.DataFrame:
+    """Reciprocal rank fusion (k=60) of two customer rankings —
+    total spend and order count — the standard multi-signal ranking
+    combiner.  Spend folds as exact integer cents so rank ties break
+    identically to the twin; ranks come from global_row_number (one
+    range-partitioned sort each), fused via a bucketed hash join.
+    Hash-exact vs a row_number() twin."""
+    from unfurl_ray.ops.relational import (
+        bucketed_aggregate, bucketed_hash_join, global_row_number,
+    )
+
+    ds = _parquet_sh(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": batch["o_custkey"],
+                "cents": np.round(
+                    batch["o_totalprice"].to_numpy() * 100
+                ).astype("int64"),
+            }
+        )
+
+    agg = bucketed_aggregate(
+        ds.map_batches(tag, batch_format="pandas"),
+        ["o_custkey"],
+        {"spend": ("cents", "sum"), "n": ("cents", "count")},
+    ).materialize()
+
+    def neg(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return batch.append_column(
+            "neg_spend", _pc.negate(batch.column("spend"))
+        ).append_column("neg_n", _pc.negate(batch.column("n")))
+
+    keyed = agg.map_batches(neg, batch_format="pyarrow").materialize()
+    r1 = global_row_number(
+        keyed.select_columns(["o_custkey", "neg_spend"]),
+        ["neg_spend", "o_custkey"], out_col="spend_rank",
+    ).select_columns(["o_custkey", "spend_rank"])
+    r2 = global_row_number(
+        keyed.select_columns(["o_custkey", "neg_n"]),
+        ["neg_n", "o_custkey"], out_col="count_rank",
+    ).select_columns(["o_custkey", "count_rank"])
+
+    both = bucketed_hash_join(
+        r1, r2, on="o_custkey", right_on="o_custkey",
+    )
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        r1v = batch["spend_rank"].to_numpy(np.int64)
+        r2v = batch["count_rank"].to_numpy(np.int64)
+        batch["rrf"] = 1.0 / (60 + r1v) + 1.0 / (60 + r2v)
+        return batch.sort_values(
+            ["rrf", "o_custkey"], ascending=[False, True]
+        ).head(20)
+
+    best = both.map_batches(score, batch_format="pandas").to_pandas()
+    best = best.sort_values(
+        ["rrf", "o_custkey"], ascending=[False, True]
+    ).head(20)
+    best["rrf"] = best["rrf"].round(6)
+    return best[
+        ["o_custkey", "spend_rank", "count_rank", "rrf"]
+    ].reset_index(drop=True)
