@@ -217,6 +217,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_throttle": p.q_throttle,
         "q_ols_multi": p.q_ols_multi,
         "q_rank_fusion": p.q_rank_fusion,
+        "q_collocations": p.q_collocations,
+        "q_trigram_paths": p.q_trigram_paths,
+        "q_centroid_sep": p.q_centroid_sep,
+        "q_feature_hash": p.q_feature_hash,
+        "q_benford": p.q_benford,
+        "q_ccf": p.q_ccf,
     }
 
 
@@ -3075,6 +3081,144 @@ def oracle_sql() -> dict[str, str]:
             FROM r
             ORDER BY 1.0 / (60 + r1) + 1.0 / (60 + r2) DESC, o_custkey
             LIMIT 20
+        """,
+        # PMI collocations: integer-exact ratio (c12*Nu^2)/(Nb*c1*c2),
+        # q_bigram_counts' tokenizer contract
+        "q_collocations": """
+            WITH toks AS (
+                SELECT list_filter(regexp_split_to_array(
+                           lower(coalesce(text, '')), '[ \t\n\f\r]+'),
+                           x -> x <> '') AS ws
+                FROM documents),
+            uni AS (SELECT unnest(ws) AS w FROM toks),
+            ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+            bg AS (
+                SELECT unnest([ws[g] || ' ' || ws[g+1]
+                               for g in range(1, len(ws))]) AS bigram
+                FROM toks WHERE len(ws) >= 2),
+            bcnt AS (
+                SELECT split_part(bigram, ' ', 1) AS w1,
+                       split_part(bigram, ' ', 2) AS w2,
+                       count(*) AS n
+                FROM bg GROUP BY 1, 2),
+            tot AS (
+                SELECT (SELECT sum(c) FROM ucnt) AS nu,
+                       (SELECT sum(n) FROM bcnt) AS nb),
+            j AS (
+                SELECT b.w1, b.w2, b.n,
+                       ln((b.n * nu * nu) * 1.0
+                          / (nb * u1.c * u2.c)) AS pmi
+                FROM bcnt b
+                JOIN ucnt u1 ON u1.w = b.w1
+                JOIN ucnt u2 ON u2.w = b.w2
+                CROSS JOIN tot
+                WHERE b.n >= 5)
+            SELECT w1, w2, CAST(n AS BIGINT) AS n,
+                   round(pmi, 6) AS pmi
+            FROM j ORDER BY j.pmi DESC, w1, w2 LIMIT 20
+        """,
+        # consecutive event-type trigrams per user stream
+        "q_trigram_paths": """
+            WITH o AS (
+                SELECT user_id, event_type AS g3,
+                       lag(event_type, 1) OVER w AS g2,
+                       lag(event_type, 2) OVER w AS g1
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_id))
+            SELECT g1, g2, g3, count(*) AS n
+            FROM o WHERE g1 IS NOT NULL
+            GROUP BY 1, 2, 3 ORDER BY g1, g2, g3
+        """,
+        # per-label centroid cohesion via the unnested dim expansion
+        "q_centroid_sep": """
+            WITH e AS (
+                SELECT CAST(label AS BIGINT) AS label,
+                       CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+            x AS (
+                SELECT label, i, v[i] AS xi
+                FROM e CROSS JOIN range(1, 65) r(i)),
+            cent AS (
+                SELECT label, i, sum(xi) / count(*) AS ci
+                FROM x GROUP BY 1, 2),
+            centl AS (
+                SELECT label, list(ci ORDER BY i) AS cv
+                FROM cent GROUP BY 1),
+            cos AS (
+                SELECT e.label,
+                       list_cosine_similarity(e.v, c.cv) AS cosv
+                FROM e JOIN centl c ON c.label = e.label)
+            SELECT label, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(cosv) / count(*), 6) AS mean_cos
+            FROM cos GROUP BY label ORDER BY label
+        """,
+        # hashing-trick featurization, fingerprint ops' md5 idiom
+        "q_feature_hash": """
+            WITH toks AS (
+                SELECT doc_id, list_filter(regexp_split_to_array(
+                           lower(coalesce(text, '')), '[ \t\n\f\r]+'),
+                           x -> x <> '') AS ws
+                FROM documents),
+            w AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
+            h AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(tok), 1, 8))
+                            AS BIGINT) % 256 AS bucket
+                FROM w)
+            SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS tf
+            FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket
+        """,
+        # Benford first-digit audit over exact cents
+        "q_benford": """
+            WITH c AS (
+                SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS cents
+                FROM orders),
+            h AS (
+                SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+                            AS BIGINT) AS digit,
+                       count(*) AS n
+                FROM c GROUP BY 1),
+            t AS (SELECT sum(n) AS total FROM h)
+            SELECT digit, CAST(n AS BIGINT) AS n,
+                   round(total * log10(1 + 1.0 / digit), 6)
+                       AS expected,
+                   round((n - total * log10(1 + 1.0 / digit)) ** 2
+                         / (total * log10(1 + 1.0 / digit)), 6)
+                       AS chi2_term
+            FROM h, t ORDER BY digit
+        """,
+        # daily click->purchase cross-correlation, day-offset join
+        "q_ccf": """
+            WITH d AS (
+                SELECT epoch_us(ts) // 86400000000 AS day,
+                       sum(CASE WHEN event_type = 'click'
+                                THEN 1 ELSE 0 END) AS x,
+                       sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS y
+                FROM events GROUP BY 1),
+            s AS (
+                SELECT sum(x) * 1.0 / count(*) AS mx,
+                       sum(y) * 1.0 / count(*) AS my
+                FROM d),
+            den AS (
+                SELECT sqrt(sum((x - mx) * (x - mx)))
+                       * sqrt(sum((y - my) * (y - my))) AS den
+                FROM d, s),
+            p AS (
+                SELECT r.lag AS lag,
+                       sum((a.x - mx) * (b.y - my)) AS num,
+                       count(*) AS n_pairs
+                FROM range(-3, 4) r(lag)
+                CROSS JOIN s
+                CROSS JOIN d a
+                JOIN d b ON b.day = a.day + r.lag
+                GROUP BY 1)
+            SELECT CAST(lag AS BIGINT) AS lag,
+                   round(num / den.den, 6) AS ccf,
+                   CAST(n_pairs AS BIGINT) AS n_pairs
+            FROM p, den ORDER BY lag
         """,
         # q_ols_multi: float Gram-partial fold (summation-order noise)
         # -> rows-only with a numpy lstsq parity pytest.

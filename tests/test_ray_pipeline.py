@@ -4717,3 +4717,80 @@ def test_autocorrelation_matches_definition(ray_session):
         assert abs(got - want) < 1e-9, k
     # period-7 signal: lag-7 autocorrelation is the strongest
     assert out.loc[out["lag"] == 7, "acf"].iloc[0] > 0.8
+
+
+def test_cross_correlation_recovers_known_lead(ray_session):
+    """y = x shifted by 2 -> ccf peaks at lag +2 (x leads y)."""
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.profile import cross_correlation
+
+    rng = np.random.default_rng(9)
+    n = 300
+    x = rng.normal(0, 1, n)
+    y = np.roll(x, 2) + rng.normal(0, 0.05, n)
+    df = pd.DataFrame(
+        {"t": np.arange(n, dtype=np.int64), "x": x, "y": y}
+    )
+    out = cross_correlation(
+        ray.data.from_pandas(df).repartition(4), "t", "x", "y",
+        max_lag=3,
+    )
+    best = out.loc[out["ccf"].idxmax()]
+    assert int(best["lag"]) == 2
+    assert best["ccf"] > 0.9
+
+
+def test_feature_hash_deterministic_and_bounded(ray_session):
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.textstats import feature_hash_tf
+
+    df = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["a b a c", "b b d"]}
+    )
+    ds = ray.data.from_pandas(df)
+    o1 = feature_hash_tf(ds, "text", "doc_id", 16).to_pandas()
+    o2 = feature_hash_tf(ds, "text", "doc_id", 16).to_pandas()
+    o1 = o1.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
+    o2 = o2.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(o1, o2)
+    assert o1["bucket"].between(0, 15).all()
+    # doc 1 has tf: a=2, b=1, c=1 -> sum 4
+    assert int(o1.loc[o1["doc_id"] == 1, "tf"].sum()) == 4
+
+
+def test_sequence_ngrams_matches_pandas(ray_session):
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.relational import sequence_ngrams
+
+    rng = np.random.default_rng(13)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "k": rng.integers(0, 8, n),
+            "ts": pd.to_datetime(
+                rng.integers(0, 10**6, n), unit="s"
+            ).astype("datetime64[us]"),
+            "tok": rng.choice(["a", "b", "c"], n),
+        }
+    )
+    out = sequence_ngrams(
+        ray.data.from_pandas(df).repartition(4),
+        key_col="k", ts_col="ts", id_col="id", token_col="tok", n=2,
+    ).to_pandas().sort_values(["g1", "g2"]).reset_index(drop=True)
+
+    from collections import Counter
+    want: Counter = Counter()
+    for _, g in df.groupby("k"):
+        toks = g.sort_values(["ts", "id"])["tok"].tolist()
+        want.update(zip(toks, toks[1:]))
+    got = {
+        (r["g1"], r["g2"]): int(r["n"]) for _, r in out.iterrows()
+    }
+    assert got == dict(want)

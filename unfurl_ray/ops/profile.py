@@ -869,3 +869,85 @@ def autocorrelation(ds, t_col: str, value_col: str,
             "n_pairs": np.array(pairs, dtype=np.int64),
         }
     )
+
+
+def cross_correlation(ds, t_col: str, x_col: str, y_col: str,
+                      max_lag: int = 3) -> pd.DataFrame:
+    """Cross-correlation of two pre-aggregated regular series at lags
+    -max_lag..max_lag: ccf(k) = sum((x_t - mx)(y_{t+k} - my)) /
+    (sqrt(sum((x - mx)^2)) * sqrt(sum((y - my)^2))), gap-tolerant
+    like ``autocorrelation`` (pairs with a missing t+k skipped,
+    full-series normalizer).  Positive k: x leads y.
+
+    ``ds`` is the AGGREGATED (t, x, y) series — one row per time
+    unit; the fold collects the bounded axis once.
+
+    Output: (lag, ccf, n_pairs).
+    """
+    s = ds.to_pandas().sort_values(t_col).reset_index(drop=True)
+    t = s[t_col].to_numpy(np.int64)
+    x = s[x_col].to_numpy(np.float64)
+    y = s[y_col].to_numpy(np.float64)
+    mx, my = x.sum() / len(x), y.sum() / len(y)
+    cx, cy = x - mx, y - my
+    den = float(np.sqrt((cx * cx).sum()) * np.sqrt((cy * cy).sum()))
+    by_t = pd.Series(cy, index=t)
+    lags, ccfs, pairs = [], [], []
+    for k in range(-max_lag, max_lag + 1):
+        nxt = by_t.reindex(t + k)
+        mask = ~nxt.isna().to_numpy()
+        lags.append(k)
+        ccfs.append(
+            float((cx[mask] * nxt.to_numpy()[mask]).sum()) / den
+        )
+        pairs.append(int(mask.sum()))
+    return pd.DataFrame(
+        {
+            "lag": np.array(lags, dtype=np.int64),
+            "ccf": np.array(ccfs, dtype=np.float64),
+            "n_pairs": np.array(pairs, dtype=np.int64),
+        }
+    )
+
+
+def benford_audit(ds, cents_col: str) -> pd.DataFrame:
+    """First-digit Benford's-law audit of a positive integer amount
+    column (pass cents, not floats — the leading digit is then exact
+    on both sides of the oracle).  One ``pre_aggregate`` over the 9
+    digit classes; expected counts N * log10(1 + 1/d) and chi-square
+    terms close on the 9-row table.
+
+    Output: (digit, n, expected, chi2_term) for digits 1..9.
+    """
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    def first_digit(batch: pd.DataFrame) -> pd.DataFrame:
+        # decimal-string leading digit, not 10**floor(log10(v)):
+        # log10 of exact powers of ten can land a hair below the
+        # integer and shift the digit
+        d = (
+            batch[cents_col]
+            .astype("int64")
+            .astype(str)
+            .str[0]
+            .astype("int64")
+        )
+        return pd.DataFrame({"digit": d})
+
+    hist = pre_aggregate(
+        ds.map_batches(first_digit, batch_format="pandas"),
+        ["digit"], {"n": ("digit", "count")},
+    ).to_pandas().sort_values("digit").reset_index(drop=True)
+    total = int(hist["n"].sum())
+    d = hist["digit"].to_numpy(np.int64)
+    exp = total * np.log10(1.0 + 1.0 / d)
+    obs = hist["n"].to_numpy(np.int64)
+    chi2 = (obs - exp) ** 2 / exp
+    return pd.DataFrame(
+        {
+            "digit": d,
+            "n": obs,
+            "expected": exp,
+            "chi2_term": chi2,
+        }
+    )

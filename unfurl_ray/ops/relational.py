@@ -3120,3 +3120,39 @@ def throttle_events(ds, key_col: str, ts_col: str, id_col: str,
         )
 
     return ds.groupby(key_col).map_groups(fold, batch_format="pandas")
+
+
+def sequence_ngrams(ds, key_col: str, ts_col: str, id_col: str,
+                    token_col: str, n: int = 3):
+    """Frequent behavioural paths: consecutive ``n``-gram counts of a
+    per-key ordered token stream (event types, page ids, ...).
+
+    Same partitioning contract as ``lag_rolling``: one
+    ``groupby(key).map_groups`` pass sorts each key's stream by
+    (ts, id) and emits its n-gram partial Counter — one (gram parts,
+    count) row per distinct n-gram per key crosses the shuffle — then
+    ``bucketed_aggregate`` folds the global counts.
+
+    Output: (g1..gn, n) one row per distinct n-gram.
+    """
+    from collections import Counter
+
+    cols = [f"g{i + 1}" for i in range(n)]
+
+    def fold(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values([ts_col, id_col])
+        toks = g[token_col].to_numpy()
+        c: Counter = Counter(
+            tuple(toks[i: i + n]) for i in range(len(toks) - n + 1)
+        )
+        data = {
+            col: pa.array([k[i] for k in c], pa.string())
+            for i, col in enumerate(cols)
+        }
+        data["n"] = pa.array(list(c.values()), pa.int64())
+        return pa.table(data)
+
+    partials = ds.groupby(key_col).map_groups(
+        fold, batch_format="pandas"
+    )
+    return bucketed_aggregate(partials, cols, {"n": ("n", "sum")})

@@ -964,3 +964,110 @@ def knn_pq(ds, queries: np.ndarray, k: int = 10, m: int = 16,
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def label_centroid_separation(ds, label_col: str = "label",
+                              column: str = "embedding") -> "object":
+    """Clustering-quality audit of a labeled embedding table: per
+    label, the member count and the mean cosine of members to their
+    OWN label centroid (the intra-cluster cohesion half of a
+    silhouette; near 1 = tight cluster, near 0 = noise).
+
+    Two streaming passes, kmeans_fit's partial-sum shape: pass 1
+    folds per-batch (label -> sum vector, count) partials — a
+    (labels x d) matrix per batch, never a row vector — into
+    centroids on the driver (labels are few; the 100 TB contract is
+    label-cardinality << corpus, e.g. source/language/cluster ids);
+    pass 2 broadcasts the centroid matrix once via ``ray.put`` and
+    folds per-batch (label -> sum cosine, count) partials.
+
+    Returns a pandas DataFrame (label, n, mean_cos), label-sorted.
+    """
+    import pandas as pd
+    import ray
+
+    proj = ds.select_columns([label_col, column]).materialize()
+
+    def sum_partial(batch: pa.Table) -> pa.Table:
+        labels = batch.column(label_col).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        X = np.vstack(
+            batch.column(column).to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), X.shape[1]))
+        np.add.at(sums, inv, X)
+        cnt = np.bincount(inv, minlength=len(uniq))
+        return pa.table(
+            {
+                "label": pa.array(uniq, pa.int64()),
+                "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    parts = proj.map_batches(
+        sum_partial, batch_format="pyarrow"
+    ).to_pandas()
+    agg: dict[int, tuple[np.ndarray, int]] = {}
+    for _, row in parts.iterrows():
+        v = np.asarray(row["vsum"], dtype=np.float64)
+        lab = int(row["label"])
+        if lab in agg:
+            agg[lab] = (agg[lab][0] + v, agg[lab][1] + int(row["cnt"]))
+        else:
+            agg[lab] = (v, int(row["cnt"]))
+    labels_sorted = sorted(agg)
+    cent = np.vstack(
+        [agg[lab][0] / agg[lab][1] for lab in labels_sorted]
+    )
+    pos = {lab: i for i, lab in enumerate(labels_sorted)}
+    cent_ref = ray.put((pos, cent))
+
+    class CosPartial:
+        def __init__(self, ref):
+            self.pos, self.cent = ray.get(ref)
+            self.cnorm = np.linalg.norm(self.cent, axis=1)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            labels = batch.column(label_col).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            X = np.vstack(
+                batch.column(column).to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+            idx = np.array([self.pos[int(b)] for b in labels])
+            c = self.cent[idx]
+            cos = (X * c).sum(axis=1) / (
+                np.linalg.norm(X, axis=1) * self.cnorm[idx]
+            )
+            uniq, inv = np.unique(labels, return_inverse=True)
+            s = np.zeros(len(uniq))
+            np.add.at(s, inv, cos)
+            return pa.table(
+                {
+                    "label": pa.array(uniq, pa.int64()),
+                    "cos_sum": pa.array(s, pa.float64()),
+                    "cnt": pa.array(
+                        np.bincount(inv, minlength=len(uniq)),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+    parts2 = proj.map_batches(
+        CosPartial, batch_format="pyarrow",
+        fn_constructor_args=(cent_ref,), concurrency=(1, 8),
+    ).to_pandas()
+    g = parts2.groupby("label", as_index=False).agg(
+        {"cos_sum": "sum", "cnt": "sum"}
+    )
+    out = pd.DataFrame(
+        {
+            "label": g["label"].astype("int64"),
+            "n": g["cnt"].astype("int64"),
+            "mean_cos": g["cos_sum"] / g["cnt"],
+        }
+    )
+    return out.sort_values("label").reset_index(drop=True)

@@ -13,6 +13,7 @@ import hashlib
 import re
 import zlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -403,3 +404,179 @@ def char_entropy_batch(batch: pd.DataFrame) -> pa.Table:
             "entropy": pa.array(ent, pa.float64()),
         }
     )
+
+
+def pmi_collocations(ds, column: str = "text", min_count: int = 5,
+                     top_k: int = 20) -> pd.DataFrame:
+    """Collocation discovery by pointwise mutual information:
+    pmi(w1, w2) = ln( (c12 / N_bg) / ((c1 / N_u) * (c2 / N_u)) ),
+    computed as one exact-integer ratio (c12 * N_u^2) / (N_bg * c1 * c2)
+    so a SQL twin hash-matches at round(6).  ``min_count`` prunes the
+    long tail BEFORE the degree joins (classic PMI-sparsity guard —
+    a 1-count bigram of two 1-count words otherwise tops every list).
+
+    Distributed shape: per-batch Counter partials for bigrams and
+    unigrams (the combiner — one (gram, n) row per distinct gram per
+    batch crosses the shuffle, never text), ``bucketed_aggregate``
+    folds to vocabulary-sized tables, frequency filter, then two
+    ``bucketed_hash_join`` passes attach word counts; totals fold
+    from the count tables' own partial sums.  Top-k closes with
+    per-block partials.
+
+    Integer-exactness contract: c12 * N_u^2 and N_bg * c1 * c2 must
+    stay below 2^53 for the float ratio to be exact — holds through
+    ~10^8-token corpora per PMI shard; shard by language/source above
+    that.
+    """
+    from collections import Counter
+
+    from unfurl_ray.ops.relational import (
+        _arrow, bucketed_aggregate, bucketed_hash_join,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bg: Counter = Counter()
+        uni: Counter = Counter()
+        for text in batch.column(column).to_pylist():
+            ws = [w for w in _WS_SPLIT_RE.split((text or "").lower())
+                  if w]
+            uni.update(ws)
+            bg.update(zip(ws, ws[1:]))
+        w1 = [a for a, _ in bg] + [w for w in uni]
+        w2 = [b for _, b in bg] + ["" for _ in uni]
+        n = [v for v in bg.values()] + [v for v in uni.values()]
+        kind = [0] * len(bg) + [1] * len(uni)
+        return pa.table(
+            {
+                "w1": pa.array(w1, pa.string()),
+                "w2": pa.array(w2, pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "kind": pa.array(kind, pa.int8()),
+            }
+        )
+
+    counts = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["w1", "w2", "kind"], {"n": ("n", "sum")},
+    ).materialize()
+
+    import pyarrow.compute as pc
+
+    def only(kind: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("kind"), kind))
+        return f
+
+    bigrams = counts.map_batches(only(0), batch_format="pyarrow")
+    unigrams = counts.map_batches(only(1), batch_format="pyarrow")
+
+    totals = {
+        int(r["kind"]): int(r["n"])
+        for r in counts.groupby("kind").sum("n").to_pandas().rename(
+            columns={"sum(n)": "n"}
+        ).to_dict("records")
+    }
+    n_bg, n_u = totals.get(0, 0), totals.get(1, 0)
+
+    def freq_filter(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater_equal(t.column("n"), min_count)
+        ).select(["w1", "w2", "n"])
+
+    def as_c1(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"w1": t.column("w1"), "c1": t.column("n")}
+        )
+
+    def as_c2(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"w2": t.column("w1"), "c2": t.column("n")}
+        )
+
+    strong = bigrams.map_batches(freq_filter, batch_format="pyarrow")
+    uni_mat = unigrams.materialize()
+    j1 = bucketed_hash_join(
+        strong, uni_mat.map_batches(as_c1, batch_format="pyarrow"),
+        on="w1", right_on="w1",
+    )
+    j2 = bucketed_hash_join(
+        j1, uni_mat.map_batches(as_c2, batch_format="pyarrow"),
+        on="w2", right_on="w2",
+    )
+
+    def block_topk(batch: pd.DataFrame) -> pa.Table:
+        c12 = batch["n"].to_numpy(np.int64)
+        c1 = batch["c1"].to_numpy(np.int64)
+        c2 = batch["c2"].to_numpy(np.int64)
+        num = c12.astype(np.float64) * float(n_u) * float(n_u)
+        den = float(n_bg) * c1.astype(np.float64) * c2.astype(
+            np.float64
+        )
+        out = pd.DataFrame(
+            {
+                "w1": batch["w1"],
+                "w2": batch["w2"],
+                "n": c12,
+                "pmi": np.log(num / den),
+            }
+        )
+        out = out.sort_values(
+            ["pmi", "w1", "w2"], ascending=[False, True, True]
+        ).head(top_k)
+        return _arrow(out)
+
+    best = j2.map_batches(
+        block_topk, batch_format="pandas"
+    ).to_pandas()
+    return (
+        best.sort_values(
+            ["pmi", "w1", "w2"], ascending=[False, True, True]
+        )
+        .head(top_k)
+        .reset_index(drop=True)
+    )
+
+
+def feature_hash_tf(ds, column: str = "text",
+                    id_column: str = "doc_id",
+                    n_buckets: int = 256):
+    """The hashing trick: term-frequency vectors in a fixed
+    ``n_buckets``-dim space, bucket = md5(token) first 8 hex digits
+    mod n_buckets — md5, not Python hash(), so the featurization is
+    deterministic across runs/workers AND SQL-twin-checkable (the
+    same '0x' || substr(md5(tok), 1, 8) idiom as the fingerprint
+    ops).  Emits sparse (doc_id, bucket, tf) rows; no vocabulary is
+    ever built or shipped — the whole point of feature hashing at
+    100 TB.
+
+    Per-batch only (no shuffle): tokenize, hash with one Counter per
+    doc, emit.  Downstream fits consume the sparse rows directly.
+    """
+    import hashlib
+    from collections import Counter
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        ids, buckets, tfs = [], [], []
+        for doc_id, text in zip(
+            batch.column(id_column).to_pylist(),
+            batch.column(column).to_pylist(),
+        ):
+            ws = [w for w in _WS_SPLIT_RE.split((text or "").lower())
+                  if w]
+            c: Counter = Counter(
+                int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+                % n_buckets
+                for w in ws
+            )
+            ids.extend([doc_id] * len(c))
+            buckets.extend(c.keys())
+            tfs.extend(c.values())
+        return pa.table(
+            {
+                id_column: pa.array(ids, pa.int64()),
+                "bucket": pa.array(buckets, pa.int64()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(featurize, batch_format="pyarrow")

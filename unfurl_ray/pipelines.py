@@ -5820,3 +5820,121 @@ def q_rank_fusion(sf_dir: str) -> pd.DataFrame:
     return best[
         ["o_custkey", "spend_rank", "count_rank", "rrf"]
     ].reset_index(drop=True)
+
+
+def q_collocations(sf_dir: str) -> pd.DataFrame:
+    """Top-20 collocations (PMI, min count 5) over the documents
+    corpus — the phrase-discovery primitive.
+    ops.textstats.pmi_collocations: Counter combiners, bucketed
+    vocabulary folds, two degree joins, integer-exact PMI ratio.
+    Hash-exact vs an unnest-based SQL twin."""
+    from unfurl_ray.ops.textstats import pmi_collocations
+
+    ds = _parquet(sf_dir, "documents", ["text"])
+    out = pmi_collocations(ds, "text", min_count=5, top_k=20)
+    out["pmi"] = out["pmi"].round(6)
+    return out
+
+
+def q_trigram_paths(sf_dir: str) -> pd.DataFrame:
+    """Behavioural path mining: counts of consecutive event-type
+    trigrams per user stream.  ops.relational.sequence_ngrams — one
+    groupby(user).map_groups pass emits per-key Counter partials,
+    bucketed fold.  Hash-exact vs a double-lag window twin."""
+    from unfurl_ray.ops.relational import sequence_ngrams
+
+    ds = _parquet_sh(
+        sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]
+    )
+    out = sequence_ngrams(
+        ds, key_col="user_id", ts_col="ts", id_col="event_id",
+        token_col="event_type", n=3,
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["g1", "g2", "g3"]).reset_index(drop=True)
+
+
+def q_centroid_sep(sf_dir: str) -> pd.DataFrame:
+    """Intra-cluster cohesion of the labeled embedding table: per
+    label, mean cosine of members to their own centroid.
+    ops.similarity.label_centroid_separation — two partial-sum
+    passes, centroid matrix broadcast once.  Hash-exact vs a
+    list_cosine_similarity twin at round(6)."""
+    from unfurl_ray.ops.similarity import label_centroid_separation
+
+    ds = _parquet(sf_dir, "embeddings", ["label", "embedding"])
+    out = label_centroid_separation(ds, "label", "embedding")
+    out["mean_cos"] = out["mean_cos"].round(6)
+    return out
+
+
+def q_feature_hash(sf_dir: str) -> pd.DataFrame:
+    """Hashing-trick featurization: sparse (doc_id, bucket, tf) rows
+    in a fixed 256-dim space, md5-bucketed so the map is
+    deterministic and SQL-twinned.  ops.textstats.feature_hash_tf —
+    pure map_batches, no vocabulary, no shuffle."""
+    from unfurl_ray.ops.textstats import feature_hash_tf
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+    out = feature_hash_tf(ds, "text", "doc_id", n_buckets=256)
+    df = out.to_pandas()
+    return df.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
+
+
+def q_benford(sf_dir: str) -> pd.DataFrame:
+    """Benford's-law first-digit audit of order amounts (in exact
+    cents) with per-digit chi-square terms — the fraud/data-quality
+    screen.  ops.profile.benford_audit.  Hash-exact vs a
+    string-leading-digit twin."""
+    from unfurl_ray.ops.profile import benford_audit
+
+    ds = _parquet_sh(sf_dir, "orders", ["o_totalprice"])
+
+    def cents(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cents": np.round(
+                    batch["o_totalprice"].to_numpy() * 100
+                ).astype("int64")
+            }
+        )
+
+    out = benford_audit(
+        ds.map_batches(cents, batch_format="pandas"), "cents"
+    )
+    out["expected"] = out["expected"].round(6)
+    out["chi2_term"] = out["chi2_term"].round(6)
+    return out
+
+
+def q_ccf(sf_dir: str) -> pd.DataFrame:
+    """Cross-correlation between the daily click-count and
+    purchase-count series at lags -3..3 (does click volume lead
+    purchases?).  ops.profile.cross_correlation over one
+    pre-aggregated (day, clicks, purchases) pass.  Hash-exact vs a
+    day-offset self-join twin."""
+    from unfurl_ray.ops.profile import cross_correlation
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    ds = _parquet_sh(sf_dir, "events", ["ts", "event_type"])
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": (
+                    batch["ts"].astype("int64") // 86_400_000_000
+                ).astype("int64"),
+                "x": (batch["event_type"] == "click").astype("int64"),
+                "y": (batch["event_type"] == "purchase").astype(
+                    "int64"
+                ),
+            }
+        )
+
+    daily = pre_aggregate(
+        ds.map_batches(tag, batch_format="pandas"),
+        ["day"], {"x": ("x", "sum"), "y": ("y", "sum")},
+    )
+    out = cross_correlation(daily, "day", "x", "y", max_lag=3)
+    out["ccf"] = out["ccf"].round(6)
+    return out
