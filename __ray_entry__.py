@@ -223,6 +223,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_feature_hash": p.q_feature_hash,
         "q_benford": p.q_benford,
         "q_ccf": p.q_ccf,
+        "q_nb_confusion": p.q_nb_confusion,
+        "q_late_events": p.q_late_events,
+        "q_keyness": p.q_keyness,
     }
 
 
@@ -3219,6 +3222,95 @@ def oracle_sql() -> dict[str, str]:
                    round(num / den.den, 6) AS ccf,
                    CAST(n_pairs AS BIGINT) AS n_pairs
             FROM p, den ORDER BY lag
+        """,
+        # NB apply: score mirrors naive_bayes_apply term for term —
+        # explicit ln differences, same addition order, ties by
+        # class asc via row_number
+        "q_nb_confusion": """
+            WITH t AS (
+                SELECT o_orderkey AS id, o_orderstatus AS cls,
+                       o_orderpriority AS v1,
+                       CAST(epoch_us(o_orderdate) // 86400000000 % 7
+                            AS VARCHAR) AS v2
+                FROM orders),
+            c1 AS (SELECT v1, cls, count(*) AS n FROM t GROUP BY 1, 2),
+            c2 AS (SELECT v2, cls, count(*) AS n FROM t GROUP BY 1, 2),
+            cn AS (SELECT cls, count(*) AS n FROM t GROUP BY 1),
+            nv1 AS (SELECT count(DISTINCT v1) AS nv FROM t),
+            nv2 AS (SELECT count(DISTINCT v2) AS nv FROM t),
+            tot AS (SELECT count(*) AS n FROM t),
+            k AS (SELECT DISTINCT cls FROM t),
+            s AS (
+                SELECT t.id, t.cls AS actual, k.cls AS cand,
+                       (ln(1.0 * cn.n) - ln(1.0 * tot.n))
+                       + (ln(COALESCE(a.n, 0) + 1.0)
+                          - ln(cn.n + 1.0 * nv1.nv))
+                       + (ln(COALESCE(b.n, 0) + 1.0)
+                          - ln(cn.n + 1.0 * nv2.nv)) AS score
+                FROM t CROSS JOIN k
+                JOIN cn ON cn.cls = k.cls
+                CROSS JOIN nv1 CROSS JOIN nv2 CROSS JOIN tot
+                LEFT JOIN c1 a ON a.v1 = t.v1 AND a.cls = k.cls
+                LEFT JOIN c2 b ON b.v2 = t.v2 AND b.cls = k.cls),
+            pck AS (
+                SELECT id, actual, cand,
+                       row_number() OVER (
+                           PARTITION BY id
+                           ORDER BY score DESC, cand) AS rn
+                FROM s)
+            SELECT actual, cand AS predicted,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM pck WHERE rn = 1
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # per-user watermark: running arrival-order max, 6 h lateness
+        "q_late_events": """
+            WITH w AS (
+                SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                       max(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS wm
+                FROM events)
+            SELECT event_id, user_id,
+                   CASE WHEN wm IS NOT NULL
+                             AND ts_us < wm - 21600000000
+                        THEN 1 ELSE 0 END AS late
+            FROM w ORDER BY event_id
+        """,
+        # Dunning G2 keyness, zero-count sides contribute 0
+        "q_keyness": """
+            WITH toks AS (
+                SELECT lang, list_filter(regexp_split_to_array(
+                           lower(coalesce(text, '')), '[ \t\n\f\r]+'),
+                           x -> x <> '') AS ws
+                FROM documents),
+            w AS (
+                SELECT CASE WHEN lang = 'en' THEN 0 ELSE 1 END
+                           AS side,
+                       unnest(ws) AS term
+                FROM toks),
+            c AS (
+                SELECT term,
+                       sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS a,
+                       sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS b
+                FROM w GROUP BY 1),
+            tt AS (SELECT sum(a) AS c1, sum(b) AS c2 FROM c),
+            g AS (
+                SELECT term, a, b,
+                       2.0 * (
+                           CASE WHEN a > 0 THEN a * ln(
+                               (a * 1.0)
+                               / (c1 * (a + b) * 1.0 / (c1 + c2)))
+                                ELSE 0.0 END
+                           + CASE WHEN b > 0 THEN b * ln(
+                               (b * 1.0)
+                               / (c2 * (a + b) * 1.0 / (c1 + c2)))
+                                  ELSE 0.0 END) AS g2
+                FROM c, tt WHERE a + b >= 10)
+            SELECT term, CAST(a AS BIGINT) AS a,
+                   CAST(b AS BIGINT) AS b, round(g2, 6) AS g2
+            FROM g ORDER BY g.g2 DESC, term LIMIT 20
         """,
         # q_ols_multi: float Gram-partial fold (summation-order noise)
         # -> rows-only with a numpy lstsq parity pytest.

@@ -4794,3 +4794,67 @@ def test_sequence_ngrams_matches_pandas(ray_session):
         (r["g1"], r["g2"]): int(r["n"]) for _, r in out.iterrows()
     }
     assert got == dict(want)
+
+
+def test_late_event_split_flags_behind_watermark(ray_session):
+    """Arrival order 0..3; event 2 arrives with a timestamp far
+    behind the running max -> late; closely-behind stays on time."""
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.relational import late_event_split
+
+    df = pd.DataFrame(
+        {
+            "id": [0, 1, 2, 3],
+            "k": [7, 7, 7, 7],
+            "ts": pd.to_datetime(
+                [1000, 5000, 1500, 4800], unit="s"
+            ).astype("datetime64[us]"),
+        }
+    )
+    out = late_event_split(
+        ray.data.from_pandas(df).repartition(2),
+        key_col="k", ts_col="ts", id_col="id",
+        allowed_lateness_us=1_000_000_000,  # 1000 s
+    ).to_pandas().sort_values("id")
+    # id2: ts 1500 < 5000 - 1000 -> late; id3: 4800 >= 4000 -> fine
+    assert out["late"].tolist() == [0, 0, 1, 0]
+
+
+def test_naive_bayes_apply_prefers_matching_class(ray_session):
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.fit import naive_bayes_apply, naive_bayes_fit
+
+    df = pd.DataFrame(
+        {
+            "cls": ["a"] * 50 + ["b"] * 50,
+            "f": ["x"] * 45 + ["y"] * 5 + ["y"] * 45 + ["x"] * 5,
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    model = naive_bayes_fit(ds, "cls", ["f"])
+    scored = naive_bayes_apply(ds, model, ["f"]).to_pandas()
+    assert (scored.loc[scored["f"] == "x", "predicted"] == "a").all()
+    assert (scored.loc[scored["f"] == "y", "predicted"] == "b").all()
+
+
+def test_g2_keyness_finds_planted_term(ray_session):
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.textstats import g2_keyness
+
+    base = "common words shared by both corpora every time"
+    docs = [("en", base + " banana banana banana")] * 30 + [
+        ("de", base)
+    ] * 30
+    df = pd.DataFrame(docs, columns=["lang", "text"])
+    out = g2_keyness(
+        ray.data.from_pandas(df).repartition(4),
+        "text", "lang", "en", min_count=10, top_k=5,
+    )
+    assert out.iloc[0]["term"] == "banana"
+    assert out.iloc[0]["b"] == 0

@@ -3156,3 +3156,40 @@ def sequence_ngrams(ds, key_col: str, ts_col: str, id_col: str,
         fold, batch_format="pandas"
     )
     return bucketed_aggregate(partials, cols, {"n": ("n", "sum")})
+
+
+def late_event_split(ds, key_col: str, ts_col: str, id_col: str,
+                     allowed_lateness_us: int):
+    """Per-key watermark tagging (the streaming late-data rule, batch
+    replay): process the key's events in ARRIVAL order (ascending
+    ``id_col``), hold a watermark = max event time seen so far minus
+    ``allowed_lateness_us``, and flag events whose time falls behind
+    it — the rows a streaming window would drop or side-output.
+
+    One ``groupby(key).map_groups`` pass (lag_rolling's contract),
+    vectorized ``np.maximum.accumulate`` per key stream.  First
+    arrival of a key is never late.
+
+    Output: (id, key, late 0/1) — join back or filter downstream.
+    """
+    def fold(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(id_col).reset_index(drop=True)
+        ts = _ts_us(g[ts_col]).to_numpy()
+        run_max = np.maximum.accumulate(ts)
+        late = np.zeros(len(g), dtype=np.int64)
+        late[1:] = (
+            ts[1:] < run_max[:-1] - allowed_lateness_us
+        ).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(
+                    g[id_col].to_numpy(np.int64), pa.int64()
+                ),
+                key_col: pa.array(
+                    g[key_col].to_numpy(np.int64), pa.int64()
+                ),
+                "late": pa.array(late, pa.int64()),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(fold, batch_format="pandas")

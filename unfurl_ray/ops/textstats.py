@@ -580,3 +580,101 @@ def feature_hash_tf(ds, column: str = "text",
         )
 
     return ds.map_batches(featurize, batch_format="pyarrow")
+
+
+def g2_keyness(ds, column: str, group_col: str, group_a: str,
+               min_count: int = 10, top_k: int = 20) -> pd.DataFrame:
+    """Corpus keyness by log-likelihood ratio (Dunning's G2): which
+    terms distinguish sub-corpus A (``group_col == group_a``) from
+    the rest.  G2 = 2 * (a*ln(a/E1) + b*ln(b/E2)) with expected
+    counts E_i = c_i * (a+b) / (c1+c2); zero-count sides contribute 0
+    (the x*ln(x) -> 0 limit).  All count inputs are exact integers —
+    E_i is a float ratio of exact ints — so a SQL twin hash-matches
+    at round(6).
+
+    Distributed shape: per-batch (term, side) Counter partials,
+    ``bucketed_aggregate`` to the vocabulary-sized count table,
+    per-bucket pivot + vectorized G2 with the two corpus totals as
+    broadcast scalars, per-block top-k close.
+    """
+    from unfurl_ray.ops.relational import _arrow, bucketed_aggregate
+
+    from collections import Counter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ca: Counter = Counter()
+        cb: Counter = Counter()
+        for text, grp in zip(
+            batch.column(column).to_pylist(),
+            batch.column(group_col).to_pylist(),
+        ):
+            ws = [w for w in _WS_SPLIT_RE.split((text or "").lower())
+                  if w]
+            (ca if grp == group_a else cb).update(ws)
+        terms = list(ca.keys()) + list(cb.keys())
+        sides = [0] * len(ca) + [1] * len(cb)
+        ns = list(ca.values()) + list(cb.values())
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "side": pa.array(sides, pa.int8()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    counts = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["term", "side"], {"n": ("n", "sum")},
+    ).materialize()
+
+    totals = counts.groupby("side").sum("n").to_pandas()
+    tot = dict(
+        zip(totals["side"].astype(int), totals["sum(n)"].astype(int))
+    )
+    c1, c2 = tot.get(0, 0), tot.get(1, 0)
+
+    def bucket(batch: pd.DataFrame) -> pa.Table:
+        batch["_bucket"] = (
+            pd.util.hash_pandas_object(batch["term"], index=False)
+            .to_numpy() % np.uint64(64)
+        ).astype(np.int64)
+        return _arrow(batch)
+
+    def g2_in_bucket(group: pd.DataFrame) -> pa.Table:
+        piv = group.pivot_table(
+            index="term", columns="side", values="n",
+            aggfunc="sum", fill_value=0,
+        )
+        a = piv[0].to_numpy(np.int64) if 0 in piv else np.zeros(
+            len(piv), dtype=np.int64
+        )
+        b = piv[1].to_numpy(np.int64) if 1 in piv else np.zeros(
+            len(piv), dtype=np.int64
+        )
+        keep = (a + b) >= min_count
+        a, b = a[keep], b[keep]
+        terms = piv.index.to_numpy()[keep]
+        e1 = c1 * (a + b).astype(np.float64) / float(c1 + c2)
+        e2 = c2 * (a + b).astype(np.float64) / float(c1 + c2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ta = np.where(a > 0, a * np.log(a / e1), 0.0)
+            tb = np.where(b > 0, b * np.log(b / e2), 0.0)
+        g2 = 2.0 * (ta + tb)
+        out = pd.DataFrame(
+            {"term": terms, "a": a, "b": b, "g2": g2}
+        ).sort_values(["g2", "term"], ascending=[False, True]).head(
+            top_k
+        )
+        return _arrow(out)
+
+    best = (
+        counts.map_batches(bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(g2_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        best.sort_values(["g2", "term"], ascending=[False, True])
+        .head(top_k)
+        .reset_index(drop=True)
+    )

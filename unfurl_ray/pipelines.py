@@ -5938,3 +5938,80 @@ def q_ccf(sf_dir: str) -> pd.DataFrame:
     out = cross_correlation(daily, "day", "x", "y", max_lag=3)
     out["ccf"] = out["ccf"].round(6)
     return out
+
+
+def q_nb_confusion(sf_dir: str) -> pd.DataFrame:
+    """Model fit THEN distributed apply: the naive Bayes classifier
+    from q_naive_bayes scores every order (broadcast vocabulary-sized
+    model, one vectorized reindex per feature per batch) and the
+    confusion matrix folds via pre_aggregate.  Hash-exact vs a SQL
+    twin that mirrors the score expression term for term (explicit
+    ln differences, identical addition order, ties by class asc)."""
+    from unfurl_ray.ops.fit import naive_bayes_apply, naive_bayes_fit
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    ds = _parquet_sh(
+        sf_dir, "orders",
+        ["o_orderstatus", "o_orderpriority", "o_orderdate"],
+    )
+
+    def feat(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cls": batch["o_orderstatus"],
+                "priority": batch["o_orderpriority"],
+                "dow": (
+                    batch["o_orderdate"].astype("int64")
+                    // 86_400_000_000 % 7
+                ).astype(str),
+            }
+        )
+
+    feats = ds.map_batches(feat, batch_format="pandas").materialize()
+    model = naive_bayes_fit(feats, "cls", ["priority", "dow"])
+    scored = naive_bayes_apply(
+        feats, model, ["priority", "dow"], out_col="predicted"
+    )
+    out = pre_aggregate(
+        scored.select_columns(["cls", "predicted"]),
+        ["cls", "predicted"], {"n": ("cls", "count")},
+    ).to_pandas()
+    out = out.rename(columns={"cls": "actual"})
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(
+        ["actual", "predicted"]
+    ).reset_index(drop=True)
+
+
+def q_late_events(sf_dir: str) -> pd.DataFrame:
+    """Streaming late-data tagging replayed in batch: per-user
+    watermark (arrival order = event_id, allowed lateness 6 h) flags
+    events a streaming window would side-output.
+    ops.relational.late_event_split.  Hash-exact vs a running-max
+    window twin."""
+    from unfurl_ray.ops.relational import late_event_split
+
+    ds = _parquet_sh(sf_dir, "events", ["event_id", "ts", "user_id"])
+    out = late_event_split(
+        ds, key_col="user_id", ts_col="ts", id_col="event_id",
+        allowed_lateness_us=6 * 3_600_000_000,
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_keyness(sf_dir: str) -> pd.DataFrame:
+    """Corpus keyness: top-20 terms distinguishing English documents
+    from the rest by Dunning's G2 log-likelihood ratio.
+    ops.textstats.g2_keyness — Counter combiners, bucketed vocabulary
+    fold, per-bucket vectorized G2.  Hash-exact vs an explicit-formula
+    twin."""
+    from unfurl_ray.ops.textstats import g2_keyness
+
+    ds = _parquet(sf_dir, "documents", ["text", "lang"])
+    out = g2_keyness(
+        ds, "text", "lang", "en", min_count=10, top_k=20
+    )
+    out["a"] = out["a"].astype("int64")
+    out["b"] = out["b"].astype("int64")
+    out["g2"] = out["g2"].round(6)
+    return out
