@@ -226,6 +226,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_nb_confusion": p.q_nb_confusion,
         "q_late_events": p.q_late_events,
         "q_keyness": p.q_keyness,
+        "q_cume_dist": p.q_cume_dist,
+        "q_impute": p.q_impute,
+        "q_woe_iv": p.q_woe_iv,
+        "q_resample_linear": p.q_resample_linear,
     }
 
 
@@ -539,6 +543,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, quality,
                    round(percent_rank() OVER (
                        PARTITION BY source ORDER BY quality), 6) AS pr
+            FROM d ORDER BY doc_id
+        """,
+        # cume_dist = (rows <= value)/n over the same quality expr
+        "q_cume_dist": f"""
+            WITH qual AS ({q_quality_sql}),
+            d AS (
+                SELECT q.doc_id, s.source, q.quality
+                FROM qual q JOIN documents s USING (doc_id))
+            SELECT doc_id, source, quality,
+                   round(cume_dist() OVER (
+                       PARTITION BY source ORDER BY quality), 6) AS cd
             FROM d ORDER BY doc_id
         """,
         "q_langid": q_langid_sql,
@@ -3311,6 +3326,81 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, CAST(a AS BIGINT) AS a,
                    CAST(b AS BIGINT) AS b, round(g2, 6) AS g2
             FROM g ORDER BY g.g2 DESC, term LIMIT 20
+        """,
+        # segment-median imputation of the negative-balance sentinel
+        "q_impute": """
+            WITH med AS (
+                SELECT c_mktsegment,
+                       quantile_disc(c_acctbal, 0.5) AS m
+                FROM customer WHERE c_acctbal >= 0 GROUP BY 1)
+            SELECT c_custkey, c.c_mktsegment,
+                   CASE WHEN c_acctbal < 0 THEN med.m
+                        ELSE c_acctbal END AS acctbal_imputed,
+                   CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END
+                       AS was_imputed
+            FROM customer c JOIN med USING (c_mktsegment)
+            ORDER BY c_custkey
+        """,
+        # WOE / IV over exact NTILE(10) bins of event value
+        "q_woe_iv": """
+            WITH t AS (
+                SELECT ntile(10) OVER (ORDER BY value, event_id)
+                           AS bucket,
+                       CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END AS y
+                FROM events),
+            c AS (
+                SELECT bucket, sum(y) AS good,
+                       count(*) AS n
+                FROM t GROUP BY 1),
+            tt AS (
+                SELECT sum(good) AS g,
+                       sum(n - good) AS b
+                FROM c)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(good AS BIGINT) AS good,
+                   CAST(n - good AS BIGINT) AS bad,
+                   round(ln((good * 1.0 * b)
+                            / ((n - good) * 1.0 * g)), 6) AS woe,
+                   round((good * 1.0 / g - (n - good) * 1.0 / b)
+                         * ln((good * 1.0 * b)
+                              / ((n - good) * 1.0 * g)), 6)
+                       AS iv_term
+            FROM c, tt ORDER BY bucket
+        """,
+        # per-user daily linear interpolation via two ASOF joins;
+        # interpolation expression mirrors resample_linear exactly
+        "q_resample_linear": """
+            WITH d AS (
+                SELECT user_id,
+                       epoch_us(ts) // 86400000000 AS unit,
+                       avg(value) AS v
+                FROM events GROUP BY 1, 2),
+            span AS (
+                SELECT user_id, min(unit) AS u0, max(unit) AS u1
+                FROM d GROUP BY 1),
+            grid AS (
+                SELECT user_id, unnest(range(u0, u1 + 1)) AS unit
+                FROM span),
+            pv AS (
+                SELECT g.user_id, g.unit, d.unit AS pt, d.v AS pvv
+                FROM grid g ASOF JOIN d
+                  ON g.user_id = d.user_id AND g.unit >= d.unit),
+            nx AS (
+                SELECT g.user_id, g.unit, d.unit AS nt, d.v AS nvv
+                FROM grid g ASOF JOIN d
+                  ON g.user_id = d.user_id AND g.unit <= d.unit)
+            SELECT p.user_id, p.unit,
+                   round(CASE WHEN p.pt = p.unit THEN p.pvv
+                         ELSE p.pvv + (n.nvv - p.pvv)
+                              * (p.unit - p.pt) / (n.nt - p.pt)
+                         END, 6) AS v,
+                   CASE WHEN p.pt = p.unit THEN 1 ELSE 0 END
+                       AS observed
+            FROM pv p JOIN nx n
+              ON n.user_id = p.user_id AND n.unit = p.unit
+            ORDER BY p.user_id, p.unit
         """,
         # q_ols_multi: float Gram-partial fold (summation-order noise)
         # -> rows-only with a numpy lstsq parity pytest.

@@ -4858,3 +4858,58 @@ def test_g2_keyness_finds_planted_term(ray_session):
     )
     assert out.iloc[0]["term"] == "banana"
     assert out.iloc[0]["b"] == 0
+
+
+def test_resample_linear_hand_series(ray_session):
+    """Days 10, 13, 16 with values 1, 4, 10 -> interpolated
+    2,3 then 6,8; observed flags only at the three inputs."""
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.relational import resample_linear
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1],
+            "ts": pd.to_datetime(
+                [10 * 86400, 13 * 86400, 16 * 86400], unit="s"
+            ).astype("datetime64[us]"),
+            "v": [1.0, 4.0, 10.0],
+        }
+    )
+    out = resample_linear(
+        ray.data.from_pandas(df).repartition(2),
+        key_col="k", ts_col="ts", value_col="v",
+    ).to_pandas().sort_values("unit")
+    assert out["unit"].tolist() == list(range(10, 17))
+    assert np.allclose(
+        out["v"], [1.0, 2.0, 3.0, 4.0, 6.0, 8.0, 10.0]
+    )
+    assert out["observed"].tolist() == [1, 0, 0, 1, 0, 0, 1]
+
+
+def test_cume_dist_matches_pandas_rank(ray_session):
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.relational import cume_dist_by
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(500, dtype=np.int64),
+            "k": rng.integers(0, 4, 500),
+            "v": rng.integers(0, 40, 500).astype(np.float64),
+        }
+    )
+    out = cume_dist_by(
+        ray.data.from_pandas(df).repartition(4), "k", "v"
+    ).to_pandas()
+    want = df.groupby("k")["v"].rank(method="max", pct=True)
+    merged = out.merge(
+        df.assign(want=want), on=["id", "k", "v"]
+    )
+    # cd is round(·, 6); compare the same rounding of the reference
+    assert np.allclose(
+        merged["cd"], np.round(merged["want"], 6), atol=1e-12
+    )

@@ -1455,20 +1455,27 @@ def percent_rank_by(ds, key_col: str, value_col: str,
     mapping = hist.groupby(key_col).map_groups(
         cum, batch_format="pandas"
     ).materialize()
-    # the mapping is histogram-sized (distinct values per key, not
-    # rows); when it fits a worker heap, broadcast it once via ray.put
-    # and map-side merge — no third all-to-all.  Past the threshold
-    # (many keys x fine-grained values) fall back to the hash join.
+    return _mapping_join(
+        ds, mapping, [key_col, value_col],
+        broadcast_threshold, num_partitions,
+    )
+
+
+def _mapping_join(ds, mapping, on_cols: list[str],
+                  broadcast_threshold: int, num_partitions: int):
+    """Attach a histogram-sized mapping to its rows: when the mapping
+    (distinct key tuples, not rows) fits a worker heap, broadcast it
+    once via ray.put — or pickle it straight into task closures below
+    100k rows, skipping the actor-pool spin-up — and map-side merge;
+    past the threshold fall back to the hash join.  Shared by
+    percent_rank_by / cume_dist_by."""
     n_map = mapping.count()
     if n_map <= broadcast_threshold:
         mp_df = mapping.to_pandas()
         if n_map <= 100_000:
-            # small enough to pickle into each task closure: a plain
-            # task map skips the actor-pool spin-up entirely
             def lookup(batch: pd.DataFrame) -> pa.Table:
                 return _arrow(
-                    batch.merge(mp_df, on=[key_col, value_col],
-                                how="inner")
+                    batch.merge(mp_df, on=on_cols, how="inner")
                 )
 
             return ds.map_batches(lookup, batch_format="pandas")
@@ -1476,22 +1483,61 @@ def percent_rank_by(ds, key_col: str, value_col: str,
 
         ref = _ray.put(mp_df)
 
-        class PrLookup:
+        class MapLookup:
             def __init__(self):
                 self.mp = _ray.get(ref)
 
             def __call__(self, batch: pd.DataFrame) -> pa.Table:
                 return _arrow(
-                    batch.merge(self.mp, on=[key_col, value_col],
-                                how="inner")
+                    batch.merge(self.mp, on=on_cols, how="inner")
                 )
 
         return ds.map_batches(
-            PrLookup, batch_format="pandas", concurrency=(1, 8)
+            MapLookup, batch_format="pandas", concurrency=(1, 8)
         )
     return ds.join(
         mapping, join_type="inner", num_partitions=num_partitions,
-        on=(key_col, value_col),
+        on=tuple(on_cols),
+    )
+
+
+def cume_dist_by(ds, key_col: str, value_col: str,
+                 out_col: str = "cd", ndigits: int = 6,
+                 num_partitions: int = 8,
+                 broadcast_threshold: int = 2_000_000):
+    """Exact SQL ``cume_dist() OVER (PARTITION BY key ORDER BY
+    value)`` — (rows <= value) / n — on percent_rank_by's histogram
+    decomposition: the shuffle carries the (key, value) histogram,
+    the per-key cumsum runs over it, and the tiny mapping attaches
+    back via ``_mapping_join``.  Same skew contract: a group is
+    bounded by the key's DISTINCT-value count; bin unbounded-precision
+    values first.
+    """
+    ds = ds.materialize()
+    hist = bucketed_aggregate(
+        ds, [key_col, value_col], {"cnt": (value_col, "count")}
+    )
+
+    def cum(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(value_col)
+        counts = g["cnt"].to_numpy(dtype=np.int64)
+        n = counts.sum()
+        le = np.cumsum(counts)
+        cd = np.round(le / n, ndigits)
+        return pa.table(
+            {
+                key_col: pa.array(g[key_col].to_numpy()),
+                value_col: pa.array(g[value_col].to_numpy()),
+                out_col: pa.array(cd, pa.float64()),
+            }
+        )
+
+    mapping = hist.groupby(key_col).map_groups(
+        cum, batch_format="pandas"
+    ).materialize()
+    return _mapping_join(
+        ds, mapping, [key_col, value_col],
+        broadcast_threshold, num_partitions,
     )
 
 
@@ -3189,6 +3235,59 @@ def late_event_split(ds, key_col: str, ts_col: str, id_col: str,
                     g[key_col].to_numpy(np.int64), pa.int64()
                 ),
                 "late": pa.array(late, pa.int64()),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(fold, batch_format="pandas")
+
+
+def resample_linear(ds, key_col: str, ts_col: str, value_col: str,
+                    bucket_s: int = 86_400):
+    """Regularize an irregular per-key series onto a fixed grid with
+    LINEAR interpolation (the numeric sibling of LOCF resampling):
+    per key, bucket timestamps to grid units, average within a unit,
+    then fill every unit strictly between the key's first and last
+    observation as v = pv + (nv - pv) * (t - pt) / (nt - pt) — the
+    exact expression a SQL twin's two ASOF joins produce, so
+    round(6) hash-matches (np.interp uses a different float form and
+    is deliberately NOT used).
+
+    One ``groupby(key).map_groups`` pass (lag_rolling's contract);
+    grid length is bounded by the key's observation span.
+
+    Output: (key, unit, v, observed 0/1).
+    """
+    bucket_us = int(bucket_s) * 1_000_000
+
+    def fold(group: pd.DataFrame) -> pa.Table:
+        g = group.copy()
+        g["_u"] = _ts_us(g[ts_col]).to_numpy() // bucket_us
+        daily = (
+            g.groupby("_u")[value_col].mean().sort_index()
+        )
+        u = daily.index.to_numpy(np.int64)
+        v = daily.to_numpy(np.float64)
+        grid = np.arange(u[0], u[-1] + 1, dtype=np.int64)
+        # index of the previous observation for every grid unit
+        prev = np.searchsorted(u, grid, side="right") - 1
+        observed = u[prev] == grid
+        pt, pv = u[prev], v[prev]
+        nxt = np.minimum(prev + 1, len(u) - 1)
+        nt, nv = u[nxt], v[nxt]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            interp = pv + (nv - pv) * (grid - pt) / (nt - pt)
+        out_v = np.where(observed, pv, interp)
+        key = int(g[key_col].iloc[0])
+        return pa.table(
+            {
+                key_col: pa.array(
+                    np.full(len(grid), key, dtype=np.int64), pa.int64()
+                ),
+                "unit": pa.array(grid, pa.int64()),
+                "v": pa.array(out_v, pa.float64()),
+                "observed": pa.array(
+                    observed.astype(np.int64), pa.int64()
+                ),
             }
         )
 

@@ -6015,3 +6015,151 @@ def q_keyness(sf_dir: str) -> pd.DataFrame:
     out["b"] = out["b"].astype("int64")
     out["g2"] = out["g2"].round(6)
     return out
+
+
+def q_cume_dist(sf_dir: str) -> pd.DataFrame:
+    """Per-source cumulative distribution position of each document's
+    quality score — percent_rank's sibling on the shared histogram
+    decomposition (ops.relational.cume_dist_by).  Hash-exact vs a
+    CUME_DIST() window twin."""
+    from unfurl_ray.ops.relational import cume_dist_by
+    from unfurl_ray.ops.textstats import quality_score_batch
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def score(batch: pd.DataFrame) -> pa.Table:
+        q = quality_score_batch(batch)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    batch["doc_id"].to_numpy(), pa.int64()
+                ),
+                "source": pa.array(batch["source"], pa.string()),
+                "quality": pa.array(
+                    q["quality"].to_numpy(), pa.float64()
+                ),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pandas")
+    out = cume_dist_by(
+        scored, key_col="source", value_col="quality"
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return (
+        out[["doc_id", "source", "quality", "cd"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_impute(sf_dir: str) -> pd.DataFrame:
+    """Median imputation: negative account balances (the 'unknown'
+    sentinel) replaced by the segment's discrete median of the valid
+    balances.  ops.relational.group_quantile_disc for the 5-row
+    mapping, then a pure broadcast map — imputation at 100 TB is a
+    map, not a join.  Hash-exact (imputed values are data values)."""
+    from unfurl_ray.ops.relational import group_quantile_disc
+
+    ds = _parquet_sh(
+        sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"]
+    ).materialize()
+
+    def valid(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch.column("c_acctbal"), 0.0)
+        )
+
+    med = group_quantile_disc(
+        ds.map_batches(valid, batch_format="pyarrow"),
+        "c_mktsegment", "c_acctbal", 0.5,
+    ).to_pandas()
+    med_map = dict(
+        zip(med["c_mktsegment"], med["quantile_value"])
+    )
+
+    def impute(batch: pd.DataFrame) -> pd.DataFrame:
+        bal = batch["c_acctbal"].to_numpy(np.float64)
+        fill = batch["c_mktsegment"].map(med_map).to_numpy(np.float64)
+        miss = bal < 0
+        return pd.DataFrame(
+            {
+                "c_custkey": batch["c_custkey"],
+                "c_mktsegment": batch["c_mktsegment"],
+                "acctbal_imputed": np.where(miss, fill, bal),
+                "was_imputed": miss.astype(np.int64),
+            }
+        )
+
+    out = ds.map_batches(impute, batch_format="pandas").to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_woe_iv(sf_dir: str) -> pd.DataFrame:
+    """Scorecard-style Weight-of-Evidence / Information-Value of the
+    event value against the purchase target, over exact NTILE(10)
+    bins (ops.relational.ntile_by's histogram-offset ranks).  All
+    WOE/IV inputs are exact integer counts, so the explicit-formula
+    SQL twin hash-matches."""
+    from unfurl_ray.ops.relational import ntile_by, pre_aggregate
+
+    ds = _parquet_sh(
+        sf_dir, "events", ["event_id", "event_type", "value"]
+    )
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"],
+                "part": "all",
+                "value": batch["value"],
+                "y": (batch["event_type"] == "purchase").astype(
+                    "int64"
+                ),
+            }
+        )
+
+    tagged = ntile_by(
+        ds.map_batches(tag, batch_format="pandas"),
+        part_col="part", order_col="value", id_col="event_id", k=10,
+    )
+    counts = pre_aggregate(
+        tagged, ["bucket"],
+        {"good": ("y", "sum"), "n": ("y", "count")},
+    ).to_pandas().sort_values("bucket").reset_index(drop=True)
+    good = counts["good"].to_numpy(np.int64)
+    n = counts["n"].to_numpy(np.int64)
+    bad = n - good
+    G, B = int(good.sum()), int(bad.sum())
+    woe = np.log(
+        (good.astype(np.float64) * B) / (bad.astype(np.float64) * G)
+    )
+    iv_term = (good / G - bad / B) * woe
+    return pd.DataFrame(
+        {
+            "bucket": counts["bucket"].astype("int64"),
+            "n": n,
+            "good": good,
+            "bad": bad,
+            "woe": np.round(woe, 6),
+            "iv_term": np.round(iv_term, 6),
+        }
+    )
+
+
+def q_resample_linear(sf_dir: str) -> pd.DataFrame:
+    """Per-user daily series with LINEAR interpolation between
+    observed days (the numeric sibling of q_resample_locf).
+    ops.relational.resample_linear — per-key grid fill, SQL-identical
+    interpolation expression.  Hash-exact vs a two-ASOF-join twin."""
+    from unfurl_ray.ops.relational import resample_linear
+
+    ds = _parquet_sh(sf_dir, "events", ["user_id", "ts", "value"])
+    out = resample_linear(
+        ds, key_col="user_id", ts_col="ts", value_col="value",
+        bucket_s=86_400,
+    ).to_pandas()
+    out["v"] = out["v"].round(6)
+    return out.sort_values(
+        ["user_id", "unit"]
+    ).reset_index(drop=True)
