@@ -230,6 +230,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_impute": p.q_impute,
         "q_woe_iv": p.q_woe_iv,
         "q_resample_linear": p.q_resample_linear,
+        "q_communities": p.q_communities,
+        "q_trimmed_mean": p.q_trimmed_mean,
+        "q_attribution": p.q_attribution,
     }
 
 
@@ -3402,6 +3405,42 @@ def oracle_sql() -> dict[str, str]:
               ON n.user_id = p.user_id AND n.unit = p.unit
             ORDER BY p.user_id, p.unit
         """,
+        # rank-based 10% trimmed mean; floor(0.1*n) in the same
+        # float64 both sides
+        "q_trimmed_mean": """
+            WITH r AS (
+                SELECT o_orderpriority AS k, o_totalprice AS v,
+                       row_number() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey) AS rn,
+                       count(*) OVER (
+                           PARTITION BY o_orderpriority) AS n
+                FROM orders)
+            SELECT k AS o_orderpriority,
+                   round(sum(v) / count(*), 6) AS trimmed_mean,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(max(n) AS BIGINT) AS n
+            FROM r
+            WHERE rn > floor(0.1 * n) AND rn <= n - floor(0.1 * n)
+            GROUP BY k ORDER BY k
+        """,
+        # last-touch attribution via strict-inequality ASOF on the
+        # globally-unique arrival id
+        "q_attribution": """
+            WITH t AS (
+                SELECT event_id, user_id FROM events
+                WHERE event_type = 'purchase'),
+            nt AS (
+                SELECT event_id, user_id, event_type FROM events
+                WHERE event_type <> 'purchase')
+            SELECT t.event_id, t.user_id, nt.event_type AS touch
+            FROM t ASOF JOIN nt
+              ON t.user_id = nt.user_id
+             AND t.event_id > nt.event_id
+            ORDER BY t.event_id
+        """,
+        # q_communities: iterative LPA fixpoint -> rows-only with a
+        # deterministic-rule parity pytest.
         # q_ols_multi: float Gram-partial fold (summation-order noise)
         # -> rows-only with a numpy lstsq parity pytest.
         # q_minhash_dedup / q_simhash / q_knn_ivf / q_hll_users /

@@ -4913,3 +4913,54 @@ def test_cume_dist_matches_pandas_rank(ray_session):
     assert np.allclose(
         merged["cd"], np.round(merged["want"], 6), atol=1e-12
     )
+
+
+def test_label_propagation_matches_reference(ray_session):
+    """Distributed sync-LPA equals the driver-side reference rule on
+    a random graph (two planted cliques + noise edges)."""
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.graph import (
+        label_propagation, label_propagation_reference,
+    )
+
+    rng = np.random.default_rng(17)
+    edges = set()
+    for base in (0, 20):  # two 10-cliques
+        for i in range(10):
+            for j in range(i + 1, 10):
+                edges.add((base + i, base + j))
+    for _ in range(15):  # noise
+        a, b = sorted(rng.integers(0, 40, 2).tolist())
+        if a != b:
+            edges.add((a, b))
+    df = pd.DataFrame(sorted(edges), columns=["a", "b"])
+    got = label_propagation(
+        ray.data.from_pandas(df).repartition(3),
+        max_iters=10, num_partitions=4,
+    ).to_pandas()
+    want = label_propagation_reference(df, max_iters=10)
+    got_map = dict(zip(got["node"].astype(int),
+                       got["community"].astype(int)))
+    assert got_map == want
+    # the two planted cliques resolve to single communities
+    assert len({want[n] for n in range(10)}) == 1
+
+
+def test_trimmed_mean_by_drops_outliers(ray_session):
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.relational import trimmed_mean_by
+
+    v = np.concatenate([[1e9], np.full(18, 5.0), [-1e9]])
+    df = pd.DataFrame(
+        {"id": np.arange(20, dtype=np.int64), "k": 1, "v": v}
+    )
+    out = trimmed_mean_by(
+        ray.data.from_pandas(df).repartition(3),
+        key_col="k", value_col="v", id_col="id", trim=0.1,
+    ).to_pandas()
+    assert out["n_kept"].iloc[0] == 16
+    assert abs(out["trimmed_mean"].iloc[0] - 5.0) < 1e-12

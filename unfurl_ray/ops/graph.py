@@ -1372,3 +1372,158 @@ def common_neighbor_scores(edges, top_k: int = 20,
         .head(top_k)
         .reset_index(drop=True)
     )
+
+
+class _LPAShard(_GraphShard):
+    """Label-propagation shard: community label per owned node; each
+    step ships per-dst (label, count) histograms — bounded by the
+    shard's edge count, like the k-core decrement exchange."""
+
+    def register(self, *incoming) -> int:
+        mine = self._register_nodes(incoming)
+        self.label = mine.copy()
+        return len(mine)
+
+    def histograms(self):
+        """Per-target (dst, label, count) triples of this shard's
+        out-edge src labels (num_returns=B fan-out)."""
+        out = []
+        for spos, starts, vals in self.plan:
+            if len(vals) == 0:
+                empty = np.array([], dtype=np.int64)
+                out.append((empty, empty, empty))
+                continue
+            runs = np.diff(np.append(starts, len(spos)))
+            dstc = np.repeat(np.arange(len(vals)), runs)
+            lab = self.label[spos]
+            order = np.lexsort((lab, dstc))
+            d_s, l_s = dstc[order], lab[order]
+            new = np.ones(len(d_s), dtype=bool)
+            new[1:] = (d_s[1:] != d_s[:-1]) | (l_s[1:] != l_s[:-1])
+            starts2 = np.flatnonzero(new)
+            cnt = np.diff(np.append(starts2, len(d_s)))
+            out.append(
+                (vals[d_s[starts2]], l_s[starts2],
+                 cnt.astype(np.int64))
+            )
+        return out if self.B > 1 else out[0]
+
+    def update(self, *parts) -> int:
+        """Fold incoming per-dst label histograms; every node with
+        neighbors adopts the most frequent neighbor label, ties to
+        the SMALLEST label (the deterministic sync-LPA rule).
+        Returns #labels changed."""
+        ds_, ls_, cs_ = [], [], []
+        for d, l, c in parts:
+            if len(d):
+                ds_.append(np.asarray(d, dtype=np.int64))
+                ls_.append(np.asarray(l, dtype=np.int64))
+                cs_.append(np.asarray(c, dtype=np.int64))
+        if not ds_:
+            return 0
+        d = np.concatenate(ds_)
+        l = np.concatenate(ls_)
+        c = np.concatenate(cs_)
+        # merge duplicate (dst, label) pairs across source shards
+        order = np.lexsort((l, d))
+        d, l, c = d[order], l[order], c[order]
+        new = np.ones(len(d), dtype=bool)
+        new[1:] = (d[1:] != d[:-1]) | (l[1:] != l[:-1])
+        starts = np.flatnonzero(new)
+        tot = np.add.reduceat(c, starts)
+        d, l = d[starts], l[starts]
+        # winner per dst: max count, then min label — lexsort keys
+        # read right-to-left, so sort by (dst, -count, label) and
+        # take each dst run's FIRST row
+        order = np.lexsort((l, -tot, d))
+        d, l = d[order], l[order]
+        first = np.ones(len(d), dtype=bool)
+        first[1:] = d[1:] != d[:-1]
+        w_dst, w_lab = d[first], l[first]
+        pos = np.searchsorted(self.nodes, w_dst)
+        changed = int((self.label[pos] != w_lab).sum())
+        self.label[pos] = w_lab
+        return changed
+
+    def labels_df(self) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": self.nodes, "community": self.label}
+        )
+
+
+def label_propagation(edges, max_iters: int = 10,
+                      num_partitions: int = 8):
+    """Community detection by synchronous label propagation (Raghavan
+    2007) with the deterministic tie rule (most frequent neighbor
+    label, ties to the smallest) — same shard-actor Pregel layout as
+    ``connected_components``/``pagerank``: one setup shuffle, then
+    actor-to-actor histogram exchange per round, no Dataset execution
+    inside the loop.  Fixed ``max_iters`` bounds the oscillation sync
+    LPA allows on bipartite structures; convergence = 0 changes.
+
+    Input: canonical undirected edges ``(a, b)``; both orientations
+    are fanned out here.  Output Dataset: (node, community).
+    """
+    import ray
+
+    def both(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([a, b]), pa.int64()),
+                "v": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    directed = edges.map_batches(both, batch_format="pyarrow")
+    B = num_partitions
+    actors, counts = _spawn_shards(
+        _LPAShard, directed, B, "u", "v", dedup_edges=True
+    )
+    for _ in range(max_iters):
+        outs = [_fan(a, "histograms", B) for a in actors]
+        changed = sum(
+            ray.get(
+                [
+                    actors[t].update.remote(
+                        *[outs[i][t] for i in range(B)]
+                    )
+                    for t in range(B)
+                ]
+            )
+        )
+        if changed == 0:
+            break
+    refs = [
+        a.labels_df.remote() for a, c in zip(actors, counts) if c > 0
+    ]
+    return _collect_shards(
+        actors, refs, {"node": "int64", "community": "int64"}
+    )
+
+
+def label_propagation_reference(edges_df: pd.DataFrame,
+                                max_iters: int = 10) -> dict:
+    """Driver-side sync-LPA with the identical deterministic rule —
+    the parity oracle for ``label_propagation`` on small graphs."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(list)
+    for a, b in zip(edges_df["a"], edges_df["b"]):
+        adj[int(a)].append(int(b))
+        adj[int(b)].append(int(a))
+    label = {n: n for n in adj}
+    for _ in range(max_iters):
+        new = {}
+        changed = 0
+        for n in adj:
+            cnt = Counter(label[m] for m in adj[n])
+            top = max(cnt.values())
+            win = min(k for k, v in cnt.items() if v == top)
+            new[n] = win
+            changed += win != label[n]
+        label = new
+        if changed == 0:
+            break
+    return label

@@ -3292,3 +3292,72 @@ def resample_linear(ds, key_col: str, ts_col: str, value_col: str,
         )
 
     return ds.groupby(key_col).map_groups(fold, batch_format="pandas")
+
+
+def trimmed_mean_by(ds, key_col: str, value_col: str, id_col: str,
+                    trim: float = 0.1):
+    """Per-key trimmed mean (robust location): drop the lowest and
+    highest ``floor(trim * n)`` rows under the (value, id) total
+    order, average the rest — the rank-based definition, so a SQL
+    row_number twin is exact row-for-row.  One
+    ``groupby(key).map_groups`` pass.
+
+    Output: (key, trimmed_mean, n_kept, n).
+    """
+    def fold(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values([value_col, id_col])
+        v = g[value_col].to_numpy(np.float64)
+        n = len(v)
+        k = int(np.floor(trim * n))
+        kept = v[k: n - k]
+        return pa.table(
+            {
+                key_col: pa.array([g[key_col].iloc[0]]),
+                "trimmed_mean": pa.array(
+                    [float(kept.sum()) / len(kept)], pa.float64()
+                ),
+                "n_kept": pa.array([len(kept)], pa.int64()),
+                "n": pa.array([n], pa.int64()),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(fold, batch_format="pandas")
+
+
+def last_touch_attribution(ds, key_col: str, id_col: str,
+                           type_col: str, target: str):
+    """Last-touch conversion attribution: every ``target`` event is
+    credited to the key's most recent PRECEDING non-target event
+    (arrival order = ``id_col`` — globally unique, so the credit is
+    deterministic; timestamp ties cannot flip it).  Targets with no
+    preceding touch are dropped, mirroring an ASOF-join twin's inner
+    join.
+
+    One ``groupby(key).map_groups`` pass: forward-fill the last
+    non-target type over the id-sorted stream, emit target rows.
+
+    Output: (id, key, touch) one row per attributed target event.
+    """
+    def fold(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(id_col).reset_index(drop=True)
+        types = g[type_col].to_numpy()
+        is_t = types == target
+        touch = pd.Series(
+            np.where(is_t, None, types), dtype=object
+        ).ffill().to_numpy()
+        keep = is_t & pd.notna(touch)
+        return pa.table(
+            {
+                id_col: pa.array(
+                    g[id_col].to_numpy(np.int64)[keep], pa.int64()
+                ),
+                key_col: pa.array(
+                    g[key_col].to_numpy(np.int64)[keep], pa.int64()
+                ),
+                "touch": pa.array(
+                    touch[keep].astype(str), pa.string()
+                ),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(fold, batch_format="pandas")

@@ -6163,3 +6163,56 @@ def q_resample_linear(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(
         ["user_id", "unit"]
     ).reset_index(drop=True)
+
+
+def q_communities(sf_dir: str) -> pd.DataFrame:
+    """Community detection on the embedding similarity graph by
+    deterministic synchronous label propagation —
+    ops.graph.label_propagation (shard-actor Pregel, per-round
+    histogram exchange).  Rows-only (iterative fixpoint, no SQL
+    twin); the small-graph parity pytest pins the rule."""
+    from unfurl_ray.ops.graph import label_propagation
+
+    out = label_propagation(
+        _embedding_edges(sf_dir), max_iters=10
+    ).to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["community"] = out["community"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def q_trimmed_mean(sf_dir: str) -> pd.DataFrame:
+    """10%-trimmed mean order value per priority — the robust
+    location screen.  ops.relational.trimmed_mean_by (rank-based
+    trim, (value, id) total order).  Hash-exact vs a row_number
+    twin."""
+    from unfurl_ray.ops.relational import trimmed_mean_by
+
+    ds = _parquet_sh(
+        sf_dir, "orders",
+        ["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    out = trimmed_mean_by(
+        ds, key_col="o_orderpriority", value_col="o_totalprice",
+        id_col="o_orderkey", trim=0.1,
+    ).to_pandas()
+    out["trimmed_mean"] = out["trimmed_mean"].round(6)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_attribution(sf_dir: str) -> pd.DataFrame:
+    """Last-touch attribution: every purchase credited to the user's
+    most recent preceding non-purchase event (arrival order).
+    ops.relational.last_touch_attribution — one
+    groupby(user).map_groups forward-fill pass.  Hash-exact vs an
+    ASOF-join twin."""
+    from unfurl_ray.ops.relational import last_touch_attribution
+
+    ds = _parquet_sh(
+        sf_dir, "events", ["event_id", "user_id", "event_type"]
+    )
+    out = last_touch_attribution(
+        ds, key_col="user_id", id_col="event_id",
+        type_col="event_type", target="purchase",
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
