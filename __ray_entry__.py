@@ -233,6 +233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_communities": p.q_communities,
         "q_trimmed_mean": p.q_trimmed_mean,
         "q_attribution": p.q_attribution,
+        "q_first_last": p.q_first_last,
+        "q_rolling_median": p.q_rolling_median,
     }
 
 
@@ -3438,6 +3440,36 @@ def oracle_sql() -> dict[str, str]:
               ON t.user_id = nt.user_id
              AND t.event_id > nt.event_id
             ORDER BY t.event_id
+        """,
+        # per-user first/last under the (ts, id) total order
+        "q_first_last": """
+            WITH r AS (
+                SELECT user_id, epoch_us(ts) AS ts_us, value,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS ra,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rd
+                FROM events)
+            SELECT a.user_id,
+                   a.ts_us AS first_ts, a.value AS first_value,
+                   d.ts_us AS last_ts, d.value AS last_value
+            FROM r a JOIN r d
+              ON d.user_id = a.user_id AND d.rd = 1
+            WHERE a.ra = 1
+            ORDER BY a.user_id
+        """,
+        # trailing 5-row median; the window frame shrinks at the
+        # stream head exactly like pandas min_periods=1
+        "q_rolling_median": """
+            SELECT event_id, user_id,
+                   median(value) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                       AS roll_median
+            FROM events ORDER BY event_id
         """,
         # q_communities: iterative LPA fixpoint -> rows-only with a
         # deterministic-rule parity pytest.

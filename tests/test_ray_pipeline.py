@@ -4964,3 +4964,35 @@ def test_trimmed_mean_by_drops_outliers(ray_session):
     ).to_pandas()
     assert out["n_kept"].iloc[0] == 16
     assert abs(out["trimmed_mean"].iloc[0] - 5.0) < 1e-12
+
+
+def test_first_last_by_candidates_survive_blocks(ray_session):
+    """first/last must be exact regardless of block boundaries —
+    compare against a single-partition pandas reference."""
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.relational import first_last_by
+
+    rng = np.random.default_rng(31)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "id": rng.permutation(n).astype(np.int64),
+            "k": rng.integers(0, 9, n),
+            "ts": pd.to_datetime(
+                rng.integers(0, 10**6, n), unit="s"
+            ).astype("datetime64[us]"),
+            "v": rng.normal(0, 1, n),
+        }
+    )
+    out = first_last_by(
+        ray.data.from_pandas(df).repartition(7),
+        key_col="k", ts_col="ts", id_col="id", value_col="v",
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    for _, row in out.iterrows():
+        g = df[df["k"] == row["k"]].sort_values(["ts", "id"])
+        assert row["first_value"] == g["v"].iloc[0]
+        assert row["last_value"] == g["v"].iloc[-1]
+        assert row["first_ts"] == g["ts"].astype("int64").iloc[0]
+        assert row["last_ts"] == g["ts"].astype("int64").iloc[-1]

@@ -3361,3 +3361,95 @@ def last_touch_attribution(ds, key_col: str, id_col: str,
         )
 
     return ds.groupby(key_col).map_groups(fold, batch_format="pandas")
+
+
+def first_last_by(ds, key_col: str, ts_col: str, id_col: str,
+                  value_col: str):
+    """Per-key FIRST and LAST observation under the (ts, id) total
+    order — the combiner-friendly argmin/argmax: each batch keeps
+    only its per-key candidate rows (2 per key per batch), the
+    shuffle moves candidates, and one tiny per-key fold picks the
+    winners.  No key's stream is ever grouped — the standard
+    first_value/last_value window collapsed to an aggregation.
+
+    Output: (key, first_ts, first_value, last_ts, last_value).
+    """
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        g = batch.sort_values([ts_col, id_col])
+        first = g.groupby(key_col, sort=False).head(1)
+        last = g.groupby(key_col, sort=False).tail(1)
+        out = pd.concat([first, last], ignore_index=True)
+        return pa.table(
+            {
+                key_col: pa.array(
+                    out[key_col].to_numpy(np.int64), pa.int64()
+                ),
+                "_ts": pa.array(
+                    _ts_us(out[ts_col]).to_numpy(), pa.int64()
+                ),
+                id_col: pa.array(
+                    out[id_col].to_numpy(np.int64), pa.int64()
+                ),
+                value_col: pa.array(
+                    out[value_col].to_numpy(np.float64), pa.float64()
+                ),
+            }
+        )
+
+    def pick(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(["_ts", id_col]).reset_index(drop=True)
+        return pa.table(
+            {
+                key_col: pa.array(
+                    [int(g[key_col].iloc[0])], pa.int64()
+                ),
+                "first_ts": pa.array([int(g["_ts"].iloc[0])],
+                                     pa.int64()),
+                "first_value": pa.array(
+                    [float(g[value_col].iloc[0])], pa.float64()
+                ),
+                "last_ts": pa.array([int(g["_ts"].iloc[-1])],
+                                    pa.int64()),
+                "last_value": pa.array(
+                    [float(g[value_col].iloc[-1])], pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(key_col)
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+def rolling_median_by(ds, key_col: str, ts_col: str, id_col: str,
+                      value_col: str, window: int = 5):
+    """Per-key trailing ``window``-row median (robust smoother) over
+    the (ts, id)-sorted stream — lag_rolling's contract, pandas'
+    vectorized rolling median per group (min_periods=1, so the frame
+    shrinks at the stream head exactly like the SQL window's ROWS
+    BETWEEN n PRECEDING AND CURRENT ROW).
+
+    Output: (id, key, roll_median).
+    """
+    def fold(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values([ts_col, id_col]).reset_index(drop=True)
+        med = (
+            g[value_col].rolling(window, min_periods=1)
+            .median()
+            .to_numpy(np.float64)
+        )
+        return pa.table(
+            {
+                id_col: pa.array(
+                    g[id_col].to_numpy(np.int64), pa.int64()
+                ),
+                key_col: pa.array(
+                    g[key_col].to_numpy(np.int64), pa.int64()
+                ),
+                "roll_median": pa.array(med, pa.float64()),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(fold, batch_format="pandas")

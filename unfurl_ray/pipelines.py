@@ -6216,3 +6216,36 @@ def q_attribution(sf_dir: str) -> pd.DataFrame:
         type_col="event_type", target="purchase",
     ).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_first_last(sf_dir: str) -> pd.DataFrame:
+    """Per-user first and last event value (the session-bookend
+    feature): combiner-friendly argmin/argmax — 2 candidate rows per
+    user per batch cross the shuffle.  ops.relational.first_last_by.
+    Hash-exact vs a row_number asc/desc twin."""
+    from unfurl_ray.ops.relational import first_last_by
+
+    ds = _parquet_sh(
+        sf_dir, "events", ["event_id", "ts", "user_id", "value"]
+    )
+    out = first_last_by(
+        ds, key_col="user_id", ts_col="ts", id_col="event_id",
+        value_col="value",
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_rolling_median(sf_dir: str) -> pd.DataFrame:
+    """Per-user trailing 5-event median of value (robust smoothing).
+    ops.relational.rolling_median_by.  Hash-exact vs a median window
+    twin (frame shrink at the stream head matches min_periods=1)."""
+    from unfurl_ray.ops.relational import rolling_median_by
+
+    ds = _parquet_sh(
+        sf_dir, "events", ["event_id", "ts", "user_id", "value"]
+    )
+    out = rolling_median_by(
+        ds, key_col="user_id", ts_col="ts", id_col="event_id",
+        value_col="value", window=5,
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
