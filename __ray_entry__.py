@@ -235,6 +235,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_attribution": p.q_attribution,
         "q_first_last": p.q_first_last,
         "q_rolling_median": p.q_rolling_median,
+        "q_entity_resolution": p.q_entity_resolution,
+        "q_histogram": p.q_histogram,
     }
 
 
@@ -3470,6 +3472,60 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
                        AS roll_median
             FROM events ORDER BY event_id
+        """,
+        # ER composition: FastSS-blocked levenshtein pairs ->
+        # recursive min-label CC (q_semdedup's idiom) -> sizes
+        "q_entity_resolution": """
+            WITH RECURSIVE d AS (
+                SELECT doc_id,
+                       substr(trim(regexp_replace(
+                           lower(coalesce(text, '')),
+                           '[ \t\n\f\r]+', ' ', 'g')), 1, 24) AS s
+                FROM documents),
+            p AS (
+                SELECT a.doc_id AS pu, b.doc_id AS pv
+                FROM d a JOIN d b
+                  ON a.doc_id < b.doc_id
+                 AND abs(length(a.s) - length(b.s)) <= 1
+                 AND levenshtein(a.s, b.s) <= 1),
+            e AS (
+                SELECT pu AS u, pv AS v FROM p
+                UNION SELECT pv, pu FROM p),
+            reach AS (
+                SELECT doc_id AS node, doc_id AS label
+                FROM documents
+                UNION
+                SELECT e.v, r.label
+                FROM reach r JOIN e ON e.u = r.node
+                WHERE r.label < e.v),
+            comp AS (
+                SELECT node AS doc_id, min(label) AS component
+                FROM reach GROUP BY node),
+            sz AS (
+                SELECT component, count(*) AS cluster_size
+                FROM comp GROUP BY 1)
+            SELECT c.doc_id, c.component,
+                   CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+                   CASE WHEN c.doc_id = c.component
+                        THEN 1 ELSE 0 END AS is_canonical
+            FROM comp c JOIN sz USING (component)
+            ORDER BY c.doc_id
+        """,
+        # 20 equal-width bins; bin expression float-identical
+        "q_histogram": """
+            WITH s AS (
+                SELECT min(o_totalprice) AS mn,
+                       max(o_totalprice) AS mx,
+                       (max(o_totalprice) - min(o_totalprice)) / 20.0
+                           AS w
+                FROM orders),
+            b AS (
+                SELECT CAST(least(floor((o_totalprice - mn) / w),
+                                  19.0) AS BIGINT) AS bin
+                FROM orders, s)
+            SELECT bin, round(mn + bin * w, 6) AS lo,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM b, s GROUP BY bin, mn, w ORDER BY bin
         """,
         # q_communities: iterative LPA fixpoint -> rows-only with a
         # deterministic-rule parity pytest.

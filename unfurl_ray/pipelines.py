@@ -6249,3 +6249,100 @@ def q_rolling_median(sf_dir: str) -> pd.DataFrame:
         value_col="value", window=5,
     ).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_entity_resolution(sf_dir: str) -> pd.DataFrame:
+    """Entity resolution end to end — the four-stage composition a
+    record-linkage pipeline runs: FastSS edit-distance blocking+verify
+    (candidate pairs) -> distributed min-label connected components ->
+    per-record canonical assignment -> distributed cluster sizes
+    (bucketed count + hash join, never a driver-side groupby over the
+    corpus).  Hash-exact vs a levenshtein + recursive-CTE twin."""
+    import ray
+
+    from unfurl_ray.ops.dedup import edit_distance_join
+    from unfurl_ray.ops.graph import (
+        assign_components, connected_components,
+    )
+    from unfurl_ray.ops.relational import (
+        _arrow, bucketed_aggregate, bucketed_hash_join,
+    )
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+    pairs = edit_distance_join(ds, k=1, key_len=24)
+    edges = ray.data.from_arrow(
+        _arrow(
+            pd.DataFrame(
+                {
+                    "u": np.concatenate(
+                        [pairs["doc_a"], pairs["doc_b"]]
+                    ).astype(np.int64),
+                    "v": np.concatenate(
+                        [pairs["doc_b"], pairs["doc_a"]]
+                    ).astype(np.int64),
+                }
+            )
+        )
+    )
+    labels = connected_components(edges)
+    assigned = assign_components(ds, labels).materialize()
+    sizes = bucketed_aggregate(
+        assigned, ["component"],
+        {"cluster_size": ("component", "count")},
+    )
+    joined = bucketed_hash_join(
+        assigned, sizes, on="component", right_on="component"
+    )
+
+    def finish(batch: pd.DataFrame) -> pa.Table:
+        return _arrow(
+            pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].astype("int64"),
+                    "component": batch["component"].astype("int64"),
+                    "cluster_size": batch["cluster_size"].astype(
+                        "int64"
+                    ),
+                    "is_canonical": (
+                        batch["doc_id"] == batch["component"]
+                    ).astype("int64"),
+                }
+            )
+        )
+
+    out = joined.map_batches(finish, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_histogram(sf_dir: str) -> pd.DataFrame:
+    """20 equal-width bins of order value — the plain numeric
+    profiling histogram: global min/max from per-batch partials, one
+    pre-aggregated bin count shuffle.  Bin expression is float-
+    identical to the SQL twin's, so the check is hash-exact."""
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    ds = _parquet_sh(sf_dir, "orders", ["o_totalprice"]).materialize()
+
+    def mm(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["o_totalprice"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {"mn": [float(v.min())], "mx": [float(v.max())]}
+        )
+
+    parts = ds.map_batches(mm, batch_format="pandas").to_pandas()
+    mn, mx = float(parts["mn"].min()), float(parts["mx"].max())
+    w = (mx - mn) / 20.0
+
+    def binize(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["o_totalprice"].to_numpy(np.float64)
+        b = np.minimum(np.floor((v - mn) / w), 19.0).astype(np.int64)
+        return pd.DataFrame({"bin": b})
+
+    hist = pre_aggregate(
+        ds.map_batches(binize, batch_format="pandas"),
+        ["bin"], {"n": ("bin", "count")},
+    ).to_pandas().sort_values("bin").reset_index(drop=True)
+    hist["bin"] = hist["bin"].astype("int64")
+    hist["n"] = hist["n"].astype("int64")
+    hist["lo"] = (mn + hist["bin"].to_numpy(np.float64) * w).round(6)
+    return hist[["bin", "lo", "n"]]
