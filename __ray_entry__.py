@@ -237,6 +237,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rolling_median": p.q_rolling_median,
         "q_entity_resolution": p.q_entity_resolution,
         "q_histogram": p.q_histogram,
+        "q_compress_ratio": p.q_compress_ratio,
+        "q_negatives": p.q_negatives,
+        "q_dpo_pairs": p.q_dpo_pairs,
     }
 
 
@@ -562,6 +565,34 @@ def oracle_sql() -> dict[str, str]:
                    round(cume_dist() OVER (
                        PARTITION BY source ORDER BY quality), 6) AS cd
             FROM d ORDER BY doc_id
+        """,
+        # DPO preference pairs over the shared quality expression
+        "q_dpo_pairs": f"""
+            WITH qual AS ({q_quality_sql}),
+            t AS (
+                SELECT doc_id, doc_id // 8 AS conv, quality
+                FROM qual),
+            r AS (
+                SELECT conv, doc_id, quality,
+                       row_number() OVER (PARTITION BY conv
+                           ORDER BY quality DESC, doc_id) AS rc,
+                       row_number() OVER (PARTITION BY conv
+                           ORDER BY quality ASC, doc_id) AS rr,
+                       row_number() OVER (PARTITION BY conv
+                           ORDER BY doc_id) AS rp
+                FROM t)
+            SELECT conv AS conv_id,
+                   max(CASE WHEN rp = 1 THEN doc_id END)
+                       AS prompt_id,
+                   max(CASE WHEN rc = 1 THEN doc_id END)
+                       AS chosen_id,
+                   max(CASE WHEN rc = 1 THEN quality END)
+                       AS chosen_q,
+                   max(CASE WHEN rr = 1 THEN doc_id END)
+                       AS rejected_id,
+                   max(CASE WHEN rr = 1 THEN quality END)
+                       AS rejected_q
+            FROM r GROUP BY conv ORDER BY conv
         """,
         "q_langid": q_langid_sql,
         "q_repetition": q_repetition_sql,
@@ -3527,6 +3558,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM b, s GROUP BY bin, mn, w ORDER BY bin
         """,
+        # md5-derived contrastive negatives over dense ids
+        "q_negatives": """
+            WITH nn AS (
+                SELECT count(*) AS n FROM documents),
+            a AS (
+                SELECT doc_id, unnest(range(0, 4)) AS i
+                FROM documents),
+            h AS (
+                SELECT doc_id, i,
+                       CAST(('0x' || substr(md5(
+                           CAST(doc_id AS VARCHAR) || '-'
+                           || CAST(i AS VARCHAR)), 1, 8))
+                           AS BIGINT) % n AS cand
+                FROM a, nn)
+            SELECT doc_id, CAST(i AS BIGINT) AS neg_rank,
+                   CAST(CASE WHEN cand = doc_id
+                             THEN (cand + 1) % n
+                             ELSE cand END AS BIGINT) AS neg_id
+            FROM h, nn ORDER BY doc_id, neg_rank
+        """,
+        # q_compress_ratio: zlib has no SQL twin -> rows-only with an
+        # ordering pytest (repetitive docs compress below prose).
         # q_communities: iterative LPA fixpoint -> rows-only with a
         # deterministic-rule parity pytest.
         # q_ols_multi: float Gram-partial fold (summation-order noise)

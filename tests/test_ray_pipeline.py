@@ -4996,3 +4996,38 @@ def test_first_last_by_candidates_survive_blocks(ray_session):
         assert row["last_value"] == g["v"].iloc[-1]
         assert row["first_ts"] == g["ts"].astype("int64").iloc[0]
         assert row["last_ts"] == g["ts"].astype("int64").iloc[-1]
+
+
+def test_compress_ratio_orders_redundancy(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+
+    from unfurl_ray.ops.textstats import compress_ratio_batch
+
+    rep = "spam ham " * 200
+    rng = np.random.default_rng(41)
+    noise = "".join(
+        chr(c) for c in rng.integers(33, 126, len(rep))
+    )
+    t = pa.table({"doc_id": [0, 1], "text": [rep, noise]})
+    out = compress_ratio_batch(t).to_pandas()
+    assert out.loc[0, "ratio"] < 0.1        # boilerplate crushes
+    assert out.loc[1, "ratio"] > 0.7        # noise barely compresses
+    # determinism
+    out2 = compress_ratio_batch(t).to_pandas()
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_hash_negatives_no_self_and_in_range(ray_session):
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.textstats import hash_negatives
+
+    df = pd.DataFrame({"doc_id": np.arange(50, dtype=np.int64)})
+    out = hash_negatives(
+        ray.data.from_pandas(df).repartition(4), k=3
+    ).to_pandas()
+    assert len(out) == 150
+    assert (out["neg_id"] != out["doc_id"]).all()
+    assert out["neg_id"].between(0, 49).all()

@@ -678,3 +678,79 @@ def g2_keyness(ds, column: str, group_col: str, group_a: str,
         .head(top_k)
         .reset_index(drop=True)
     )
+
+
+def compress_ratio_batch(batch: pa.Table, level: int = 6) -> pa.Table:
+    """zlib compression ratio per document — the classic cheap
+    redundancy signal (boilerplate/template docs compress far below
+    prose; near-random noise compresses above it).  Pure map, no
+    shuffle; zlib is C, so the per-doc loop is IO-shaped, like the
+    md5 fingerprint loops.  Deterministic for a fixed level.
+
+    Output: (doc_id, n_chars, n_compressed, ratio).
+    """
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    nc, nz = [], []
+    for t in texts:
+        raw = (t or "").encode("utf-8")
+        nc.append(len(raw))
+        nz.append(len(zlib.compress(raw, level)))
+    nc_a = np.array(nc, dtype=np.int64)
+    nz_a = np.array(nz, dtype=np.int64)
+    ratio = np.round(nz_a / np.maximum(nc_a, 1), 6)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_chars": pa.array(nc_a, pa.int64()),
+            "n_compressed": pa.array(nz_a, pa.int64()),
+            "ratio": pa.array(ratio, pa.float64()),
+        }
+    )
+
+
+def hash_negatives(ds, k: int = 4, id_column: str = "doc_id"):
+    """Deterministic negative sampling for contrastive pairs: each
+    anchor gets ``k`` pseudo-random corpus negatives via the md5
+    idiom (hash of "id-i" mod corpus size; self-collisions step to
+    the next id) — reproducible across runs and cluster sizes, unlike
+    RNG sampling, and SQL-twinned like the other md5 ops.
+
+    Corpus-size scalar folds from per-batch counts; the sample
+    itself is a pure map.  Requires dense ids 0..N-1 (the synthetic
+    corpus contract; remap first otherwise).
+
+    Output: (id, neg_rank, neg_id).
+    """
+    import hashlib
+
+    ds = ds.materialize()
+    n = ds.count()
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_pylist()
+        out_id, out_r, out_n = [], [], []
+        for doc_id in ids:
+            for i in range(k):
+                h = int(
+                    hashlib.md5(
+                        f"{doc_id}-{i}".encode()
+                    ).hexdigest()[:8],
+                    16,
+                ) % n
+                if h == doc_id:
+                    h = (h + 1) % n
+                out_id.append(doc_id)
+                out_r.append(i)
+                out_n.append(h)
+        return pa.table(
+            {
+                id_column: pa.array(out_id, pa.int64()),
+                "neg_rank": pa.array(out_r, pa.int64()),
+                "neg_id": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_column]).map_batches(
+        sample, batch_format="pyarrow"
+    )

@@ -6346,3 +6346,108 @@ def q_histogram(sf_dir: str) -> pd.DataFrame:
     hist["n"] = hist["n"].astype("int64")
     hist["lo"] = (mn + hist["bin"].to_numpy(np.float64) * w).round(6)
     return hist[["bin", "lo", "n"]]
+
+
+def q_compress_ratio(sf_dir: str) -> pd.DataFrame:
+    """zlib compression ratio per document — the cheap redundancy /
+    boilerplate signal of a curation stack.
+    ops.textstats.compress_ratio_batch (pure map).  Rows-only (no
+    SQL zlib); the pytest pins ordering between repetitive and
+    high-entropy docs."""
+    from unfurl_ray.ops.textstats import compress_ratio_batch
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        compress_ratio_batch, batch_format="pyarrow"
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_negatives(sf_dir: str) -> pd.DataFrame:
+    """Deterministic contrastive negative sampling: 4 md5-derived
+    corpus negatives per anchor doc.  ops.textstats.hash_negatives
+    (pure map + one count fold).  Hash-exact vs the md5-substr
+    twin."""
+    from unfurl_ray.ops.textstats import hash_negatives
+
+    ds = _parquet(sf_dir, "documents", ["doc_id"])
+    out = hash_negatives(ds, k=4).to_pandas()
+    return out.sort_values(
+        ["doc_id", "neg_rank"]
+    ).reset_index(drop=True)
+
+
+def q_dpo_pairs(sf_dir: str) -> pd.DataFrame:
+    """Preference-pair assembly (DPO-style): per 8-turn conversation,
+    chosen = highest-quality turn, rejected = lowest (ties break by
+    doc_id), prompt = first turn.  Whole convs co-locate by hash
+    bucket; quality is the shared hash-checked score.  Hash-exact vs
+    a row_number twin over the same quality expression."""
+    from unfurl_ray.ops.textstats import quality_score_batch
+    from unfurl_ray.sources.transcripts import TURNS_PER_CONV as TURNS
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(batch: pd.DataFrame) -> pa.Table:
+        q = quality_score_batch(batch)
+        conv = batch["doc_id"].to_numpy() // TURNS
+        return pa.table(
+            {
+                "conv": pa.array(conv, pa.int64()),
+                "doc_id": pa.array(
+                    batch["doc_id"].to_numpy(), pa.int64()
+                ),
+                "quality": pa.array(
+                    q["quality"].to_numpy(), pa.float64()
+                ),
+                "_b": pa.array(conv % 32, pa.int64()),
+            }
+        )
+
+    def pick(group: pd.DataFrame) -> pa.Table:
+        rows = []
+        for conv, g in group.groupby("conv", sort=False):
+            g = g.sort_values("doc_id").reset_index(drop=True)
+            prompt_id = int(g["doc_id"].iloc[0])
+            ch = g.sort_values(
+                ["quality", "doc_id"], ascending=[False, True]
+            ).iloc[0]
+            rj = g.sort_values(
+                ["quality", "doc_id"], ascending=[True, True]
+            ).iloc[0]
+            rows.append(
+                (int(conv), prompt_id, int(ch["doc_id"]),
+                 float(ch["quality"]), int(rj["doc_id"]),
+                 float(rj["quality"]))
+            )
+        rows.sort()
+        return pa.table(
+            {
+                "conv_id": pa.array(
+                    [r[0] for r in rows], pa.int64()
+                ),
+                "prompt_id": pa.array(
+                    [r[1] for r in rows], pa.int64()
+                ),
+                "chosen_id": pa.array(
+                    [r[2] for r in rows], pa.int64()
+                ),
+                "chosen_q": pa.array(
+                    [r[3] for r in rows], pa.float64()
+                ),
+                "rejected_id": pa.array(
+                    [r[4] for r in rows], pa.int64()
+                ),
+                "rejected_q": pa.array(
+                    [r[5] for r in rows], pa.float64()
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(score, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(pick, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("conv_id").reset_index(drop=True)
