@@ -240,6 +240,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_compress_ratio": p.q_compress_ratio,
         "q_negatives": p.q_negatives,
         "q_dpo_pairs": p.q_dpo_pairs,
+        "q_kappa": p.q_kappa,
+        "q_seasonal": p.q_seasonal,
+        "q_fanout_spectrum": p.q_fanout_spectrum,
     }
 
 
@@ -595,6 +598,36 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY conv ORDER BY conv
         """,
         "q_langid": q_langid_sql,
+        # Cohen's kappa between langid and the stored label; the
+        # margin join drops labels absent on one side (0 terms)
+        "q_kappa": f"""
+            WITH pred AS ({q_langid_sql}),
+            j AS (
+                SELECT d.lang AS actual, p.lang_pred AS pred
+                FROM documents d JOIN pred p USING (doc_id)),
+            c AS (
+                SELECT actual, pred, count(*) AS n
+                FROM j GROUP BY 1, 2),
+            tot AS (SELECT sum(n) AS n FROM c),
+            diag AS (
+                SELECT coalesce(sum(n), 0) AS agree
+                FROM c WHERE actual = pred),
+            marg AS (
+                SELECT sum(r.rn * co.cn) AS s
+                FROM (SELECT actual AS k, sum(n) AS rn
+                      FROM c GROUP BY 1) r
+                JOIN (SELECT pred AS k, sum(n) AS cn
+                      FROM c GROUP BY 1) co ON co.k = r.k)
+            SELECT CAST(tot.n AS BIGINT) AS n,
+                   CAST(diag.agree AS BIGINT) AS agree,
+                   round(agree * 1.0 / tot.n, 6) AS po,
+                   round(marg.s * 1.0 / (tot.n * tot.n), 6) AS pe,
+                   round((agree * 1.0 / tot.n
+                          - marg.s * 1.0 / (tot.n * tot.n))
+                         / (1 - marg.s * 1.0 / (tot.n * tot.n)), 6)
+                       AS kappa
+            FROM tot, diag, marg
+        """,
         "q_repetition": q_repetition_sql,
         # trigram join against the % 97 'benchmark' slice; same
         # tokenizer + list-comprehension n-grams as q_repetition
@@ -3577,6 +3610,38 @@ def oracle_sql() -> dict[str, str]:
                              THEN (cand + 1) % n
                              ELSE cand END AS BIGINT) AS neg_id
             FROM h, nn ORDER BY doc_id, neg_rank
+        """,
+        # weekly additive decomposition on the bounded day axis
+        "q_seasonal": """
+            WITH d AS (
+                SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                       sum(o_totalprice) AS x
+                FROM orders GROUP BY 1),
+            t AS (SELECT day % 7 AS dow, x FROM d),
+            g AS (SELECT sum(x) / count(*) AS m FROM t),
+            k AS (
+                SELECT dow, count(*) AS n_days,
+                       sum(x) / count(*) AS mk
+                FROM t GROUP BY 1),
+            ssw AS (
+                SELECT sum((t.x - k.mk) * (t.x - k.mk)) AS ssw
+                FROM t JOIN k USING (dow)),
+            sst AS (
+                SELECT sum((x - m) * (x - m)) AS sst FROM t, g)
+            SELECT dow, CAST(n_days AS BIGINT) AS n_days,
+                   round(mk, 6) AS mean_rev,
+                   round(mk - m, 6) AS effect,
+                   round(1 - ssw.ssw / sst.sst, 6) AS strength
+            FROM k, g, ssw, sst ORDER BY dow
+        """,
+        # orders-per-customer frequency spectrum
+        "q_fanout_spectrum": """
+            WITH pk AS (
+                SELECT o_custkey, count(*) AS n_orders
+                FROM orders GROUP BY 1)
+            SELECT CAST(n_orders AS BIGINT) AS n_orders,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM pk GROUP BY 1 ORDER BY 1
         """,
         # q_compress_ratio: zlib has no SQL twin -> rows-only with an
         # ordering pytest (repetitive docs compress below prose).

@@ -6451,3 +6451,129 @@ def q_dpo_pairs(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def q_kappa(sf_dir: str) -> pd.DataFrame:
+    """Annotator-agreement audit: Cohen's kappa between the langid
+    heuristic and the stored language label — the label-quality gate
+    of an annotation pipeline.  Confusion counts fold via
+    pre_aggregate; the kappa formula closes on exact integers.
+    Hash-exact vs a margins twin over the shared langid SQL."""
+    from unfurl_ray.ops.relational import pre_aggregate
+    from unfurl_ray.ops.textstats import LangId
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    class PredActual:
+        def __init__(self):
+            self.lid = LangId()
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            pred = self.lid(batch)
+            return pd.DataFrame(
+                {
+                    "actual": batch["lang"].to_numpy(),
+                    "pred": pred["lang_pred"].to_numpy(),
+                }
+            )
+
+    conf = pre_aggregate(
+        ds.map_batches(
+            PredActual, batch_format="pandas", concurrency=(1, 2)
+        ),
+        ["actual", "pred"], {"n": ("pred", "count")},
+    ).to_pandas()
+    n = int(conf["n"].sum())
+    agree = int(conf.loc[conf["actual"] == conf["pred"], "n"].sum())
+    rows = conf.groupby("actual")["n"].sum()
+    cols = conf.groupby("pred")["n"].sum()
+    s = int(
+        sum(
+            int(rows[k]) * int(cols[k])
+            for k in rows.index
+            if k in cols.index
+        )
+    )
+    po = agree * 1.0 / n
+    pe = s * 1.0 / (n * n)
+    return pd.DataFrame(
+        {
+            "n": np.array([n], dtype=np.int64),
+            "agree": np.array([agree], dtype=np.int64),
+            "po": [round(po, 6)],
+            "pe": [round(pe, 6)],
+            "kappa": [round((po - pe) / (1 - pe), 6)],
+        }
+    )
+
+
+def q_seasonal(sf_dir: str) -> pd.DataFrame:
+    """Additive weekly seasonal decomposition of daily revenue:
+    per-dow effect (dow mean minus overall mean) and the global
+    seasonality strength 1 - SSW/SST, computed on the pre-aggregated
+    bounded day axis (the ACF pattern).  Hash-exact vs an
+    explicit-sums twin."""
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    ds = _parquet_sh(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": (
+                    batch["o_orderdate"].astype("int64")
+                    // 86_400_000_000
+                ).astype("int64"),
+                "x": batch["o_totalprice"],
+            }
+        )
+
+    daily = pre_aggregate(
+        ds.map_batches(tag, batch_format="pandas"),
+        ["day"], {"x": ("x", "sum")},
+    ).to_pandas()
+    day = daily["day"].to_numpy(np.int64)
+    x = daily["x"].to_numpy(np.float64)
+    dow = day % 7
+    m = x.sum() / len(x)
+    sst = float(((x - m) ** 2).sum())
+    out_rows = []
+    ssw = 0.0
+    for k in range(7):
+        xs = x[dow == k]
+        mk = xs.sum() / len(xs)
+        ssw += float(((xs - mk) ** 2).sum())
+        out_rows.append((k, len(xs), mk, mk - m))
+    strength = 1.0 - ssw / sst
+    return pd.DataFrame(
+        {
+            "dow": np.array([r[0] for r in out_rows], dtype=np.int64),
+            "n_days": np.array(
+                [r[1] for r in out_rows], dtype=np.int64
+            ),
+            "mean_rev": np.round([r[2] for r in out_rows], 6),
+            "effect": np.round([r[3] for r in out_rows], 6),
+            "strength": np.round([strength] * 7, 6),
+        }
+    )
+
+
+def q_fanout_spectrum(sf_dir: str) -> pd.DataFrame:
+    """Join fan-out profiling: the distribution of orders-per-customer
+    (frequency-of-frequencies over the join key — what a planner
+    needs to predict join blowup).  Two tiny shuffles: bucketed
+    per-key counts, then a count histogram."""
+    from unfurl_ray.ops.relational import (
+        bucketed_aggregate, pre_aggregate,
+    )
+
+    ds = _parquet_sh(sf_dir, "orders", ["o_custkey"])
+    per_key = bucketed_aggregate(
+        ds, ["o_custkey"], {"n_orders": ("o_custkey", "count")}
+    )
+    spec = pre_aggregate(
+        per_key, ["n_orders"], {"n_customers": ("n_orders", "count")}
+    ).to_pandas()
+    spec["n_orders"] = spec["n_orders"].astype("int64")
+    spec["n_customers"] = spec["n_customers"].astype("int64")
+    return spec.sort_values("n_orders").reset_index(drop=True)
