@@ -243,6 +243,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kappa": p.q_kappa,
         "q_seasonal": p.q_seasonal,
         "q_fanout_spectrum": p.q_fanout_spectrum,
+        "q_csv_roundtrip": p.q_csv_roundtrip,
+        "q_dp_counts": p.q_dp_counts,
     }
 
 
@@ -3642,6 +3644,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(n_orders AS BIGINT) AS n_orders,
                    CAST(count(*) AS BIGINT) AS n_customers
             FROM pk GROUP BY 1 ORDER BY 1
+        """,
+        # CSV roundtrip must equal the source selection
+        "q_csv_roundtrip": """
+            SELECT event_id, user_id, value
+            FROM events ORDER BY event_id
+        """,
+        # Laplace mechanism with md5-seeded inverse-CDF noise
+        "q_dp_counts": """
+            WITH c AS (
+                SELECT event_type, count(*) AS n
+                FROM events GROUP BY 1),
+            h AS (
+                SELECT event_type, n,
+                       (CAST(('0x' || substr(md5(event_type), 1, 8))
+                             AS BIGINT) + 0.5) / 4294967296.0 - 0.5
+                           AS u
+                FROM c)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   round(n + (-2.0 * sign(u) * ln(1 - 2 * abs(u))),
+                         6) AS noisy_n
+            FROM h ORDER BY event_type
         """,
         # q_compress_ratio: zlib has no SQL twin -> rows-only with an
         # ordering pytest (repetitive docs compress below prose).

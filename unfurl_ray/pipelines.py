@@ -6577,3 +6577,59 @@ def q_fanout_spectrum(sf_dir: str) -> pd.DataFrame:
     spec["n_orders"] = spec["n_orders"].astype("int64")
     spec["n_customers"] = spec["n_customers"].astype("int64")
     return spec.sort_values("n_orders").reset_index(drop=True)
+
+
+def q_csv_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """CSV egress -> ingest closure: an events projection writes to
+    hash-partitioned CSV shards (ray.data.write_csv) and streams back
+    through read_csv; the roundtrip must lose nothing — the oracle is
+    simply the source selection.  Timestamps stay int64 microseconds
+    across the text format (the lossless CSV contract; raw timestamps
+    round-trip through ISO strings with unit drift)."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    ds = _parquet_sh(sf_dir, "events", ["event_id", "user_id", "value"])
+    out_dir = tempfile.mkdtemp(prefix="unfurl_csv_")
+    try:
+        ds.repartition(8).write_csv(out_dir)
+        back = ray.data.read_csv(out_dir).to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    back["event_id"] = back["event_id"].astype("int64")
+    back["user_id"] = back["user_id"].astype("int64")
+    back["value"] = back["value"].astype("float64")
+    return back.sort_values("event_id").reset_index(drop=True)
+
+
+def q_dp_counts(sf_dir: str) -> pd.DataFrame:
+    """Laplace-mechanism noisy per-type event counts with
+    DETERMINISTIC noise (md5-uniform -> inverse-CDF Laplace, seeded
+    by the group key) — the mechanism's plumbing made reproducible
+    and therefore hash-checkable; swap the seed source for an RNG in
+    production to get eps-DP.  Counts fold via pre_aggregate; noise
+    is a scalar map over the tiny group table."""
+    import hashlib
+
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    eps = 0.5
+    b = 1.0 / eps
+    ds = _parquet_sh(sf_dir, "events", ["event_type"])
+    counts = pre_aggregate(
+        ds, ["event_type"], {"n": ("event_type", "count")}
+    ).to_pandas().sort_values("event_type").reset_index(drop=True)
+
+    def lap(key: str) -> float:
+        h = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0 - 0.5
+        return -b * np.sign(u) * np.log(1.0 - 2.0 * abs(u))
+
+    noise = np.array([lap(k) for k in counts["event_type"]])
+    counts["n"] = counts["n"].astype("int64")
+    counts["noisy_n"] = np.round(
+        counts["n"].to_numpy(np.float64) + noise, 6
+    )
+    return counts
