@@ -248,6 +248,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_share_of_parent": p.q_share_of_parent,
         "q_schema_evolve": p.q_schema_evolve,
         "q_markov_stationary": p.q_markov_stationary,
+        "q_lineage": p.q_lineage,
+        "q_weighted_stats": p.q_weighted_stats,
+        "q_churn_labels": p.q_churn_labels,
     }
 
 
@@ -634,6 +637,24 @@ def oracle_sql() -> dict[str, str]:
             FROM tot, diag, marg
         """,
         "q_repetition": q_repetition_sql,
+        # char-weighted quality + exact-int effective sample size
+        "q_weighted_stats": f"""
+            WITH qual AS ({q_quality_sql}),
+            j AS (
+                SELECT d.source,
+                       length(coalesce(d.text, '')) AS w,
+                       q.quality
+                FROM documents d JOIN qual q USING (doc_id)),
+            a AS (
+                SELECT source, count(*) AS n, sum(w) AS sw,
+                       sum(w * quality) AS swq,
+                       sum(w * w) AS sw2
+                FROM j GROUP BY 1)
+            SELECT source, CAST(n AS BIGINT) AS n,
+                   round(swq / sw, 6) AS weighted_quality,
+                   round(sw * sw * 1.0 / sw2, 6) AS ess
+            FROM a ORDER BY source
+        """,
         # trigram join against the % 97 'benchmark' slice; same
         # tokenizer + list-comprehension n-grams as q_repetition
         "q_decontaminate": """
@@ -3699,6 +3720,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars, 'new'
             FROM documents WHERE doc_id % 2 = 1
             ORDER BY doc_id
+        """,
+        # provenance accounting (single-file table -> static basename)
+        "q_lineage": """
+            SELECT 'documents.parquet' AS file,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM documents WHERE n_chars >= 200
+        """,
+        # leakage-safe labels: features strictly before the static
+        # cutoff, label in the 7-day window after it
+        "q_churn_labels": """
+            WITH t AS (
+                SELECT user_id,
+                       CASE WHEN epoch_us(ts) < 1705795200000000
+                            THEN 1 ELSE 0 END AS before_f,
+                       CASE WHEN epoch_us(ts) < 1705795200000000
+                            THEN CAST(round(value * 100) AS BIGINT)
+                            ELSE 0 END AS cents,
+                       CASE WHEN epoch_us(ts) >= 1705795200000000
+                            AND epoch_us(ts) < 1706400000000000
+                            AND event_type = 'purchase'
+                            THEN 1 ELSE 0 END AS lab
+                FROM events),
+            a AS (
+                SELECT user_id, sum(before_f) AS n_before,
+                       sum(cents) AS cents_before,
+                       max(lab) AS label
+                FROM t GROUP BY 1)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(n_before AS BIGINT) AS n_before,
+                   CAST(cents_before AS BIGINT) AS cents_before,
+                   CAST(label AS BIGINT) AS label
+            FROM a WHERE n_before > 0 ORDER BY user_id
         """,
         # q_markov_stationary: power-iteration fixpoint -> rows-only
         # with a pi P = pi eigen-identity pytest.

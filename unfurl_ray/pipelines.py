@@ -6796,3 +6796,137 @@ def q_markov_stationary(sf_dir: str) -> pd.DataFrame:
             "stationary": np.round(pi, 6),
         }
     ).sort_values("event_type").reset_index(drop=True)
+
+
+def q_lineage(sf_dir: str) -> pd.DataFrame:
+    """Provenance accounting: rows surviving a filter, counted per
+    INPUT FILE (read_parquet(include_paths=True) threads the source
+    path through the pipeline — the audit a multi-source ingest needs
+    to blame a bad shard).  Hash-exact (basename is static)."""
+    import os
+
+    import ray
+
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+        include_paths=True,
+    )
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch["n_chars"].to_numpy() >= 200
+        return pd.DataFrame(
+            {
+                "file": [
+                    os.path.basename(p)
+                    for p in batch.loc[keep, "path"]
+                ],
+            }
+        )
+
+    out = pre_aggregate(
+        ds.map_batches(tag, batch_format="pandas"),
+        ["file"], {"n_rows": ("file", "count")},
+    ).to_pandas()
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out.sort_values("file").reset_index(drop=True)
+
+
+def q_weighted_stats(sf_dir: str) -> pd.DataFrame:
+    """Importance-weighted corpus stats per source: char-weighted
+    mean quality and the effective sample size (sum w)^2 / sum w^2 —
+    what a reweighted training mixture actually contains.  Integer
+    weights keep ESS exact; one pre-aggregated shuffle."""
+    from unfurl_ray.ops.relational import pre_aggregate
+    from unfurl_ray.ops.textstats import quality_score_batch
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        q = quality_score_batch(batch)
+        w = batch["text"].fillna("").str.len().to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "source": batch["source"].to_numpy(),
+                "w": w,
+                "wq": w * q["quality"].to_numpy(np.float64),
+                "w2": w * w,
+            }
+        )
+
+    agg = pre_aggregate(
+        ds.map_batches(score, batch_format="pandas"),
+        ["source"],
+        {"sw": ("w", "sum"), "swq": ("wq", "sum"),
+         "sw2": ("w2", "sum"), "n": ("w", "count")},
+    ).to_pandas().sort_values("source").reset_index(drop=True)
+    sw = agg["sw"].astype("int64")
+    sw2 = agg["sw2"].astype("int64")
+    return pd.DataFrame(
+        {
+            "source": agg["source"],
+            "n": agg["n"].astype("int64"),
+            "weighted_quality": np.round(
+                agg["swq"].to_numpy(np.float64)
+                / sw.to_numpy(np.float64), 6
+            ),
+            "ess": np.round(
+                sw.to_numpy(np.float64) ** 2
+                / sw2.to_numpy(np.float64), 6
+            ),
+        }
+    )
+
+
+def q_churn_labels(sf_dir: str) -> pd.DataFrame:
+    """Leakage-safe label assembly (the point-in-time discipline):
+    per-user features from events STRICTLY BEFORE the cutoff
+    (n_events, total value) and the label — any purchase in the
+    7-day window AFTER it — joined by one bucketed outer-style fold,
+    so no future information leaks into a feature.  Cutoff = day 20
+    of the stream (static, so the twin is exact)."""
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    ds = _parquet_sh(
+        sf_dir, "events", ["user_id", "ts", "event_type", "value"]
+    )
+
+    # static calendar cutoff (stream spans 2024-01): features from
+    # before 01-21, label window [01-21, 01-28)
+    cut_us = 1_705_795_200_000_000      # 2024-01-21T00:00Z
+    end_us = cut_us + 7 * 86_400_000_000
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = batch["ts"].astype("int64")
+        before = ts < cut_us
+        in_label = (ts >= cut_us) & (ts < end_us)
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"],
+                "n_before": before.astype("int64"),
+                "cents_before": np.where(
+                    before,
+                    np.round(
+                        batch["value"].to_numpy(np.float64) * 100
+                    ).astype(np.int64),
+                    0,
+                ),
+                "label": (
+                    in_label
+                    & (batch["event_type"] == "purchase")
+                ).astype("int64"),
+            }
+        )
+
+    agg = pre_aggregate(
+        ds.map_batches(tag, batch_format="pandas"),
+        ["user_id"],
+        {"n_before": ("n_before", "sum"),
+         "cents_before": ("cents_before", "sum"),
+         "label": ("label", "max")},
+    ).to_pandas().sort_values("user_id").reset_index(drop=True)
+    for c in ("user_id", "n_before", "cents_before", "label"):
+        agg[c] = agg[c].astype("int64")
+    return agg[agg["n_before"] > 0].reset_index(drop=True)
