@@ -251,6 +251,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lineage": p.q_lineage,
         "q_weighted_stats": p.q_weighted_stats,
         "q_churn_labels": p.q_churn_labels,
+        "q_budget_select": p.q_budget_select,
+        "q_mixture_weights": p.q_mixture_weights,
     }
 
 
@@ -637,6 +639,21 @@ def oracle_sql() -> dict[str, str]:
             FROM tot, diag, marg
         """,
         "q_repetition": q_repetition_sql,
+        # budget selection: cumulative-window semantics (a doc is
+        # taken while the cum INCLUDING it fits)
+        "q_budget_select": f"""
+            WITH qual AS ({q_quality_sql}),
+            w AS (
+                SELECT doc_id, quality, n_words,
+                       sum(n_words) OVER (
+                           ORDER BY quality DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+                FROM qual)
+            SELECT doc_id, quality,
+                   CAST(n_words AS BIGINT) AS n_words
+            FROM w WHERE cum <= 20000 ORDER BY doc_id
+        """,
         # char-weighted quality + exact-int effective sample size
         "q_weighted_stats": f"""
             WITH qual AS ({q_quality_sql}),
@@ -3752,6 +3769,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cents_before AS BIGINT) AS cents_before,
                    CAST(label AS BIGINT) AS label
             FROM a WHERE n_before > 0 ORDER BY user_id
+        """,
+        # temperature-scaled mixture weights (tau = 0.7)
+        "q_mixture_weights": """
+            WITH c AS (
+                SELECT source, count(*) AS n
+                FROM documents GROUP BY 1),
+            t AS (SELECT sum(pow(n, 0.7)) AS z FROM c)
+            SELECT source, CAST(n AS BIGINT) AS n,
+                   round(pow(n, 0.7) / t.z, 6) AS weight
+            FROM c, t ORDER BY source
         """,
         # q_markov_stationary: power-iteration fixpoint -> rows-only
         # with a pi P = pi eigen-identity pytest.

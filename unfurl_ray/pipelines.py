@@ -6930,3 +6930,93 @@ def q_churn_labels(sf_dir: str) -> pd.DataFrame:
     for c in ("user_id", "n_before", "cents_before", "label"):
         agg[c] = agg[c].astype("int64")
     return agg[agg["n_before"] > 0].reset_index(drop=True)
+
+
+def q_budget_select(sf_dir: str) -> pd.DataFrame:
+    """Token-budget curation: select the highest-quality documents
+    until a 20k-word budget is exhausted (quality desc, doc_id asc;
+    a doc is taken while the cumulative INCLUDING it fits).  The
+    distributed shape: a (quality, token_sum) histogram cumsums on
+    the driver (one row per distinct 4-dec quality), whole tie
+    classes resolve with one vectorized filter, and ONLY the boundary
+    tie class fetches its ids — never a global row-level sort pull.
+    Hash-exact vs a cumulative-window twin."""
+    from unfurl_ray.ops.relational import bucketed_aggregate
+    from unfurl_ray.ops.textstats import quality_score_batch
+
+    budget = 20_000
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(batch: pd.DataFrame) -> pa.Table:
+        q = quality_score_batch(batch)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    batch["doc_id"].to_numpy(), pa.int64()
+                ),
+                "quality": pa.array(
+                    q["quality"].to_numpy(), pa.float64()
+                ),
+                "n_words": pa.array(
+                    q["n_words"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pandas").materialize()
+    hist = bucketed_aggregate(
+        scored, ["quality"], {"tok": ("n_words", "sum")}
+    ).to_pandas().sort_values(
+        "quality", ascending=False
+    ).reset_index(drop=True)
+    tok = hist["tok"].astype("int64").to_numpy()
+    cum_before = np.concatenate(([0], np.cumsum(tok)[:-1]))
+    full = cum_before + tok <= budget
+    # boundary = the first quality class that does not fully fit
+    full_qs = set(hist.loc[full, "quality"])
+    boundary_idx = int(full.argmin()) if not full.all() else None
+
+    import pyarrow.compute as _pc
+
+    def in_full(batch: pa.Table) -> pa.Table:
+        mask = _pc.is_in(
+            batch.column("quality"),
+            value_set=pa.array(sorted(full_qs), pa.float64()),
+        )
+        return batch.filter(mask)
+
+    sel = scored.map_batches(in_full, batch_format="pyarrow")
+    parts = [sel.to_pandas()]
+    if boundary_idx is not None:
+        bq = float(hist["quality"].iloc[boundary_idx])
+        remaining = budget - int(cum_before[boundary_idx])
+        tie = scored.map_batches(
+            lambda t: t.filter(
+                _pc.equal(t.column("quality"), pa.scalar(bq))
+            ),
+            batch_format="pyarrow",
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        cum = tie["n_words"].astype("int64").cumsum()
+        parts.append(tie[cum <= remaining])
+    out = pd.concat(parts, ignore_index=True)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_words"] = out["n_words"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_mixture_weights(sf_dir: str) -> pd.DataFrame:
+    """Temperature-scaled mixture weights per source (the data-mixing
+    knob: w_i proportional to n_i^tau, tau=0.7, normalized) from one
+    count shuffle.  Exact integer counts; the power/normalize closes
+    on the tiny source table.  Hash-exact vs a pow() twin."""
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    ds = _parquet(sf_dir, "documents", ["source"])
+    counts = pre_aggregate(
+        ds, ["source"], {"n": ("source", "count")}
+    ).to_pandas().sort_values("source").reset_index(drop=True)
+    n = counts["n"].astype("int64").to_numpy()
+    raw = np.power(n.astype(np.float64), 0.7)
+    counts["n"] = n
+    counts["weight"] = np.round(raw / raw.sum(), 6)
+    return counts
