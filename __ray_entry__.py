@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_churn_labels": p.q_churn_labels,
         "q_budget_select": p.q_budget_select,
         "q_mixture_weights": p.q_mixture_weights,
+        "q_anova": p.q_anova,
     }
 
 
@@ -3769,6 +3770,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cents_before AS BIGINT) AS cents_before,
                    CAST(label AS BIGINT) AS label
             FROM a WHERE n_before > 0 ORDER BY user_id
+        """,
+        # one-way ANOVA from per-group sufficient stats
+        "q_anova": """
+            WITH g AS (
+                SELECT o_orderpriority AS k, count(*) AS n,
+                       sum(o_totalprice) AS s,
+                       sum(o_totalprice * o_totalprice) AS ss
+                FROM orders GROUP BY 1),
+            t AS (
+                SELECT count(*) AS k_groups, sum(n) AS nn,
+                       sum(s) AS stot, sum(s * s / n) AS sb_part,
+                       sum(ss) AS sstot
+                FROM g)
+            SELECT CAST(k_groups AS BIGINT) AS k_groups,
+                   CAST(nn AS BIGINT) AS n,
+                   round(((sb_part - stot * stot / nn)
+                          / (k_groups - 1))
+                         / ((sstot - sb_part) / (nn - k_groups)), 6)
+                       AS f_stat,
+                   round((sb_part - stot * stot / nn)
+                         / ((sb_part - stot * stot / nn)
+                            + (sstot - sb_part)), 6) AS eta2
+            FROM t
         """,
         # temperature-scaled mixture weights (tau = 0.7)
         "q_mixture_weights": """

@@ -7020,3 +7020,50 @@ def q_mixture_weights(sf_dir: str) -> pd.DataFrame:
     counts["n"] = n
     counts["weight"] = np.round(raw / raw.sum(), 6)
     return counts
+
+
+def q_anova(sf_dir: str) -> pd.DataFrame:
+    """One-way ANOVA of order value across priorities: F-statistic
+    and eta-squared from per-group sufficient stats (n, sum, sum of
+    squares) — one pre-aggregated shuffle, formulas close on the
+    5-row table with the explicit sum-of-squares forms the oracle
+    conventions require."""
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    ds = _parquet_sh(
+        sf_dir, "orders", ["o_orderpriority", "o_totalprice"]
+    )
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["o_totalprice"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "k": batch["o_orderpriority"],
+                "v": v,
+                "v2": v * v,
+            }
+        )
+
+    agg = pre_aggregate(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["k"],
+        {"n": ("v", "count"), "s": ("v", "sum"), "ss": ("v2", "sum")},
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    n = agg["n"].astype("int64").to_numpy(np.float64)
+    s = agg["s"].to_numpy(np.float64)
+    ss = agg["ss"].to_numpy(np.float64)
+    N = n.sum()
+    S = s.sum()
+    k = len(agg)
+    ss_between = float((s * s / n).sum()) - S * S / N
+    ss_within = float(ss.sum()) - float((s * s / n).sum())
+    f_stat = (ss_between / (k - 1)) / (ss_within / (N - k))
+    eta2 = ss_between / (ss_between + ss_within)
+    return pd.DataFrame(
+        {
+            "k_groups": np.array([k], dtype=np.int64),
+            "n": np.array([int(N)], dtype=np.int64),
+            "f_stat": [round(f_stat, 6)],
+            "eta2": [round(eta2, 6)],
+        }
+    )
