@@ -254,6 +254,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_budget_select": p.q_budget_select,
         "q_mixture_weights": p.q_mixture_weights,
         "q_anova": p.q_anova,
+        "q_kruskal": p.q_kruskal,
+        "q_rank_overlap": p.q_rank_overlap,
     }
 
 
@@ -3793,6 +3795,61 @@ def oracle_sql() -> dict[str, str]:
                          / ((sb_part - stot * stot / nn)
                             + (sstot - sb_part)), 6) AS eta2
             FROM t
+        """,
+        # Kruskal-Wallis from the pooled midrank histogram
+        "q_kruskal": """
+            WITH h AS (
+                SELECT o_orderpriority AS k, o_totalprice AS v,
+                       count(*) AS c
+                FROM orders GROUP BY 1, 2),
+            vh AS (SELECT v, sum(c) AS n FROM h GROUP BY 1),
+            r AS (
+                SELECT v, n,
+                       sum(n) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - n
+                       + (n + 1) / 2.0 AS rank
+                FROM vh),
+            g AS (
+                SELECT h.k, sum(h.c) AS ni,
+                       sum(h.c * r.rank) AS ri
+                FROM h JOIN r USING (v) GROUP BY 1),
+            t AS (SELECT sum(ni) AS nn FROM g),
+            ties AS (SELECT sum(n * n * n - n) AS tt FROM vh)
+            SELECT CAST(t.nn AS BIGINT) AS n,
+                   CAST((SELECT count(*) FROM g) AS BIGINT)
+                       AS k_groups,
+                   round(((12.0 / (nn * (nn + 1)))
+                          * (SELECT sum(ri * ri / ni) FROM g)
+                          - 3 * (nn + 1))
+                         / (1 - ties.tt
+                            / (nn * nn * nn - nn)), 6) AS h_stat
+            FROM t, ties
+        """,
+        # overlap@k between the two exact-cents rankings
+        "q_rank_overlap": """
+            WITH a AS (
+                SELECT o_custkey,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS spend,
+                       count(*) AS n
+                FROM orders GROUP BY 1),
+            r AS (
+                SELECT o_custkey,
+                       row_number() OVER (
+                           ORDER BY spend DESC, o_custkey) AS r1,
+                       row_number() OVER (
+                           ORDER BY n DESC, o_custkey) AS r2
+                FROM a),
+            ks AS (SELECT unnest([5, 10, 20, 50]) AS k)
+            SELECT CAST(ks.k AS BIGINT) AS k,
+                   CAST(sum(CASE WHEN r1 <= ks.k AND r2 <= ks.k
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS overlap,
+                   round(sum(CASE WHEN r1 <= ks.k AND r2 <= ks.k
+                                  THEN 1 ELSE 0 END) * 1.0 / ks.k, 6)
+                       AS overlap_frac
+            FROM r CROSS JOIN ks GROUP BY ks.k ORDER BY ks.k
         """,
         # temperature-scaled mixture weights (tau = 0.7)
         "q_mixture_weights": """

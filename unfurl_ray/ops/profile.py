@@ -951,3 +951,54 @@ def benford_audit(ds, cents_col: str) -> pd.DataFrame:
             "chi2_term": chi2,
         }
     )
+
+
+def kruskal_wallis(ds, key_col: str, value_col: str) -> pd.DataFrame:
+    """Kruskal-Wallis one-way rank test (the nonparametric ANOVA):
+    H = (12 / (N(N+1))) * sum R_i^2 / n_i - 3(N+1), tie-corrected by
+    1 - sum(t^3 - t) / (N^3 - N).
+
+    Distributed shape: ONE (key, value, count) histogram shuffle;
+    midranks come from the pooled value histogram (exact
+    half-integers, so every rank sum is exact in float64 and the SQL
+    twin hash-matches), group rank sums are weighted folds over the
+    same histogram, and the statistic closes on the #groups-row
+    table.
+
+    Output: one row (n, k_groups, h_stat).
+    """
+    from unfurl_ray.ops.relational import bucketed_aggregate
+
+    h = bucketed_aggregate(
+        ds, [key_col, value_col], {"c": (value_col, "count")}
+    ).to_pandas()
+    vh = (
+        h.groupby(value_col)["c"].sum().sort_index()
+    )
+    cnt = vh.to_numpy(np.float64)
+    off = np.concatenate([[0.0], cnt.cumsum()[:-1]])
+    rank = pd.Series(off + (cnt + 1.0) / 2.0, index=vh.index)
+    h["rank"] = rank.reindex(h[value_col]).to_numpy()
+    g = h.groupby(key_col).apply(
+        lambda s: pd.Series(
+            {
+                "ni": s["c"].sum(),
+                "ri": (s["c"] * s["rank"]).sum(),
+            }
+        ),
+        include_groups=False,
+    )
+    N = float(g["ni"].sum())
+    tt = float((cnt ** 3 - cnt).sum())
+    h_stat = (
+        (12.0 / (N * (N + 1)))
+        * float((g["ri"] ** 2 / g["ni"]).sum())
+        - 3 * (N + 1)
+    ) / (1 - tt / (N ** 3 - N))
+    return pd.DataFrame(
+        {
+            "n": np.array([int(N)], dtype=np.int64),
+            "k_groups": np.array([len(g)], dtype=np.int64),
+            "h_stat": np.array([h_stat], dtype=np.float64),
+        }
+    )

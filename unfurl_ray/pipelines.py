@@ -7067,3 +7067,93 @@ def q_anova(sf_dir: str) -> pd.DataFrame:
             "eta2": [round(eta2, 6)],
         }
     )
+
+
+def q_kruskal(sf_dir: str) -> pd.DataFrame:
+    """Kruskal-Wallis rank test of order value across priorities —
+    q_anova's nonparametric sibling on the exact midrank machinery.
+    ops.profile.kruskal_wallis: one (key, value, count) histogram
+    shuffle; exact half-integer rank sums.  Hash-exact vs a window
+    midrank twin."""
+    from unfurl_ray.ops.profile import kruskal_wallis
+
+    ds = _parquet_sh(
+        sf_dir, "orders", ["o_orderpriority", "o_totalprice"]
+    )
+    out = kruskal_wallis(ds, "o_orderpriority", "o_totalprice")
+    out["h_stat"] = out["h_stat"].round(6)
+    return out
+
+
+def q_rank_overlap(sf_dir: str) -> pd.DataFrame:
+    """Ranking-agreement eval: overlap@k between the spend ranking
+    and the order-count ranking of customers (the top-k Jaccard-lite
+    every reranker A/B uses).  Reuses q_rank_fusion's exact-cents
+    global_row_number ranks; overlap counts fold vectorized.
+    Hash-exact vs a row_number twin."""
+    from unfurl_ray.ops.relational import (
+        bucketed_aggregate, bucketed_hash_join, global_row_number,
+    )
+
+    ds = _parquet_sh(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": batch["o_custkey"],
+                "cents": np.round(
+                    batch["o_totalprice"].to_numpy() * 100
+                ).astype("int64"),
+            }
+        )
+
+    agg = bucketed_aggregate(
+        ds.map_batches(tag, batch_format="pandas"),
+        ["o_custkey"],
+        {"spend": ("cents", "sum"), "n": ("cents", "count")},
+    ).materialize()
+
+    def neg(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return batch.append_column(
+            "neg_spend", _pc.negate(batch.column("spend"))
+        ).append_column("neg_n", _pc.negate(batch.column("n")))
+
+    keyed = agg.map_batches(neg, batch_format="pyarrow").materialize()
+    r1 = global_row_number(
+        keyed.select_columns(["o_custkey", "neg_spend"]),
+        ["neg_spend", "o_custkey"], out_col="spend_rank",
+    ).select_columns(["o_custkey", "spend_rank"])
+    r2 = global_row_number(
+        keyed.select_columns(["o_custkey", "neg_n"]),
+        ["neg_n", "o_custkey"], out_col="count_rank",
+    ).select_columns(["o_custkey", "count_rank"])
+    both = bucketed_hash_join(
+        r1, r2, on="o_custkey", right_on="o_custkey",
+    )
+
+    ks = [5, 10, 20, 50]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["spend_rank"].to_numpy(np.int64)
+        b = batch["count_rank"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {f"k{k}": [int(((a <= k) & (b <= k)).sum())] for k in ks}
+        )
+
+    parts = both.map_batches(
+        partial, batch_format="pandas"
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "k": np.array(ks, dtype=np.int64),
+            "overlap": np.array(
+                [int(parts[f"k{k}"].sum()) for k in ks],
+                dtype=np.int64,
+            ),
+            "overlap_frac": np.round(
+                [int(parts[f"k{k}"].sum()) / k for k in ks], 6
+            ),
+        }
+    )
