@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_anova": p.q_anova,
         "q_kruskal": p.q_kruskal,
         "q_rank_overlap": p.q_rank_overlap,
+        "q_gap_stats": p.q_gap_stats,
     }
 
 
@@ -3795,6 +3796,23 @@ def oracle_sql() -> dict[str, str]:
                          / ((sb_part - stot * stot / nn)
                             + (sstot - sb_part)), 6) AS eta2
             FROM t
+        """,
+        # per-user gap profile; quantile_disc = floor(q*(n-1)) index
+        "q_gap_stats": """
+            WITH w AS (
+                SELECT user_id,
+                       lead(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id)
+                           - epoch_us(ts) AS dt
+                FROM events),
+            g AS (SELECT user_id, dt FROM w WHERE dt IS NOT NULL)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(quantile_disc(dt, 0.5) AS BIGINT)
+                       AS median_gap_us,
+                   CAST(quantile_disc(dt, 0.9) AS BIGINT)
+                       AS p90_gap_us
+            FROM g GROUP BY user_id ORDER BY user_id
         """,
         # Kruskal-Wallis from the pooled midrank histogram
         "q_kruskal": """

@@ -605,15 +605,17 @@ def topk_per_group(ds, key_col: str, order_col: str, k: int,
 
 def group_quantile_disc(ds, key_col: str, value_col: str, q: float):
     """Exact discrete quantile per key (the element at
-    ``floor(q * (n-1))`` of the sorted values — DuckDB
-    ``quantile_disc`` semantics), via groupby().map_groups.
+    ``ceil(q * n) - 1`` of the sorted values — DuckDB
+    ``quantile_disc`` semantics, probed across sizes; the
+    floor(q*(n-1)) rule coincides ONLY at q=0.5), via
+    groupby().map_groups.
 
     Partitioning assumption: one key's values fit in one group;
     pre-bucket (e.g. by value range) for pathological keys.
     """
     def quant(group: pd.DataFrame) -> pd.DataFrame:
         vals = np.sort(group[value_col].to_numpy())
-        idx = int(np.floor(q * (len(vals) - 1)))
+        idx = max(int(np.ceil(q * len(vals))) - 1, 0)
         return pd.DataFrame(
             {key_col: [group[key_col].iloc[0]],
              "quantile_value": [vals[idx]],
