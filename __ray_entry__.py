@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kruskal": p.q_kruskal,
         "q_rank_overlap": p.q_rank_overlap,
         "q_gap_stats": p.q_gap_stats,
+        "q_novelty_curve": p.q_novelty_curve,
     }
 
 
@@ -3797,7 +3798,35 @@ def oracle_sql() -> dict[str, str]:
                             + (sstot - sb_part)), 6) AS eta2
             FROM t
         """,
-        # per-user gap profile; quantile_disc = floor(q*(n-1)) index
+        # marginal new distinct trigrams per doc-id decile; window
+        # cumsum over the first-occurrence histogram
+        "q_novelty_curve": """
+            WITH toks AS (
+                SELECT doc_id, list_filter(regexp_split_to_array(
+                           lower(coalesce(text, '')), '[ \t\n\f\r]+'),
+                           x -> x <> '') AS ws
+                FROM documents),
+            tg AS (
+                SELECT DISTINCT doc_id,
+                       unnest([ws[g] || ' ' || ws[g+1] || ' '
+                               || ws[g+2]
+                               for g in range(1, len(ws) - 1)]) AS t
+                FROM toks WHERE len(ws) >= 3),
+            f AS (SELECT t, min(doc_id) AS first_doc FROM tg
+                  GROUP BY 1),
+            h AS (
+                SELECT CAST(first_doc * 10
+                            // (SELECT count(*) FROM documents)
+                            AS BIGINT) AS decile,
+                       count(*) AS new_grams
+                FROM f GROUP BY 1)
+            SELECT decile, CAST(new_grams AS BIGINT) AS new_grams,
+                   CAST(sum(new_grams) OVER (ORDER BY decile
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS cum_grams
+            FROM h ORDER BY decile
+        """,
+        # per-user gap profile; quantile_disc = ceil(q*n)-1 index
         "q_gap_stats": """
             WITH w AS (
                 SELECT user_id,

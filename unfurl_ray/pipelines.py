@@ -7206,3 +7206,60 @@ def q_gap_stats(sf_dir: str) -> pd.DataFrame:
         fold, batch_format="pandas"
     ).to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_novelty_curve(sf_dir: str) -> pd.DataFrame:
+    """Marginal-utility curve of the corpus: how many NEW distinct
+    word trigrams each doc-id decile contributes (the submodular
+    coverage curve behind 'is more of this source still worth
+    ingesting').  One gram explode + a bucketed min(doc_id) fold per
+    gram; the decile histogram closes tiny.  Hash-exact vs a
+    min/ntile twin."""
+    import re as _re
+
+    from unfurl_ray.ops.relational import (
+        bucketed_aggregate, pre_aggregate,
+    )
+    from unfurl_ray.ops.textstats import _WS_SPLIT_RE as _ws
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    n_docs = ds.count()
+
+    def grams(batch: pa.Table) -> pa.Table:
+        out_id, out_g = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            ws = [w for w in _ws.split((text or "").lower()) if w]
+            seen = set(
+                " ".join(ws[i: i + 3]) for i in range(len(ws) - 2)
+            )
+            out_id.extend([doc_id] * len(seen))
+            out_g.extend(seen)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "gram": pa.array(out_g, pa.string()),
+            }
+        )
+
+    first = bucketed_aggregate(
+        ds.map_batches(grams, batch_format="pyarrow"),
+        ["gram"], {"first_doc": ("doc_id", "min")},
+    )
+
+    def decile(batch: pd.DataFrame) -> pd.DataFrame:
+        d = (
+            batch["first_doc"].to_numpy(np.int64) * 10 // n_docs
+        )
+        return pd.DataFrame({"decile": d.astype(np.int64)})
+
+    hist = pre_aggregate(
+        first.map_batches(decile, batch_format="pandas"),
+        ["decile"], {"new_grams": ("decile", "count")},
+    ).to_pandas().sort_values("decile").reset_index(drop=True)
+    hist["decile"] = hist["decile"].astype("int64")
+    hist["new_grams"] = hist["new_grams"].astype("int64")
+    hist["cum_grams"] = hist["new_grams"].cumsum().astype("int64")
+    return hist
