@@ -3692,8 +3692,10 @@ def oracle_sql() -> dict[str, str]:
             FROM pk GROUP BY 1 ORDER BY 1
         """,
         # CSV roundtrip must equal the source selection
+        # (ts as int64 microseconds: the lossless CSV contract)
         "q_csv_roundtrip": """
-            SELECT event_id, user_id, value
+            SELECT event_id, user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us, value
             FROM events ORDER BY event_id
         """,
         # Laplace mechanism with md5-seeded inverse-CDF noise

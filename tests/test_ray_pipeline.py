@@ -5042,3 +5042,121 @@ def test_markov_stationary_eigen_identity(ray_session):
     pi = out["stationary"].to_numpy(np.float64)
     assert abs(pi.sum() - 1.0) < 1e-5
     assert (pi > 0).all()
+
+
+def test_naive_bayes_apply_unseen_value_uses_smoothed_logp(ray_session):
+    """A feature value absent from the model contributes the smoothed
+    zero-count conditional ln(a) - ln(class_n + a*nv), NOT 0.0 — an
+    unseen value must never outscore a seen one (all real logps are
+    negative), and mixed seen/unseen rows argmax like a brute-force
+    NB scorer."""
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.fit import naive_bayes_apply, naive_bayes_fit
+
+    train = pd.DataFrame(
+        {
+            "cls": ["a"] * 6 + ["b"] * 4,
+            "f1": ["x", "x", "x", "x", "y", "y", "y", "y", "y", "x"],
+            "f2": ["p", "p", "q", "p", "p", "q", "q", "q", "q", "p"],
+        }
+    )
+    model = naive_bayes_fit(
+        ray.data.from_pandas(train).repartition(2), "cls", ["f1", "f2"]
+    )
+
+    test = pd.DataFrame(
+        {
+            "f1": ["x", "UNSEEN", "x", "UNSEEN"],
+            "f2": ["p", "q", "UNSEEN", "UNSEEN"],
+        }
+    )
+    got = (
+        naive_bayes_apply(
+            ray.data.from_pandas(test), model, ["f1", "f2"]
+        )
+        .to_pandas()["predicted"]
+        .tolist()
+    )
+
+    # brute-force expected scores with alpha=1 smoothing
+    classes = sorted(train["cls"].unique())
+    class_n = train["cls"].value_counts()
+    prior = {c: np.log(class_n[c] / len(train)) for c in classes}
+    want = []
+    for _, row in test.iterrows():
+        scores = {}
+        for c in classes:
+            s = prior[c]
+            for f in ("f1", "f2"):
+                nv = train[f].nunique()
+                cnt = (
+                    (train["cls"] == c) & (train[f] == row[f])
+                ).sum()
+                s += np.log(cnt + 1.0) - np.log(class_n[c] + nv)
+            scores[c] = s
+        want.append(max(sorted(scores), key=lambda c: scores[c]))
+    assert got == want
+
+
+def test_weighted_quantile_fractional_weights(ray_session):
+    """Non-integral weights: the owner-block pick must agree with a
+    driver-side exact scan even when float block subtotals and the
+    in-block cumsum disagree in the last ulp (the overflow falls
+    through to the next block instead of clamping)."""
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.relational import weighted_quantile
+
+    rng = np.random.default_rng(99)
+    v = rng.permutation(np.arange(600)).astype(np.float64)
+    w = rng.uniform(0.1, 1.0, 600) * 0.1  # non-integral, sum ~ 33
+    df = pd.DataFrame({"v": v, "w": w})
+    ds = ray.data.from_pandas(df).repartition(16)
+
+    h = df.sort_values("v")
+    cw = h["w"].cumsum().to_numpy()
+    tot = float(cw[-1])
+    for q in (0.25, 0.5, 0.75, 0.999, 1.0):
+        got = weighted_quantile(ds, "v", "w", q=q)
+        i = int(np.searchsorted(cw, q * tot))
+        i = min(i, len(cw) - 1)
+        # accept the exact index or its ulp-neighbour, but the
+        # invariant is hard: cum_weight >= target minus one ulp
+        want_vals = {float(h["v"].iloc[i])}
+        if i + 1 < len(cw):
+            want_vals.add(float(h["v"].iloc[i + 1]))
+        assert got["value"] in want_vals, q
+        assert got["cum_weight"] >= q * tot - 1e-9 * tot, q
+
+
+def test_degree_assortativity_regular_graph_is_nan(ray_session):
+    """Every node the same degree -> zero variance -> correlation
+    undefined: NaN, matching the SQL twin's NULL divide."""
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.graph import degree_assortativity
+
+    # a 4-cycle: every node has degree 2
+    e = pd.DataFrame({"a": [0, 1, 2, 3], "b": [1, 2, 3, 0]})
+    out = degree_assortativity(ray.data.from_pandas(e).repartition(2))
+    assert np.isnan(out["assortativity"].iloc[0])
+
+
+def test_ecdf_normalize_empty_reference_raises(ray_session):
+    import pandas as pd
+    import ray
+
+    from unfurl_ray.ops.profile import ecdf_normalize
+
+    q_ds = ray.data.from_pandas(pd.DataFrame({"x": [1.0, 2.0]}))
+    ref = ray.data.from_pandas(
+        pd.DataFrame({"v": pd.Series([], dtype="float64")})
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        ecdf_normalize(q_ds, "x", ref, "v")

@@ -779,7 +779,7 @@ def ols_fit(ds, y_col: str, x_cols: list[str],
 
 
 def naive_bayes_apply(ds, model: pd.DataFrame, feature_cols: list[str],
-                      out_col: str = "predicted"):
+                      out_col: str = "predicted", alpha: float = 1.0):
     """Score a corpus with a fitted ``naive_bayes_fit`` model: per
     row, predicted class = argmax over classes of
     prior + sum of per-feature conditional logps, ties broken by
@@ -790,25 +790,39 @@ def naive_bayes_apply(ds, model: pd.DataFrame, feature_cols: list[str],
     batch scores with one vectorized reindex per feature — model
     APPLY at 100 TB is a pure map, no shuffle.
 
-    Adds ``out_col`` to the batch; unseen feature values get the
-    smoothed zero-count logp implicitly via the model's full grid
-    (reindex misses fall back to prior-only scoring).
+    Adds ``out_col`` to the batch.  A feature value absent from the
+    model (never seen at fit time) contributes the smoothed
+    zero-count conditional ln(alpha) - ln(class_n + alpha * nv) for
+    each class — the same cell ``naive_bayes_fit`` would have emitted
+    for a zero-count (value, class) pair; ``alpha`` must match the
+    fit's.  Because the model carries the FULL value x class grid per
+    feature, a reindex miss is all-or-nothing per row, so the
+    substitution is one vectorized row assignment.
     """
     classes = sorted(
         model.loc[model["feature"] == "__prior__", "class"]
     )
+    prior_rows = (
+        model[model["feature"] == "__prior__"].set_index("class")
+    )
     prior = (
-        model[model["feature"] == "__prior__"]
-        .set_index("class")["logp"]
-        .reindex(classes)
-        .to_numpy(np.float64)
+        prior_rows["logp"].reindex(classes).to_numpy(np.float64)
+    )
+    class_n = (
+        prior_rows["cnt"].reindex(classes).to_numpy(np.float64)
     )
     tables = {}
+    zero_logp = {}
     for f in feature_cols:
         sub = model[model["feature"] == f]
         tables[f] = sub.pivot(
             index="value", columns="class", values="logp"
         )[classes]
+        nv = sub["value"].nunique()
+        with np.errstate(divide="ignore"):
+            zero_logp[f] = np.log(alpha) - np.log(
+                class_n + alpha * nv
+            )
 
     cls_arr = np.array(classes, dtype=object)
 
@@ -820,7 +834,10 @@ def naive_bayes_apply(ds, model: pd.DataFrame, feature_cols: list[str],
                 .reindex(batch[f].astype(str))
                 .to_numpy(np.float64)
             )
-            total = total + np.nan_to_num(m, nan=0.0)
+            miss = np.isnan(m[:, 0])
+            if miss.any():
+                m[miss] = zero_logp[f]
+            total = total + m
         out = batch.copy()
         out[out_col] = cls_arr[np.argmax(total, axis=1)]
         return out

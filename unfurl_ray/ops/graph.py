@@ -1194,7 +1194,9 @@ def degree_assortativity(edges, n_buckets: int = 32):
         np.sqrt(float(n * sxx - sx * sx))
         * np.sqrt(float(n * syy - sy * sy))
     )
-    r = (n * sxy - sx * sy) / denom if denom else 0.0
+    # denom == 0 (e.g. a regular graph: every degree equal) leaves the
+    # correlation undefined — NaN, matching the SQL twin's NULL divide.
+    r = (n * sxy - sx * sy) / denom if denom else float("nan")
     return pd.DataFrame(
         {
             "n_directed": np.array([n], dtype=np.int64),

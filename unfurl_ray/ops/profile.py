@@ -590,7 +590,13 @@ def ecdf_normalize(ds, value_col: str, ref_ds, ref_col: str,
     h = bucketed_aggregate(
         ref_ds.select_columns([ref_col]), [ref_col],
         {"c": (ref_col, "count")},
-    ).to_pandas().sort_values(ref_col).reset_index(drop=True)
+    ).to_pandas()
+    if len(h) == 0:
+        raise ValueError(
+            "ecdf_normalize: reference dataset is empty — the ECDF "
+            "is undefined (every ref_pct would be 0/0)"
+        )
+    h = h.sort_values(ref_col).reset_index(drop=True)
     if len(h) > broadcast_limit:
         raise ValueError(
             "reference histogram exceeds broadcast_limit; "
@@ -598,7 +604,7 @@ def ecdf_normalize(ds, value_col: str, ref_ds, ref_col: str,
         )
     vs = h[ref_col].to_numpy(np.float64)
     cum = h["c"].to_numpy(np.float64).cumsum()
-    n = float(cum[-1]) if len(cum) else 0.0
+    n = float(cum[-1])
 
     def norm(batch: pd.DataFrame) -> pd.DataFrame:
         idx = np.searchsorted(

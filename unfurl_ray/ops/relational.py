@@ -2948,6 +2948,13 @@ def weighted_quantile(ds, value_col: str, weight_col: str,
     owner emit the answer row vectorized and everyone else emit
     nothing.  Driver state: O(#blocks) heads + 3 scalars.
 
+    With non-integral weights the driver's block subtotals (Arrow
+    sum) and the owner block's in-block numpy cumsum can differ in
+    the last ulp, so the target may land one row past the owner's
+    range; the owner then emits nothing and the driver retries on the
+    next block — exact for any weights, at worst one extra pass in
+    that pathological case.
+
     Returns ``{"value": v, "cum_weight": w<=v, "total_weight": W}``."""
     hist = bucketed_aggregate(
         ds.select_columns([value_col, weight_col]),
@@ -2963,37 +2970,52 @@ def weighted_quantile(ds, value_col: str, weight_col: str,
     ends = heads["w"].to_numpy(np.float64).cumsum()
     k = int(np.searchsorted(ends, target))  # first block reaching it
     k = min(k, len(ends) - 1)
-    # three scalars: pickle into the task closure, no object store
-    owner = float(heads[value_col].iloc[k])
-    off = float(ends[k] - heads["w"].iloc[k])
 
-    def pick(batch: pd.DataFrame) -> pa.Table:
-        empty = pa.table(
-            {
-                "value": pa.array([], pa.float64()),
-                "cum_weight": pa.array([], pa.float64()),
-            }
-        )
-        if len(batch) == 0:
-            return empty
-        o, base, tgt = owner, off, target
-        if float(batch[value_col].iloc[0]) != o:
-            return empty
-        cw = base + batch["w"].to_numpy(np.float64).cumsum()
-        i = int(np.searchsorted(cw, tgt))
-        i = min(i, len(cw) - 1)
-        return pa.table(
-            {
-                "value": pa.array(
-                    [float(batch[value_col].iloc[i])], pa.float64()
-                ),
-                "cum_weight": pa.array([float(cw[i])], pa.float64()),
-            }
-        )
+    def pick_pass(owner: float, off: float, last: bool) -> pd.DataFrame:
+        # three scalars: pickle into the task closure, no object store
+        def pick(batch: pd.DataFrame) -> pa.Table:
+            empty = pa.table(
+                {
+                    "value": pa.array([], pa.float64()),
+                    "cum_weight": pa.array([], pa.float64()),
+                }
+            )
+            if len(batch) == 0:
+                return empty
+            o, base, tgt = owner, off, target
+            if float(batch[value_col].iloc[0]) != o:
+                return empty
+            cw = base + batch["w"].to_numpy(np.float64).cumsum()
+            i = int(np.searchsorted(cw, tgt))
+            if i == len(cw):
+                if not last:
+                    return empty  # ulp overflow: next block owns it
+                i = len(cw) - 1
+            return pa.table(
+                {
+                    "value": pa.array(
+                        [float(batch[value_col].iloc[i])], pa.float64()
+                    ),
+                    "cum_weight": pa.array(
+                        [float(cw[i])], pa.float64()
+                    ),
+                }
+            )
 
-    row = hist.map_batches(
-        pick, batch_format="pandas", batch_size=None
-    ).to_pandas()
+        return hist.map_batches(
+            pick, batch_format="pandas", batch_size=None
+        ).to_pandas()
+
+    row = pick_pass(
+        float(heads[value_col].iloc[k]),
+        float(ends[k] - heads["w"].iloc[k]),
+        last=k == len(ends) - 1,
+    )
+    if len(row) == 0 and k + 1 < len(ends):
+        row = pick_pass(
+            float(heads[value_col].iloc[k + 1]), float(ends[k]),
+            last=k + 1 == len(ends) - 1,
+        )
     return {
         "value": float(row["value"].iloc[0]),
         "cum_weight": float(row["cum_weight"].iloc[0]),

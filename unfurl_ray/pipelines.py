@@ -6591,17 +6591,37 @@ def q_csv_roundtrip(sf_dir: str) -> pd.DataFrame:
 
     import ray
 
-    ds = _parquet_sh(sf_dir, "events", ["event_id", "user_id", "value"])
+    ds = _parquet_sh(
+        sf_dir, "events", ["event_id", "user_id", "ts", "value"]
+    )
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"]
+                .to_numpy("datetime64[us]")
+                .astype("int64"),
+                "value": batch["value"],
+            }
+        )
+
     out_dir = tempfile.mkdtemp(prefix="unfurl_csv_")
     try:
-        ds.repartition(8).write_csv(out_dir)
+        ds.map_batches(prep, batch_format="pandas").repartition(
+            8
+        ).write_csv(out_dir)
         back = ray.data.read_csv(out_dir).to_pandas()
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     back["event_id"] = back["event_id"].astype("int64")
     back["user_id"] = back["user_id"].astype("int64")
+    back["ts_us"] = back["ts_us"].astype("int64")
     back["value"] = back["value"].astype("float64")
-    return back.sort_values("event_id").reset_index(drop=True)
+    return back.sort_values("event_id").reset_index(drop=True)[
+        ["event_id", "user_id", "ts_us", "value"]
+    ]
 
 
 def q_dp_counts(sf_dir: str) -> pd.DataFrame:
