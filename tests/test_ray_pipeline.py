@@ -5160,3 +5160,264 @@ def test_ecdf_normalize_empty_reference_raises(ray_session):
 
     with _pytest.raises(ValueError, match="empty"):
         ecdf_normalize(q_ds, "x", ref, "v")
+
+
+def test_cell_scan_family_hot_key(ray_session):
+    """The eight de-skewed per-key ordered-stream ops match a pandas
+    per-key reference when ONE key holds >50% of the stream and spans
+    many (key, time-bucket) cells — no one-key-per-group assumption
+    anywhere (the keyed_cell_scan contract)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.relational import (
+        lag_rolling,
+        late_event_split,
+        rolling_median_by,
+        throttle_events,
+        time_weighted_avg,
+    )
+
+    rng = np.random.default_rng(11)
+    n_hot, n_cold = 6000, 4000
+    n = n_hot + n_cold
+    span_us = 20 * 86_400_000_000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "k": np.concatenate(
+                [
+                    np.zeros(n_hot, dtype=np.int64),
+                    rng.integers(1, 40, n_cold),
+                ]
+            ),
+            "ts": pd.to_datetime(
+                rng.integers(0, span_us, n), unit="us"
+            ),
+            "v": rng.uniform(-5, 5, n).round(3),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(8)
+    # small buckets force the hot key across ~480 cells, so tail
+    # carries are exercised on every cell boundary
+    kw = dict(key_col="k", ts_col="ts", value_col="v", id_col="id",
+              bucket_s=3600)
+
+    ref = df.copy()
+    ref["ts_us"] = ref["ts"].astype("int64") // 1000
+    ref = ref.sort_values(["k", "ts_us", "id"])
+    g = ref.groupby("k")
+
+    # lag_rolling
+    got = (
+        lag_rolling(ds, roll_n=3, **kw)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    ref["delta_us"] = g["ts_us"].diff().fillna(-1).astype(np.int64)
+    ref["roll_max"] = g["v"].transform(
+        lambda s: s.rolling(3, min_periods=1).max()
+    )
+    r = ref.sort_values("id").reset_index(drop=True)
+    assert (got["delta_us"].to_numpy() == r["delta_us"].to_numpy()).all()
+    assert np.allclose(got["roll_max"].to_numpy(), r["roll_max"].to_numpy())
+
+    # rolling_median_by
+    got = (
+        rolling_median_by(
+            ds, key_col="k", ts_col="ts", id_col="id",
+            value_col="v", window=5,
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    med = g["v"].transform(
+        lambda s: s.rolling(5, min_periods=1).median()
+    )
+    assert np.allclose(
+        got["roll_median"].to_numpy(),
+        ref.assign(m=med).sort_values("id")["m"].to_numpy(),
+    )
+
+    # throttle_events (30-minute gap)
+    got = (
+        throttle_events(
+            ds, key_col="k", ts_col="ts", id_col="id",
+            min_gap_us=1_800_000_000,
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    keep = g["ts_us"].diff().fillna(np.inf) >= 1_800_000_000
+    want = ref[keep].sort_values("id")
+    assert (got["id"].to_numpy() == want["id"].to_numpy()).all()
+
+    # time_weighted_avg
+    got = (
+        time_weighted_avg(
+            ds, key_col="k", ts_col="ts", value_col="v", id_col="id"
+        )
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    rows = []
+    for k, sub in ref.groupby("k"):
+        ts = sub["ts_us"].to_numpy()
+        dt = np.diff(ts)
+        if len(dt) == 0 or dt.sum() == 0:
+            continue
+        rows.append(
+            (k, float(np.sum(sub["v"].to_numpy()[:-1] * dt)
+                      / dt.sum()), int(dt.sum()), len(dt))
+        )
+    want = pd.DataFrame(
+        rows, columns=["k", "twap", "span_us", "n_intervals"]
+    )
+    assert (got["k"].to_numpy() == want["k"].to_numpy()).all()
+    assert np.allclose(got["twap"].to_numpy(), want["twap"].to_numpy())
+    assert (got["span_us"].to_numpy() == want["span_us"].to_numpy()).all()
+
+    # late_event_split: arrival order = id, tiny id buckets so the
+    # hot key's stream spans ~160 arrival cells
+    got = (
+        late_event_split(
+            ds, key_col="k", ts_col="ts", id_col="id",
+            allowed_lateness_us=6 * 3_600_000_000, id_bucket_bits=6,
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    ref2 = df.copy()
+    ref2["ts_us"] = ref2["ts"].astype("int64") // 1000
+    ref2 = ref2.sort_values(["k", "id"])
+    run_max = ref2.groupby("k")["ts_us"].cummax()
+    prev_max = run_max.groupby(ref2["k"]).shift(1)
+    late = (
+        ref2["ts_us"] < prev_max - 6 * 3_600_000_000
+    ).fillna(False).astype(np.int64)
+    want = ref2.assign(late=late).sort_values("id")
+    assert (got["late"].to_numpy() == want["late"].to_numpy()).all()
+
+
+def test_attribution_and_trims_hot_key(ray_session):
+    """last_touch_attribution, trimmed_mean_by and resample_linear
+    match pandas references under a planted hot key (>50% of rows),
+    including cells that contain ONLY target rows (the
+    presence-marker carry path)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.relational import (
+        last_touch_attribution,
+        resample_linear,
+        trimmed_mean_by,
+    )
+
+    rng = np.random.default_rng(7)
+    n_hot, n_cold = 6000, 4000
+    n = n_hot + n_cold
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "k": np.concatenate(
+                [
+                    np.zeros(n_hot, dtype=np.int64),
+                    rng.integers(1, 40, n_cold),
+                ]
+            ),
+            "ty": rng.choice(
+                ["view", "click", "buy"], n, p=[0.4, 0.2, 0.4]
+            ),
+        }
+    )
+    # with 64-id cells and p(buy)=0.4, pure-target cells exist
+    ds = rd.from_pandas(df).repartition(8)
+    got = (
+        last_touch_attribution(
+            ds, key_col="k", id_col="id", type_col="ty",
+            target="buy", id_bucket_bits=6,
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    ref = df.sort_values(["k", "id"])
+    touch = (
+        ref["ty"].where(ref["ty"] != "buy")
+        .groupby(ref["k"]).ffill()
+    )
+    want = ref.assign(touch=touch)
+    want = want[(want["ty"] == "buy") & want["touch"].notna()]
+    want = want.sort_values("id").reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["id"].to_numpy() == want["id"].to_numpy()).all()
+    assert (got["touch"].to_numpy() == want["touch"].to_numpy()).all()
+
+    # trimmed_mean_by on skewed values with heavy ties
+    vdf = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "k": df["k"],
+            "v": rng.choice([1.0, 2.0, 2.0, 3.0, 10.0], n),
+        }
+    )
+    got = (
+        trimmed_mean_by(
+            rd.from_pandas(vdf).repartition(8), key_col="k",
+            value_col="v", id_col="id", trim=0.1,
+        )
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    rows = []
+    for k, sub in vdf.sort_values(["v", "id"]).groupby("k"):
+        v = sub["v"].to_numpy()
+        nn = len(v)
+        kk = int(np.floor(0.1 * nn))
+        kept = v[kk: nn - kk]
+        rows.append((k, kept.sum() / len(kept), len(kept), nn))
+    want = pd.DataFrame(
+        rows, columns=["k", "trimmed_mean", "n_kept", "n"]
+    ).sort_values("k").reset_index(drop=True)
+    assert (got["k"].to_numpy() == want["k"].to_numpy()).all()
+    assert np.allclose(
+        got["trimmed_mean"].to_numpy(), want["trimmed_mean"].to_numpy()
+    )
+    assert (got["n_kept"].to_numpy() == want["n_kept"].to_numpy()).all()
+
+    # resample_linear: hot key's 6000 events collapse to <=30 units
+    tdf = pd.DataFrame(
+        {
+            "k": df["k"],
+            "ts": pd.to_datetime(
+                rng.integers(0, 30 * 86_400_000_000, n), unit="us"
+            ),
+            "v": rng.uniform(0, 100, n).round(2),
+        }
+    )
+    got = (
+        resample_linear(
+            rd.from_pandas(tdf).repartition(8), key_col="k",
+            ts_col="ts", value_col="v", bucket_s=86_400,
+        )
+        .to_pandas().sort_values(["k", "unit"]).reset_index(drop=True)
+    )
+    ref = tdf.copy()
+    ref["u"] = ref["ts"].astype("int64") // 1000 // 86_400_000_000
+    rows = []
+    for k, sub in ref.groupby("k"):
+        daily = sub.groupby("u")["v"].agg(["sum", "count"])
+        u = daily.index.to_numpy(np.int64)
+        v = (daily["sum"] / daily["count"]).to_numpy(np.float64)
+        grid = np.arange(u[0], u[-1] + 1, dtype=np.int64)
+        prev = np.searchsorted(u, grid, side="right") - 1
+        obs = u[prev] == grid
+        pt, pv = u[prev], v[prev]
+        nxt = np.minimum(prev + 1, len(u) - 1)
+        nt, nv = u[nxt], v[nxt]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            interp = pv + (nv - pv) * (grid - pt) / (nt - pt)
+        out_v = np.where(obs, pv, interp)
+        for uu, vv, oo in zip(grid, out_v, obs):
+            rows.append((k, uu, vv, int(oo)))
+    want = pd.DataFrame(
+        rows, columns=["k", "unit", "v", "observed"]
+    ).sort_values(["k", "unit"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["unit"].to_numpy() == want["unit"].to_numpy()).all()
+    assert np.allclose(got["v"].to_numpy(), want["v"].to_numpy())
+    assert (
+        got["observed"].to_numpy() == want["observed"].to_numpy()
+    ).all()

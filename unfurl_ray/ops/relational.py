@@ -673,42 +673,92 @@ def pack_shards(ds, weight_col: str, budget: int,
 
 
 def lag_rolling(ds, key_col: str, ts_col: str, value_col: str,
-                id_col: str, roll_n: int = 3):
+                id_col: str, roll_n: int = 3,
+                bucket_s: int = 86_400, n_shards: int | None = None):
     """Per-key ordered window functions: LAG time-delta and a trailing
-    ``roll_n``-row rolling max, one ``groupby(key).map_groups`` pass
-    over the (ts, id)-sorted key stream.
+    ``roll_n``-row rolling max over the (ts, id)-sorted key stream —
+    skew-safe on the shared ``keyed_cell_scan`` engine.  No key's full
+    stream ever lands in one group: rows shard by (key, time-bucket)
+    cell and each cell closes from its own rows plus a carry of the
+    last ``roll_n - 1`` rows of the key's earlier cells, exchanged
+    once.  A shard group is bounded by event rate x ``bucket_s``,
+    never by key cardinality.
 
-    The input should be projected to (id, key, ts, value) BEFORE this
-    op so the shuffle never carries payload columns.  One key's rows
-    land in one group — the standard window-function partitioning
-    contract (Spark's ``Window.partitionBy`` has the identical
-    constraint); key streams here are per-user event logs, bounded in
-    practice.  Both outputs are exact (an int64 difference and a copy
-    of an input double), so the DuckDB twin hash-matches bit-for-bit
-    with no rounding.
+    Both outputs are exact (an int64 difference and a copy of an
+    input double), so the DuckDB twin hash-matches bit-for-bit with
+    no rounding.  ``ds`` is consumed twice (candidate pass + row
+    pass) and materialized here — pass a PRUNED projection.
 
     Output: (id, key, delta_us, roll_max) with delta_us = -1 for the
     first event of a key (COALESCE'd identically in the oracle).
     """
-    def windows(group: pd.DataFrame) -> pa.Table:
-        g = group.sort_values([ts_col, id_col]).reset_index(drop=True)
-        ts = _ts_us(g[ts_col]).to_numpy()
-        delta = np.empty(len(g), dtype=np.int64)
-        delta[0] = -1
-        delta[1:] = ts[1:] - ts[:-1]
-        roll = (
-            g[value_col].rolling(roll_n, min_periods=1).max().to_numpy()
-        )
+    bucket_us = int(bucket_s) * 1_000_000
+    w = max(1, roll_n - 1)
+
+    def project(batch: pd.DataFrame) -> pa.Table:
+        ts = _ts_us(batch[ts_col]).to_numpy()
         return pa.table(
             {
-                id_col: pa.array(g[id_col], pa.int64()),
-                key_col: pa.array(g[key_col], pa.int64()),
-                "delta_us": pa.array(delta, pa.int64()),
-                "roll_max": pa.array(roll, pa.float64()),
+                id_col: pa.array(
+                    batch[id_col].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                key_col: pa.array(
+                    batch[key_col].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "_tb": pa.array(ts // bucket_us, pa.int64()),
+                "_ord": pa.array(ts, pa.int64()),
+                "_v": pa.array(
+                    batch[value_col].to_numpy(dtype=np.float64),
+                    pa.float64(),
+                ),
             }
         )
 
-    return ds.groupby(key_col).map_groups(windows, batch_format="pandas")
+    rows = ds.map_batches(project, batch_format="pandas").materialize()
+    if n_shards is None:
+        n_shards = max(32, rows.count() // 200_000)
+
+    empty_out = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            key_col: pa.array([], pa.int64()),
+            "delta_us": pa.array([], pa.int64()),
+            "roll_max": pa.array([], pa.float64()),
+        }
+    )
+
+    def apply_cell(cell: pd.DataFrame, carry) -> pa.Table:
+        m = 0 if carry is None else len(carry)
+        ts = cell["_ord"].to_numpy()
+        v = cell["_v"].to_numpy()
+        if m:
+            ts = np.concatenate([carry["_ord"].to_numpy(), ts])
+            v = np.concatenate([carry["_v"].to_numpy(), v])
+        delta = np.empty(len(ts), dtype=np.int64)
+        delta[0] = -1
+        delta[1:] = ts[1:] - ts[:-1]
+        roll = (
+            pd.Series(v).rolling(roll_n, min_periods=1).max().to_numpy()
+        )
+        return pa.table(
+            {
+                id_col: pa.array(
+                    cell[id_col].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                key_col: pa.array(
+                    cell[key_col].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "delta_us": pa.array(delta[m:], pa.int64()),
+                "roll_max": pa.array(roll[m:], pa.float64()),
+            }
+        )
+
+    return keyed_cell_scan(
+        rows, key_col, id_col,
+        _tail_candidates(key_col, id_col, w),
+        _tail_carries(key_col, id_col, w),
+        apply_cell, empty_out, n_shards,
+    )
 
 
 def time_weighted_avg(ds, key_col: str, ts_col: str, value_col: str,
@@ -720,47 +770,108 @@ def time_weighted_avg(ds, key_col: str, ts_col: str, value_col: str,
     and keys with a single event are dropped — the same rows a
     ``lead()``-window twin's ``WHERE dt IS NOT NULL`` keeps.
 
-    Same partitioning contract as ``lag_rolling``: one
-    ``groupby(key).map_groups`` pass over the (ts, id)-sorted key
-    stream; project to (id, key, ts, value) BEFORE this op so the
-    shuffle never carries payload.  Interval sums are exact int64
-    microseconds; the weighted numerator is a float64 sum whose
-    magnitude matches the oracle's, so round(6) after the division
-    hash-matches.
+    Skew-safe on ``keyed_cell_scan``: the weighted sum is additive
+    over consecutive pairs, and every pair's RIGHT element owns it —
+    each (key, time-bucket) cell emits one partial (num, den, n) row
+    from its own pairs plus the one bridging pair from a 1-row tail
+    carry, and a tiny per-key ``bucketed_aggregate`` folds the
+    partials.  No key's stream ever groups.  Interval sums are exact
+    int64 microseconds; the float64 numerator folds in a different
+    order than a single-pass sum, so callers round(6) after the
+    division exactly as before.  ``ds`` is consumed twice and
+    materialized here — pass a PRUNED projection.
 
     Output: (key, twap, span_us, n_intervals), one row per key with
-    >= 2 events.
+    >= 2 events (all-simultaneous keys dropped like the twin's
+    HAVING).
     """
-    _empty = pa.table(
-        {
-            key_col: pa.array([], pa.int64()),
-            "twap": pa.array([], pa.float64()),
-            "span_us": pa.array([], pa.int64()),
-            "n_intervals": pa.array([], pa.int64()),
-        }
-    )
+    bucket_us = 86_400 * 1_000_000
 
-    def fold(group: pd.DataFrame) -> pa.Table:
-        g = group.sort_values([ts_col, id_col]).reset_index(drop=True)
-        if len(g) < 2:
-            return _empty
-        ts = _ts_us(g[ts_col]).to_numpy()
-        dt = ts[1:] - ts[:-1]
-        den = int(dt.sum())
-        if den == 0:  # all events simultaneous; twin's HAVING drops it
-            return _empty
-        v = g[value_col].to_numpy(dtype=np.float64)[:-1]
-        num = float(np.sum(v * dt))
+    def project(batch: pd.DataFrame) -> pa.Table:
+        ts = _ts_us(batch[ts_col]).to_numpy()
         return pa.table(
             {
-                key_col: pa.array([int(g[key_col].iloc[0])], pa.int64()),
-                "twap": pa.array([num / den], pa.float64()),
-                "span_us": pa.array([den], pa.int64()),
-                "n_intervals": pa.array([len(dt)], pa.int64()),
+                id_col: pa.array(
+                    batch[id_col].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                key_col: pa.array(
+                    batch[key_col].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "_tb": pa.array(ts // bucket_us, pa.int64()),
+                "_ord": pa.array(ts, pa.int64()),
+                "_v": pa.array(
+                    batch[value_col].to_numpy(dtype=np.float64),
+                    pa.float64(),
+                ),
             }
         )
 
-    return ds.groupby(key_col).map_groups(fold, batch_format="pandas")
+    rows = ds.map_batches(project, batch_format="pandas").materialize()
+    n_shards = max(32, rows.count() // 200_000)
+
+    empty_partial = pa.table(
+        {
+            key_col: pa.array([], pa.int64()),
+            "_num": pa.array([], pa.float64()),
+            "_den": pa.array([], pa.int64()),
+            "_n": pa.array([], pa.int64()),
+        }
+    )
+
+    def apply_cell(cell: pd.DataFrame, carry) -> pa.Table:
+        ts = cell["_ord"].to_numpy()
+        v = cell["_v"].to_numpy()
+        if carry is not None and len(carry):
+            ts = np.concatenate([carry["_ord"].to_numpy()[-1:], ts])
+            v = np.concatenate([carry["_v"].to_numpy()[-1:], v])
+        if len(ts) < 2:
+            return None
+        dt = ts[1:] - ts[:-1]
+        return pa.table(
+            {
+                key_col: pa.array(
+                    [int(cell[key_col].iloc[0])], pa.int64()
+                ),
+                "_num": pa.array(
+                    [float(np.sum(v[:-1] * dt))], pa.float64()
+                ),
+                "_den": pa.array([int(dt.sum())], pa.int64()),
+                "_n": pa.array([len(dt)], pa.int64()),
+            }
+        )
+
+    partials = keyed_cell_scan(
+        rows, key_col, id_col,
+        _tail_candidates(key_col, id_col, 1),
+        _tail_carries(key_col, id_col, 1),
+        apply_cell, empty_partial, n_shards,
+    )
+    folded = bucketed_aggregate(
+        partials, [key_col],
+        {"_num": ("_num", "sum"), "_den": ("_den", "sum"),
+         "_n": ("_n", "sum")},
+    )
+
+    def finish(batch: pd.DataFrame) -> pa.Table:
+        b = batch[batch["_den"] > 0]
+        den = b["_den"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                key_col: pa.array(
+                    b[key_col].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "twap": pa.array(
+                    b["_num"].to_numpy(dtype=np.float64) / den,
+                    pa.float64(),
+                ),
+                "span_us": pa.array(den, pa.int64()),
+                "n_intervals": pa.array(
+                    b["_n"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return folded.map_batches(finish, batch_format="pandas")
 
 
 def ntile_by(ds, part_col: str, order_col: str, id_col: str, k: int):
@@ -2165,6 +2276,198 @@ def running_total(ds, key_col: str, ts_col: str, value_col: str,
     )
 
 
+def keyed_cell_scan(rows, key_col: str, id_col: str, candidates,
+                    make_carries, apply_cell, empty_out,
+                    n_shards: int):
+    """Generic skew-safe per-key ORDERED-STREAM scan with a small
+    carry packet exchanged once per (key, time-bucket) cell — the
+    NON-ADDITIVE sibling of ``keyed_prefix_scan``, shared by the
+    lag/throttle/late/attribution/rolling-median family.  No key's
+    full stream ever lands in one group: a shard group holds one
+    bucket-width of one key's rows plus an O(1) carry, bounded by
+    event rate x bucket width, never by key cardinality (the
+    ``rolling_range_window`` contract).
+
+    ``rows``: MATERIALIZED narrow Dataset with columns
+    ``[id_col, key_col, "_tb", "_ord", *op value cols]`` (``_tb`` =
+    cell bucket, ``_ord`` = in-cell order scalar; both int64).
+    Three passes:
+
+    1. ``candidates(batch)`` reduces each batch to the per-(key,
+       _tb) rows that could matter to LATER cells (a w-row tail, an
+       argmax, a last-match) — same schema, a few rows per cell per
+       batch; correctness needs only that every row of the TRUE
+       per-cell summary survives its own batch's reduction;
+    2. a key-sharded pass folds each key's candidates in (_tb, _ord,
+       id) order and ``make_carries(per-kshard candidate df)`` emits
+       one carry packet per RECEIVING cell (rows tagged ``_tb`` =
+       the target cell) = everything that cell needs from all
+       earlier cells;
+    3. rows and carries co-shuffle on ``hash(key, _tb)``;
+       ``apply_cell(own_sorted_df, carry_sorted_df)`` closes each
+       cell vectorized and returns a pyarrow Table (or None).
+    """
+    schema = rows.schema().base_schema
+    names = schema.names
+
+    # FINE-GRAINED shard value spaces (not the partition count): Ray's
+    # sort range-partitions by sampled boundaries, so partition count
+    # and balance come from the DATA, while equal shard values — whole
+    # cells / whole keys — never split.  A coarse space (e.g. 32
+    # values) risks empty range partitions (schema-less pandas blocks
+    # inside the sort -> executor schema warnings); a fine space keeps
+    # every sampled range occupied.  ``n_shards`` still scales the
+    # space with input size so cells spread at any scale.
+    kshard_space = max(65_536, n_shards * 64)
+    shard_space = max(65_536, n_shards * 256)
+
+    def synth(group: pd.DataFrame) -> pa.Table:
+        out = None
+        if len(group):
+            g = group.sort_values(
+                [key_col, "_tb", "_ord", id_col]
+            ).reset_index(drop=True)
+            out = make_carries(g)
+        if out is None or len(out) == 0:
+            arrs = {f.name: pa.array([], f.type) for f in schema}
+            n = 0
+            shard = np.array([], dtype=np.int64)
+        else:
+            arrs = {
+                f.name: pa.array(out[f.name], f.type) for f in schema
+            }
+            n = len(out)
+            shard = _cell_shard(
+                out[key_col].to_numpy(dtype=np.int64),
+                out["_tb"].to_numpy(dtype=np.int64),
+                shard_space,
+            )
+        t = pa.table(arrs)
+        return t.append_column(
+            "_is_off", pa.array(np.ones(n, dtype=np.bool_), pa.bool_())
+        ).append_column("_shard", pa.array(shard, pa.int64()))
+
+    def cand_arrow(batch: pd.DataFrame) -> pa.Table:
+        # Arrow into the shuffle: empty sort partitions keep their
+        # schema (pandas blocks can't unify empty schemas — _arrow)
+        return _arrow(
+            _key_shard_col(candidates(batch), key_col, kshard_space)
+        )
+
+    # sort + whole-block map instead of groupby().map_groups: the
+    # same co-location guarantee (map_groups is itself sort +
+    # batch_size=None map), but empty partitions return a TYPED empty
+    # table — map_groups' zero-group generator emits schema-less
+    # blocks that trip the executor's schema-unification warning
+    carries = (
+        rows.map_batches(cand_arrow, batch_format="pandas")
+        .sort("_kshard")
+        .map_batches(synth, batch_format="pandas", batch_size=None)
+    )
+
+    def tag(batch: pd.DataFrame) -> pa.Table:
+        t = pa.table(
+            {f.name: pa.array(batch[f.name], f.type) for f in schema}
+        )
+        n = len(batch)
+        shard = _cell_shard(
+            batch[key_col].to_numpy(dtype=np.int64),
+            batch["_tb"].to_numpy(dtype=np.int64),
+            shard_space,
+        )
+        return t.append_column(
+            "_is_off",
+            pa.array(np.zeros(n, dtype=np.bool_), pa.bool_()),
+        ).append_column("_shard", pa.array(shard, pa.int64()))
+
+    unioned = rows.map_batches(tag, batch_format="pandas").union(
+        carries
+    )
+
+    def scan_shard(group: pd.DataFrame) -> pa.Table:
+        if len(group) == 0:
+            return empty_out
+        own = group[~group["_is_off"]].sort_values(
+            [key_col, "_tb", "_ord", id_col]
+        )
+        if len(own) == 0:
+            return empty_out
+        carry = group[group["_is_off"]].sort_values(
+            [key_col, "_tb", "_ord", id_col]
+        )
+        carry_map = {
+            kt: sub[names]
+            for kt, sub in carry.groupby([key_col, "_tb"], sort=False)
+        }
+        keys = own[key_col].to_numpy()
+        buckets = own["_tb"].to_numpy()
+        change = np.empty(len(own), dtype=np.bool_)
+        change[0] = True
+        change[1:] = (keys[1:] != keys[:-1]) | (
+            buckets[1:] != buckets[:-1]
+        )
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(own))
+        pieces = []
+        for s, e in zip(starts, ends):
+            cell = own.iloc[s:e]
+            c = carry_map.get((keys[s], buckets[s]))
+            t = apply_cell(cell, c)
+            if t is not None and len(t):
+                pieces.append(t)
+        if not pieces:
+            return empty_out
+        return pa.concat_tables(pieces)
+
+    return unioned.sort("_shard").map_batches(
+        scan_shard, batch_format="pandas", batch_size=None
+    )
+
+
+def _tail_candidates(key_col: str, id_col: str, w: int):
+    """Per-batch reducer for tail-carry ops: keep each (key, _tb)
+    cell's LAST ``w`` rows under the (_ord, id) order — any row of
+    the true cell tail is within its own batch's last ``w``."""
+    def cand(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.sort_values([key_col, "_tb", "_ord", id_col])
+        pos = g.groupby(
+            [key_col, "_tb"], sort=False
+        ).cumcount(ascending=False)
+        return g[pos < w]
+
+    return cand
+
+
+def _tail_carries(key_col: str, id_col: str, w: int):
+    """Per-key carry synthesis for tail ops: walking each key's
+    cells in _tb order, the carry into cell c is the last ``w`` rows
+    of everything earlier — re-tagged with ``_tb = c``."""
+    def make(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _k, sub in g.groupby(key_col, sort=False):
+            tbs = sub["_tb"].to_numpy()
+            cell_start = np.flatnonzero(
+                np.concatenate(([True], tbs[1:] != tbs[:-1]))
+            )
+            if len(cell_start) < 2:
+                continue
+            cell_end = np.append(cell_start[1:], len(sub))
+            tail = None
+            for i in range(len(cell_start) - 1):
+                seg = sub.iloc[cell_start[i]:cell_end[i]]
+                tail = (
+                    seg if tail is None
+                    else pd.concat([tail, seg])
+                ).tail(w)
+                packet = tail.copy()
+                packet["_tb"] = tbs[cell_start[i + 1]]
+                outs.append(packet)
+        if not outs:
+            return g.iloc[0:0]
+        return pd.concat(outs, ignore_index=True)
+
+    return make
+
 def grouping_sets_aggregate(ds, keys: list[str],
                             sets: list[list[str]],
                             aggs: dict[str, tuple[str, str]],
@@ -3166,30 +3469,67 @@ def throttle_events(ds, key_col: str, ts_col: str, id_col: str,
     previous KEPT event, is the same pass with a per-group scan and
     no SQL twin).  First event of a key always survives.
 
-    Same partitioning contract as ``lag_rolling``: one
-    ``groupby(key).map_groups`` over the (ts, id)-sorted key stream,
-    shuffle carries only (id, key, ts).
+    Skew-safe on ``keyed_cell_scan``: each event needs only its
+    immediate predecessor, so cells close from their own (ts,
+    id)-sorted rows plus a 1-row tail carry.  No key's stream ever
+    groups; shuffle carries only (id, key, ts).  ``ds`` is consumed
+    twice and materialized here — pass a PRUNED projection.
 
     Output: (id, key) of surviving events.
     """
-    def fold(group: pd.DataFrame) -> pa.Table:
-        g = group.sort_values([ts_col, id_col]).reset_index(drop=True)
-        ts = _ts_us(g[ts_col]).to_numpy()
-        keep = np.empty(len(g), dtype=bool)
-        keep[0] = True
-        keep[1:] = (ts[1:] - ts[:-1]) >= min_gap_us
+    bucket_us = 86_400 * 1_000_000
+
+    def project(batch: pd.DataFrame) -> pa.Table:
+        ts = _ts_us(batch[ts_col]).to_numpy()
         return pa.table(
             {
                 id_col: pa.array(
-                    g[id_col].to_numpy(np.int64)[keep], pa.int64()
+                    batch[id_col].to_numpy(dtype=np.int64), pa.int64()
                 ),
                 key_col: pa.array(
-                    g[key_col].to_numpy(np.int64)[keep], pa.int64()
+                    batch[key_col].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "_tb": pa.array(ts // bucket_us, pa.int64()),
+                "_ord": pa.array(ts, pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(project, batch_format="pandas").materialize()
+    n_shards = max(32, rows.count() // 200_000)
+
+    empty_out = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            key_col: pa.array([], pa.int64()),
+        }
+    )
+
+    def apply_cell(cell: pd.DataFrame, carry) -> pa.Table:
+        m = 0 if carry is None else 1
+        ts = cell["_ord"].to_numpy()
+        if m:
+            ts = np.concatenate([carry["_ord"].to_numpy()[-1:], ts])
+        keep = np.empty(len(ts), dtype=bool)
+        keep[0] = True
+        keep[1:] = (ts[1:] - ts[:-1]) >= min_gap_us
+        keep = keep[m:]
+        return pa.table(
+            {
+                id_col: pa.array(
+                    cell[id_col].to_numpy(np.int64)[keep], pa.int64()
+                ),
+                key_col: pa.array(
+                    cell[key_col].to_numpy(np.int64)[keep], pa.int64()
                 ),
             }
         )
 
-    return ds.groupby(key_col).map_groups(fold, batch_format="pandas")
+    return keyed_cell_scan(
+        rows, key_col, id_col,
+        _tail_candidates(key_col, id_col, 1),
+        _tail_carries(key_col, id_col, 1),
+        apply_cell, empty_out, n_shards,
+    )
 
 
 def sequence_ngrams(ds, key_col: str, ts_col: str, id_col: str,
@@ -3229,40 +3569,104 @@ def sequence_ngrams(ds, key_col: str, ts_col: str, id_col: str,
 
 
 def late_event_split(ds, key_col: str, ts_col: str, id_col: str,
-                     allowed_lateness_us: int):
+                     allowed_lateness_us: int,
+                     id_bucket_bits: int = 18):
     """Per-key watermark tagging (the streaming late-data rule, batch
     replay): process the key's events in ARRIVAL order (ascending
     ``id_col``), hold a watermark = max event time seen so far minus
     ``allowed_lateness_us``, and flag events whose time falls behind
     it — the rows a streaming window would drop or side-output.
 
-    One ``groupby(key).map_groups`` pass (lag_rolling's contract),
-    vectorized ``np.maximum.accumulate`` per key stream.  First
-    arrival of a key is never late.
+    Skew-safe on ``keyed_cell_scan`` with ARRIVAL-ORDER cells
+    (``_tb = id >> 18``): the carry into a cell is the key's single
+    max-event-time row over all earlier cells — a running-cummax
+    prefix, synthesized vectorized (per-cell argmax candidates ->
+    shift + cummax per key).  Inside a cell the watermark continues
+    with ``np.maximum.accumulate``.  First arrival of a key is never
+    late.  No key's stream ever groups; ``ds`` is consumed twice and
+    materialized here — pass a PRUNED projection.
 
     Output: (id, key, late 0/1) — join back or filter downstream.
     """
-    def fold(group: pd.DataFrame) -> pa.Table:
-        g = group.sort_values(id_col).reset_index(drop=True)
-        ts = _ts_us(g[ts_col]).to_numpy()
-        run_max = np.maximum.accumulate(ts)
-        late = np.zeros(len(g), dtype=np.int64)
-        late[1:] = (
-            ts[1:] < run_max[:-1] - allowed_lateness_us
-        ).astype(np.int64)
+    def project(batch: pd.DataFrame) -> pa.Table:
+        ids = batch[id_col].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                key_col: pa.array(
+                    batch[key_col].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "_tb": pa.array(ids >> id_bucket_bits, pa.int64()),
+                "_ord": pa.array(
+                    np.zeros(len(ids), dtype=np.int64), pa.int64()
+                ),
+                "_ts": pa.array(
+                    _ts_us(batch[ts_col]).to_numpy(), pa.int64()
+                ),
+            }
+        )
+
+    rows = ds.map_batches(project, batch_format="pandas").materialize()
+    n_shards = max(32, rows.count() // 200_000)
+
+    def candidates(batch: pd.DataFrame) -> pd.DataFrame:
+        # per (key, cell): the batch's max-_ts row — any row of the
+        # true cell argmax survives its own batch's reduction
+        g = batch.sort_values("_ts")
+        return g.groupby([key_col, "_tb"], sort=False).tail(1)
+
+    def make_carries(g: pd.DataFrame) -> pd.DataFrame:
+        # g is (key, _tb, _ord, id)-sorted candidates; collapse to one
+        # max-_ts row per cell, then carry into cell c = the key's
+        # running cummax over strictly earlier cells (shift + cummax)
+        cells = (
+            g.sort_values("_ts")
+            .groupby([key_col, "_tb"], sort=False)
+            .tail(1)
+            .sort_values([key_col, "_tb"])
+            .reset_index(drop=True)
+        )
+        cm = cells.groupby(key_col, sort=False)["_ts"].cummax()
+        prev_max = cm.groupby(cells[key_col], sort=False).shift(1)
+        mask = prev_max.notna().to_numpy()
+        out = cells[mask].copy()
+        out["_ts"] = prev_max[mask].to_numpy(dtype=np.int64)
+        return out
+
+    empty_out = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            key_col: pa.array([], pa.int64()),
+            "late": pa.array([], pa.int64()),
+        }
+    )
+
+    def apply_cell(cell: pd.DataFrame, carry) -> pa.Table:
+        ts = cell["_ts"].to_numpy()
+        wm0 = (
+            np.int64(-(2 ** 62)) if carry is None or not len(carry)
+            else carry["_ts"].to_numpy().max()
+        )
+        prev_max = np.maximum.accumulate(
+            np.concatenate(([wm0], ts))
+        )[:-1]
+        late = (ts < prev_max - allowed_lateness_us).astype(np.int64)
         return pa.table(
             {
                 id_col: pa.array(
-                    g[id_col].to_numpy(np.int64), pa.int64()
+                    cell[id_col].to_numpy(np.int64), pa.int64()
                 ),
                 key_col: pa.array(
-                    g[key_col].to_numpy(np.int64), pa.int64()
+                    cell[key_col].to_numpy(np.int64), pa.int64()
                 ),
                 "late": pa.array(late, pa.int64()),
             }
         )
 
-    return ds.groupby(key_col).map_groups(fold, batch_format="pandas")
+    return keyed_cell_scan(
+        rows, key_col, id_col, candidates, make_carries,
+        apply_cell, empty_out, n_shards,
+    )
 
 
 def resample_linear(ds, key_col: str, ts_col: str, value_col: str,
@@ -3276,21 +3680,48 @@ def resample_linear(ds, key_col: str, ts_col: str, value_col: str,
     round(6) hash-matches (np.interp uses a different float form and
     is deliberately NOT used).
 
-    One ``groupby(key).map_groups`` pass (lag_rolling's contract);
-    grid length is bounded by the key's observation span.
+    Skew-safe in two stages: a distributed ``bucketed_aggregate``
+    first collapses the raw events to per-(key, unit) sums/counts —
+    so the only per-key group is over UNIT rows, bounded by the
+    key's observation span / ``bucket_s``, never by its event count
+    (a bot key with 10^9 events in a year is 365 unit rows).  The
+    per-unit mean is sum/count of a distributed fold; the twin's
+    AVG tolerates the order difference under round(6).
 
     Output: (key, unit, v, observed 0/1).
     """
     bucket_us = int(bucket_s) * 1_000_000
 
-    def fold(group: pd.DataFrame) -> pa.Table:
-        g = group.copy()
-        g["_u"] = _ts_us(g[ts_col]).to_numpy() // bucket_us
-        daily = (
-            g.groupby("_u")[value_col].mean().sort_index()
+    def project(batch: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                key_col: pa.array(
+                    batch[key_col].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "_u": pa.array(
+                    _ts_us(batch[ts_col]).to_numpy() // bucket_us,
+                    pa.int64(),
+                ),
+                "_v": pa.array(
+                    batch[value_col].to_numpy(dtype=np.float64),
+                    pa.float64(),
+                ),
+            }
         )
-        u = daily.index.to_numpy(np.int64)
-        v = daily.to_numpy(np.float64)
+
+    units = bucketed_aggregate(
+        ds.map_batches(project, batch_format="pandas"),
+        [key_col, "_u"],
+        {"_vsum": ("_v", "sum"), "_n": ("_v", "count")},
+    )
+
+    def fold(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values("_u")
+        u = g["_u"].to_numpy(np.int64)
+        v = (
+            g["_vsum"].to_numpy(np.float64)
+            / g["_n"].to_numpy(np.float64)
+        )
         grid = np.arange(u[0], u[-1] + 1, dtype=np.int64)
         # index of the previous observation for every grid unit
         prev = np.searchsorted(u, grid, side="right") - 1
@@ -3315,7 +3746,9 @@ def resample_linear(ds, key_col: str, ts_col: str, value_col: str,
             }
         )
 
-    return ds.groupby(key_col).map_groups(fold, batch_format="pandas")
+    return units.groupby(key_col).map_groups(
+        fold, batch_format="pandas"
+    )
 
 
 def trimmed_mean_by(ds, key_col: str, value_col: str, id_col: str,
@@ -3323,33 +3756,91 @@ def trimmed_mean_by(ds, key_col: str, value_col: str, id_col: str,
     """Per-key trimmed mean (robust location): drop the lowest and
     highest ``floor(trim * n)`` rows under the (value, id) total
     order, average the rest — the rank-based definition, so a SQL
-    row_number twin is exact row-for-row.  One
-    ``groupby(key).map_groups`` pass.
+    row_number twin is exact row-for-row.
+
+    Skew-safe via the winsorize histogram pattern: the sum over the
+    kept rank range depends only on VALUES (the id tiebreak decides
+    WHICH tied rows drop, never the sum), so a distributed
+    ``bucketed_aggregate`` collapses the stream to a per-(key, value)
+    histogram and one vectorized pass per key-hash bucket picks the
+    rank-range overlap of every distinct value — no key's rows ever
+    group, only its distinct values.  ``id_col`` is kept for
+    signature parity with the rank-based twin.
 
     Output: (key, trimmed_mean, n_kept, n).
     """
-    def fold(group: pd.DataFrame) -> pa.Table:
-        g = group.sort_values([value_col, id_col])
-        v = g[value_col].to_numpy(np.float64)
-        n = len(v)
-        k = int(np.floor(trim * n))
-        kept = v[k: n - k]
+    hist = bucketed_aggregate(
+        ds, [key_col, value_col],
+        {"_cnt": (value_col, "count")},
+    ).materialize()
+    key_type = hist.schema().base_schema.field(key_col).type
+    empty_out = pa.table(
+        {
+            key_col: pa.array([], key_type),
+            "trimmed_mean": pa.array([], pa.float64()),
+            "n_kept": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def pick(group: pd.DataFrame) -> pa.Table:
+        if len(group) == 0:
+            return empty_out
+        g = group.sort_values([key_col, value_col]).reset_index(
+            drop=True
+        )
+        cnt = g["_cnt"].to_numpy(dtype=np.int64)
+        grp = g.groupby(key_col, sort=False)
+        n = grp["_cnt"].transform("sum").to_numpy(dtype=np.int64)
+        cum = grp["_cnt"].cumsum().to_numpy(dtype=np.int64)
+        before = cum - cnt
+        k = np.floor(trim * n).astype(np.int64)
+        # rows kept per distinct value = overlap of its rank range
+        # [before, cum) with the kept range [k, n - k)
+        kept = np.maximum(
+            0,
+            np.minimum(cum, n - k) - np.maximum(before, k),
+        )
+        v = g[value_col].to_numpy(dtype=np.float64)
+        keys = g[key_col].to_numpy()
+        new = np.empty(len(g), dtype=np.bool_)
+        new[0] = True
+        new[1:] = keys[1:] != keys[:-1]
+        gid = np.cumsum(new) - 1
+        ksum = np.bincount(gid, weights=kept * v)
+        n_kept = np.bincount(gid, weights=kept).astype(np.int64)
+        out = g.loc[new, [key_col]].reset_index(drop=True)
         return pa.table(
             {
-                key_col: pa.array([g[key_col].iloc[0]]),
+                key_col: pa.array(out[key_col]),
                 "trimmed_mean": pa.array(
-                    [float(kept.sum()) / len(kept)], pa.float64()
+                    ksum / n_kept, pa.float64()
                 ),
-                "n_kept": pa.array([len(kept)], pa.int64()),
-                "n": pa.array([n], pa.int64()),
+                "n_kept": pa.array(n_kept, pa.int64()),
+                "n": pa.array(n[new], pa.int64()),
             }
         )
 
-    return ds.groupby(key_col).map_groups(fold, batch_format="pandas")
+    def bucketize(batch: pd.DataFrame) -> pa.Table:
+        # fine-grained key-hash space + sort/whole-block map (not
+        # groupby().map_groups): empty range partitions return a
+        # TYPED empty — see keyed_cell_scan's shard-space note
+        h = pd.util.hash_pandas_object(
+            batch[key_col], index=False
+        ).to_numpy()
+        batch["_mb"] = (h % np.uint64(65_536)).astype(np.int64)
+        return _arrow(batch)
+
+    return (
+        hist.map_batches(bucketize, batch_format="pandas")
+        .sort("_mb")
+        .map_batches(pick, batch_format="pandas", batch_size=None)
+    )
 
 
 def last_touch_attribution(ds, key_col: str, id_col: str,
-                           type_col: str, target: str):
+                           type_col: str, target: str,
+                           id_bucket_bits: int = 18):
     """Last-touch conversion attribution: every ``target`` event is
     credited to the key's most recent PRECEDING non-target event
     (arrival order = ``id_col`` — globally unique, so the credit is
@@ -3357,34 +3848,109 @@ def last_touch_attribution(ds, key_col: str, id_col: str,
     preceding touch are dropped, mirroring an ASOF-join twin's inner
     join.
 
-    One ``groupby(key).map_groups`` pass: forward-fill the last
-    non-target type over the id-sorted stream, emit target rows.
+    Skew-safe on ``keyed_cell_scan`` with arrival-order cells
+    (``_tb = id >> 18``): the carry into a cell is the key's single
+    most-recent non-target row over all earlier cells.  Candidates
+    keep, per cell, its last non-target row plus its last row overall
+    (the presence marker — a cell of pure target rows must still
+    receive a carry); synthesis is a vectorized per-key shift + ffill
+    over the cell table.  Inside a cell the forward-fill continues
+    locally.  No key's stream ever groups; ``ds`` is consumed twice
+    and materialized here — pass a PRUNED projection.
 
     Output: (id, key, touch) one row per attributed target event.
     """
-    def fold(group: pd.DataFrame) -> pa.Table:
-        g = group.sort_values(id_col).reset_index(drop=True)
-        types = g[type_col].to_numpy()
-        is_t = types == target
-        touch = pd.Series(
-            np.where(is_t, None, types), dtype=object
-        ).ffill().to_numpy()
-        keep = is_t & pd.notna(touch)
+    def project(batch: pd.DataFrame) -> pa.Table:
+        ids = batch[id_col].to_numpy(dtype=np.int64)
         return pa.table(
             {
-                id_col: pa.array(
-                    g[id_col].to_numpy(np.int64)[keep], pa.int64()
-                ),
+                id_col: pa.array(ids, pa.int64()),
                 key_col: pa.array(
-                    g[key_col].to_numpy(np.int64)[keep], pa.int64()
+                    batch[key_col].to_numpy(dtype=np.int64), pa.int64()
                 ),
-                "touch": pa.array(
-                    touch[keep].astype(str), pa.string()
+                "_tb": pa.array(ids >> id_bucket_bits, pa.int64()),
+                "_ord": pa.array(
+                    np.zeros(len(ids), dtype=np.int64), pa.int64()
+                ),
+                "_ty": pa.array(
+                    batch[type_col].astype(str), pa.string()
                 ),
             }
         )
 
-    return ds.groupby(key_col).map_groups(fold, batch_format="pandas")
+    rows = ds.map_batches(project, batch_format="pandas").materialize()
+    n_shards = max(32, rows.count() // 200_000)
+
+    def candidates(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.sort_values(id_col)
+        grp = [key_col, "_tb"]
+        last_nt = g[g["_ty"] != target].groupby(grp, sort=False).tail(1)
+        presence = g.groupby(grp, sort=False).tail(1)
+        return pd.concat(
+            [last_nt, presence]
+        ).drop_duplicates(subset=[id_col])
+
+    def make_carries(g: pd.DataFrame) -> pd.DataFrame:
+        # one row per present cell: its last non-target (NaN if none)
+        cells = g[[key_col, "_tb"]].drop_duplicates().reset_index(
+            drop=True
+        )
+        nt = g[g["_ty"] != target]
+        last_nt = nt.groupby([key_col, "_tb"], sort=False).tail(1)
+        m = cells.merge(
+            last_nt[[key_col, "_tb", id_col, "_ty"]],
+            on=[key_col, "_tb"], how="left", sort=False,
+        )
+        # carry into cell c = ffill(shift(last-nt per cell)) per key
+        grp = m.groupby(key_col, sort=False)
+        carry = grp[[id_col, "_ty"]].shift(1)
+        carry = carry.groupby(m[key_col], sort=False).ffill()
+        mask = carry["_ty"].notna().to_numpy()
+        out = m[mask].copy()
+        out[id_col] = carry[id_col][mask].to_numpy(dtype=np.int64)
+        out["_ty"] = carry["_ty"][mask].to_numpy()
+        out["_ord"] = np.zeros(mask.sum(), dtype=np.int64)
+        return out
+
+    empty_out = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            key_col: pa.array([], pa.int64()),
+            "touch": pa.array([], pa.string()),
+        }
+    )
+
+    def apply_cell(cell: pd.DataFrame, carry) -> pa.Table:
+        types = cell["_ty"].to_numpy()
+        is_t = types == target
+        init = (
+            None if carry is None or not len(carry)
+            else carry["_ty"].iloc[-1]
+        )
+        s = pd.Series(
+            np.where(is_t, None, types), dtype=object
+        ).ffill().to_numpy()
+        if init is not None:
+            s = np.where(pd.isna(s), init, s)
+        keep = is_t & pd.notna(s)
+        return pa.table(
+            {
+                id_col: pa.array(
+                    cell[id_col].to_numpy(np.int64)[keep], pa.int64()
+                ),
+                key_col: pa.array(
+                    cell[key_col].to_numpy(np.int64)[keep], pa.int64()
+                ),
+                "touch": pa.array(
+                    s[keep].astype(str), pa.string()
+                ),
+            }
+        )
+
+    return keyed_cell_scan(
+        rows, key_col, id_col, candidates, make_carries,
+        apply_cell, empty_out, n_shards,
+    )
 
 
 def first_last_by(ds, key_col: str, ts_col: str, id_col: str,
@@ -3450,30 +4016,78 @@ def first_last_by(ds, key_col: str, ts_col: str, id_col: str,
 def rolling_median_by(ds, key_col: str, ts_col: str, id_col: str,
                       value_col: str, window: int = 5):
     """Per-key trailing ``window``-row median (robust smoother) over
-    the (ts, id)-sorted stream — lag_rolling's contract, pandas'
-    vectorized rolling median per group (min_periods=1, so the frame
-    shrinks at the stream head exactly like the SQL window's ROWS
-    BETWEEN n PRECEDING AND CURRENT ROW).
+    the (ts, id)-sorted stream — pandas' vectorized rolling median
+    (min_periods=1, so the frame shrinks at the stream head exactly
+    like the SQL window's ROWS BETWEEN n PRECEDING AND CURRENT ROW).
+
+    Skew-safe on ``keyed_cell_scan``: each row's frame reaches back
+    only ``window - 1`` rows, so cells close from their own (ts,
+    id)-sorted rows plus a ``window - 1``-row tail carry.  The median
+    is an exact value pick / two-value midpoint, deterministic under
+    any decomposition, so the twin stays hash-exact unrounded.  No
+    key's stream ever groups; ``ds`` is consumed twice and
+    materialized here — pass a PRUNED projection.
 
     Output: (id, key, roll_median).
     """
-    def fold(group: pd.DataFrame) -> pa.Table:
-        g = group.sort_values([ts_col, id_col]).reset_index(drop=True)
+    bucket_us = 86_400 * 1_000_000
+    w = max(1, window - 1)
+
+    def project(batch: pd.DataFrame) -> pa.Table:
+        ts = _ts_us(batch[ts_col]).to_numpy()
+        return pa.table(
+            {
+                id_col: pa.array(
+                    batch[id_col].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                key_col: pa.array(
+                    batch[key_col].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "_tb": pa.array(ts // bucket_us, pa.int64()),
+                "_ord": pa.array(ts, pa.int64()),
+                "_v": pa.array(
+                    batch[value_col].to_numpy(dtype=np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    rows = ds.map_batches(project, batch_format="pandas").materialize()
+    n_shards = max(32, rows.count() // 200_000)
+
+    empty_out = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            key_col: pa.array([], pa.int64()),
+            "roll_median": pa.array([], pa.float64()),
+        }
+    )
+
+    def apply_cell(cell: pd.DataFrame, carry) -> pa.Table:
+        m = 0 if carry is None else len(carry)
+        v = cell["_v"].to_numpy()
+        if m:
+            v = np.concatenate([carry["_v"].to_numpy(), v])
         med = (
-            g[value_col].rolling(window, min_periods=1)
+            pd.Series(v).rolling(window, min_periods=1)
             .median()
             .to_numpy(np.float64)
         )
         return pa.table(
             {
                 id_col: pa.array(
-                    g[id_col].to_numpy(np.int64), pa.int64()
+                    cell[id_col].to_numpy(np.int64), pa.int64()
                 ),
                 key_col: pa.array(
-                    g[key_col].to_numpy(np.int64), pa.int64()
+                    cell[key_col].to_numpy(np.int64), pa.int64()
                 ),
-                "roll_median": pa.array(med, pa.float64()),
+                "roll_median": pa.array(med[m:], pa.float64()),
             }
         )
 
-    return ds.groupby(key_col).map_groups(fold, batch_format="pandas")
+    return keyed_cell_scan(
+        rows, key_col, id_col,
+        _tail_candidates(key_col, id_col, w),
+        _tail_carries(key_col, id_col, w),
+        apply_cell, empty_out, n_shards,
+    )

@@ -328,27 +328,24 @@ def q_events_window(sf_dir: str) -> pd.DataFrame:
 
 
 def q_sessionize(sf_dir: str) -> pd.DataFrame:
-    """30-minute-gap sessions per user -> sessions per user."""
-    from unfurl_ray.ops.relational import sessionize
+    """30-minute-gap sessions per user -> sessions per user.  The
+    rollup over session stubs is one vectorized ``pre_aggregate``
+    shuffle (count + sum), never a Python call per user."""
+    from unfurl_ray.ops.relational import pre_aggregate, sessionize
 
     ds = _parquet_sh(sf_dir, "events", ["user_id", "ts"])
     sessions = sessionize(ds, ts_col="ts", key_col="user_id", gap_s=1800)
-
-    def per_user(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "user_id": [group["user_id"].iloc[0]],
-                "n_sessions": [len(group)],
-                "n_events": [int(group["n_events"].sum())],
-            }
-        )
-
-    out = sessions.groupby("user_id").map_groups(
-        per_user, batch_format="pandas"
+    out = pre_aggregate(
+        sessions,
+        ["user_id"],
+        {
+            "n_sessions": ("n_events", "count"),
+            "n_events": ("n_events", "sum"),
+        },
     ).to_pandas()
     out["n_sessions"] = out["n_sessions"].astype("int64")
     out["n_events"] = out["n_events"].astype("int64")
-    return out
+    return out.sort_values("user_id").reset_index(drop=True)
 
 
 def q_group_hll_users(sf_dir: str) -> pd.DataFrame:
