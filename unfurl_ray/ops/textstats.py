@@ -74,29 +74,68 @@ def _half_up(x, k: int):
     return np.floor(np.asarray(x, dtype=np.float64) * scale + 0.5) / scale
 
 
+_ALL_STOP_ARR = pa.array(
+    sorted(set().union(*STOPWORDS.values())), pa.string()
+)
+
+
+def _split_words(col: pa.Array, n_docs: int):
+    """ASCII-whitespace word split as Arrow kernels: returns
+    (flat lowercase words, parent doc indices, keep mask, per-doc
+    word counts) — the same tokens ``_WORD_SPLIT_RE.findall`` yields
+    per row, with no per-row Python.  The 4 non-space ASCII ws chars
+    are normalized to spaces with PLAIN replaces and the split is a
+    PLAIN single-space split (RE2 ``split_pattern_regex`` measured
+    ~7x slower); runs of whitespace then yield empty fragments,
+    filtered by the keep mask."""
+    for ch in ("\t", "\n", "\f", "\r"):
+        col = pc.replace_substring(col, pattern=ch, replacement=" ")
+    lists = pc.split_pattern(col, pattern=" ")
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists).to_numpy(
+        zero_copy_only=False
+    )
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat_low = pc.utf8_lower(flat)
+    n_words = np.bincount(parent[keep], minlength=n_docs).astype(
+        np.int64
+    )
+    return flat_low, parent, keep, n_words
+
+
 def quality_score_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """Length / punctuation / stopword-ratio quality features + score.
 
     C4/Gopher-style cheap filters: mean word length, punctuation
     ratio, stopword hit ratio -> a [0,1] composite.  Every operation
     (ASCII tokenization, float64 ratios, half-up rounding) mirrors the
-    DuckDB oracle exactly, so q_quality is hash-checked."""
+    DuckDB oracle exactly, so q_quality is hash-checked.  All counting
+    runs as Arrow RE2 / is_in kernels + numpy bincounts — no per-row
+    Python regex on the corpus path."""
     import numpy as np
 
-    texts = batch["text"].fillna("")
-    n_chars = texts.str.len().to_numpy(dtype=np.float64)
-    words = texts.map(_WORD_SPLIT_RE.findall)
-    n_words = words.map(len).to_numpy(dtype=np.int64)
+    n = len(batch)
+    col = pc.fill_null(pa.array(batch["text"], pa.string()), "")
+    n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(
+        np.float64
+    )
+    flat_low, parent, keep, n_words = _split_words(col, n)
     nw1 = np.maximum(n_words, 1).astype(np.float64)
     mean_word_len = _half_up(n_chars / nw1, 3)
-    punct = texts.map(
-        lambda t: len(_PUNCT_ASCII_RE.findall(t))
-    ).to_numpy(dtype=np.float64)
+    punct = (
+        pc.count_substring_regex(
+            col, rf"[^A-Za-z0-9_{_WS_CLASS}]"
+        )
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    )
     punct_ratio = _half_up(punct / np.maximum(n_chars, 1.0), 4)
-    all_stop = set().union(*STOPWORDS.values())
-    n_stop = words.map(
-        lambda ws: sum(1 for w in ws if w.lower() in all_stop)
-    ).to_numpy(dtype=np.float64)
+    is_stop = pc.is_in(
+        flat_low, value_set=_ALL_STOP_ARR
+    ).to_numpy(zero_copy_only=False)
+    n_stop = np.bincount(
+        parent[keep & is_stop], minlength=n
+    ).astype(np.float64)
     stop_ratio = _half_up(n_stop / nw1, 4)
     score = _half_up(
         (np.minimum(n_words, 200) / 200.0) * 0.4
@@ -115,29 +154,56 @@ def quality_score_batch(batch: pd.DataFrame) -> pd.DataFrame:
 
 class LangId:
     """Stopword/character n-gram language-ID heuristic (actor pool:
-    tables compiled once per actor)."""
+    stopword value sets built once per actor).  Fully vectorized:
+    Arrow split/is_in kernels + numpy bincount argmax over the
+    first 200 words of each doc — no per-row Python.  Tie order is
+    the STOPWORDS dict order (en first), matching the CASE-cascade
+    oracle; zero hits -> "und"; any CJK char -> "zh"."""
 
     def __init__(self):
         self.langs = list(STOPWORDS)
-        self.tables = {k: v for k, v in STOPWORDS.items()}
-        self.zh_re = re.compile(r"[一-鿿]")
+        self.sets = [
+            pa.array(sorted(STOPWORDS[lang]), pa.string())
+            for lang in self.langs
+        ]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        def classify(text: str) -> str:
-            if not text:
-                return "und"
-            if self.zh_re.search(text):
-                return "zh"
-            words = [w.lower() for w in text.split()[:200]]
-            best, best_hits = "en", -1
-            for lang, stops in self.tables.items():
-                hits = sum(1 for w in words if w in stops)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            return best if best_hits > 0 else "und"
-
+        n = len(batch)
+        col = pc.fill_null(pa.array(batch["text"], pa.string()), "")
+        flat_low, parent, keep, _nw = _split_words(col, n)
+        # first-200-words cap: word ordinal within doc among kept
+        # tokens (parent is nondecreasing, so starts come from
+        # bincount offsets)
+        kept_parent = parent[keep]
+        counts = np.bincount(kept_parent, minlength=n)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        ordinal = (
+            np.arange(len(kept_parent), dtype=np.int64)
+            - starts[kept_parent]
+        )
+        in_cap = ordinal < 200
+        cap_parent = kept_parent[in_cap]
+        # filter in Arrow (no object-array round trip): project the
+        # capped-token mask back onto the full flat index space
+        mask_full = np.zeros(len(parent), dtype=bool)
+        mask_full[np.flatnonzero(keep)[in_cap]] = True
+        capped = pc.filter(flat_low, pa.array(mask_full))
+        hits = np.zeros((len(self.langs), n), dtype=np.int64)
+        for i, vs in enumerate(self.sets):
+            m = pc.is_in(capped, value_set=vs).to_numpy(
+                zero_copy_only=False
+            )
+            hits[i] = np.bincount(cap_parent[m], minlength=n)
+        best = np.argmax(hits, axis=0)  # first max wins = dict order
+        pred = np.asarray(self.langs, dtype=object)[best]
+        pred[hits.max(axis=0) == 0] = "und"
+        is_zh = pc.match_substring_regex(col, r"[一-鿿]").to_numpy(
+            zero_copy_only=False
+        )
+        pred[is_zh] = "zh"
+        pred[np.asarray(pc.utf8_length(col)) == 0] = "und"
         out = batch[["doc_id"]].copy()
-        out["lang_pred"] = batch["text"].fillna("").map(classify)
+        out["lang_pred"] = pred
         return out
 
 
@@ -158,19 +224,16 @@ def repetition_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """
     import numpy as np
 
-    texts = batch["text"].fillna("").str.lower()
-    words_list = texts.map(_WORD_SPLIT_RE.findall)
-    n_words = words_list.map(len).to_numpy(dtype=np.int64)
     n = len(batch)
+    col = pc.fill_null(pa.array(batch["text"], pa.string()), "")
+    flat_low, parent, keep, n_words = _split_words(col, n)
     total = int(n_words.sum())
     dup_frac = np.zeros(n, dtype=np.float64)
     top_word = np.zeros(n, dtype=np.float64)
     top_bigram = np.zeros(n, dtype=np.float64)
     if total:
-        doc_idx = np.repeat(np.arange(n, dtype=np.int64), n_words)
-        all_words = np.concatenate(
-            [np.asarray(ws, dtype=object) for ws in words_list if ws]
-        )
+        doc_idx = parent[keep]
+        all_words = flat_low.to_numpy(zero_copy_only=False)[keep]
         ex = pd.DataFrame({"i": doc_idx, "w": all_words})
         wc = ex.groupby(["i", "w"], sort=False).size()
         per_doc = wc.groupby(level="i")
