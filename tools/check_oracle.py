@@ -100,6 +100,7 @@ def main():
         )
 
     failures = 0
+    times: dict[str, float] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -113,6 +114,7 @@ def main():
             failures += 1
             continue
         elapsed = time.time() - t0
+        times[name] = round(elapsed, 2)
         if name in oracles:
             try:
                 want = con.execute(oracles[name]).fetchdf()
@@ -127,6 +129,54 @@ def main():
         if status == "FAIL":
             failures += 1
         print(f"{name}: {status} [{elapsed:.1f}s] {verdict}")
+
+    # timing-regression section (full runs only, advisory): flag any
+    # query >3x its recorded baseline AFTER dividing out the run's
+    # median drift ratio — this host swings 2-3x between windows, so
+    # raw thresholds false-positive; the median ratio is the window's
+    # drift and a true regression stands out against it.  Baseline is
+    # written on first full run or with GATE_WRITE_TIMES=1.
+    if not only and times:
+        import json
+
+        base_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "gate_times.json",
+        )
+        if os.path.exists(base_path):
+            with open(base_path) as fh:
+                base = json.load(fh)
+            ratios = {
+                n: times[n] / base[n]
+                for n in times
+                if n in base and base[n] >= 0.3 and times[n] >= 1.0
+            }
+            if ratios:
+                vals = sorted(ratios.values())
+                med = vals[len(vals) // 2]
+                flags = {
+                    n: r for n, r in ratios.items()
+                    if r > 3.0 * max(med, 0.5)
+                }
+                print(
+                    f"timing check: median drift x{med:.2f}, "
+                    f"{len(flags)} regression flags "
+                    f"(>3x drift-adjusted baseline)"
+                )
+                for n, r in sorted(
+                    flags.items(), key=lambda kv: -kv[1]
+                ):
+                    print(
+                        f"  TIMING {n}: {times[n]:.1f}s vs baseline "
+                        f"{base[n]:.1f}s (x{r:.1f})"
+                    )
+        if os.environ.get("GATE_WRITE_TIMES") or not os.path.exists(
+            base_path
+        ):
+            with open(base_path, "w") as fh:
+                json.dump(times, fh, indent=1, sort_keys=True)
+            print(f"timing baseline written: {base_path}")
+
     ray.shutdown()
     sys.exit(1 if failures else 0)
 
