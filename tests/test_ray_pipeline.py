@@ -5421,3 +5421,172 @@ def test_attribution_and_trims_hot_key(ray_session):
     assert (
         got["observed"].to_numpy() == want["observed"].to_numpy()
     ).all()
+
+
+def _encode_png(px: "np.ndarray", filters=None, level: int = 6) -> bytes:
+    """Minimal PNG encoder for tests: 8-bit gray/RGB(A), chosen
+    per-row filter types (forward-filtered so the decoder's inverse
+    is exercised)."""
+    import struct
+    import zlib
+
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    filters = filters or [0] * h
+    prev = np.zeros(w * ch, np.int64)
+    raw = bytearray()
+    for y, f in zip(range(h), filters):
+        line = px[y].reshape(-1).astype(np.int64)
+        if f == 0:
+            enc = line
+        elif f == 1:
+            left = np.concatenate([np.zeros(ch, np.int64), line[:-ch]])
+            enc = (line - left) % 256
+        elif f == 2:
+            enc = (line - prev) % 256
+        elif f == 3:
+            left = np.concatenate([np.zeros(ch, np.int64), line[:-ch]])
+            enc = (line - (left + prev) // 2) % 256
+        else:  # paeth
+            enc = np.empty(w * ch, np.int64)
+            for x in range(w * ch):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                da, db, dc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (da <= db and da <= dc) else (
+                    b if db <= dc else c
+                )
+                enc[x] = (line[x] - pred) % 256
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + typ + payload
+            + struct.pack(">I", zlib.crc32(typ + payload))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), level))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _encode_bmp(px: "np.ndarray") -> bytes:
+    """Minimal 24-bit bottom-up BMP encoder for tests."""
+    import struct
+
+    h, w, _ = px.shape
+    rowsz = (w * 3 + 3) // 4 * 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = px[y][:, ::-1].astype(np.uint8).tobytes()
+        body.extend(row)
+        body.extend(b"\x00" * (rowsz - len(row)))
+    hdr = b"BM" + struct.pack(
+        "<IHHI", 54 + len(body), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return hdr + bytes(body)
+
+
+def test_png_bmp_decode_roundtrip():
+    """decode_png inverts every filter type (0/1/2/3/4) for gray, RGB
+    and RGBA; decode_bmp inverts the 24-bit bottom-up layout; both
+    agree on the same pixels."""
+    from unfurl_ray.ops.multimodal import decode_bmp, decode_image, decode_png
+
+    rng = np.random.default_rng(5)
+    for ch in (1, 3, 4):
+        px = rng.integers(0, 256, (11, 7, ch)).astype(np.uint8)
+        for filters in ([0] * 11, [1] * 11, [2] * 11, [3] * 11,
+                        [4] * 11, [0, 1, 2, 3, 4, 0, 1, 2, 3, 4, 2]):
+            got = decode_png(_encode_png(px, filters=filters))
+            want = px[:, :, 0] if ch == 1 else px
+            assert got.shape == want.shape
+            assert (got == want).all(), (ch, filters)
+    rgb = rng.integers(0, 256, (9, 5, 3)).astype(np.uint8)
+    got = decode_bmp(_encode_bmp(rgb))
+    assert (got == rgb).all()
+    assert (decode_image(_encode_png(rgb)) == decode_image(
+        _encode_bmp(rgb)
+    )).all()
+    assert decode_png(b"not a png") is None
+    assert decode_bmp(b"XXnot a bmp") is None
+
+
+def test_phash_real_pixels_invariance():
+    """pHash on the REAL pixel path: re-encodings of the same pixels
+    (PNG filter choice, compression level, PNG vs BMP) hash
+    identically, and a visually different image differs — a byte
+    fingerprint could not do either."""
+    import pyarrow as pa
+
+    from unfurl_ray.ops.multimodal import DecodeBackend, ImagePHash
+
+    rng = np.random.default_rng(6)
+    px = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    other = px.copy()
+    other[:16] = 255 - other[:16]
+    variants = [
+        _encode_png(px, level=1),
+        _encode_png(px, level=9),
+        _encode_png(px, filters=[2] * 32),
+        _encode_bmp(px),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(
+                list(range(len(variants) + 1)), pa.int64()
+            ),
+            "content": pa.array(
+                variants + [_encode_png(other)], pa.binary()
+            ),
+        }
+    )
+    out = ImagePHash()(t)
+    hashes = out.column("phash").to_pylist()
+    assert len(set(hashes[: len(variants)])) == 1, hashes
+    assert hashes[-1] != hashes[0]
+    # non-image payloads keep the deterministic fingerprint fallback
+    f = DecodeBackend().features(b"just some text bytes", dim=64)
+    assert f.shape == (64,)
+
+
+def test_image_resize_real_pixels(ray_session):
+    """ImageResize nearest-neighbor on natively decoded PNG pixels:
+    output bytes have the requested geometry and exact corner pixels."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from unfurl_ray.ops.multimodal import ImageResize
+
+    rng = np.random.default_rng(8)
+    px = rng.integers(0, 256, (16, 12, 3)).astype(np.uint8)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "content": pa.array([_encode_png(px)], pa.binary()),
+            }
+        )
+    )
+    out = ds.map_batches(
+        ImageResize,
+        fn_constructor_kwargs={"width": 4, "height": 4},
+        batch_format="pyarrow", batch_size=1, concurrency=1,
+    ).take_all()
+    blob = out[0]["resized"]
+    arr = np.frombuffer(blob, np.uint8).reshape(4, 4, 3)
+    ridx = (np.arange(4) * 16) // 4
+    cidx = (np.arange(4) * 12) // 4
+    assert (arr == px[ridx][:, cidx]).all()

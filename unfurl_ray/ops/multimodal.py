@@ -3,10 +3,12 @@
 Binary payloads ride as opaque ``binary`` columns with typed metadata;
 decode/feature stages are actor-pool ``map_batches`` with SMALL batch
 sizes (payload bytes, not row count, size the batch — ray_guide
-"Memory-aware").  The sandbox has no codec libraries, so the *decode*
-kernels are deterministic fakes behind ``DecodeBackend`` — the Ray-side
-plumbing (schemas, actor signatures, batch sizing, output layout) is
-real and tested; swapping in Pillow/ffmpeg is a one-class change.
+"Memory-aware").  The sandbox has no codec LIBRARIES, but uncompressed
+formats need none: ``decode_png`` (zlib + numpy unfiltering) and
+``decode_bmp`` are real pure-Python decoders, so PNG/BMP payloads get
+REAL pixels through ``DecodeBackend`` (features, pHash, resize); other
+formats keep the deterministic chunk-fingerprint fallback, and
+swapping in Pillow/ffmpeg remains a one-class change.
 """
 
 from __future__ import annotations
@@ -22,19 +24,171 @@ IMAGE_META_TYPE = pa.struct(
     [("format", pa.string()), ("width", pa.int32()), ("height", pa.int32())]
 )
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(data: bytes):
+    """Pure-Python/numpy PNG decode: 8-bit, non-interlaced gray / RGB /
+    palette / gray+alpha / RGBA.  Returns an (H, W, C) uint8 array
+    ((H, W) for grayscale), ``None`` when the bytes are not a PNG at
+    all, and raises ``ValueError`` on unsupported variants (16-bit,
+    interlaced) or truncation.  Filters 0/1/2 unfilter vectorized per
+    scanline (sub is a per-channel cumsum); 3/4 (average/Paeth) fall
+    back to a per-byte loop — fine at fixture scale, and encoders of
+    synthetic/raw imagery overwhelmingly emit 0/2."""
+    if len(data) < 8 or data[:8] != _PNG_SIG:
+        return None
+    pos, idat, plte, hdr = 8, [], None, None
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos:pos + 4], "big")
+        typ = data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            hdr = (
+                int.from_bytes(chunk[0:4], "big"),
+                int.from_bytes(chunk[4:8], "big"),
+                chunk[8], chunk[9], chunk[12],
+            )
+        elif typ == b"PLTE":
+            plte = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+    if hdr is None or not idat:
+        raise ValueError("truncated PNG (no IHDR/IDAT)")
+    w, h, depth, ctype, interlace = hdr
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if depth != 8 or interlace != 0 or ch is None:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth} color={ctype} "
+            f"interlace={interlace})"
+        )
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    raw = raw.reshape(h, stride + 1)
+    out = np.empty((h, stride), np.int64)
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        f = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int64)
+        if f == 0:
+            rec = line
+        elif f == 1:  # sub: per-channel prefix sum along the row
+            rec = line.reshape(w, ch).cumsum(axis=0).reshape(stride)
+        elif f == 2:  # up
+            rec = line + prev
+        elif f in (3, 4):  # average / Paeth: sequential in x
+            rec = np.empty(stride, np.int64)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                if f == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    da, db, dc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if (da <= db and da <= dc)
+                        else (b if db <= dc else c)
+                    )
+                rec[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        rec = rec % 256
+        out[y] = rec
+        prev = rec
+    px = out.astype(np.uint8).reshape(h, w, ch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        px = plte[px[..., 0]]
+    if px.shape[2] == 1:
+        px = px[..., 0]
+    return px
+
+
+def decode_bmp(data: bytes):
+    """Uncompressed 24/32-bit BMP decode (BGR(A) -> RGB(A), bottom-up
+    or top-down).  Returns (H, W, C) uint8, ``None`` when not a BMP,
+    ``ValueError`` for compressed/other bit depths."""
+    if len(data) < 54 or data[:2] != b"BM":
+        return None
+    off = int.from_bytes(data[10:14], "little")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    comp = int.from_bytes(data[30:34], "little")
+    if comp != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        raise ValueError(
+            f"unsupported BMP (bpp={bpp} compression={comp})"
+        )
+    topdown, h = h < 0, abs(h)
+    nb = bpp // 8
+    rowsz = (w * nb + 3) // 4 * 4
+    if off + rowsz * h > len(data):
+        raise ValueError("truncated BMP")
+    px = (
+        np.frombuffer(data[off:off + rowsz * h], np.uint8)
+        .reshape(h, rowsz)[:, : w * nb]
+        .reshape(h, w, nb)
+    )
+    px = px[..., [2, 1, 0]] if nb == 3 else px[..., [2, 1, 0, 3]]
+    if not topdown:
+        px = px[::-1]
+    return np.ascontiguousarray(px)
+
+
+def decode_image(data: bytes):
+    """PNG-or-BMP pixel decode; None when bytes are neither format."""
+    px = decode_png(data)
+    if px is None:
+        px = decode_bmp(data)
+    return px
+
+
+def _pooled_gray(px: np.ndarray, side: int) -> np.ndarray:
+    """side x side average-pooled grayscale in [0, 1] — the real
+    pixel feature grid (aHash's thumbnail when side=8)."""
+    g = (
+        px[..., :3].mean(axis=2) if px.ndim == 3
+        else px.astype(np.float64)
+    )
+    hh, ww = g.shape
+    ridx = (np.arange(hh) * side) // hh
+    cidx = (np.arange(ww) * side) // ww
+    cell = (ridx[:, None] * side + cidx[None, :]).ravel()
+    sums = np.bincount(cell, weights=g.ravel(), minlength=side * side)
+    cnts = np.maximum(np.bincount(cell, minlength=side * side), 1)
+    return (sums / cnts / 255.0).astype(np.float32)
+
 
 class DecodeBackend:
-    """Pluggable decode kernel.  The default is header-sniff only (real:
-    dims/format from bytes) plus a deterministic fake pixel-feature
-    vector; a real backend would return decoded arrays."""
+    """Pluggable decode kernel.  The default sniffs dims/format from
+    headers (real) and decodes REAL pixels for PNG/BMP payloads (pure
+    zlib + numpy, no codec library); for other formats the feature
+    vector falls back to a deterministic chunk-fingerprint fake and
+    ``decode_pixels`` raises."""
 
     def sniff(self, data: bytes) -> dict | None:
         return sniff_image(data)
 
     def features(self, data: bytes, dim: int = 16) -> np.ndarray:
-        # Deterministic stand-in for a visual embedding: chunked crc32s.
         if not data:
             return np.zeros(dim, dtype=np.float32)
+        side = int(round(dim ** 0.5))
+        if side * side == dim:
+            try:
+                px = decode_image(data)
+            except (ValueError, zlib.error):
+                px = None  # malformed PNG/BMP: fingerprint fallback
+            if px is not None:
+                return _pooled_gray(px, side)
+        # Deterministic stand-in for a visual embedding: chunked crc32s.
         step = max(1, len(data) // dim)
         vals = [
             zlib.crc32(data[i * step: (i + 1) * step]) % 10_000 / 10_000
@@ -42,11 +196,16 @@ class DecodeBackend:
         ]
         return np.asarray(vals, dtype=np.float32)
 
-    def decode_pixels(self, data: bytes):  # pragma: no cover - stub
-        raise NotImplementedError(
-            "pixel decode needs an image codec (Pillow/libvips); "
-            "not available in this sandbox"
-        )
+    def decode_pixels(self, data: bytes):
+        px = decode_image(data)
+        if px is None:
+            raise NotImplementedError(
+                "pixel decode for non-PNG/BMP formats needs an image "
+                "codec (Pillow/libvips), not available in this "
+                "sandbox; PNG (8-bit) and uncompressed BMP decode "
+                "natively"
+            )
+        return px
 
 
 class ImageMeta:
@@ -224,10 +383,15 @@ class ImageResize:
         self.backend = backend or DecodeBackend()
 
     def _resize_one(self, data: bytes) -> bytes:
-        # default backend raises NotImplementedError here (no codec in
-        # sandbox); a real/fake backend returns decoded bytes which a
-        # real implementation would interpolate to (width, height)
+        # PNG/BMP decode natively (ndarray) -> real nearest-neighbor
+        # sample to (height, width); other formats raise unless an
+        # injected backend supplies bytes, kept for plumbing tests
         pixels = self.backend.decode_pixels(data)
+        if isinstance(pixels, np.ndarray):
+            hh, ww = pixels.shape[:2]
+            ridx = (np.arange(self.height) * hh) // self.height
+            cidx = (np.arange(self.width) * ww) // self.width
+            return pixels[ridx][:, cidx].astype(np.uint8).tobytes()
         return bytes(pixels)[: self.width * self.height]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -261,13 +425,14 @@ def frame_sample_pipeline(ds, concurrency: int = 2, batch_size: int = 16,
 class ImagePHash:
     """Actor-pool stage: binary column -> 64-bit perceptual hash.
 
-    aHash shape: a 64-d feature vector per image (with a REAL decode
-    backend: the 8x8 gray thumbnail; here: the deterministic fake
-    chunk fingerprint), thresholded at its own median and packed to
-    one int64 — so near-identical pixels flip few bits and Hamming
-    distance measures visual similarity.  The plumbing (schema, actor
-    signature, banding) is real and tested via an injected backend;
-    only the pixel source is the sandbox fake."""
+    aHash: a 64-d feature vector per image — the REAL 8x8
+    average-pooled gray thumbnail for PNG/BMP payloads (native
+    decoders above), the deterministic chunk fingerprint for formats
+    needing a codec — thresholded at its own median and packed to one
+    int64, so near-identical pixels flip few bits and Hamming
+    distance measures visual similarity.  Re-encodings of the same
+    pixels (different compression/filters, PNG vs BMP) hash
+    identically on the real path (pytest-pinned)."""
 
     def __init__(self, column: str = "content",
                  backend: DecodeBackend | None = None):
