@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hopping_window": p.q_hopping_window,
         "q_topk_per_group": p.q_topk_per_group,
         "q_group_median": p.q_group_median,
+        "q_quantile_cont": p.q_quantile_cont,
         "q_retention": p.q_retention,
         "q_rollup_revenue": p.q_rollup_revenue,
         "q_skew_join": p.q_skew_join,
@@ -824,6 +825,15 @@ def oracle_sql() -> dict[str, str]:
                        AS quantile_value,
                    count(*) AS n
             FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "q_quantile_cont": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.25), 6) AS q_025,
+                   round(quantile_cont(o_totalprice, 0.5), 6) AS q_05,
+                   round(quantile_cont(o_totalprice, 0.9), 6) AS q_09,
+                   count(*) AS n
+            FROM orders GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         "q_asof_join": """
             SELECT e.event_id, o.o_orderkey

@@ -2972,6 +2972,70 @@ def hist_quantile_disc_by(hist, key_col: str, value_col: str,
     )
 
 
+def grouped_quantile_cont(ds, key_col: str, value_col: str,
+                          qs: list[float], ndigits: int = 6,
+                          n_buckets: int = 32):
+    """Exact per-key CONTINUOUS (interpolated) quantiles — DuckDB
+    ``quantile_cont(v, q)``: with r = q * (n - 1), the result is
+    v[floor(r)] + (v[ceil(r)] - v[floor(r)]) * frac over the sorted
+    values.  Same decomposition as ``hist_quantile_disc_by``: one
+    distributed ``bucketed_aggregate`` collapses the stream to a
+    per-(key, value) histogram (shuffle bounded by distinct values,
+    never a key's row count), then a vectorized rank pick per
+    key-hash bucket finds BOTH bracketing order statistics and
+    interpolates.  Results round to ``ndigits`` (the interpolation
+    expression may differ from the twin's by 1 ulp).
+
+    Output: one row per key with ``n`` plus ``q_<q sans dot>`` per
+    quantile.
+    """
+    hist = bucketed_aggregate(
+        ds, [key_col, value_col], {"_cnt": (value_col, "count")}
+    )
+    names = [f"q_{str(q).replace('.', '')}" for q in qs]
+
+    def pick(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values([key_col, value_col]).reset_index(
+            drop=True
+        )
+        cnt = g["_cnt"].to_numpy(dtype=np.int64)
+        grp = g.groupby(key_col, sort=False)
+        n = grp["_cnt"].transform("sum").to_numpy(dtype=np.int64)
+        cum = grp["_cnt"].cumsum().to_numpy(dtype=np.int64)
+        before = cum - cnt
+        v = g[value_col].to_numpy(dtype=np.float64)
+        keys = g[key_col].to_numpy()
+        new = np.empty(len(g), dtype=np.bool_)
+        new[0] = True
+        new[1:] = keys[1:] != keys[:-1]
+        out = g.loc[new, [key_col]].reset_index(drop=True)
+        out["n"] = n[new]
+        for q, name in zip(qs, names):
+            r = q * (n - 1).astype(np.float64)
+            lo_rank = np.floor(r).astype(np.int64)
+            hi_rank = np.ceil(r).astype(np.int64)
+            lo_hit = (before <= lo_rank) & (lo_rank < cum)
+            hi_hit = (before <= hi_rank) & (hi_rank < cum)
+            lo = v[lo_hit.nonzero()[0]]
+            hi = v[hi_hit.nonzero()[0]]
+            frac = (r - lo_rank)[new]
+            out[name] = np.round(lo + (hi - lo) * frac, ndigits)
+        return _arrow(out)
+
+    def bucketize(batch: pd.DataFrame) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            batch[key_col], index=False
+        ).to_numpy()
+        batch["_mb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return _arrow(batch)
+
+    return (
+        hist.map_batches(bucketize, batch_format="pandas")
+        .groupby("_mb")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
 def global_row_number(ds, sort_cols: list[str], out_col: str = "rn",
                       start: int = 1):
     """Stable global row numbers over a total order — the distributed

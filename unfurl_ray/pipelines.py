@@ -1469,6 +1469,26 @@ def q_group_median(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderstatus").reset_index(drop=True)
 
 
+def q_quantile_cont(sf_dir: str) -> pd.DataFrame:
+    """Exact per-priority CONTINUOUS quantiles (p25/p50/p90) of order
+    value — DuckDB quantile_cont interpolation semantics — via
+    ops.relational.grouped_quantile_cont: one distinct-value
+    histogram shuffle + a vectorized two-rank interpolation pick;
+    no key's raw rows ever group.  Hash-exact vs a quantile_cont
+    twin at round(6)."""
+    from unfurl_ray.ops.relational import grouped_quantile_cont
+
+    out = grouped_quantile_cont(
+        _parquet_sh(
+            sf_dir, "orders", ["o_orderpriority", "o_totalprice"]
+        ),
+        key_col="o_orderpriority", value_col="o_totalprice",
+        qs=[0.25, 0.5, 0.9],
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def q_hll_users(sf_dir: str) -> pd.DataFrame:
     """Approximate distinct users over events via mergeable HLL
     sketches (4 KiB per batch regardless of input size).  Rows-only
