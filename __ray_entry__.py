@@ -259,6 +259,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rank_overlap": p.q_rank_overlap,
         "q_gap_stats": p.q_gap_stats,
         "q_novelty_curve": p.q_novelty_curve,
+        "q3_shipping_priority": p.q3_shipping_priority,
+        "q5_region_revenue": p.q5_region_revenue,
+        "q10_returned_items": p.q10_returned_items,
     }
 
 
@@ -3919,6 +3922,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(n AS BIGINT) AS n,
                    round(pow(n, 0.7) / t.z, 6) AS weight
             FROM c, t ORDER BY source
+        """,
+        # TPC-H Q3 shape: top-10 open orders by revenue
+        "q3_shipping_priority": """
+            SELECT o_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < DATE '1998-01-01'
+              AND l_shipdate > DATE '1998-01-01'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        # TPC-H Q5 shape: local-supplier revenue per ASIA nation, 1996
+        "q5_region_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1997-01-01'
+            GROUP BY 1
+            ORDER BY revenue DESC
+        """,
+        # TPC-H Q10 shape: returned-item revenue per customer, top 20
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
+                   n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= DATE '1997-10-01'
+              AND o_orderdate < DATE '1998-01-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
         """,
         # q_markov_stationary: power-iteration fixpoint -> rows-only
         # with a pi P = pi eigen-identity pytest.

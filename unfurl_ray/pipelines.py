@@ -7314,3 +7314,300 @@ def q_novelty_curve(sf_dir: str) -> pd.DataFrame:
     hist["new_grams"] = hist["new_grams"].astype("int64")
     hist["cum_grams"] = hist["new_grams"].cumsum().astype("int64")
     return hist
+
+
+def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers x date-filtered
+    orders x ship-date-filtered lineitem -> top-10 open orders by
+    revenue.  Both joins are bucket-co-partitioned hash joins over
+    PRE-FILTERED sides (the filters run inside the pruned read's
+    map stage, so only surviving keys enter either shuffle); the
+    top-10 closes with per-batch partial top-k — the aggregated
+    per-order table is never globally sorted."""
+    from unfurl_ray.ops.relational import (
+        bucketed_hash_join, pre_aggregate,
+    )
+
+    cut = np.datetime64("1998-01-01", "us")
+
+    cust = _parquet_sh(
+        sf_dir, "customer", ["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("c_mktsegment"), "BUILDING")
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = _parquet_sh(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(pc.less(b.column("o_orderdate"), cut)),
+        batch_format="pyarrow",
+    )
+    li = _parquet_sh(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "part_rev": pc.multiply(
+                    b.column("l_extendedprice"),
+                    pc.subtract(
+                        pa.scalar(1.0), b.column("l_discount")
+                    ),
+                ),
+            }
+        ).filter(pc.greater(b.column("l_shipdate"), cut)),
+        batch_format="pyarrow",
+    )
+
+    open_orders = bucketed_hash_join(
+        orders, cust, on="o_custkey", right_on="c_custkey",
+    )
+    joined = bucketed_hash_join(
+        li, open_orders.select_columns(["o_orderkey", "o_orderdate"]),
+        on="l_orderkey", right_on="o_orderkey",
+    )
+    per_order = pre_aggregate(
+        joined, ["l_orderkey", "o_orderdate"],
+        {"revenue": ("part_rev", "sum")},
+    )
+
+    def partial_top(batch: pa.Table) -> pa.Table:
+        # Arrow sort+take keeps the typed schema on EMPTY buckets
+        # (an empty pandas block is schema-less and trips the
+        # executor's schema-unification warning)
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[("revenue", "descending"),
+                       ("l_orderkey", "ascending")],
+        )
+        return batch.take(idx[:10])
+
+    top = (
+        per_order.map_batches(partial_top, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["revenue", "l_orderkey"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    top = top.rename(columns={"l_orderkey": "o_orderkey"})
+    top["revenue"] = top["revenue"].round(2)
+    top["o_orderkey"] = top["o_orderkey"].astype("int64")
+    return top[["o_orderkey", "o_orderdate", "revenue"]]
+
+
+def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 shape: local-supplier revenue per nation for one
+    region-year.  nation x region collapse into a constant-size
+    broadcast map; supplier collapses to a broadcast (sorted suppkey
+    array -> nationkey array) searchsorted lookup — at SF-100TB
+    supplier is ~10M rows, two int64 numpy arrays (~160 MB object
+    store, shipped ONCE via ray.put), far below a shuffle of the
+    lineitem side; customer and orders co-shuffle with lineitem in
+    two bucketed hash joins.  The c_nationkey == s_nationkey "local
+    supplier" predicate closes vectorized inside the second join's
+    output batches."""
+    import ray
+
+    from unfurl_ray.ops.relational import (
+        _broadcast_fetch, bucketed_hash_join, pre_aggregate,
+    )
+
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+
+    nation = _parquet(sf_dir, "nation").to_pandas()
+    region = _parquet(sf_dir, "region").to_pandas()
+    asia = nation.merge(
+        region[region["r_name"] == "ASIA"],
+        left_on="n_regionkey", right_on="r_regionkey",
+    )
+    nat_name = dict(
+        zip(asia["n_nationkey"].astype(int), asia["n_name"])
+    )
+
+    sup = _parquet(
+        sf_dir, "supplier", ["s_suppkey", "s_nationkey"]
+    ).to_pandas().sort_values("s_suppkey")
+    sup_ref = ray.put(
+        (
+            sup["s_suppkey"].to_numpy(np.int64),
+            sup["s_nationkey"].to_numpy(np.int64),
+        )
+    )
+
+    cust = _parquet_sh(
+        sf_dir, "customer", ["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b, keep=frozenset(nat_name): b.filter(
+            pa.array(
+                np.isin(
+                    b.column("c_nationkey")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    np.fromiter(keep, np.int64),
+                )
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _parquet_sh(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("o_orderdate"), lo),
+                pc.less(b.column("o_orderdate"), hi),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    li = _parquet_sh(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "part_rev": pc.multiply(
+                    b.column("l_extendedprice"),
+                    pc.subtract(
+                        pa.scalar(1.0), b.column("l_discount")
+                    ),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    ord_cust = bucketed_hash_join(
+        orders, cust, on="o_custkey", right_on="c_custkey",
+    )
+    joined = bucketed_hash_join(
+        li,
+        ord_cust.select_columns(["o_orderkey", "c_nationkey"]),
+        on="l_orderkey", right_on="o_orderkey",
+    )
+
+    def local_only(batch: pd.DataFrame) -> pd.DataFrame:
+        keys, nats = _broadcast_fetch(sup_ref)
+        idx = np.searchsorted(
+            keys, batch["l_suppkey"].to_numpy(np.int64)
+        )
+        idx = np.clip(idx, 0, len(keys) - 1)
+        s_nat = nats[idx]
+        hit = (
+            keys[idx] == batch["l_suppkey"].to_numpy(np.int64)
+        ) & (s_nat == batch["c_nationkey"].to_numpy(np.int64))
+        out = batch.loc[hit, ["part_rev"]].copy()
+        out["n_nationkey"] = batch.loc[hit, "c_nationkey"].to_numpy(
+            np.int64
+        )
+        return out
+
+    per_nat = pre_aggregate(
+        joined.map_batches(local_only, batch_format="pandas"),
+        ["n_nationkey"], {"revenue": ("part_rev", "sum")},
+    ).to_pandas()
+    per_nat["n_name"] = per_nat["n_nationkey"].map(
+        lambda k: nat_name[int(k)]
+    )
+    per_nat["revenue"] = per_nat["revenue"].round(2)
+    return (
+        per_nat[["n_name", "revenue"]]
+        .sort_values("revenue", ascending=False)
+        .reset_index(drop=True)
+    )
+
+
+def q10_returned_items(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer for one
+    quarter, top 20.  The lineitem side pre-aggregates to one row
+    per orderkey BEFORE the join (the returned-revenue combiner), so
+    the orders join moves |matching orders| rows, not |lineitems|;
+    the per-customer rollup then joins customer attributes
+    bucket-co-partitioned and nation broadcast-maps in the final
+    small frame."""
+    from unfurl_ray.ops.relational import (
+        bucketed_hash_join, pre_aggregate,
+    )
+
+    lo = np.datetime64("1997-10-01", "us")
+    hi = np.datetime64("1998-01-01", "us")
+
+    li = _parquet_sh(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "part_rev": pc.multiply(
+                    b.column("l_extendedprice"),
+                    pc.subtract(
+                        pa.scalar(1.0), b.column("l_discount")
+                    ),
+                ),
+            }
+        ).filter(pc.equal(b.column("l_returnflag"), "R")),
+        batch_format="pyarrow",
+    )
+    per_order = pre_aggregate(
+        li, ["l_orderkey"], {"rev": ("part_rev", "sum")},
+    )
+    orders = _parquet_sh(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("o_orderdate"), lo),
+                pc.less(b.column("o_orderdate"), hi),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    rev_orders = bucketed_hash_join(
+        per_order, orders, on="l_orderkey", right_on="o_orderkey",
+    )
+    per_cust = pre_aggregate(
+        rev_orders, ["o_custkey"], {"revenue": ("rev", "sum")},
+    )
+    cust = _parquet_sh(
+        sf_dir, "customer",
+        ["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    enriched = bucketed_hash_join(
+        per_cust, cust, on="o_custkey", right_on="c_custkey",
+    )
+
+    def partial_top(batch: pa.Table) -> pa.Table:
+        # Arrow sort+take: typed schema survives empty join buckets
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[("revenue", "descending"),
+                       ("o_custkey", "ascending")],
+        )
+        return batch.take(idx[:20])
+
+    top = (
+        enriched.map_batches(partial_top, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["revenue", "o_custkey"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+    nation = _parquet(sf_dir, "nation").to_pandas()
+    names = dict(
+        zip(nation["n_nationkey"].astype(int), nation["n_name"])
+    )
+    top["n_name"] = top["c_nationkey"].map(lambda k: names[int(k)])
+    top = top.rename(columns={"o_custkey": "c_custkey"})
+    top["revenue"] = top["revenue"].round(2)
+    top["c_custkey"] = top["c_custkey"].astype("int64")
+    top["c_acctbal"] = top["c_acctbal"].round(2)
+    return top[
+        ["c_custkey", "c_name", "c_acctbal", "n_name", "revenue"]
+    ]
