@@ -262,6 +262,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": p.q3_shipping_priority,
         "q5_region_revenue": p.q5_region_revenue,
         "q10_returned_items": p.q10_returned_items,
+        "q_cohort_retention": p.q_cohort_retention,
+        "q_rfm": p.q_rfm,
+        "q_types_to_date": p.q_types_to_date,
+        "q_systematic_sample": p.q_systematic_sample,
+        "q_dense_rank": p.q_dense_rank,
     }
 
 
@@ -3972,6 +3977,85 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3, 4
             ORDER BY revenue DESC, c_custkey
             LIMIT 20
+        """,
+        # weekly cohort x offset retention matrix
+        "q_cohort_retention": """
+            WITH wk AS (
+                SELECT user_id,
+                       epoch_us(ts) // 604800000000 AS week
+                FROM events),
+            f AS (SELECT user_id, min(week) AS cohort_week
+                  FROM wk GROUP BY 1),
+            a AS (SELECT DISTINCT user_id, week FROM wk)
+            SELECT cohort_week,
+                   week - cohort_week AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM a JOIN f USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # RFM quartile census; monetary in exact integer cents so the
+        # per-user sum is order-invariant on both engines
+        "q_rfm": """
+            WITH per_user AS (
+                SELECT user_id,
+                       max(epoch_us(ts)) AS recency_us,
+                       count(*) AS frequency,
+                       sum(CAST(round(value * 100) AS BIGINT))
+                           AS monetary_cents
+                FROM events GROUP BY 1),
+            q AS (
+                SELECT ntile(4) OVER (ORDER BY recency_us, user_id)
+                           AS r_q,
+                       ntile(4) OVER (ORDER BY frequency, user_id)
+                           AS f_q,
+                       ntile(4) OVER (ORDER BY monetary_cents, user_id)
+                           AS m_q
+                FROM per_user)
+            SELECT CAST(r_q AS BIGINT) AS r_q,
+                   CAST(f_q AS BIGINT) AS f_q,
+                   CAST(m_q AS BIGINT) AS m_q,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        # per-user cumulative distinct event types by day
+        "q_types_to_date": """
+            WITH d AS (
+                SELECT user_id, event_type,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events),
+            f AS (SELECT user_id, event_type, min(day) AS first_day
+                  FROM d GROUP BY 1, 2),
+            h AS (SELECT user_id, first_day AS day,
+                         count(*) AS n_new
+                  FROM f GROUP BY 1, 2)
+            SELECT user_id, day,
+                   CAST(sum(n_new) OVER (
+                       PARTITION BY user_id ORDER BY day
+                   ) AS BIGINT) AS types_to_date
+            FROM h ORDER BY user_id, day
+        """,
+        # every-997th-row systematic sample in global (ts, id) order
+        "q_systematic_sample": """
+            WITH n AS (
+                SELECT event_id, user_id,
+                       row_number() OVER (ORDER BY ts, event_id) AS rn
+                FROM events)
+            SELECT rn, event_id, user_id
+            FROM n WHERE rn % 997 = 0 ORDER BY rn
+        """,
+        # dense_rank over the heavily-duplicated quantity domain
+        "q_dense_rank": """
+            WITH h AS (
+                SELECT l_returnflag, l_linestatus, l_quantity,
+                       count(*) AS n
+                FROM lineitem GROUP BY 1, 2, 3)
+            SELECT l_returnflag, l_linestatus, l_quantity,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(dense_rank() OVER (
+                       PARTITION BY l_returnflag, l_linestatus
+                       ORDER BY l_quantity
+                   ) AS BIGINT) AS rnk
+            FROM h ORDER BY 1, 2, 3
         """,
         # q_markov_stationary: power-iteration fixpoint -> rows-only
         # with a pi P = pi eigen-identity pytest.

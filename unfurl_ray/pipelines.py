@@ -7611,3 +7611,237 @@ def q10_returned_items(sf_dir: str) -> pd.DataFrame:
     return top[
         ["c_custkey", "c_name", "c_acctbal", "n_name", "revenue"]
     ]
+
+
+def q_cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Weekly cohort-retention matrix: cohort = the epoch-week of a
+    user's FIRST event; cell (cohort_week, week_offset) counts users
+    from that cohort active offset weeks later.  Two pre-aggregated
+    shuffles — (user) -> first week and (user, week) -> distinct
+    active weeks — then one bucketed hash join keyed on user and a
+    tiny (cohort, offset) histogram close.  Nothing ever groups a
+    user's raw events; both shuffle inputs are per-batch combined
+    first, so the exchange moves ~|users| rows, not |events|."""
+    from unfurl_ray.ops.relational import (
+        bucketed_hash_join, pre_aggregate,
+    )
+
+    WEEK_US = 7 * 86_400 * 1_000_000
+
+    ds = _parquet_sh(sf_dir, "events", ["user_id", "ts"])
+
+    def to_weeks(batch: pa.Table) -> pa.Table:
+        wk = pc.divide(
+            pc.cast(batch.column("ts"), pa.int64()),
+            pa.scalar(WEEK_US, pa.int64()),
+        )
+        return pa.table(
+            {"user_id": batch.column("user_id"), "week": wk}
+        )
+
+    weeks = ds.map_batches(to_weeks, batch_format="pyarrow")
+    firsts = pre_aggregate(
+        weeks, ["user_id"], {"cohort_week": ("week", "min")},
+    )
+    actives = pre_aggregate(
+        weeks, ["user_id", "week"], {"n": ("week", "count")},
+    ).select_columns(["user_id", "week"])
+
+    joined = bucketed_hash_join(
+        actives, firsts, on="user_id", right_on="user_id",
+    )
+
+    def offset(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_week": batch.column("cohort_week"),
+                "week_offset": pc.subtract(
+                    batch.column("week"), batch.column("cohort_week")
+                ),
+            }
+        )
+
+    out = pre_aggregate(
+        joined.map_batches(offset, batch_format="pyarrow"),
+        ["cohort_week", "week_offset"],
+        {"n_users": ("cohort_week", "count")},
+    ).to_pandas()
+    out["n_users"] = out["n_users"].astype("int64")
+    for c in ("cohort_week", "week_offset"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(
+        ["cohort_week", "week_offset"]
+    ).reset_index(drop=True)
+
+
+def q_rfm(sf_dir: str) -> pd.DataFrame:
+    """RFM segmentation: per-user Recency (last-event epoch-us),
+    Frequency (event count) and Monetary (EXACT integer cents — the
+    per-event round happens before the sum so both engines add the
+    same integers in any order), each cut into quartiles with the
+    distributed exact-NTILE decomposition (``ntile_by``: tiny
+    (order-value) histogram + per-tie-class position, never one
+    quartile's users on one worker), then the 4x4x4 segment census.
+    Three ntile passes shuffle the |users|-sized rollup, not raw
+    events."""
+    from unfurl_ray.ops.relational import ntile_by, pre_aggregate
+
+    ds = _parquet_sh(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(batch.column("value"), pa.scalar(100.0))
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+                "cents": cents,
+            }
+        )
+
+    per_user = pre_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"],
+        {
+            "recency_us": ("ts_us", "max"),
+            "frequency": ("ts_us", "count"),
+            "monetary_cents": ("cents", "sum"),
+        },
+    ).map_batches(
+        lambda b: b.append_column("_all", pa.array([0] * len(b), pa.int8())),
+        batch_format="pyarrow",
+    )
+
+    r = ntile_by(per_user, "_all", "recency_us", "user_id", 4)
+    rf = ntile_by(
+        r.drop_columns(["recency_us"]).rename_columns(
+            {"bucket": "r_q"}
+        ),
+        "_all", "frequency", "user_id", 4,
+    )
+    rfm = ntile_by(
+        rf.drop_columns(["frequency"]).rename_columns(
+            {"bucket": "f_q"}
+        ),
+        "_all", "monetary_cents", "user_id", 4,
+    ).rename_columns({"bucket": "m_q"})
+
+    out = pre_aggregate(
+        rfm, ["r_q", "f_q", "m_q"], {"n_users": ("r_q", "count")},
+    ).to_pandas()
+    for c in ("r_q", "f_q", "m_q", "n_users"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["r_q", "f_q", "m_q"]).reset_index(drop=True)
+
+
+def q_types_to_date(sf_dir: str) -> pd.DataFrame:
+    """Per-user cumulative distinct event-type count by day — the
+    "feature adoption to date" curve.  Distinct collapse first
+    ((user, type) -> first day, a pre-aggregated shuffle), then a
+    per-(user, day) new-type histogram, then the running sum closes
+    in per-user groups BOUNDED BY THE TYPE CARDINALITY (<= 5 rows per
+    user regardless of event volume — the group is over first-days,
+    never events, so no bot-user skew exists by construction)."""
+    from unfurl_ray.ops.relational import bucketed_aggregate, pre_aggregate
+
+    DAY_US = 86_400 * 1_000_000
+
+    ds = _parquet_sh(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def to_days(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_type": batch.column("event_type"),
+                "day": pc.divide(
+                    pc.cast(batch.column("ts"), pa.int64()),
+                    pa.scalar(DAY_US, pa.int64()),
+                ),
+            }
+        )
+
+    firsts = bucketed_aggregate(
+        ds.map_batches(to_days, batch_format="pyarrow"),
+        ["user_id", "event_type"], {"first_day": ("day", "min")},
+    )
+    per_day = pre_aggregate(
+        firsts, ["user_id", "first_day"],
+        {"n_new": ("first_day", "count")},
+    )
+
+    def cum(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values("first_day").reset_index(drop=True)
+        g["types_to_date"] = g["n_new"].cumsum().astype("int64")
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    g["user_id"].astype("int64"), pa.int64()
+                ),
+                "day": pa.array(
+                    g["first_day"].astype("int64"), pa.int64()
+                ),
+                "types_to_date": pa.array(
+                    g["types_to_date"], pa.int64()
+                ),
+            }
+        )
+
+    out = per_day.groupby("user_id").map_groups(
+        cum, batch_format="pandas"
+    ).to_pandas()
+    return out.sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
+def q_systematic_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic systematic sampling: every 997th event in the
+    global (ts, event_id) order — the classic fixed-interval audit
+    sample.  Rides ``global_row_number`` (one range-partitioning
+    sort + an O(#blocks) offset table looked up by block head key),
+    then a vectorized modulo filter; no driver-side iteration."""
+    from unfurl_ray.ops.relational import global_row_number
+
+    ds = _parquet_sh(sf_dir, "events", ["event_id", "ts", "user_id"])
+    numbered = global_row_number(
+        ds, ["ts", "event_id"], out_col="rn"
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        rn = batch.column("rn").to_numpy(zero_copy_only=False)
+        mask = pa.array(rn % 997 == 0)
+        return batch.filter(mask).select(["rn", "event_id", "user_id"])
+
+    out = numbered.map_batches(
+        pick, batch_format="pyarrow"
+    ).to_pandas()
+    return out.sort_values("rn").reset_index(drop=True)
+
+
+def q_dense_rank(sf_dir: str) -> pd.DataFrame:
+    """DENSE_RANK of lineitem quantity within (returnflag,
+    linestatus) — rank over HEAVILY DUPLICATED values, which is
+    where dense-rank differs from rank.  Collapses to the distinct
+    (flag, status, quantity) histogram in one pre-aggregated
+    shuffle (bounded by the value domain — ~50 quantities x 6
+    partitions at ANY scale factor), so the ranking itself is a
+    driver-side vectorized cumcount over a few hundred rows."""
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    ds = _parquet_sh(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    hist = pre_aggregate(
+        ds, ["l_returnflag", "l_linestatus", "l_quantity"],
+        {"n": ("l_quantity", "count")},
+    ).to_pandas().sort_values(
+        ["l_returnflag", "l_linestatus", "l_quantity"]
+    ).reset_index(drop=True)
+    hist["rnk"] = (
+        hist.groupby(["l_returnflag", "l_linestatus"]).cumcount() + 1
+    ).astype("int64")
+    hist["n"] = hist["n"].astype("int64")
+    return hist
