@@ -267,6 +267,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_types_to_date": p.q_types_to_date,
         "q_systematic_sample": p.q_systematic_sample,
         "q_dense_rank": p.q_dense_rank,
+        "q_mannwhitney": p.q_mannwhitney,
+        "q_zipf_slope": p.q_zipf_slope,
+        "q_hhi": p.q_hhi,
+        "q_ndcg": p.q_ndcg,
     }
 
 
@@ -4056,6 +4060,102 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY l_quantity
                    ) AS BIGINT) AS rnk
             FROM h ORDER BY 1, 2, 3
+        """,
+        # Mann-Whitney U, tie-corrected z, from the pooled midrank
+        # histogram (exact half-integer ranks on both engines)
+        "q_mannwhitney": """
+            WITH s AS (
+                SELECT event_type AS g, value AS v FROM events
+                WHERE event_type IN ('click', 'purchase')),
+            h AS (SELECT g, v, count(*) AS c FROM s GROUP BY 1, 2),
+            vh AS (SELECT v, sum(c) AS cnt FROM h GROUP BY 1),
+            rk AS (
+                SELECT v, cnt,
+                       coalesce(sum(cnt) OVER (
+                           ORDER BY v ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND 1 PRECEDING), 0)
+                       + (cnt + 1) / 2.0 AS rank
+                FROM vh),
+            agg AS (
+                SELECT h.g, sum(h.c) AS n,
+                       sum(h.c * rk.rank) AS rsum
+                FROM h JOIN rk ON h.v = rk.v GROUP BY 1),
+            t AS (SELECT sum(cnt*cnt*cnt - cnt) AS tt,
+                         sum(cnt) AS nn FROM vh),
+            f AS (
+                SELECT (SELECT n FROM agg WHERE g = 'click') AS n_a,
+                       (SELECT n FROM agg WHERE g = 'purchase') AS n_b,
+                       (SELECT rsum FROM agg WHERE g = 'click') AS r_a,
+                       tt, nn
+                FROM t)
+            SELECT CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   r_a - n_a * (n_a + 1) / 2.0 AS u_a,
+                   round((r_a - n_a * (n_a + 1) / 2.0
+                          - n_a * n_b / 2.0)
+                         / sqrt(n_a * n_b / 12.0
+                                * ((nn + 1) - tt / (nn * (nn - 1)))),
+                         6) AS z
+            FROM f
+        """,
+        # ln(freq) ~ ln(rank) OLS slope over the top-1000 unigrams
+        "q_zipf_slope": """
+            WITH toks AS (
+                SELECT unnest(list_filter(regexp_split_to_array(
+                           lower(coalesce(text, '')), '[ \t\n\f\r]+'),
+                           x -> x <> '')) AS w
+                FROM documents),
+            wc AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+            top AS (
+                SELECT n, row_number() OVER (ORDER BY n DESC, w) AS r
+                FROM wc ORDER BY n DESC, w LIMIT 1000)
+            SELECT CAST(count(*) AS BIGINT) AS n_words,
+                   round(regr_slope(ln(n), ln(r)), 6) AS zipf_slope
+            FROM top
+        """,
+        # HHI revenue concentration per nation (exact-cents shares)
+        "q_hhi": """
+            WITH pc AS (
+                SELECT c_custkey, c_nationkey,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS r
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2)
+            SELECT n_name, CAST(count(*) AS BIGINT) AS n_custs,
+                   round(sum(CAST(r AS DOUBLE) * CAST(r AS DOUBLE))
+                         / (sum(r) * sum(r)), 6) AS hhi
+            FROM pc JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        # per-user NDCG@10, value-ranked feed vs type-graded relevance
+        "q_ndcg": """
+            WITH ranked AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY value DESC, event_id) AS pos
+                FROM events),
+            top AS (
+                SELECT user_id, pos,
+                       CASE event_type
+                           WHEN 'purchase' THEN 3
+                           WHEN 'signup' THEN 2
+                           WHEN 'click' THEN 1
+                           ELSE 0 END AS rel
+                FROM ranked WHERE pos <= 10),
+            ideal AS (
+                SELECT user_id, rel,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY rel DESC) AS ipos
+                FROM top),
+            d AS (SELECT user_id, sum(rel / log2(pos + 1.0)) AS dcg
+                  FROM top GROUP BY 1),
+            i AS (SELECT user_id, sum(rel / log2(ipos + 1.0)) AS idcg
+                  FROM ideal GROUP BY 1)
+            SELECT d.user_id, round(dcg / idcg, 6) AS ndcg
+            FROM d JOIN i USING (user_id)
+            WHERE idcg > 0 ORDER BY d.user_id
         """,
         # q_markov_stationary: power-iteration fixpoint -> rows-only
         # with a pi P = pi eigen-identity pytest.

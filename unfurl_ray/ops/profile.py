@@ -1008,3 +1008,51 @@ def kruskal_wallis(ds, key_col: str, value_col: str) -> pd.DataFrame:
             "h_stat": np.array([h_stat], dtype=np.float64),
         }
     )
+
+
+def mann_whitney(ds, key_col: str, value_col: str,
+                 group_a: str, group_b: str) -> pd.DataFrame:
+    """Mann-Whitney U rank-sum test between two groups — the
+    two-sample special case of :func:`kruskal_wallis` and the same
+    distributed shape: ONE (group, value, count) histogram shuffle
+    (pre-aggregated per batch), pooled midranks from the histogram
+    (exact half-integers, so rank sums are exact in float64 and a
+    SQL twin hash-matches), then the U statistic and tie-corrected
+    normal approximation close on the driver over the
+    distinct-value table.
+
+    z uses the standard tie correction
+    sigma^2 = n_a n_b / 12 * ((N + 1) - sum(t^3 - t) / (N (N - 1))).
+
+    Output: one row (n_a, n_b, u_a, z).
+    """
+    from unfurl_ray.ops.relational import bucketed_aggregate
+
+    h = bucketed_aggregate(
+        ds, [key_col, value_col], {"c": (value_col, "count")}
+    ).to_pandas()
+    h = h[h[key_col].isin([group_a, group_b])]
+    vh = h.groupby(value_col)["c"].sum().sort_index()
+    cnt = vh.to_numpy(np.float64)
+    off = np.concatenate([[0.0], cnt.cumsum()[:-1]])
+    rank = pd.Series(off + (cnt + 1.0) / 2.0, index=vh.index)
+    h = h.assign(rank=rank.reindex(h[value_col]).to_numpy())
+    ga = h[h[key_col] == group_a]
+    n_a = float(ga["c"].sum())
+    n_b = float(h.loc[h[key_col] == group_b, "c"].sum())
+    r_a = float((ga["c"] * ga["rank"]).sum())
+    u_a = r_a - n_a * (n_a + 1.0) / 2.0
+    N = n_a + n_b
+    tt = float((cnt ** 3 - cnt).sum())
+    sigma = np.sqrt(
+        n_a * n_b / 12.0 * ((N + 1.0) - tt / (N * (N - 1.0)))
+    )
+    z = (u_a - n_a * n_b / 2.0) / sigma
+    return pd.DataFrame(
+        {
+            "n_a": np.array([int(n_a)], dtype=np.int64),
+            "n_b": np.array([int(n_b)], dtype=np.int64),
+            "u_a": np.array([u_a], dtype=np.float64),
+            "z": np.array([round(z, 6)], dtype=np.float64),
+        }
+    )

@@ -7845,3 +7845,199 @@ def q_dense_rank(sf_dir: str) -> pd.DataFrame:
     ).astype("int64")
     hist["n"] = hist["n"].astype("int64")
     return hist
+
+
+def q_mannwhitney(sf_dir: str) -> pd.DataFrame:
+    """Mann-Whitney U between click and purchase event values
+    (ops.profile.mann_whitney): one (group, value, count) histogram
+    shuffle; midranks, U and the tie-corrected z close on the
+    driver's distinct-value table.  Hash-exact vs a windowed
+    midrank SQL twin."""
+    from unfurl_ray.ops.profile import mann_whitney
+
+    ds = _parquet_sh(sf_dir, "events", ["event_type", "value"])
+    return mann_whitney(
+        ds, "event_type", "value", group_a="click", group_b="purchase"
+    )
+
+
+def q_zipf_slope(sf_dir: str) -> pd.DataFrame:
+    """Zipf's-law exponent of the corpus: OLS slope of ln(freq) on
+    ln(rank) over the top-1000 unigrams (shared whitespace token
+    contract).  Per-batch partial word counts -> one word groupby ->
+    per-batch partial top-k -> 1000-row driver close; the corpus
+    text never moves twice."""
+    import re as _re
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from unfurl_ray.ops.textstats import _WS_SPLIT_RE as _ws
+
+    K = 1000
+    ds = _parquet(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            counts.update(
+                w for w in _ws.split((text or "").lower()) if w
+            )
+        return pa.table(
+            {
+                "word": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    word_counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def partial_top(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[("n", "descending"), ("word", "ascending")],
+        )
+        return batch.take(idx[:K])
+
+    top = (
+        word_counts.map_batches(partial_top, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["n", "word"], ascending=[False, True])
+        .head(K)
+        .reset_index(drop=True)
+    )
+    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    y = np.log(top["n"].to_numpy(np.float64))
+    xm, ym = x.mean(), y.mean()
+    slope = float(((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum())
+    return pd.DataFrame(
+        {
+            "n_words": np.array([len(top)], dtype=np.int64),
+            "zipf_slope": np.array([round(slope, 6)], np.float64),
+        }
+    )
+
+
+def q_hhi(sf_dir: str) -> pd.DataFrame:
+    """Herfindahl-Hirschman revenue-concentration index per nation:
+    per-customer revenue in EXACT integer cents (order-invariant
+    sums), one bucketed hash join to pick up the nation key, then a
+    per-nation (sum, sum-of-squares) fold — shares never
+    materialize per customer, the ratio closes on the #nations-row
+    table."""
+    from unfurl_ray.ops.relational import (
+        bucketed_hash_join, pre_aggregate,
+    )
+
+    orders = _parquet_sh(
+        sf_dir, "orders", ["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(
+                            b.column("o_totalprice"),
+                            pa.scalar(100.0),
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    per_cust = pre_aggregate(
+        orders, ["o_custkey"], {"rev_cents": ("cents", "sum")},
+    )
+    cust = _parquet_sh(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = bucketed_hash_join(
+        per_cust, cust, on="o_custkey", right_on="c_custkey",
+    )
+
+    def sq(batch: pa.Table) -> pa.Table:
+        r = batch.column("rev_cents").to_numpy(zero_copy_only=False)
+        r = r.astype(np.float64)
+        return pa.table(
+            {
+                "c_nationkey": pc.cast(
+                    batch.column("c_nationkey"), pa.int64()
+                ),
+                "rev_cents": batch.column("rev_cents"),
+                "rev_sq": pa.array(r * r, pa.float64()),
+            }
+        )
+
+    per_nat = pre_aggregate(
+        joined.map_batches(sq, batch_format="pyarrow"),
+        ["c_nationkey"],
+        {
+            "n_custs": ("rev_cents", "count"),
+            "s": ("rev_cents", "sum"),
+            "ssq": ("rev_sq", "sum"),
+        },
+    ).to_pandas()
+    nation = _parquet(sf_dir, "nation").to_pandas()
+    names = dict(
+        zip(nation["n_nationkey"].astype(int), nation["n_name"])
+    )
+    per_nat["n_name"] = per_nat["c_nationkey"].map(
+        lambda k: names[int(k)]
+    )
+    per_nat["hhi"] = (
+        per_nat["ssq"]
+        / (per_nat["s"].astype(np.float64) ** 2)
+    ).round(6)
+    per_nat["n_custs"] = per_nat["n_custs"].astype("int64")
+    return (
+        per_nat[["n_name", "n_custs", "hhi"]]
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+
+
+def q_ndcg(sf_dir: str) -> pd.DataFrame:
+    """Per-user NDCG@10 of the value-ranked event feed against
+    type-graded relevance (purchase 3 / signup 2 / click 1) — the
+    ranking-quality eval.  ``topk_per_group`` prunes to <=10 rows
+    per user per batch BEFORE anything global (the retrieved set),
+    and both DCG and the ideal DCG are vectorized cumcounts over
+    that output-sized frame; users with an all-zero-relevance
+    top-10 are excluded (NDCG undefined)."""
+    from unfurl_ray.ops.relational import topk_per_group
+
+    REL = {"purchase": 3, "signup": 2, "click": 1}
+
+    ds = _parquet_sh(
+        sf_dir, "events", ["user_id", "event_id", "event_type", "value"]
+    )
+    top = topk_per_group(
+        ds, "user_id", "value", 10, tiebreak_col="event_id"
+    )
+    top = top.sort_values(
+        ["user_id", "value", "event_id"],
+        ascending=[True, False, True],
+    ).reset_index(drop=True)
+    top["pos"] = top.groupby("user_id").cumcount() + 1
+    top["rel"] = (
+        top["event_type"].map(REL).fillna(0).astype(np.int64)
+    )
+    top["dcg_t"] = top["rel"] / np.log2(top["pos"] + 1.0)
+    ideal = top.sort_values(
+        ["user_id", "rel"], ascending=[True, False], kind="mergesort"
+    ).copy()
+    ideal["ipos"] = ideal.groupby("user_id").cumcount() + 1
+    ideal["idcg_t"] = ideal["rel"] / np.log2(ideal["ipos"] + 1.0)
+    dcg = top.groupby("user_id")["dcg_t"].sum()
+    idcg = ideal.groupby("user_id")["idcg_t"].sum()
+    out = pd.DataFrame(
+        {"user_id": dcg.index.to_numpy(np.int64),
+         "ndcg": (dcg / idcg).round(6).to_numpy()}
+    )
+    out = out[idcg.to_numpy() > 0].reset_index(drop=True)
+    return out.sort_values("user_id").reset_index(drop=True)
