@@ -271,6 +271,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_zipf_slope": p.q_zipf_slope,
         "q_hhi": p.q_hhi,
         "q_ndcg": p.q_ndcg,
+        "q_embed_dim_stats": p.q_embed_dim_stats,
+        "q_iqr_outliers": p.q_iqr_outliers,
+        "q_lorenz": p.q_lorenz,
+        "q_clustering_coeff": p.q_clustering_coeff,
     }
 
 
@@ -4156,6 +4160,96 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.user_id, round(dcg / idcg, 6) AS ndcg
             FROM d JOIN i USING (user_id)
             WHERE idcg > 0 ORDER BY d.user_id
+        """,
+        # per-dimension embedding mean/std (zip-unnest twin)
+        "q_embed_dim_stats": """
+            SELECT dim, round(avg(v), 6) AS mean_v,
+                   round(stddev_pop(v), 6) AS std_v
+            FROM (
+                SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
+                       unnest(range(1, len(embedding) + 1)) AS dim
+                FROM embeddings)
+            GROUP BY 1 ORDER BY 1
+        """,
+        # Tukey-fence outlier census per event type (exact-cents
+        # quantile_disc fences)
+        "q_iqr_outliers": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events),
+            q AS (
+                SELECT event_type,
+                       quantile_disc(cents, 0.25) AS q1,
+                       quantile_disc(cents, 0.75) AS q3
+                FROM c GROUP BY 1)
+            SELECT c.event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN c.cents < q1 - 1.5 * (q3 - q1)
+                                   OR c.cents > q3 + 1.5 * (q3 - q1)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_outliers,
+                   CAST(q1 AS BIGINT) AS q_025,
+                   CAST(q3 AS BIGINT) AS q_075
+            FROM c JOIN q USING (event_type)
+            GROUP BY 1, q1, q3 ORDER BY 1
+        """,
+        # Lorenz curve points over exact-NTILE spend deciles
+        "q_lorenz": """
+            WITH pu AS (
+                SELECT user_id,
+                       sum(CAST(round(value * 100) AS BIGINT))
+                           AS spend
+                FROM events GROUP BY 1),
+            t AS (
+                SELECT spend,
+                       ntile(10) OVER (ORDER BY spend, user_id)
+                           AS decile
+                FROM pu),
+            d AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+                         sum(spend) AS spend
+                  FROM t GROUP BY 1)
+            SELECT CAST(decile AS BIGINT) AS decile, n_users,
+                   CAST(spend AS BIGINT) AS spend,
+                   round(CAST(sum(spend) OVER (ORDER BY decile)
+                              AS DOUBLE)
+                         / (SELECT sum(spend) FROM d), 6)
+                       AS cum_share
+            FROM d ORDER BY decile
+        """,
+        # per-node local clustering coefficient, cosine>=0.3 graph
+        "q_clustering_coeff": """
+            WITH p AS (
+                SELECT a.vec_id AS u, b.vec_id AS v
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(
+                          CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) >= 0.3),
+            tri AS (
+                SELECT e1.u AS x, e1.v AS y, e2.v AS z
+                FROM p e1
+                JOIN p e2 ON e2.u = e1.u AND e2.v > e1.v
+                JOIN p e3 ON e3.u = e1.v AND e3.v = e2.v),
+            pern AS (
+                SELECT node, count(*) AS t FROM (
+                    SELECT x AS node FROM tri
+                    UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri)
+                GROUP BY 1),
+            deg AS (
+                SELECT node, count(*) AS d FROM (
+                    SELECT u AS node FROM p
+                    UNION ALL SELECT v FROM p)
+                GROUP BY 1)
+            SELECT deg.node, CAST(d AS BIGINT) AS d,
+                   CAST(coalesce(t, 0) AS BIGINT) AS t,
+                   round(CASE WHEN d >= 2
+                              THEN 2.0 * coalesce(t, 0)
+                                   / (d * (d - 1))
+                              ELSE 0 END, 6) AS coeff
+            FROM deg LEFT JOIN pern USING (node)
+            ORDER BY deg.node
         """,
         # q_markov_stationary: power-iteration fixpoint -> rows-only
         # with a pi P = pi eigen-identity pytest.

@@ -5590,3 +5590,45 @@ def test_image_resize_real_pixels(ray_session):
     ridx = (np.arange(4) * 16) // 4
     cidx = (np.arange(4) * 12) // 4
     assert (arr == px[ridx][:, cidx]).all()
+
+
+def test_local_clustering_matches_brute(ray_session):
+    """Per-node clustering coefficients from the wedge machinery
+    equal the brute adjacency computation 2*diag(A^3)/(d(d-1)) on a
+    random graph with a hub node."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.graph import local_clustering
+
+    rng = np.random.default_rng(23)
+    n = 50
+    A = (rng.uniform(size=(n, n)) < 0.15).astype(np.int64)
+    A[0, :] = A[:, 0] = 1  # hub
+    np.fill_diagonal(A, 0)
+    A = np.triu(A, 1)
+    A = A + A.T
+    iu = np.column_stack(np.nonzero(np.triu(A, 1)))
+    edges = pd.DataFrame(
+        {"a": iu[:, 0].astype(np.int64), "b": iu[:, 1].astype(np.int64)}
+    )
+    got = local_clustering(
+        rd.from_pandas(edges).repartition(4), n_buckets=8
+    )
+    tri = np.diag(A @ A @ A) // 2
+    d = A.sum(axis=1)
+    present = d > 0
+    want_t = tri[present]
+    want_d = d[present]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        want_c = np.where(
+            want_d >= 2,
+            2.0 * want_t / (want_d * (want_d - 1.0)),
+            0.0,
+        )
+    got = got.sort_values("node").reset_index(drop=True)
+    assert got["node"].tolist() == list(np.nonzero(present)[0])
+    assert got["t"].tolist() == want_t.tolist()
+    assert got["d"].tolist() == want_d.tolist()
+    assert np.allclose(got["coeff"].to_numpy(), np.round(want_c, 6))

@@ -1529,3 +1529,186 @@ def label_propagation_reference(edges_df: pd.DataFrame,
         if changed == 0:
             break
     return label
+
+
+def local_clustering(edges, n_buckets: int = 64) -> pd.DataFrame:
+    """Per-node local clustering coefficient over an undirected edge
+    Dataset ``(a, b)``, ``a < b``, unique rows:
+    ``coeff = 2 T(v) / (d(v) (d(v) - 1))``.
+
+    Same degree-oriented wedge machinery as :func:`triangle_count`
+    (each triangle enumerated exactly once at its lowest-rank
+    vertex), except every closed wedge credits all THREE corners —
+    the wedge rows carry their center alongside the endpoint pair,
+    and each closure bucket scatters per-node partial counts before
+    the tiny (node, t) fold.  The degree table and the final join
+    are O(nodes) driver-side, the same bound triangle_count already
+    accepts for its broadcast rank map."""
+    import ray
+
+    from unfurl_ray.ops.relational import (
+        _broadcast_fetch, bucketed_aggregate,
+    )
+
+    edges = edges.materialize()
+
+    def fan(batch: pd.DataFrame) -> pa.Table:
+        nodes = np.concatenate(
+            [batch["a"].to_numpy(), batch["b"].to_numpy()]
+        )
+        return pa.table({"node": pa.array(nodes, pa.int64())})
+
+    deg = bucketed_aggregate(
+        edges.map_batches(fan, batch_format="pandas"),
+        ["node"], {"d": ("node", "count")},
+    ).to_pandas()
+    deg = deg.sort_values(["d", "node"]).reset_index(drop=True)
+    rank = pd.Series(
+        np.arange(len(deg), dtype=np.int64),
+        index=deg["node"].to_numpy(),
+    )
+    rank_ref = ray.put(rank)
+
+    class Orient:
+        def __init__(self, ref):
+            self.rank = _broadcast_fetch(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pa.Table:
+            a = batch["a"].to_numpy()
+            b = batch["b"].to_numpy()
+            ra = self.rank.reindex(a).to_numpy()
+            rb = self.rank.reindex(b).to_numpy()
+            lo = np.where(ra <= rb, a, b)
+            hi = np.where(ra <= rb, b, a)
+            return pa.table(
+                {
+                    "src": pa.array(lo, pa.int64()),
+                    "dst": pa.array(hi, pa.int64()),
+                }
+            )
+
+    oriented = edges.map_batches(
+        Orient, batch_format="pandas", concurrency=(1, 8),
+        fn_constructor_args=(rank_ref,),
+    )
+
+    def wedges(group: pd.DataFrame) -> pa.Table:
+        us, vs, cs = [], [], []
+        for src, g in group.groupby("src", sort=False):
+            nb = np.sort(g["dst"].to_numpy())
+            k = len(nb)
+            if k < 2:
+                continue
+            iu, iv = np.triu_indices(k, 1)
+            us.append(nb[iu])
+            vs.append(nb[iv])
+            cs.append(np.full(len(iu), src, dtype=np.int64))
+        if not us:
+            return pa.table(
+                {
+                    "u": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate(us), pa.int64()),
+                "v": pa.array(np.concatenate(vs), pa.int64()),
+                "c": pa.array(np.concatenate(cs), pa.int64()),
+            }
+        )
+
+    def shard_src(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["_s"] = (
+            pd.util.hash_array(batch["src"].to_numpy())
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return batch
+
+    wedge_ds = (
+        oriented.map_batches(shard_src, batch_format="pandas")
+        .groupby("_s")
+        .map_groups(wedges, batch_format="pandas")
+    )
+
+    def tag(is_edge: bool):
+        ca, cb = ("a", "b") if is_edge else ("u", "v")
+
+        def f(batch: pd.DataFrame) -> pa.Table:
+            x = batch[ca].to_numpy()
+            y = batch[cb].to_numpy()
+            lo = np.minimum(x, y)
+            hi = np.maximum(x, y)
+            c = (
+                batch["c"].to_numpy()
+                if not is_edge
+                else np.full(len(batch), -1, dtype=np.int64)
+            )
+            return pa.table(
+                {
+                    "lo": pa.array(lo, pa.int64()),
+                    "hi": pa.array(hi, pa.int64()),
+                    "c": pa.array(c, pa.int64()),
+                    "_e": pa.array(
+                        np.full(len(batch), is_edge, dtype=np.bool_),
+                        pa.bool_(),
+                    ),
+                    "_b": pa.array(
+                        (
+                            pd.util.hash_array(
+                                lo * np.int64(1_000_003) + hi
+                            ) % np.uint64(n_buckets)
+                        ).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        return f
+
+    unioned = wedge_ds.map_batches(
+        tag(False), batch_format="pandas"
+    ).union(edges.map_batches(tag(True), batch_format="pandas"))
+
+    def close(group: pd.DataFrame) -> pa.Table:
+        e = group[group["_e"]]
+        w = group[~group["_e"]]
+        if len(e) == 0 or len(w) == 0:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "t": pa.array([], pa.int64()),
+                }
+            )
+        ek = e["lo"].to_numpy() * np.int64(1 << 32) + e["hi"].to_numpy()
+        wk = w["lo"].to_numpy() * np.int64(1 << 32) + w["hi"].to_numpy()
+        hit = w[np.isin(wk, ek)]
+        corners = np.concatenate(
+            [
+                hit["c"].to_numpy(),
+                hit["lo"].to_numpy(),
+                hit["hi"].to_numpy(),
+            ]
+        )
+        node, t = np.unique(corners, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(node.astype(np.int64), pa.int64()),
+                "t": pa.array(t.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = unioned.groupby("_b").map_groups(
+        close, batch_format="pandas"
+    ).to_pandas()
+    tri = parts.groupby("node", as_index=False)["t"].sum()
+    out = deg.merge(tri, on="node", how="left")
+    out["t"] = out["t"].fillna(0).astype("int64")
+    out["d"] = out["d"].astype("int64")
+    d = out["d"].to_numpy(np.float64)
+    t = out["t"].to_numpy(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        coeff = np.where(d >= 2, 2.0 * t / (d * (d - 1.0)), 0.0)
+    out["coeff"] = np.round(coeff, 6)
+    return out.sort_values("node").reset_index(drop=True)

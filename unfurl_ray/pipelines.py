@@ -8041,3 +8041,195 @@ def q_ndcg(sf_dir: str) -> pd.DataFrame:
     )
     out = out[idcg.to_numpy() > 0].reset_index(drop=True)
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_embed_dim_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension mean / population-std of the embedding column —
+    the embedding-health profile (dead dims, scale drift).  Map-only:
+    each batch stacks its vectors into one 2-D float64 array and
+    folds (count, sum, sum-of-squares) per dimension; the shuffle
+    moves #dims-row partials, never a vector."""
+    ds = _parquet(sf_dir, "embeddings", ["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = np.stack(
+            batch.column("embedding").to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        dims = np.arange(1, arr.shape[1] + 1, dtype=np.int64)
+        return pa.table(
+            {
+                "dim": pa.array(dims, pa.int64()),
+                "n": pa.array(
+                    np.full(arr.shape[1], arr.shape[0], np.int64),
+                    pa.int64(),
+                ),
+                "s": pa.array(arr.sum(axis=0), pa.float64()),
+                "ss": pa.array((arr * arr).sum(axis=0), pa.float64()),
+            }
+        )
+
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    folded = pre_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["dim"],
+        {"n": ("n", "sum"), "s": ("s", "sum"), "ss": ("ss", "sum")},
+    ).to_pandas()
+    n = folded["n"].to_numpy(np.float64)
+    s = folded["s"].to_numpy(np.float64)
+    ss = folded["ss"].to_numpy(np.float64)
+    folded["mean_v"] = np.round(s / n, 6)
+    folded["std_v"] = np.round(np.sqrt(ss / n - (s / n) ** 2), 6)
+    folded["dim"] = folded["dim"].astype("int64")
+    return (
+        folded[["dim", "mean_v", "std_v"]]
+        .sort_values("dim")
+        .reset_index(drop=True)
+    )
+
+
+def q_iqr_outliers(sf_dir: str) -> pd.DataFrame:
+    """Tukey-fence outlier census per event type: exact q1/q3 via the
+    per-key DISCRETE-quantile histogram pick
+    (``hist_quantile_disc_by`` — bounded by distinct values, one
+    key's rows never co-locate), fences broadcast back, outliers
+    counted in one vectorized pass.  Values are pre-rounded to cents
+    so the histogram and the SQL twin quantize identically."""
+    import ray
+
+    from unfurl_ray.ops.relational import (
+        _broadcast_fetch, hist_quantile_disc_by, pre_aggregate,
+    )
+
+    ds = _parquet_sh(sf_dir, "events", ["event_type", "value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(
+                            batch.column("value"), pa.scalar(100.0)
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow")
+    hist = pre_aggregate(
+        cents, ["event_type", "cents"], {"c": ("cents", "count")},
+    )
+    qs = hist_quantile_disc_by(
+        hist, "event_type", "cents", "c", [0.25, 0.75]
+    ).to_pandas()
+    qs["iqr"] = qs["q_075"] - qs["q_025"]
+    fences = {
+        row["event_type"]: (
+            row["q_025"] - 1.5 * row["iqr"],
+            row["q_075"] + 1.5 * row["iqr"],
+        )
+        for _, row in qs.iterrows()
+    }
+    f_ref = ray.put(fences)
+
+    def count_out(batch: pd.DataFrame) -> pa.Table:
+        fen = _broadcast_fetch(f_ref)
+        lo = batch["event_type"].map(lambda t: fen[t][0]).to_numpy()
+        hi = batch["event_type"].map(lambda t: fen[t][1]).to_numpy()
+        v = batch["cents"].to_numpy(np.float64)
+        out = pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "is_out": ((v < lo) | (v > hi)).astype(np.int64),
+            }
+        )
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    counts = pre_aggregate(
+        cents.map_batches(count_out, batch_format="pandas"),
+        ["event_type"],
+        {"n": ("is_out", "count"), "n_outliers": ("is_out", "sum")},
+    ).to_pandas()
+    out = counts.merge(
+        qs[["event_type", "q_025", "q_075"]], on="event_type"
+    )
+    for c in ("n", "n_outliers", "q_025", "q_075"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_lorenz(sf_dir: str) -> pd.DataFrame:
+    """Lorenz curve of user spend in 10 exact-NTILE deciles:
+    per-user revenue in exact integer cents, ``ntile_by`` decile
+    assignment (distributed exact NTILE), then cumulative share per
+    decile — the distributional-inequality profile behind the gini
+    op, kept as explicit curve points."""
+    from unfurl_ray.ops.relational import ntile_by, pre_aggregate
+
+    ds = _parquet_sh(sf_dir, "events", ["user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(
+                            batch.column("value"), pa.scalar(100.0)
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    per_user = pre_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"], {"spend": ("cents", "sum")},
+    ).map_batches(
+        lambda b: b.append_column(
+            "_all", pa.array([0] * len(b), pa.int8())
+        ),
+        batch_format="pyarrow",
+    )
+    tiled = ntile_by(per_user, "_all", "spend", "user_id", 10)
+    dec = pre_aggregate(
+        tiled, ["bucket"],
+        {"n_users": ("spend", "count"), "spend": ("spend", "sum")},
+    ).to_pandas().sort_values("bucket").reset_index(drop=True)
+    total = float(dec["spend"].sum())
+    dec["cum_share"] = (
+        dec["spend"].cumsum().astype(np.float64) / total
+    ).round(6)
+    dec = dec.rename(columns={"bucket": "decile"})
+    for c in ("decile", "n_users", "spend"):
+        dec[c] = dec[c].astype("int64")
+    return dec[["decile", "n_users", "spend", "cum_share"]]
+
+
+def q_clustering_coeff(sf_dir: str) -> pd.DataFrame:
+    """Per-node local clustering coefficient of the cosine>=0.3
+    embedding similarity graph (ops.graph.local_clustering): the
+    triangle_count wedge machinery with per-corner credit.
+    Hash-exact vs the 3-way self-join twin grouped per corner."""
+    from unfurl_ray.ops.graph import local_clustering
+    from unfurl_ray.ops.similarity import cosine_pair_dedup
+
+    ds = _parquet(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = cosine_pair_dedup(ds, threshold=0.3)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": batch.column("vec_a").cast(pa.int64()),
+                "b": batch.column("vec_b").cast(pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(rename, batch_format="pyarrow")
+    return local_clustering(edges)
