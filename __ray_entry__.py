@@ -275,6 +275,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_iqr_outliers": p.q_iqr_outliers,
         "q_lorenz": p.q_lorenz,
         "q_clustering_coeff": p.q_clustering_coeff,
+        "q_dup_rate_by_source": p.q_dup_rate_by_source,
+        "q_cross_source_overlap": p.q_cross_source_overlap,
+        "q_filter_funnel": p.q_filter_funnel,
+        "q_source_diversity": p.q_source_diversity,
     }
 
 
@@ -4250,6 +4254,84 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0 END, 6) AS coeff
             FROM deg LEFT JOIN pern USING (node)
             ORDER BY deg.node
+        """,
+        # per-source exact-dup diagnostics (shared md5 identity)
+        "q_dup_rate_by_source": """
+            WITH d AS (
+                SELECT source, md5(text) AS h, count(*) AS n
+                FROM documents GROUP BY 1, 2)
+            SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   round(1.0 - count(*) * 1.0 / sum(n), 6)
+                       AS dup_rate
+            FROM d GROUP BY 1 ORDER BY 1
+        """,
+        # contents histogrammed by how many sources carry them
+        "q_cross_source_overlap": """
+            WITH p AS (
+                SELECT md5(text) AS h, source FROM documents
+                GROUP BY 1, 2),
+            s AS (SELECT h, count(*) AS n_sources FROM p GROUP BY 1)
+            SELECT CAST(n_sources AS BIGINT) AS n_sources,
+                   CAST(count(*) AS BIGINT) AS n_contents
+            FROM s GROUP BY 1 ORDER BY 1
+        """,
+        # Gopher-style rule funnel census
+        "q_filter_funnel": """
+            WITH t AS (
+                SELECT n_chars,
+                       len(list_filter(regexp_split_to_array(
+                           lower(coalesce(text, '')), '[ \t\n\f\r]+'),
+                           x -> x <> '')) AS n_tok
+                FROM documents),
+            r AS (
+                SELECT (n_tok < 30) AS too_short,
+                       (n_chars > 350) AS too_long,
+                       ((CASE WHEN n_tok > 0
+                              THEN n_chars * 1.0 / n_tok
+                              ELSE 0 END) < 3.0
+                        OR (CASE WHEN n_tok > 0
+                                 THEN n_chars * 1.0 / n_tok
+                                 ELSE 0 END) > 8.0) AS odd_words
+                FROM t)
+            SELECT rule, CAST(n AS BIGINT) AS n FROM (
+                SELECT 'too_short' AS rule,
+                       sum(CASE WHEN too_short THEN 1 ELSE 0 END) AS n
+                FROM r
+                UNION ALL
+                SELECT 'too_long',
+                       sum(CASE WHEN too_long THEN 1 ELSE 0 END)
+                FROM r
+                UNION ALL
+                SELECT 'odd_words',
+                       sum(CASE WHEN odd_words THEN 1 ELSE 0 END)
+                FROM r
+                UNION ALL
+                SELECT 'survivors',
+                       sum(CASE WHEN NOT (too_short OR too_long
+                                          OR odd_words)
+                                THEN 1 ELSE 0 END)
+                FROM r)
+            ORDER BY rule
+        """,
+        # distinct-bigram / total-bigram ratio per source
+        "q_source_diversity": """
+            WITH toks AS (
+                SELECT source, list_filter(regexp_split_to_array(
+                           lower(coalesce(text, '')), '[ \t\n\f\r]+'),
+                           x -> x <> '') AS ws
+                FROM documents),
+            bg AS (
+                SELECT source,
+                       unnest([ws[g] || ' ' || ws[g+1]
+                               for g in range(1, len(ws))]) AS bigram
+                FROM toks WHERE len(ws) >= 2),
+            pg AS (SELECT source, bigram, count(*) AS n
+                   FROM bg GROUP BY 1, 2)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(sum(n) AS BIGINT) AS n_total,
+                   round(count(*) * 1.0 / sum(n), 6) AS diversity
+            FROM pg GROUP BY 1 ORDER BY 1
         """,
         # q_markov_stationary: power-iteration fixpoint -> rows-only
         # with a pi P = pi eigen-identity pytest.

@@ -8233,3 +8233,181 @@ def q_clustering_coeff(sf_dir: str) -> pd.DataFrame:
 
     edges = pairs.map_batches(rename, batch_format="pyarrow")
     return local_clustering(edges)
+
+
+def q_dup_rate_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source exact-duplication diagnostics — the corpus-health
+    dashboard row: docs, distinct contents (md5 identity, shared
+    with exact_dedup), and dup rate.  The shuffle carries only
+    (source, content_hash) distinct partials (payload dropped before
+    the exchange); the per-source census is a second tiny
+    pre-aggregated fold."""
+    from unfurl_ray.ops.dedup import add_content_hash
+    from unfurl_ray.ops.relational import (
+        bucketed_aggregate, pre_aggregate,
+    )
+
+    ds = _parquet(sf_dir, "documents", ["doc_id", "text", "source"])
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b, "text").select(
+            ["source", "content_hash"]
+        ),
+        batch_format="pyarrow",
+    )
+    distinct = bucketed_aggregate(
+        hashed, ["source", "content_hash"],
+        {"n_copies": ("content_hash", "count")},
+    )
+    per_source = pre_aggregate(
+        distinct, ["source"],
+        {
+            "n_distinct": ("n_copies", "count"),
+            "n_docs": ("n_copies", "sum"),
+        },
+    ).to_pandas()
+    per_source["dup_rate"] = (
+        1.0 - per_source["n_distinct"] / per_source["n_docs"]
+    ).round(6)
+    for c in ("n_distinct", "n_docs"):
+        per_source[c] = per_source[c].astype("int64")
+    return (
+        per_source[["source", "n_docs", "n_distinct", "dup_rate"]]
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+
+
+def q_cross_source_overlap(sf_dir: str) -> pd.DataFrame:
+    """Cross-source contamination census: for each distinct content
+    (md5 identity) count how many DISTINCT sources carry it, then
+    histogram contents by source spread — 'how much of the corpus is
+    syndicated copy'.  Two bounded shuffles: (hash, source) distinct
+    collapse, then a per-hash source count; the final histogram is a
+    #spread-values-row close."""
+    from unfurl_ray.ops.dedup import add_content_hash
+    from unfurl_ray.ops.relational import (
+        bucketed_aggregate, pre_aggregate,
+    )
+
+    ds = _parquet(sf_dir, "documents", ["text", "source"])
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b, "text").select(
+            ["source", "content_hash"]
+        ),
+        batch_format="pyarrow",
+    )
+    pair = bucketed_aggregate(
+        hashed, ["content_hash", "source"],
+        {"n": ("source", "count")},
+    )
+    spread = bucketed_aggregate(
+        pair, ["content_hash"], {"n_sources": ("source", "count")},
+    )
+    out = pre_aggregate(
+        spread, ["n_sources"], {"n_contents": ("n_sources", "count")},
+    ).to_pandas()
+    for c in ("n_sources", "n_contents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("n_sources").reset_index(drop=True)
+
+
+def q_filter_funnel(sf_dir: str) -> pd.DataFrame:
+    """Quality-filter funnel census (the Gopher-rule shape): per rule
+    the number of failing docs, plus the survivor count after ALL
+    rules — one vectorized map pass (Arrow kernels, shared
+    whitespace token contract) folding four counters; no shuffle at
+    all, the census closes on a 5-row frame."""
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    ds = _parquet(sf_dir, "documents", ["text", "n_chars"])
+
+    def census(batch: pa.Table) -> pa.Table:
+        text = pc.coalesce(batch.column("text"), pa.scalar(""))
+        low = pc.utf8_lower(text)
+        n_tok = pc.count_substring_regex(
+            low, r"[^ \t\n\f\r]+"
+        ).to_numpy(zero_copy_only=False).astype(np.float64)
+        n_chars = (
+            batch.column("n_chars")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        avg_len = np.where(n_tok > 0, n_chars / n_tok, 0.0)
+        too_short = n_tok < 30
+        too_long = n_chars > 350
+        odd_words = (avg_len < 3.0) | (avg_len > 8.0)
+        survives = ~(too_short | too_long | odd_words)
+        return pa.table(
+            {
+                "rule": pa.array(
+                    ["too_short", "too_long", "odd_words",
+                     "survivors"],
+                    pa.string(),
+                ),
+                "n": pa.array(
+                    [
+                        int(too_short.sum()),
+                        int(too_long.sum()),
+                        int(odd_words.sum()),
+                        int(survives.sum()),
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = pre_aggregate(
+        ds.map_batches(census, batch_format="pyarrow"),
+        ["rule"], {"n": ("n", "sum")},
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("rule").reset_index(drop=True)
+
+
+def q_source_diversity(sf_dir: str) -> pd.DataFrame:
+    """Lexical-diversity profile per source: distinct word bigrams /
+    total bigrams (type-token ratio at the bigram level — the
+    template-spam signal).  In-batch bigram fan-out with a per-batch
+    (source, bigram) partial collapse, one bucketed distinct
+    shuffle, then a per-source 2-counter fold."""
+    from collections import Counter
+
+    from unfurl_ray.ops.relational import (
+        bucketed_aggregate, pre_aggregate,
+    )
+    from unfurl_ray.ops.textstats import _WS_SPLIT_RE as _ws
+
+    ds = _parquet(sf_dir, "documents", ["text", "source"])
+
+    def grams(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for src, text in zip(
+            batch.column("source").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            ws = [w for w in _ws.split((text or "").lower()) if w]
+            for i in range(len(ws) - 1):
+                counts[(src, ws[i] + " " + ws[i + 1])] += 1
+        keys = list(counts.keys())
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in keys], pa.string()),
+                "bigram": pa.array([k[1] for k in keys], pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    per_gram = bucketed_aggregate(
+        ds.map_batches(grams, batch_format="pyarrow"),
+        ["source", "bigram"], {"n": ("n", "sum")},
+    )
+    out = pre_aggregate(
+        per_gram, ["source"],
+        {"n_distinct": ("n", "count"), "n_total": ("n", "sum")},
+    ).to_pandas()
+    out["diversity"] = (
+        out["n_distinct"] / out["n_total"]
+    ).round(6)
+    for c in ("n_distinct", "n_total"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
