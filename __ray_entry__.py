@@ -279,6 +279,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cross_source_overlap": p.q_cross_source_overlap,
         "q_filter_funnel": p.q_filter_funnel,
         "q_source_diversity": p.q_source_diversity,
+        "q_wow_change": p.q_wow_change,
+        "q_gap_islands": p.q_gap_islands,
+        "q_peak_hour": p.q_peak_hour,
+        "q_runtime_filter": p.q_runtime_filter,
+        "q_knn_classify": p.q_knn_classify,
     }
 
 
@@ -4332,6 +4337,105 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n) AS BIGINT) AS n_total,
                    round(count(*) * 1.0 / sum(n), 6) AS diversity
             FROM pg GROUP BY 1 ORDER BY 1
+        """,
+        # week-over-week revenue change per type (consecutive weeks)
+        "q_wow_change": """
+            WITH w AS (
+                SELECT event_type,
+                       epoch_us(ts) // 604800000000 AS week,
+                       sum(CAST(round(value * 100) AS BIGINT))
+                           AS rev_cents
+                FROM events GROUP BY 1, 2),
+            l AS (
+                SELECT event_type, week, rev_cents,
+                       lag(week) OVER (PARTITION BY event_type
+                                       ORDER BY week) AS pw,
+                       lag(rev_cents) OVER (PARTITION BY event_type
+                                            ORDER BY week) AS pr
+                FROM w)
+            SELECT event_type, week, rev_cents,
+                   round((rev_cents - pr) * 1.0 / pr, 6) AS wow_pct
+            FROM l WHERE pw = week - 1
+            ORDER BY event_type, week
+        """,
+        # islands per user via lag over distinct active days
+        "q_gap_islands": """
+            WITH d AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events),
+            l AS (
+                SELECT user_id, day,
+                       lag(day) OVER (PARTITION BY user_id
+                                      ORDER BY day) AS pd
+                FROM d)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(CASE WHEN pd IS NULL OR day - pd > 1
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_islands
+            FROM l GROUP BY 1 ORDER BY 1
+        """,
+        # argmax hour-of-day per event type
+        "q_peak_hour": """
+            WITH h AS (
+                SELECT event_type,
+                       (epoch_us(ts) // 3600000000) % 24 AS hour,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2)
+            SELECT event_type, CAST(hour AS BIGINT) AS peak_hour,
+                   CAST(n AS BIGINT) AS n
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY event_type
+                      ORDER BY n DESC, hour) AS rn
+                  FROM h)
+            WHERE rn = 1 ORDER BY event_type
+        """,
+        # two-phase runtime filter: top-20 parts by revenue, re-scan
+        "q_runtime_filter": """
+            WITH c AS (
+                SELECT l_partkey, l_quantity,
+                       CAST(floor(l_extendedprice * (1 - l_discount)
+                                  * 100) AS BIGINT) AS cents
+                FROM lineitem),
+            top AS (
+                SELECT l_partkey FROM c GROUP BY 1
+                ORDER BY sum(cents) DESC, l_partkey LIMIT 20)
+            SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS rev_cents,
+                   round(avg(l_quantity), 6) AS avg_qty
+            FROM c WHERE l_partkey IN (SELECT l_partkey FROM top)
+            GROUP BY 1 ORDER BY 1
+        """,
+        # 5-NN majority label vote for the vec_id<4 queries
+        "q_knn_classify": """
+            WITH q AS (
+                SELECT vec_id AS query_id,
+                       CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id < 4),
+            scored AS (
+                SELECT q.query_id, e.vec_id, e.label,
+                       round(CAST(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), q.qe)
+                           AS DOUBLE), 6) AS cosine
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id),
+            top AS (
+                SELECT query_id, label FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY cosine DESC, vec_id) AS rn
+                    FROM scored)
+                WHERE rn <= 5),
+            votes AS (
+                SELECT query_id, label, count(*) AS v
+                FROM top GROUP BY 1, 2)
+            SELECT query_id, CAST(label AS BIGINT) AS pred_label,
+                   CAST(v AS BIGINT) AS votes
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY v DESC, label) AS rn
+                  FROM votes)
+            WHERE rn = 1 ORDER BY query_id
         """,
         # q_markov_stationary: power-iteration fixpoint -> rows-only
         # with a pi P = pi eigen-identity pytest.

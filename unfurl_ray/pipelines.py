@@ -8411,3 +8411,320 @@ def q_source_diversity(sf_dir: str) -> pd.DataFrame:
     for c in ("n_distinct", "n_total"):
         out[c] = out[c].astype("int64")
     return out.sort_values("source").reset_index(drop=True)
+
+
+def q_wow_change(sf_dir: str) -> pd.DataFrame:
+    """Week-over-week revenue change per event type: one
+    pre-aggregated (type, week) shuffle in exact integer cents —
+    the fold output is bounded by #types x #weeks, so the lag and
+    pct-change close vectorized on that small frame (no per-key
+    ordered stream ever forms)."""
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    WEEK_US = 7 * 86_400 * 1_000_000
+
+    ds = _parquet_sh(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "week": pc.divide(
+                    pc.cast(batch.column("ts"), pa.int64()),
+                    pa.scalar(WEEK_US, pa.int64()),
+                ),
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(
+                            batch.column("value"), pa.scalar(100.0)
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    weekly = pre_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "week"], {"rev_cents": ("cents", "sum")},
+    ).to_pandas().sort_values(["event_type", "week"]).reset_index(
+        drop=True
+    )
+    prev = weekly.groupby("event_type")["rev_cents"].shift(1)
+    keep = prev.notna() & (
+        weekly.groupby("event_type")["week"].shift(1)
+        == weekly["week"] - 1
+    )
+    out = weekly[keep].copy()
+    out["wow_pct"] = (
+        (out["rev_cents"] - prev[keep]) / prev[keep]
+    ).round(6)
+    for c in ("week", "rev_cents"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def q_gap_islands(sf_dir: str) -> pd.DataFrame:
+    """Gaps-and-islands WITHOUT an ordered per-key scan: activity
+    islands per user (maximal runs of consecutive active days)
+    counted as ``n_days - n_consecutive_pairs``.  The distinct
+    (user, day) table unions with its own day+1 shift, one
+    pre-aggregated (user, day) fold classifies each slot ({cur},
+    {shifted}, or both — a consecutive pair), and a per-user
+    2-counter fold closes.  Pure shuffle algebra: works unchanged
+    when one bot user has a billion events."""
+    from unfurl_ray.ops.relational import (
+        bucketed_aggregate, pre_aggregate,
+    )
+
+    DAY_US = 86_400 * 1_000_000
+
+    ds = _parquet_sh(sf_dir, "events", ["user_id", "ts"])
+
+    def to_days(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "day": pc.divide(
+                    pc.cast(batch.column("ts"), pa.int64()),
+                    pa.scalar(DAY_US, pa.int64()),
+                ),
+            }
+        )
+
+    days = bucketed_aggregate(
+        ds.map_batches(to_days, batch_format="pyarrow"),
+        ["user_id", "day"], {"n": ("day", "count")},
+    ).select_columns(["user_id", "day"])
+
+    def tag(shift: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "user_id": batch.column("user_id"),
+                    "day": pc.add(
+                        batch.column("day"),
+                        pa.scalar(shift, pa.int64()),
+                    ),
+                    "t": pa.array(
+                        np.full(len(batch), shift, np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        return f
+
+    unioned = days.map_batches(
+        tag(0), batch_format="pyarrow"
+    ).union(days.map_batches(tag(1), batch_format="pyarrow"))
+    slots = pre_aggregate(
+        unioned, ["user_id", "day"],
+        {"n_tags": ("t", "count"), "t_sum": ("t", "sum")},
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_tags").to_numpy(zero_copy_only=False)
+        s = batch.column("t_sum").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "is_day": pa.array(
+                    (s < n).astype(np.int64), pa.int64()
+                ),
+                "is_pair": pa.array(
+                    (n == 2).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    out = pre_aggregate(
+        slots.map_batches(classify, batch_format="pyarrow"),
+        ["user_id"],
+        {"n_days": ("is_day", "sum"), "n_pairs": ("is_pair", "sum")},
+    ).to_pandas()
+    out["n_islands"] = (out["n_days"] - out["n_pairs"]).astype("int64")
+    out["n_days"] = out["n_days"].astype("int64")
+    return (
+        out[["user_id", "n_days", "n_islands"]]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_peak_hour(sf_dir: str) -> pd.DataFrame:
+    """Peak activity hour per event type — argmax over the
+    (type, hour-of-day) histogram (bounded at #types x 24 at any
+    scale), ties to the earliest hour."""
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    HOUR_US = 3600 * 1_000_000
+
+    ds = _parquet_sh(sf_dir, "events", ["event_type", "ts"])
+
+    def to_hours(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hour": pa.array(
+                    (us // HOUR_US) % 24, pa.int64()
+                ),
+            }
+        )
+
+    hist = pre_aggregate(
+        ds.map_batches(to_hours, batch_format="pyarrow"),
+        ["event_type", "hour"], {"n": ("hour", "count")},
+    ).to_pandas().sort_values(
+        ["event_type", "n", "hour"], ascending=[True, False, True]
+    )
+    out = hist.groupby("event_type", as_index=False).head(1)
+    out = out.rename(columns={"hour": "peak_hour"})
+    for c in ("peak_hour", "n"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["event_type", "peak_hour", "n"]]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
+def q_runtime_filter(sf_dir: str) -> pd.DataFrame:
+    """Dynamic 'runtime filter' plan (the distributed dynamic
+    partition-pruning shape): phase 1 finds the top-20 parts by
+    exact-cents revenue with a pre-aggregated fold + partial top-k;
+    phase 2 re-scans lineitem with the 20-key set BROADCAST into the
+    filter (an isin mask per batch — at 100 TB this is the
+    difference between shuffling the fact table and shipping 160
+    bytes), then folds count / revenue / mean quantity per part."""
+    import ray
+
+    from unfurl_ray.ops.relational import _broadcast_fetch, pre_aggregate
+
+    def prep(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        # floor, not round: Arrow rounds half-to-even while DuckDB
+        # rounds half away from zero — floor of the SAME double is
+        # unambiguous on both engines
+        return pa.table(
+            {
+                "l_partkey": batch.column("l_partkey"),
+                "cents": pc.cast(
+                    pc.floor(pc.multiply(rev, pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+                "l_quantity": batch.column("l_quantity"),
+            }
+        )
+
+    li = _parquet_sh(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount", "l_quantity"],
+    ).map_batches(prep, batch_format="pyarrow").materialize()
+
+    per_part = pre_aggregate(
+        li.select_columns(["l_partkey", "cents"]),
+        ["l_partkey"], {"rev": ("cents", "sum")},
+    )
+
+    def partial_top(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[("rev", "descending"),
+                       ("l_partkey", "ascending")],
+        )
+        return batch.take(idx[:20])
+
+    top = (
+        per_part.map_batches(partial_top, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["rev", "l_partkey"], ascending=[False, True])
+        .head(20)
+    )
+    keys_ref = ray.put(
+        np.sort(top["l_partkey"].to_numpy(np.int64))
+    )
+
+    def rfilter(batch: pa.Table) -> pa.Table:
+        keys = _broadcast_fetch(keys_ref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, pk)
+        idx = np.clip(idx, 0, len(keys) - 1)
+        return batch.filter(pa.array(keys[idx] == pk))
+
+    out = pre_aggregate(
+        li.map_batches(rfilter, batch_format="pyarrow"),
+        ["l_partkey"],
+        {
+            "n": ("cents", "count"),
+            "rev_cents": ("cents", "sum"),
+            "qty_sum": ("l_quantity", "sum"),
+        },
+    ).to_pandas()
+    out["avg_qty"] = (out["qty_sum"] / out["n"]).round(6)
+    for c in ("n", "rev_cents"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["l_partkey", "n", "rev_cents", "avg_qty"]]
+        .sort_values("l_partkey")
+        .reset_index(drop=True)
+    )
+
+
+def q_knn_classify(sf_dir: str) -> pd.DataFrame:
+    """k-NN label vote: 5-nearest-neighbor majority label for the
+    vec_id<4 query vectors (self excluded), reusing the brute
+    cosine top-k engine (per-batch partial top-k); labels for the
+    <=24 surviving neighbor ids come from one predicate-pushed
+    filter scan, never a corpus-wide label broadcast.  Ties go to
+    the smaller label."""
+    from unfurl_ray.ops.similarity import knn_brute
+
+    ds = _parquet(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_brute(ds, _query_vectors(sf_dir), k=6)
+    out = out[out["vec_id"] != out["query_id"]]
+    out = (
+        out.sort_values(["query_id", "cosine", "vec_id"],
+                        ascending=[True, False, True])
+        .groupby("query_id", as_index=False)
+        .head(5)
+    )
+
+    need = np.sort(out["vec_id"].unique().astype(np.int64))
+    labels = (
+        _parquet(sf_dir, "embeddings", ["vec_id", "label"])
+        .map_batches(
+            lambda b, ks=need: b.filter(
+                pa.array(
+                    np.isin(
+                        b.column("vec_id").to_numpy(
+                            zero_copy_only=False
+                        ),
+                        ks,
+                    )
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    merged = out.merge(labels, on="vec_id")
+    votes = (
+        merged.groupby(["query_id", "label"], as_index=False)
+        .size()
+        .rename(columns={"size": "votes"})
+        .sort_values(["query_id", "votes", "label"],
+                     ascending=[True, False, True])
+    )
+    win = votes.groupby("query_id", as_index=False).head(1)
+    win = win.rename(columns={"label": "pred_label"})
+    win["query_id"] = win["query_id"].astype("int64")
+    win["pred_label"] = win["pred_label"].astype("int64")
+    win["votes"] = win["votes"].astype("int64")
+    return win.sort_values("query_id").reset_index(drop=True)
