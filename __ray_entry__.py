@@ -284,6 +284,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_peak_hour": p.q_peak_hour,
         "q_runtime_filter": p.q_runtime_filter,
         "q_knn_classify": p.q_knn_classify,
+        "q_set_ops": p.q_set_ops,
+        "q_user_journey": p.q_user_journey,
+        "q_partition_prune": p.q_partition_prune,
+        "q_sssp": p.q_sssp,
     }
 
 
@@ -4437,6 +4441,57 @@ def oracle_sql() -> dict[str, str]:
                   FROM votes)
             WHERE rn = 1 ORDER BY query_id
         """,
+        # INTERSECT / EXCEPT / UNION census over two user sets
+        "q_set_ops": """
+            WITH f AS (
+                SELECT user_id,
+                       max(CASE WHEN event_type = 'click'
+                                THEN 1 ELSE 0 END) AS c,
+                       max(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS p
+                FROM events GROUP BY 1)
+            SELECT CAST(sum(CASE WHEN c = 1 AND p = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_both,
+                   CAST(sum(CASE WHEN c = 1 AND p = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_click_only,
+                   CAST(sum(CASE WHEN c = 0 AND p = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_purchase_only,
+                   CAST(sum(CASE WHEN c = 1 OR p = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_union
+            FROM f
+        """,
+        # first-5-events journey path census
+        "q_user_journey": """
+            WITH r AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                           AS rn
+                FROM events),
+            p AS (
+                SELECT user_id,
+                       string_agg(event_type, '>' ORDER BY rn)
+                           AS path
+                FROM r WHERE rn <= 5 GROUP BY 1)
+            SELECT path, CAST(count(*) AS BIGINT) AS n_users
+            FROM p GROUP BY 1 ORDER BY 1
+        """,
+        # purchase-only daily rollup (the Ray side reads just the
+        # event_type=purchase hive partition)
+        "q_partition_prune": """
+            SELECT epoch_us(ts) // 86400000000 AS day,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT))
+                       AS rev_cents
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1 ORDER BY 1
+        """,
+        # q_sssp: iterative Bellman-Ford fixpoint -> rows-only with a
+        # Dijkstra parity pytest (test_sssp_matches_dijkstra).
         # q_markov_stationary: power-iteration fixpoint -> rows-only
         # with a pi P = pi eigen-identity pytest.
         # q_compress_ratio: zlib has no SQL twin -> rows-only with an

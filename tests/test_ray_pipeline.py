@@ -5632,3 +5632,56 @@ def test_local_clustering_matches_brute(ray_session):
     assert got["t"].tolist() == want_t.tolist()
     assert got["d"].tolist() == want_d.tolist()
     assert np.allclose(got["coeff"].to_numpy(), np.round(want_c, 6))
+
+
+def test_sssp_matches_dijkstra(ray_session):
+    """Distributed Bellman-Ford distances equal a reference Dijkstra
+    on a random weighted digraph, including parallel edges (min
+    weight wins) and unreachable nodes (absent from the output)."""
+    import heapq
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unfurl_ray.ops.graph import sssp
+
+    rng = np.random.default_rng(7)
+    n, m = 40, 400
+    u = rng.integers(0, n, m).astype(np.int64)
+    v = rng.integers(0, n, m).astype(np.int64)
+    keep = u != v
+    u, v = u[keep], v[keep]
+    w = rng.integers(1, 100, len(u)).astype(np.int64)
+    edges = pd.DataFrame({"u": u, "v": v, "w": w})
+    seeds = [0, 1]
+    got = sssp(
+        rd.from_pandas(edges).repartition(4), seeds,
+        num_partitions=4,
+    )
+
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for a, b, ww in zip(u, v, w):
+        adj.setdefault(int(a), []).append((int(b), int(ww)))
+    dist = {s: 0 for s in seeds}
+    pq = [(0, s) for s in seeds]
+    heapq.heapify(pq)
+    while pq:
+        d, x = heapq.heappop(pq)
+        if d > dist.get(x, 1 << 62):
+            continue
+        for y, ww in adj.get(x, []):
+            nd = d + ww
+            if nd < dist.get(y, 1 << 62):
+                dist[y] = nd
+                heapq.heappush(pq, (nd, y))
+    want = pd.DataFrame(
+        sorted(dist.items()), columns=["node", "dist"]
+    ).astype("int64")
+    # nodes with no edges at all never enter the shard layout; the
+    # reference may contain isolated seeds only if they had out-edges
+    present = set(np.concatenate([u, v]).tolist())
+    want = want[want["node"].isin(present)].reset_index(drop=True)
+    got = got.reset_index(drop=True)
+    assert got["node"].tolist() == want["node"].tolist()
+    assert got["dist"].tolist() == want["dist"].tolist()

@@ -357,7 +357,8 @@ class _GraphShard:
     data."""
 
     def __init__(self, bucket: int, n_buckets: int, src_col: str,
-                 dst_col: str, edge_refs, dedup_edges: bool = False):
+                 dst_col: str, edge_refs, dedup_edges: bool = False,
+                 weight_col: str | None = None):
         import ray
 
         self.b, self.B = bucket, n_buckets
@@ -365,6 +366,7 @@ class _GraphShard:
             d for d in ray.get(list(edge_refs))
             if len(d) and src_col in d.columns
         ]
+        w = None
         if dfs:
             src = np.concatenate(
                 [d[src_col].to_numpy(dtype=np.int64) for d in dfs]
@@ -372,22 +374,40 @@ class _GraphShard:
             dst = np.concatenate(
                 [d[dst_col].to_numpy(dtype=np.int64) for d in dfs]
             )
+            if weight_col is not None:
+                w = np.concatenate(
+                    [d[weight_col].to_numpy(dtype=np.int64)
+                     for d in dfs]
+                )
             # robust to coalesced multi-bucket blocks
             keep = _node_bucket(src, n_buckets) == bucket
             src, dst = src[keep], dst[keep]
+            if w is not None:
+                w = w[keep]
         else:
             src = dst = np.array([], dtype=np.int64)
+            if weight_col is not None:
+                w = np.array([], dtype=np.int64)
         if dedup_edges and len(src):
             # an edge's bucket is a pure function of src, so every
             # duplicate of a (src, dst) pair lands on THIS shard —
             # per-shard unique equals a global edge dedup, letting
             # callers skip a corpus-wide pair-dedup shuffle upstream
-            order = np.lexsort((dst, src))
+            # (weighted variant: the lexsort puts the SMALLEST weight
+            # first per pair, so dedup keeps the min-weight edge)
+            order = (
+                np.lexsort((dst, src)) if w is None
+                else np.lexsort((w, dst, src))
+            )
             src, dst = src[order], dst[order]
+            if w is not None:
+                w = w[order]
             first = np.ones(len(src), dtype=bool)
             first[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
             src, dst = src[first], dst[first]
-        self._src, self._dst = src, dst
+            if w is not None:
+                w = w[first]
+        self._src, self._dst, self._w = src, dst, w
         self._tgt = _node_bucket(dst, n_buckets)
 
     def discover(self):
@@ -406,6 +426,7 @@ class _GraphShard:
         mine = np.unique(np.concatenate(parts))
         self.nodes = mine
         self.plan = []
+        self.plan_w = []  # parallel per-edge weights (None unweighted)
         for t in range(self.B):
             m = self._tgt == t
             vals, codes = np.unique(self._dst[m], return_inverse=True)
@@ -417,6 +438,9 @@ class _GraphShard:
                 codes[order], np.arange(len(vals))
             )
             self.plan.append((spos[order], starts, vals))
+            self.plan_w.append(
+                None if self._w is None else self._w[m][order]
+            )
         return mine
 
 
@@ -621,7 +645,8 @@ def _fan(a, method, B: int, *args):
 
 
 def _spawn_shards(shard_cls, edges, B: int, src_col: str,
-                  dst_col: str, dedup_edges: bool = False):
+                  dst_col: str, dedup_edges: bool = False,
+                  weight_col: str | None = None):
     """Shared graph-shard setup: hash-bucket the edge set by src ONCE
     (one groupby shuffle — after it every out-edge of a node lives on
     its owner shard), spawn B shard actors that load their blocks
@@ -635,16 +660,21 @@ def _spawn_shards(shard_cls, edges, B: int, src_col: str,
 
     def tag_src(batch: pa.Table) -> pa.Table:
         src = batch.column(src_col).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                src_col: batch.column(src_col).cast(pa.int64()),
-                dst_col: batch.column(dst_col).cast(pa.int64()),
-                "_eb": pa.array(_node_bucket(src, B), pa.int64()),
-            }
-        )
+        cols = {
+            src_col: batch.column(src_col).cast(pa.int64()),
+            dst_col: batch.column(dst_col).cast(pa.int64()),
+        }
+        if weight_col is not None:
+            cols[weight_col] = batch.column(weight_col).cast(pa.int64())
+        cols["_eb"] = pa.array(_node_bucket(src, B), pa.int64())
+        return pa.table(cols)
+
+    keep_cols = [src_col, dst_col] + (
+        [weight_col] if weight_col is not None else []
+    )
 
     def drop_tag(group: pd.DataFrame) -> pa.Table:
-        return _arrow(group[[src_col, dst_col]])
+        return _arrow(group[keep_cols])
 
     edges_b = (
         edges.map_batches(tag_src, batch_format="pyarrow")
@@ -680,7 +710,8 @@ def _spawn_shards(shard_cls, edges, B: int, src_col: str,
     )
     actors = [
         remote_cls.remote(
-            b, B, src_col, dst_col, emap.get(b, []), dedup_edges
+            b, B, src_col, dst_col, emap.get(b, []), dedup_edges,
+            weight_col,
         )
         for b in range(B)
     ]
@@ -1711,4 +1742,116 @@ def local_clustering(edges, n_buckets: int = 64) -> pd.DataFrame:
     with np.errstate(divide="ignore", invalid="ignore"):
         coeff = np.where(d >= 2, 2.0 * t / (d * (d - 1.0)), 0.0)
     out["coeff"] = np.round(coeff, 6)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+class _SSSPShard(_GraphShard):
+    """Weighted single/multi-source shortest-path shard: Bellman-Ford
+    relaxation with integer weights — per round each shard relaxes
+    every out-edge of its nodes (dist[src] + w), pre-aggregates
+    min per destination, and ships one (dst, candidate) pair per
+    distinct dst per target shard.  Distances stay exact int64."""
+
+    _INF = np.iinfo(np.int64).max
+
+    def register(self, *incoming) -> int:
+        mine = self._register_nodes(incoming)
+        self.dist = np.full(len(mine), self._INF, dtype=np.int64)
+        del self._src, self._dst, self._tgt
+        return len(mine)
+
+    def seed(self, seeds: np.ndarray) -> int:
+        seeds = np.asarray(seeds, dtype=np.int64)
+        if len(self.nodes) == 0 or len(seeds) == 0:
+            return 0
+        pos = np.searchsorted(self.nodes, seeds)
+        ok = pos < len(self.nodes)
+        ok[ok] = self.nodes[pos[ok]] == seeds[ok]
+        self.dist[pos[ok]] = 0
+        return int(ok.sum())
+
+    def propagate(self):
+        out = []
+        for (spos, starts, vals), w in zip(self.plan, self.plan_w):
+            if len(vals) == 0:
+                out.append((vals, vals))
+                continue
+            d = self.dist[spos]
+            cand = np.where(d == self._INF, self._INF, d + w)
+            m = np.minimum.reduceat(cand, starts)
+            out.append((vals, m))
+        return out if self.B > 1 else out[0]
+
+    def update(self, *parts) -> int:
+        changed = 0
+        for vals, mins in parts:
+            if len(vals):
+                pos = np.searchsorted(self.nodes, vals)
+                new = np.minimum(self.dist[pos], mins)
+                changed += int((new < self.dist[pos]).sum())
+                self.dist[pos] = new
+        return changed
+
+    def dist_df(self) -> pd.DataFrame:
+        keep = self.dist < self._INF
+        return pd.DataFrame(
+            {
+                "node": pd.Series(self.nodes[keep], dtype="int64"),
+                "dist": pd.Series(self.dist[keep], dtype="int64"),
+            }
+        )
+
+
+def sssp(edges, seeds, weight_col: str = "w", max_iters: int = 64,
+         num_partitions: int = 8) -> pd.DataFrame:
+    """Multi-source weighted shortest paths over a DIRECTED edge
+    Dataset ``(u, v, w)`` with non-negative integer weights (pass
+    both directions for an undirected graph): distributed
+    Bellman-Ford on the shared Pregel shard layout — one edge
+    shuffle, then actor-to-actor pre-aggregated (dst, min
+    candidate) exchange per round until a fixpoint (bounded by the
+    shortest-path hop diameter, never |V|).  Parallel edges collapse
+    to their MIN weight at shard load (``dedup_edges`` lexsort
+    keeps the smallest weight per pair).
+
+    Returns (node, dist) for every node reachable from any seed;
+    exact int64 distances."""
+    import ray
+
+    seeds = np.asarray(seeds, dtype=np.int64)
+    B = max(1, num_partitions)
+    actors, counts = _spawn_shards(
+        _SSSPShard, edges, B, "u", "v", dedup_edges=True,
+        weight_col=weight_col,
+    )
+    if int(sum(counts)) == 0:
+        out = _collect_shards(
+            actors, [], {"node": "int64", "dist": "int64"}
+        )
+        return out.to_pandas()
+    seed_ref = ray.put(seeds)
+    ray.get([a.seed.remote(seed_ref) for a in actors])
+    for _ in range(max_iters):
+        outs = [_fan(a, "propagate", B) for a in actors]
+        changed = sum(ray.get(
+            [
+                actors[t].update.remote(*[outs[i][t] for i in range(B)])
+                for t in range(B)
+            ]
+        ))
+        if changed == 0:
+            break
+    refs = [
+        a.dist_df.remote() for a, c in zip(actors, counts) if c > 0
+    ]
+    out = _collect_shards(
+        actors, refs, {"node": "int64", "dist": "int64"}
+    ).to_pandas()
+    if "node" not in out.columns:
+        out = pd.DataFrame(
+            {
+                "node": pd.Series([], dtype="int64"),
+                "dist": pd.Series([], dtype="int64"),
+            }
+        )
     return out.sort_values("node").reset_index(drop=True)

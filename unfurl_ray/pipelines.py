@@ -8728,3 +8728,185 @@ def q_knn_classify(sf_dir: str) -> pd.DataFrame:
     win["pred_label"] = win["pred_label"].astype("int64")
     win["votes"] = win["votes"].astype("int64")
     return win.sort_values("query_id").reset_index(drop=True)
+
+
+def q_set_ops(sf_dir: str) -> pd.DataFrame:
+    """Distinct-set algebra census (INTERSECT / EXCEPT / UNION over
+    the click vs purchase user sets) in ONE pre-aggregated pass:
+    per-user membership flags fold as maxes (the shuffle moves one
+    row per user per batch), then the 4-counter census closes on a
+    single row — no set ever materializes."""
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    ds = _parquet_sh(sf_dir, "events", ["user_id", "event_type"])
+
+    def flags(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "c": pc.cast(pc.equal(et, "click"), pa.int64()),
+                "p": pc.cast(pc.equal(et, "purchase"), pa.int64()),
+            }
+        )
+
+    per_user = pre_aggregate(
+        ds.map_batches(flags, batch_format="pyarrow"),
+        ["user_id"], {"c": ("c", "max"), "p": ("p", "max")},
+    ).to_pandas()
+    c = per_user["c"].to_numpy(np.int64)
+    p = per_user["p"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "n_both": np.array([int(((c == 1) & (p == 1)).sum())],
+                               np.int64),
+            "n_click_only": np.array(
+                [int(((c == 1) & (p == 0)).sum())], np.int64
+            ),
+            "n_purchase_only": np.array(
+                [int(((c == 0) & (p == 1)).sum())], np.int64
+            ),
+            "n_union": np.array(
+                [int(((c == 1) | (p == 1)).sum())], np.int64
+            ),
+        }
+    )
+
+
+def q_user_journey(sf_dir: str) -> pd.DataFrame:
+    """First-5-events journey census: each user's opening event-type
+    path (ts order) counted across the corpus — the onboarding
+    funnel paths.  The per-batch partial top-k prunes to <=5 rows
+    per user per batch (negated-timestamp trick reuses the
+    descending top-k engine for an ASCENDING window), the path
+    string builds vectorized on the pruned output, and the census
+    is bounded by the path domain (#types^5)."""
+    from unfurl_ray.ops.relational import topk_per_group
+
+    ds = _parquet_sh(
+        sf_dir, "events", ["user_id", "event_id", "event_type", "ts"]
+    )
+
+    def neg_ts(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+                "neg_ts": pc.multiply(
+                    pc.cast(batch.column("ts"), pa.int64()),
+                    pa.scalar(-1, pa.int64()),
+                ),
+            }
+        )
+
+    top = topk_per_group(
+        ds.map_batches(neg_ts, batch_format="pyarrow"),
+        "user_id", "neg_ts", 5, tiebreak_col="event_id",
+    )
+    top = top.sort_values(
+        ["user_id", "neg_ts", "event_id"],
+        ascending=[True, False, True],
+    )
+    paths = (
+        top.groupby("user_id")["event_type"]
+        .agg(">".join)
+        .rename("path")
+        .reset_index()
+    )
+    out = (
+        paths.groupby("path", as_index=False)
+        .size()
+        .rename(columns={"size": "n_users"})
+        .sort_values("path")
+        .reset_index(drop=True)
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+def q_partition_prune(sf_dir: str) -> pd.DataFrame:
+    """Hive-partitioned layout + partition-pruned read: events write
+    once partitioned by event_type (``write_parquet(partition_cols)``
+    — the physical layout a 100 TB events table would ship with),
+    then the purchase-only daily rollup reads JUST that partition
+    directory — zero bytes of any other type leave storage.  The
+    /tmp layout caches on the source fingerprint like the other
+    layout ops."""
+    import os
+
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    DAY_US = 86_400 * 1_000_000
+    tag = _cache_tag(sf_dir, "hivepart", "events")
+    root = f"/tmp/unfurl_ray_layout/{tag}"
+    if not os.path.isdir(root):
+        ds = _parquet_sh(
+            sf_dir, "events", ["event_id", "ts", "event_type", "value"]
+        )
+        ds.write_parquet(root, partition_cols=["event_type"])
+
+    part = _rd().read_parquet(
+        f"{root}/event_type=purchase",
+        columns=["ts", "value"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.divide(
+                    pc.cast(batch.column("ts"), pa.int64()),
+                    pa.scalar(DAY_US, pa.int64()),
+                ),
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(
+                            batch.column("value"), pa.scalar(100.0)
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = pre_aggregate(
+        part.map_batches(prep, batch_format="pyarrow"),
+        ["day"], {"n": ("cents", "count"), "rev_cents": ("cents", "sum")},
+    ).to_pandas()
+    for c in ("day", "n", "rev_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def q_sssp(sf_dir: str) -> pd.DataFrame:
+    """Weighted shortest paths from the vec_id<2 seeds over the
+    cosine>=0.3 similarity graph, weight = floor((1-cosine)*1e6)
+    (integer semantic distance): distributed Bellman-Ford on the
+    shared Pregel shard layout (ops.graph.sssp) — exact int64
+    distances, rounds bounded by the hop diameter.  Rows-only
+    (iterative fixpoint has no SQL twin); pinned by a Dijkstra
+    parity pytest."""
+    from unfurl_ray.ops.graph import sssp
+    from unfurl_ray.ops.similarity import cosine_pair_dedup
+
+    ds = _parquet(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = cosine_pair_dedup(ds, threshold=0.3)
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch.column("vec_a").cast(pa.int64())
+        b = batch.column("vec_b").cast(pa.int64())
+        cos = batch.column("cosine").to_numpy(zero_copy_only=False)
+        w = pa.array(
+            np.floor((1.0 - cos) * 1e6).astype(np.int64), pa.int64()
+        )
+        return pa.table(
+            {
+                "u": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+                "v": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
+                "w": pa.concat_arrays([w, w]),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
+    out = sssp(edges, [0, 1], num_partitions=8)
+    return out
