@@ -288,6 +288,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_user_journey": p.q_user_journey,
         "q_partition_prune": p.q_partition_prune,
         "q_sssp": p.q_sssp,
+        "q13_customer_distribution": p.q13_customer_distribution,
+        "q14_promo_revenue": p.q14_promo_revenue,
+        "q15_top_supplier": p.q15_top_supplier,
+        "q17_small_quantity_revenue": p.q17_small_quantity_revenue,
+        "q18_large_orders": p.q18_large_orders,
+        "q19_banded_revenue": p.q19_banded_revenue,
+        "q22_idle_customers": p.q22_idle_customers,
     }
 
 
@@ -3998,6 +4005,102 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3, 4
             ORDER BY revenue DESC, c_custkey
             LIMIT 20
+        """,
+        # TPC-H Q13 shape: customer distribution by order count
+        "q13_customer_distribution": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM (
+                SELECT c_custkey,
+                       count(o_orderkey) AS c_count
+                FROM customer
+                LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        # TPC-H Q14 shape: promo revenue share for one ship month
+        "q14_promo_revenue": """
+            SELECT round(
+                100.0 * sum(CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0 END)
+                / sum(l_extendedprice * (1 - l_discount)), 4)
+                AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= DATE '1997-09-01'
+              AND l_shipdate < DATE '1997-10-01'
+        """,
+        # TPC-H Q15 shape: max-revenue supplier(s), 1997 Q3
+        "q15_top_supplier": """
+            WITH revenue AS (
+                SELECT l_suppkey AS supplier_no,
+                       round(sum(l_extendedprice * (1 - l_discount)),
+                             2) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= DATE '1997-07-01'
+                  AND l_shipdate < DATE '1997-10-01'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier JOIN revenue ON s_suppkey = supplier_no
+            WHERE total_revenue =
+                  (SELECT max(total_revenue) FROM revenue)
+            ORDER BY s_suppkey
+        """,
+        # TPC-H Q17 shape: small-quantity avg yearly revenue, Brand#4
+        "q17_small_quantity_revenue": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#4'
+              AND l_quantity < (
+                  SELECT 0.2 * avg(l_quantity)
+                  FROM lineitem l2
+                  WHERE l2.l_partkey = p_partkey)
+        """,
+        # TPC-H Q18 shape: top-100 orders with sum(quantity) > 300
+        "q18_large_orders": """
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem
+                GROUP BY l_orderkey
+                HAVING sum(l_quantity) > 300)
+            GROUP BY 1, 2, 3, 4, 5
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100
+        """,
+        # TPC-H Q19 shape: disjunctive brand/size/quantity bands
+        "q19_banded_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        # TPC-H Q22 shape: above-average-balance customers idle
+        # since 1999, per nation (nationkey as the country code)
+        "q22_idle_customers": """
+            SELECT c_nationkey,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (
+                SELECT avg(c_acctbal) FROM customer
+                WHERE c_acctbal > 0.0)
+              AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderdate >= DATE '1999-01-01')
+            GROUP BY c_nationkey
+            ORDER BY c_nationkey
         """,
         # weekly cohort x offset retention matrix
         "q_cohort_retention": """

@@ -8910,3 +8910,559 @@ def q_sssp(sf_dir: str) -> pd.DataFrame:
     edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
     out = sssp(edges, [0, 1], num_partitions=8)
     return out
+
+
+def q13_customer_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count,
+    INCLUDING the zero-order bucket.  One combiner-first shuffle
+    collapses orders to a per-customer count; a bucketed LEFT hash
+    join against the customer key column makes zero-order customers
+    visible locally in their bucket (coalesce to 0); the final
+    count-of-counts histogram is a second tiny pre_aggregate.  No
+    side is broadcast — both shuffles carry one row per customer at
+    most, so the plan holds at 1.5B customers."""
+    from unfurl_ray.ops.relational import (
+        bucketed_hash_join, pre_aggregate,
+    )
+
+    per_cust = pre_aggregate(
+        _parquet_sh(sf_dir, "orders", ["o_custkey"]),
+        ["o_custkey"], {"n_orders": ("o_custkey", "count")},
+    )
+    cust = _parquet_sh(sf_dir, "customer", ["c_custkey"])
+    joined = bucketed_hash_join(
+        cust, per_cust, on="c_custkey", right_on="o_custkey",
+        how="left",
+    )
+
+    def coalesce(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_count": batch["n_orders"]
+                .fillna(0)
+                .astype("int64"),
+            }
+        )
+
+    hist = pre_aggregate(
+        joined.map_batches(coalesce, batch_format="pandas"),
+        ["c_count"], {"custdist": ("c_count", "count")},
+    ).to_pandas()
+    hist["custdist"] = hist["custdist"].astype("int64")
+    return hist.sort_values(
+        ["custdist", "c_count"], ascending=[False, False]
+    ).reset_index(drop=True)
+
+
+def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape: share of one ship-month's revenue from PROMO
+    parts.  The part table collapses to two broadcast numpy arrays
+    (sorted partkey, is-promo flag — one bit per part, shipped ONCE
+    via ray.put); the lineitem scan is a single filtered pass
+    emitting one (promo_rev, total_rev) partial row per batch, so
+    nothing shuffles at all."""
+    import ray
+
+    from unfurl_ray.ops.relational import _broadcast_fetch
+
+    lo = np.datetime64("1997-09-01", "us")
+    hi = np.datetime64("1997-10-01", "us")
+
+    part = (
+        _parquet(sf_dir, "part", ["p_partkey", "p_type"])
+        .to_pandas()
+        .sort_values("p_partkey")
+    )
+    part_ref = ray.put(
+        (
+            part["p_partkey"].to_numpy(np.int64),
+            (part["p_type"] == "PROMO").to_numpy(np.bool_),
+        )
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(
+                pc.greater_equal(batch.column("l_shipdate"), lo),
+                pc.less(batch.column("l_shipdate"), hi),
+            )
+        )
+        keys, promo = _broadcast_fetch(part_ref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        rev = (
+            batch.column("l_extendedprice").to_numpy(
+                zero_copy_only=False
+            )
+            * (
+                1.0
+                - batch.column("l_discount").to_numpy(
+                    zero_copy_only=False
+                )
+            )
+        )
+        idx = np.clip(
+            np.searchsorted(keys, pk), 0, max(len(keys) - 1, 0)
+        )
+        is_promo = (keys[idx] == pk) & promo[idx] if len(keys) else (
+            np.zeros(len(pk), np.bool_)
+        )
+        return pa.table(
+            {
+                "promo_rev": pa.array(
+                    [float(rev[is_promo].sum())], pa.float64()
+                ),
+                "total_rev": pa.array(
+                    [float(rev.sum())], pa.float64()
+                ),
+            }
+        )
+
+    parts_df = (
+        _parquet_sh(
+            sf_dir, "lineitem",
+            ["l_partkey", "l_extendedprice", "l_discount",
+             "l_shipdate"],
+        )
+        .map_batches(partials, batch_format="pyarrow")
+        .to_pandas()
+    )
+    ratio = (
+        100.0 * parts_df["promo_rev"].sum()
+        / parts_df["total_rev"].sum()
+    )
+    return pd.DataFrame({"promo_revenue": [round(ratio, 4)]})
+
+
+def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum one-quarter
+    revenue.  One combiner-first shuffle builds the per-supplier
+    revenue view; the max closes with per-batch partial maxima (the
+    per-supplier table is never sorted or pulled to the driver); the
+    tiny winner set then broadcast-filters the supplier scan for
+    names.  Ties on the ROUNDED revenue are all returned, matching
+    the subquery-equality semantics."""
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    lo = np.datetime64("1997-07-01", "us")
+    hi = np.datetime64("1997-10-01", "us")
+
+    li = _parquet_sh(
+        sf_dir, "lineitem",
+        ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l_suppkey": b.column("l_suppkey"),
+                "part_rev": pc.multiply(
+                    b.column("l_extendedprice"),
+                    pc.subtract(
+                        pa.scalar(1.0), b.column("l_discount")
+                    ),
+                ),
+            }
+        ).filter(
+            pc.and_(
+                pc.greater_equal(b.column("l_shipdate"), lo),
+                pc.less(b.column("l_shipdate"), hi),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    rev = pre_aggregate(
+        li, ["l_suppkey"], {"total_revenue": ("part_rev", "sum")},
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l_suppkey": b.column("l_suppkey"),
+                "total_revenue": pc.round(
+                    b.column("total_revenue"), 2
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    best = float(rev.max("total_revenue"))
+    winners = rev.map_batches(
+        lambda b, m=best: b.filter(
+            pc.equal(b.column("total_revenue"), m)
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+
+    keep = frozenset(winners["l_suppkey"].astype(int))
+    names = (
+        _parquet(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        .map_batches(
+            lambda b, k=keep: b[b["s_suppkey"].isin(k)],
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    out = names.merge(
+        winners, left_on="s_suppkey", right_on="l_suppkey"
+    )[["s_suppkey", "s_name", "total_revenue"]]
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+def q17_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders (below 20% of the part's own mean quantity) for one brand
+    were not taken.  The brand's partkeys broadcast once (a ~1/25
+    slice of part — int64 keys only); pass 1 is a combiner-first
+    shuffle over the brand-filtered lineitems building per-part
+    (sum, count); the resulting per-part threshold map broadcasts
+    back (same 1/25 cardinality) and pass 2 closes with per-batch
+    partial sums — the correlated subquery costs two scans and one
+    small shuffle, never a self-join."""
+    import ray
+
+    from unfurl_ray.ops.relational import (
+        _broadcast_fetch, pre_aggregate,
+    )
+
+    brand_keys = np.sort(
+        _parquet(sf_dir, "part", ["p_partkey", "p_brand"])
+        .map_batches(
+            lambda b: b[b["p_brand"] == "Brand#4"][["p_partkey"]],
+            batch_format="pandas",
+        )
+        .to_pandas()["p_partkey"]
+        .to_numpy(np.int64)
+    )
+    keys_ref = ray.put(brand_keys)
+
+    def brand_only(batch: pa.Table) -> pa.Table:
+        keys = _broadcast_fetch(keys_ref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        idx = np.clip(
+            np.searchsorted(keys, pk), 0, max(len(keys) - 1, 0)
+        )
+        hit = keys[idx] == pk if len(keys) else np.zeros(
+            len(pk), np.bool_
+        )
+        return batch.filter(pa.array(hit))
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    branded = _parquet_sh(sf_dir, "lineitem", li_cols).map_batches(
+        brand_only, batch_format="pyarrow"
+    )
+    per_part = pre_aggregate(
+        branded, ["l_partkey"],
+        {
+            "qty_sum": ("l_quantity", "sum"),
+            "qty_n": ("l_quantity", "count"),
+        },
+    ).to_pandas().sort_values("l_partkey")
+    thresh_ref = ray.put(
+        (
+            per_part["l_partkey"].to_numpy(np.int64),
+            0.2
+            * per_part["qty_sum"].to_numpy(np.float64)
+            / per_part["qty_n"].to_numpy(np.float64),
+        )
+    )
+
+    def small_qty_sum(batch: pa.Table) -> pa.Table:
+        keys, thresh = _broadcast_fetch(thresh_ref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        qty = batch.column("l_quantity").to_numpy(
+            zero_copy_only=False
+        )
+        price = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False
+        )
+        idx = np.clip(
+            np.searchsorted(keys, pk), 0, max(len(keys) - 1, 0)
+        )
+        hit = (
+            (keys[idx] == pk) & (qty < thresh[idx])
+            if len(keys)
+            else np.zeros(len(pk), np.bool_)
+        )
+        return pa.table(
+            {"s": pa.array([float(price[hit].sum())], pa.float64())}
+        )
+
+    total = (
+        _parquet_sh(sf_dir, "lineitem", li_cols)
+        .map_batches(small_qty_sum, batch_format="pyarrow")
+        .to_pandas()["s"]
+        .sum()
+    )
+    return pd.DataFrame({"avg_yearly": [round(total / 7.0, 2)]})
+
+
+def q18_large_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18 shape: top-100 orders whose total quantity exceeds
+    300, with customer names.  The lineitem side collapses to one
+    row per orderkey in a combiner-first shuffle BEFORE any join
+    (the HAVING filter prunes to a tiny qualifying set — ~0.004% of
+    orders at TPC-H selectivity, small enough to broadcast as int64
+    keys even at 100 TB); the orders side is then a RUNTIME-FILTERED
+    scan (broadcast sorted-key searchsorted, no shuffle at all); the
+    top-100 closes with per-batch partial top-k BEFORE customer
+    names are fetched, so the name lookup is a ≤100-key
+    broadcast-filtered scan of customer — no whole-table shuffle
+    anywhere, never a global sort."""
+    import ray
+
+    from unfurl_ray.ops.relational import (
+        _broadcast_fetch, pre_aggregate,
+    )
+
+    per_order = (
+        pre_aggregate(
+            _parquet_sh(
+                sf_dir, "lineitem", ["l_orderkey", "l_quantity"]
+            ),
+            ["l_orderkey"], {"sum_qty": ("l_quantity", "sum")},
+        )
+        .map_batches(
+            lambda b: b.filter(
+                pc.greater(b.column("sum_qty"), 300.0)
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("l_orderkey")
+    )
+    qual_ref = ray.put(
+        (
+            per_order["l_orderkey"].to_numpy(np.int64),
+            per_order["sum_qty"].to_numpy(np.float64),
+        )
+    )
+
+    def runtime_filter(batch: pa.Table) -> pa.Table:
+        keys, sq = _broadcast_fetch(qual_ref)
+        ok_ = batch.column("o_orderkey").to_numpy(
+            zero_copy_only=False
+        )
+        idx = np.clip(
+            np.searchsorted(keys, ok_), 0, max(len(keys) - 1, 0)
+        )
+        hit = keys[idx] == ok_ if len(keys) else np.zeros(
+            len(ok_), np.bool_
+        )
+        out = batch.filter(pa.array(hit))
+        return out.append_column(
+            "sum_qty", pa.array(sq[idx[hit]], pa.float64())
+        )
+
+    big = _parquet_sh(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(runtime_filter, batch_format="pyarrow")
+
+    def partial_top(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[("o_totalprice", "descending"),
+                       ("o_orderkey", "ascending")],
+        )
+        return batch.take(idx[:100])
+
+    top = (
+        big.map_batches(partial_top, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        )
+        .head(100)
+        .reset_index(drop=True)
+    )
+    keep = frozenset(top["o_custkey"].astype(int))
+    names = (
+        _parquet(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(
+            lambda b, k=keep: b[b["c_custkey"].isin(k)],
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    top = top.merge(
+        names, left_on="o_custkey", right_on="c_custkey"
+    ).sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+    top["o_totalprice"] = top["o_totalprice"].round(2)
+    top["sum_qty"] = top["sum_qty"].round(2)
+    for c in ("c_custkey", "o_orderkey"):
+        top[c] = top[c].astype("int64")
+    return top[
+        ["c_custkey", "c_name", "o_orderkey", "o_orderdate",
+         "o_totalprice", "sum_qty"]
+    ]
+
+
+def q19_banded_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of
+    (brand, size-band, quantity-band) predicates.  part collapses to
+    three broadcast numpy arrays (sorted partkey, brand code 1-3,
+    size) shipped once; the lineitem scan evaluates all three bands
+    vectorized per batch and emits one partial-sum row — a pure map
+    plan, no shuffle, no join."""
+    import ray
+
+    from unfurl_ray.ops.relational import _broadcast_fetch
+
+    part = (
+        _parquet(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+        .to_pandas()
+        .sort_values("p_partkey")
+    )
+    code = np.zeros(len(part), np.int8)
+    code[(part["p_brand"] == "Brand#12").to_numpy()] = 1
+    code[(part["p_brand"] == "Brand#23").to_numpy()] = 2
+    code[(part["p_brand"] == "Brand#4").to_numpy()] = 3
+    part_ref = ray.put(
+        (
+            part["p_partkey"].to_numpy(np.int64),
+            code,
+            part["p_size"].to_numpy(np.int64),
+        )
+    )
+
+    def banded_sum(batch: pa.Table) -> pa.Table:
+        keys, brand, size = _broadcast_fetch(part_ref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        qty = batch.column("l_quantity").to_numpy(
+            zero_copy_only=False
+        )
+        rev = (
+            batch.column("l_extendedprice").to_numpy(
+                zero_copy_only=False
+            )
+            * (
+                1.0
+                - batch.column("l_discount").to_numpy(
+                    zero_copy_only=False
+                )
+            )
+        )
+        idx = np.clip(
+            np.searchsorted(keys, pk), 0, max(len(keys) - 1, 0)
+        )
+        ok = keys[idx] == pk if len(keys) else np.zeros(
+            len(pk), np.bool_
+        )
+        b, s = brand[idx], size[idx]
+        hit = ok & (
+            ((b == 1) & (s <= 5) & (qty >= 1) & (qty <= 11))
+            | ((b == 2) & (s <= 10) & (qty >= 10) & (qty <= 20))
+            | ((b == 3) & (s <= 15) & (qty >= 20) & (qty <= 30))
+        )
+        return pa.table(
+            {"s": pa.array([float(rev[hit].sum())], pa.float64())}
+        )
+
+    total = (
+        _parquet_sh(
+            sf_dir, "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice",
+             "l_discount"],
+        )
+        .map_batches(banded_sum, batch_format="pyarrow")
+        .to_pandas()["s"]
+        .sum()
+    )
+    return pd.DataFrame({"revenue": [round(total, 2)]})
+
+
+def q22_idle_customers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22 shape (nationkey standing in for the phone-prefix
+    country code): above-average-balance customers with NO order
+    since 1999, counted per nation.  The global mean closes from
+    per-batch (sum, count) partials; the anti join is ONE
+    bucket-co-partitioned LEFT join of the balance-filtered
+    customers against the distinct recent-order custkeys (distinct
+    active customers is itself customer-cardinality at design scale,
+    so neither side broadcasts); unmatched rows null-pad locally and
+    the per-nation rollup is a final tiny pre_aggregate."""
+    from unfurl_ray.ops.relational import (
+        bucketed_hash_join, pre_aggregate,
+    )
+
+    cut = np.datetime64("1999-01-01", "us")
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    parts = (
+        _parquet_sh(sf_dir, "customer", cust_cols)
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "s": pa.array(
+                        [
+                            float(
+                                pc.sum(
+                                    b.filter(
+                                        pc.greater(
+                                            b.column("c_acctbal"),
+                                            0.0,
+                                        )
+                                    ).column("c_acctbal")
+                                ).as_py()
+                                or 0.0
+                            )
+                        ],
+                        pa.float64(),
+                    ),
+                    "n": pa.array(
+                        [
+                            len(
+                                b.filter(
+                                    pc.greater(
+                                        b.column("c_acctbal"), 0.0
+                                    )
+                                )
+                            )
+                        ],
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    avg_bal = parts["s"].sum() / parts["n"].sum()
+
+    rich = _parquet_sh(sf_dir, "customer", cust_cols).map_batches(
+        lambda b, a=avg_bal: b.filter(
+            pc.greater(b.column("c_acctbal"), a)
+        ),
+        batch_format="pyarrow",
+    )
+    active = pre_aggregate(
+        _parquet_sh(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+        .map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b.column("o_orderdate"), cut)
+            ).select(["o_custkey"]),
+            batch_format="pyarrow",
+        ),
+        ["o_custkey"], {"n_recent": ("o_custkey", "count")},
+    )
+    joined = bucketed_hash_join(
+        rich, active, on="c_custkey", right_on="o_custkey",
+        how="left",
+    )
+
+    def idle_only(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["n_recent"].isna()][
+            ["c_nationkey", "c_acctbal"]
+        ]
+
+    out = pre_aggregate(
+        joined.map_batches(idle_only, batch_format="pandas"),
+        ["c_nationkey"],
+        {
+            "numcust": ("c_acctbal", "count"),
+            "totacctbal": ("c_acctbal", "sum"),
+        },
+    ).to_pandas()
+    out["numcust"] = out["numcust"].astype("int64")
+    out["totacctbal"] = out["totacctbal"].round(2)
+    out["c_nationkey"] = out["c_nationkey"].astype("int64")
+    return out.sort_values("c_nationkey").reset_index(drop=True)
