@@ -295,6 +295,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_orders": p.q18_large_orders,
         "q19_banded_revenue": p.q19_banded_revenue,
         "q22_idle_customers": p.q22_idle_customers,
+        "q_interval_join": p.q_interval_join,
+        "q7_volume_shipping": p.q7_volume_shipping,
+        "q12_late_priority": p.q12_late_priority,
+        "q16_supplier_diversity": p.q16_supplier_diversity,
     }
 
 
@@ -4101,6 +4105,72 @@ def oracle_sql() -> dict[str, str]:
                   AND o_orderdate >= DATE '1999-01-01')
             GROUP BY c_nationkey
             ORDER BY c_nationkey
+        """,
+        # TPC-H Q7 shape: bilateral trade volume by ship year
+        "q7_volume_shipping": """
+            SELECT sn.n_name AS supp_nation,
+                   cn.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+                OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+              AND l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1998-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        # TPC-H Q12 shape: late lineitems by order year, CASE counts
+        "q12_late_priority": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                            ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                            ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+            GROUP BY 1 ORDER BY 1
+        """,
+        # TPC-H Q16 shape: distinct suppliers per (brand, size)
+        "q16_supplier_diversity": """
+            SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#4'
+              AND p_size IN (1, 5, 9, 13, 17)
+            GROUP BY 1, 2
+            ORDER BY supplier_cnt DESC, p_brand, p_size
+        """,
+        # interval x interval overlap join, exact integer us
+        "q_interval_join": """
+            WITH l AS (
+                SELECT user_id, epoch_us(ts) AS s,
+                       epoch_us(ts)
+                       + ((event_id % 7200) + 60) * 1000000 AS e
+                FROM events WHERE event_id % 2 = 0),
+            r AS (
+                SELECT user_id, epoch_us(ts) AS s,
+                       epoch_us(ts)
+                       + ((event_id % 5400) + 120) * 1000000 AS e
+                FROM events WHERE event_id % 2 = 1)
+            SELECT l.user_id,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(least(l.e, r.e) - greatest(l.s, r.s))
+                        AS BIGINT) AS overlap_us
+            FROM l JOIN r ON l.user_id = r.user_id
+                         AND l.s < r.e AND r.s < l.e
+            GROUP BY 1 ORDER BY 1
         """,
         # weekly cohort x offset retention matrix
         "q_cohort_retention": """

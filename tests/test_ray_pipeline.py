@@ -5685,3 +5685,56 @@ def test_sssp_matches_dijkstra(ray_session):
     got = got.reset_index(drop=True)
     assert got["node"].tolist() == want["node"].tolist()
     assert got["dist"].tolist() == want["dist"].tolist()
+
+
+def test_interval_overlap_join_matches_brute(ray_session):
+    """interval_overlap_join vs an O(n^2) in-memory reference on a
+    mixed workload: multi-cell-spanning intervals, touching (non-
+    overlapping) endpoints, and ONE hot key holding >50% of all
+    intervals spread across many blocks."""
+    import ray.data as rd
+
+    from unfurl_ray.ops.relational import interval_overlap_join
+
+    rng = np.random.default_rng(7)
+    W = 1_000_000  # 1 s cells
+
+    def mk(n, hot_frac):
+        key = np.where(
+            rng.random(n) < hot_frac, 7, rng.integers(0, 40, n)
+        )
+        s = rng.integers(0, 50 * W, n)
+        dur = rng.integers(1, 5 * W, n)
+        return pd.DataFrame(
+            {"k": key.astype(np.int64), "s": s, "e": s + dur}
+        )
+
+    lf = mk(400, 0.55)
+    rf = mk(300, 0.55)
+    # planted touching pair: must NOT join (half-open intervals)
+    lf.loc[0] = [99, 10 * W, 11 * W]
+    rf.loc[0] = [99, 11 * W, 12 * W]
+
+    got = (
+        interval_overlap_join(
+            rd.from_pandas(lf).repartition(8),
+            rd.from_pandas(rf).repartition(8),
+            "k", "s", "e", cell_us=W,
+        )
+        .to_pandas()
+        .sort_values(["k", "s_l", "s_r", "e_l", "e_r"])
+        .reset_index(drop=True)
+    )
+
+    brute = lf.merge(rf, on="k", suffixes=("_l", "_r"))
+    brute = brute[
+        (brute["s_l"] < brute["e_r"]) & (brute["s_r"] < brute["e_l"])
+    ][["k", "s_l", "e_l", "s_r", "e_r"]].sort_values(
+        ["k", "s_l", "s_r", "e_l", "e_r"]
+    ).reset_index(drop=True)
+
+    assert len(got) == len(brute) > 0
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), brute.astype("int64")
+    )
+    assert not ((got["k"] == 99)).any()  # touching pair excluded

@@ -4155,3 +4155,115 @@ def rolling_median_by(ds, key_col: str, ts_col: str, id_col: str,
         _tail_carries(key_col, id_col, w),
         apply_cell, empty_out, n_shards,
     )
+
+
+def interval_overlap_join(left_ds, right_ds, key_col: str,
+                          start_col: str, end_col: str, cell_us: int,
+                          n_merge_buckets: int = 64,
+                          max_cells: int = 4096):
+    """Interval x interval overlap join: all (left, right) pairs with
+    the same key whose half-open int64-microsecond intervals
+    ``[start, end)`` overlap (``l.start < r.end AND r.start <
+    l.end``).  Differs from range_join (point-in-interval with a
+    broadcast side) and from windowed_pair_join (point streams with a
+    fixed lag window): BOTH sides here are interval sets of arbitrary
+    width and neither broadcasts.
+
+    Shape: each interval fragments to every ``cell_us``-wide time
+    cell it touches (vectorized repeat/arange, bounded by
+    ``max_cells`` per interval); (key, cell) cells hash onto ~fixed
+    shuffle buckets and each bucket joins its cells with one
+    vectorized pandas merge.  A pair overlapping in several shared
+    cells is emitted ONLY in its canonical cell
+    ``max(l.start, r.start) // cell_us`` — dedup is a vectorized
+    predicate, never a distinct shuffle.  Per-group memory is
+    bounded by the pair count of its cells (the true output size).
+    Size ``cell_us`` near the typical interval width: wider cells cut
+    the fragment fan-out, narrower cells cut the per-cell pair count.
+
+    Returns (key, s_l, e_l, s_r, e_r) int64-microsecond pair rows.
+    """
+    def _shape(side: int):
+        def shape(batch: pd.DataFrame) -> pa.Table:
+            s = batch[start_col].to_numpy(dtype=np.int64)
+            e = batch[end_col].to_numpy(dtype=np.int64)
+            keep = e > s
+            s, e = s[keep], e[keep]
+            keys = batch[key_col].to_numpy()[keep]
+            c0 = s // cell_us
+            c1 = (e - 1) // cell_us
+            n = (c1 - c0 + 1).astype(np.int64)
+            if len(n) and int(n.max()) > max_cells:
+                raise ValueError(
+                    f"interval spans {int(n.max())} cells "
+                    f"> max_cells={max_cells}; widen cell_us"
+                )
+            total = int(n.sum())
+            rep = np.repeat(np.arange(len(n)), n)
+            # offset of each fragment within its interval's cell run
+            off = np.arange(total) - np.repeat(np.cumsum(n) - n, n)
+            out = pd.DataFrame(
+                {
+                    key_col: keys[rep],
+                    "_cell": c0[rep] + off,
+                    "_s": s[rep],
+                    "_e": e[rep],
+                    "_side": np.full(total, side, np.int8),
+                }
+            )
+            h = pd.util.hash_pandas_object(
+                out[[key_col, "_cell"]], index=False
+            ).to_numpy()
+            out["_sb"] = (h % np.uint64(n_merge_buckets)).astype(
+                np.int64
+            )
+            return _arrow(out)
+
+        return shape
+
+    def join_cells(group: pd.DataFrame) -> pa.Table:
+        on = [key_col, "_cell"]
+        lefts = group[group["_side"] == 0]
+        rights = group[group["_side"] == 1]
+        empty = pa.table(
+            {
+                key_col: pa.array([], pa.int64()),
+                "s_l": pa.array([], pa.int64()),
+                "e_l": pa.array([], pa.int64()),
+                "s_r": pa.array([], pa.int64()),
+                "e_r": pa.array([], pa.int64()),
+            }
+        )
+        if lefts.empty or rights.empty:
+            return empty
+        pairs = lefts[on + ["_s", "_e"]].merge(
+            rights[on + ["_s", "_e"]], on=on, suffixes=("_l", "_r"),
+        )
+        smax = np.maximum(
+            pairs["_s_l"].to_numpy(), pairs["_s_r"].to_numpy()
+        )
+        emin = np.minimum(
+            pairs["_e_l"].to_numpy(), pairs["_e_r"].to_numpy()
+        )
+        keep = pairs[
+            (smax < emin)
+            & (smax // cell_us == pairs["_cell"].to_numpy())
+        ]
+        return pa.table(
+            {
+                key_col: pa.array(
+                    keep[key_col].to_numpy(), pa.int64()
+                ),
+                "s_l": pa.array(keep["_s_l"].to_numpy(), pa.int64()),
+                "e_l": pa.array(keep["_e_l"].to_numpy(), pa.int64()),
+                "s_r": pa.array(keep["_s_r"].to_numpy(), pa.int64()),
+                "e_r": pa.array(keep["_e_r"].to_numpy(), pa.int64()),
+            }
+        )
+
+    tagged = left_ds.map_batches(
+        _shape(0), batch_format="pandas"
+    ).union(right_ds.map_batches(_shape(1), batch_format="pandas"))
+    return tagged.groupby("_sb").map_groups(
+        join_cells, batch_format="pandas"
+    )

@@ -9466,3 +9466,332 @@ def q22_idle_customers(sf_dir: str) -> pd.DataFrame:
     out["totacctbal"] = out["totacctbal"].round(2)
     out["c_nationkey"] = out["c_nationkey"].astype("int64")
     return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+def q_interval_join(sf_dir: str) -> pd.DataFrame:
+    """Interval x interval overlap join (ops.relational.
+    interval_overlap_join): even event_ids spawn 'effect' intervals
+    [ts, ts + (id%7200+60)s), odd event_ids spawn 'incident'
+    intervals [ts, ts + (id%5400+120)s); every same-user overlapping
+    pair is counted once with its exact overlap duration, rolled up
+    per user.  Neither interval set broadcasts — both fragment onto
+    one-hour (user, cell) cells and join co-partitioned, with the
+    canonical-cell predicate deduping multi-cell overlaps
+    vectorized.  All arithmetic is integer microseconds, so the
+    DuckDB twin is hash-exact."""
+    from unfurl_ray.ops.relational import (
+        _ts_us, interval_overlap_join, pre_aggregate,
+    )
+
+    def shape(parity: int):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            eid = batch["event_id"].to_numpy(np.int64)
+            keep = (eid % 2) == parity
+            s = _ts_us(batch["ts"]).to_numpy()[keep]
+            mod, base = (7200, 60) if parity == 0 else (5400, 120)
+            dur = ((eid[keep] % mod) + base) * 1_000_000
+            return pd.DataFrame(
+                {
+                    "user_id": batch["user_id"].to_numpy(
+                        np.int64
+                    )[keep],
+                    "s": s,
+                    "e": s + dur,
+                }
+            )
+
+        return f
+
+    cols = ["event_id", "ts", "user_id"]
+    left = _parquet_sh(sf_dir, "events", cols).map_batches(
+        shape(0), batch_format="pandas"
+    )
+    right = _parquet_sh(sf_dir, "events", cols).map_batches(
+        shape(1), batch_format="pandas"
+    )
+    pairs = interval_overlap_join(
+        left, right, "user_id", "s", "e", cell_us=3_600_000_000,
+    )
+
+    def overlap(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"],
+                "overlap_us": np.minimum(batch["e_l"], batch["e_r"])
+                - np.maximum(batch["s_l"], batch["s_r"]),
+            }
+        )
+
+    out = pre_aggregate(
+        pairs.map_batches(overlap, batch_format="pandas"),
+        ["user_id"],
+        {
+            "n_pairs": ("overlap_us", "count"),
+            "overlap_us": ("overlap_us", "sum"),
+        },
+    ).to_pandas()
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    out["overlap_us"] = out["overlap_us"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q7_volume_shipping(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year.  supplier collapses to a broadcast (sorted suppkey ->
+    nationkey) lookup shipped once (10M rows / ~160 MB at design
+    scale — far below shuffling lineitem); nation is a constant-size
+    driver map; customer nationality rides the orders⋈customer
+    bucketed join, then lineitem co-shuffles once on orderkey.  The
+    two-direction nation-pair predicate and the year bucketing close
+    vectorized inside the join output batches, and the final rollup
+    is a tiny pre_aggregate."""
+    import ray
+
+    from unfurl_ray.ops.relational import (
+        _broadcast_fetch, bucketed_hash_join, pre_aggregate,
+    )
+
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1998-01-01", "us")
+
+    nation = _parquet(sf_dir, "nation").to_pandas()
+    name_of = dict(
+        zip(nation["n_nationkey"].astype(int), nation["n_name"])
+    )
+    pair = {
+        int(
+            nation.loc[nation["n_name"] == n, "n_nationkey"].iloc[0]
+        )
+        for n in ("NATION_3", "NATION_7")
+    }
+
+    sup = (
+        _parquet(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        .to_pandas()
+        .sort_values("s_suppkey")
+    )
+    sup_ref = ray.put(
+        (
+            sup["s_suppkey"].to_numpy(np.int64),
+            sup["s_nationkey"].to_numpy(np.int64),
+        )
+    )
+
+    cust = _parquet_sh(
+        sf_dir, "customer", ["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b, keep=tuple(pair): b.filter(
+            pc.is_in(
+                b.column("c_nationkey").cast(pa.int64()),
+                pa.array(keep, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _parquet_sh(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    ord_cust = bucketed_hash_join(
+        orders, cust, on="o_custkey", right_on="c_custkey",
+    )
+
+    li = _parquet_sh(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+         "l_shipdate"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "l_year": pc.year(b.column("l_shipdate")),
+                "part_rev": pc.multiply(
+                    b.column("l_extendedprice"),
+                    pc.subtract(
+                        pa.scalar(1.0), b.column("l_discount")
+                    ),
+                ),
+            }
+        ).filter(
+            pc.and_(
+                pc.greater_equal(b.column("l_shipdate"), lo),
+                pc.less(b.column("l_shipdate"), hi),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_hash_join(
+        li, ord_cust.select_columns(["o_orderkey", "c_nationkey"]),
+        on="l_orderkey", right_on="o_orderkey",
+    )
+
+    def nation_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        keys, nats = _broadcast_fetch(sup_ref)
+        sk = batch["l_suppkey"].to_numpy(np.int64)
+        idx = np.clip(
+            np.searchsorted(keys, sk), 0, max(len(keys) - 1, 0)
+        )
+        s_nat = nats[idx]
+        cn = batch["c_nationkey"].to_numpy(np.int64)
+        a, b_ = min(pair), max(pair)
+        hit = (keys[idx] == sk) & (
+            ((s_nat == a) & (cn == b_)) | ((s_nat == b_) & (cn == a))
+        )
+        out = batch.loc[hit, ["l_year", "part_rev"]].copy()
+        out["s_nat"] = s_nat[hit]
+        out["c_nat"] = cn[hit]
+        return out
+
+    agg = pre_aggregate(
+        joined.map_batches(nation_pairs, batch_format="pandas"),
+        ["s_nat", "c_nat", "l_year"],
+        {"revenue": ("part_rev", "sum")},
+    ).to_pandas()
+    agg["supp_nation"] = agg["s_nat"].map(
+        lambda k: name_of[int(k)]
+    )
+    agg["cust_nation"] = agg["c_nat"].map(
+        lambda k: name_of[int(k)]
+    )
+    agg["revenue"] = agg["revenue"].round(2)
+    agg["l_year"] = agg["l_year"].astype("int64")
+    return (
+        agg[["supp_nation", "cust_nation", "l_year", "revenue"]]
+        .sort_values(["supp_nation", "cust_nation", "l_year"])
+        .reset_index(drop=True)
+    )
+
+
+def q12_late_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12 shape (order priority standing in for the missing
+    ship-mode column): per order-year counts of LATE lineitems
+    (shipped >90 days after the order date) split into high- vs
+    low-priority CASE sums.  One bucket-co-partitioned orders ⋈
+    lineitem join; the lateness predicate and the conditional counts
+    are integer-microsecond vectorized inside the join output; the
+    rollup is a tiny pre_aggregate."""
+    from unfurl_ray.ops.relational import (
+        _ts_us, bucketed_hash_join, pre_aggregate,
+    )
+
+    orders = _parquet_sh(
+        sf_dir, "orders",
+        ["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    li = _parquet_sh(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    joined = bucketed_hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+    )
+    lag_us = 90 * 86_400 * 1_000_000
+
+    def classify(batch: pd.DataFrame) -> pd.DataFrame:
+        ship = _ts_us(batch["l_shipdate"]).to_numpy()
+        od = _ts_us(batch["o_orderdate"]).to_numpy()
+        late = ship > od + lag_us
+        pr = batch["o_orderpriority"].to_numpy()
+        high = np.isin(pr, ("1-URGENT", "2-HIGH"))
+        year = (
+            batch["o_orderdate"]
+            .dt.year.to_numpy(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "o_year": year[late],
+                "high_line_count": high[late].astype(np.int64),
+                "low_line_count": (~high[late]).astype(np.int64),
+            }
+        )
+
+    out = pre_aggregate(
+        joined.map_batches(classify, batch_format="pandas"),
+        ["o_year"],
+        {
+            "high_line_count": ("high_line_count", "sum"),
+            "low_line_count": ("low_line_count", "sum"),
+        },
+    ).to_pandas()
+    for c in ("o_year", "high_line_count", "low_line_count"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_year").reset_index(drop=True)
+
+
+def q16_supplier_diversity(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q16 shape (lineitem standing in for the missing partsupp
+    table): distinct supplier count per (brand, size) class for a
+    size short-list, excluding one brand.  part collapses to
+    broadcast (sorted partkey -> brand code, size) arrays shipped
+    once; the lineitem scan filters and projects to (brand, size,
+    suppkey) triples; distinctness is a first combiner-collapsed
+    groupby over the triples (bounded by |brands| x |sizes| x
+    |suppliers|, never lineitem cardinality) and the count rolls up
+    in a second tiny pre_aggregate."""
+    import ray
+
+    from unfurl_ray.ops.relational import (
+        _broadcast_fetch, pre_aggregate,
+    )
+
+    sizes = (1, 5, 9, 13, 17)
+    part = (
+        _parquet(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+        .to_pandas()
+        .sort_values("p_partkey")
+    )
+    brands = sorted(part["p_brand"].unique())
+    brand_code = {b: i for i, b in enumerate(brands)}
+    keep = (part["p_brand"] != "Brand#4") & part["p_size"].isin(
+        sizes
+    )
+    part_ref = ray.put(
+        (
+            part["p_partkey"].to_numpy(np.int64),
+            part["p_brand"].map(brand_code).to_numpy(np.int64),
+            part["p_size"].to_numpy(np.int64),
+            keep.to_numpy(np.bool_),
+        )
+    )
+
+    def triples(batch: pa.Table) -> pa.Table:
+        keys, bcode, size, ok = _broadcast_fetch(part_ref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        idx = np.clip(
+            np.searchsorted(keys, pk), 0, max(len(keys) - 1, 0)
+        )
+        hit = (keys[idx] == pk) & ok[idx] if len(keys) else (
+            np.zeros(len(pk), np.bool_)
+        )
+        return pa.table(
+            {
+                "brand_code": pa.array(
+                    bcode[idx[hit]], pa.int64()
+                ),
+                "p_size": pa.array(size[idx[hit]], pa.int64()),
+                "l_suppkey": pa.array(
+                    batch.column("l_suppkey")
+                    .to_numpy(zero_copy_only=False)[hit],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    distinct = pre_aggregate(
+        _parquet_sh(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(triples, batch_format="pyarrow"),
+        ["brand_code", "p_size", "l_suppkey"],
+        {"n": ("l_suppkey", "count")},
+    )
+    out = pre_aggregate(
+        distinct, ["brand_code", "p_size"],
+        {"supplier_cnt": ("n", "count")},
+    ).to_pandas()
+    out["p_brand"] = out["brand_code"].map(
+        {v: k for k, v in brand_code.items()}
+    )
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    out["p_size"] = out["p_size"].astype("int64")
+    return (
+        out[["p_brand", "p_size", "supplier_cnt"]]
+        .sort_values(
+            ["supplier_cnt", "p_brand", "p_size"],
+            ascending=[False, True, True],
+        )
+        .reset_index(drop=True)
+    )
