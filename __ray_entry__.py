@@ -299,6 +299,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_volume_shipping": p.q7_volume_shipping,
         "q12_late_priority": p.q12_late_priority,
         "q16_supplier_diversity": p.q16_supplier_diversity,
+        "q2_min_cost_supplier": p.q2_min_cost_supplier,
+        "q4_priority_check": p.q4_priority_check,
+        "q8_market_share": p.q8_market_share,
+        "q9_product_profit": p.q9_product_profit,
+        "q11_important_parts": p.q11_important_parts,
+        "q20_recent_suppliers": p.q20_recent_suppliers,
+        "q21_waiting_suppliers": p.q21_waiting_suppliers,
     }
 
 
@@ -4105,6 +4112,131 @@ def oracle_sql() -> dict[str, str]:
                   AND o_orderdate >= DATE '1999-01-01')
             GROUP BY c_nationkey
             ORDER BY c_nationkey
+        """,
+        # TPC-H Q11 shape: parts above 0.1% of nation stock value
+        "q11_important_parts": """
+            WITH pv AS (
+                SELECT s_nationkey AS nk, l_partkey,
+                       sum(CAST(round(l_extendedprice * 100)
+                                AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100)
+                                         AS BIGINT))) AS val
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                GROUP BY 1, 2),
+            nt AS (SELECT nk, sum(val) AS tot FROM pv GROUP BY 1)
+            SELECT CAST(nk AS BIGINT) AS s_nationkey, l_partkey,
+                   ((val + 50) // 100) / 100.0 AS value
+            FROM pv JOIN nt USING (nk)
+            WHERE 1000 * val > tot
+            ORDER BY 1, 2
+        """,
+        # TPC-H Q20 shape: suppliers with >50% recent gear shipments
+        "q20_recent_suppliers": """
+            SELECT l_suppkey AS s_suppkey, s_name,
+                   round(sum(l_quantity), 2) AS total_qty,
+                   round(sum(CASE WHEN l_shipdate >=
+                             DATE '1999-01-01'
+                             THEN l_quantity ELSE 0 END), 2)
+                       AS recent_qty
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            WHERE p_name LIKE '%gear%'
+            GROUP BY 1, 2
+            HAVING sum(CASE WHEN l_shipdate >= DATE '1999-01-01'
+                       THEN l_quantity ELSE 0 END)
+                   > 0.5 * sum(l_quantity)
+            ORDER BY 1
+        """,
+        # TPC-H Q21 shape: sole-late suppliers on shared orders
+        "q21_waiting_suppliers": """
+            WITH ls AS (
+                SELECT l_orderkey, l_suppkey,
+                       max(CASE WHEN l_shipdate >
+                           o_orderdate + INTERVAL 90 DAY
+                           THEN 1 ELSE 0 END) AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2),
+            os AS (
+                SELECT l_orderkey, count(*) AS n_supp,
+                       sum(late) AS n_late
+                FROM ls GROUP BY 1)
+            SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM ls
+            JOIN os USING (l_orderkey)
+            JOIN supplier ON s_suppkey = l_suppkey
+            WHERE late = 1 AND n_late = 1 AND n_supp >= 2
+            GROUP BY 1
+            ORDER BY numwait DESC, s_name
+            LIMIT 100
+        """,
+        # TPC-H Q2 shape: min observed unit price per brand part
+        "q2_min_cost_supplier": """
+            WITH unit AS (
+                SELECT l_partkey, l_suppkey,
+                       min(l_extendedprice / l_quantity) AS u
+                FROM lineitem GROUP BY 1, 2),
+            best AS (SELECT l_partkey, min(u) AS mu
+                     FROM unit GROUP BY 1)
+            SELECT l_partkey AS p_partkey,
+                   l_suppkey AS s_suppkey, s_name,
+                   round(u, 4) AS unit_price
+            FROM unit
+            JOIN best USING (l_partkey)
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            WHERE u = mu AND p_brand = 'Brand#7'
+            ORDER BY 1, 2
+        """,
+        # TPC-H Q4 shape: EXISTS late lineitem per priority
+        "q4_priority_check": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderdate >= DATE '1997-01-01'
+              AND o_orderdate < DATE '1997-04-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+            GROUP BY 1 ORDER BY 1
+        """,
+        # TPC-H Q8 shape: NATION_3 market share in its own region
+        "q8_market_share": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0 END)
+                         / sum(l_extendedprice * (1 - l_discount)),
+                         6) AS mkt_share
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE r_name = (
+                SELECT r_name FROM region
+                JOIN nation ON n_regionkey = r_regionkey
+                WHERE n_name = 'NATION_3')
+            GROUP BY 1 ORDER BY 1
+        """,
+        # TPC-H Q9 shape: part-family profit by supplier nation/year
+        "q9_product_profit": """
+            SELECT sn.n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - 0.6 * p_retailprice * l_quantity), 2)
+                       AS profit
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE p_name LIKE '%gear%'
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # TPC-H Q7 shape: bilateral trade volume by ship year
         "q7_volume_shipping": """

@@ -9795,3 +9795,723 @@ def q16_supplier_diversity(sf_dir: str) -> pd.DataFrame:
         )
         .reset_index(drop=True)
     )
+
+
+def q2_min_cost_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q2 shape (observed lineitem unit price standing in for
+    the missing partsupp supplycost): for one brand, the supplier(s)
+    achieving each part's minimum observed unit price.  The brand's
+    partkeys broadcast once (1/25 of part, int64 keys); one
+    combiner-first min-shuffle builds the (part, supplier) unit-price
+    floor; the per-part minimum broadcasts back as a sorted-key map
+    (same 1/25 cardinality) and winners filter vectorized — the
+    correlated MIN subquery never self-joins.  min() is
+    order-independent and division is deterministic per row, so the
+    double equality u == mu is exact against the DuckDB twin."""
+    import ray
+
+    from unfurl_ray.ops.relational import (
+        _broadcast_fetch, pre_aggregate,
+    )
+
+    brand_keys = np.sort(
+        _parquet(sf_dir, "part", ["p_partkey", "p_brand"])
+        .map_batches(
+            lambda b: b[b["p_brand"] == "Brand#7"][["p_partkey"]],
+            batch_format="pandas",
+        )
+        .to_pandas()["p_partkey"]
+        .to_numpy(np.int64)
+    )
+    keys_ref = ray.put(brand_keys)
+
+    def unit_prices(batch: pa.Table) -> pa.Table:
+        keys = _broadcast_fetch(keys_ref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        idx = np.clip(
+            np.searchsorted(keys, pk), 0, max(len(keys) - 1, 0)
+        )
+        hit = keys[idx] == pk if len(keys) else np.zeros(
+            len(pk), np.bool_
+        )
+        qty = batch.column("l_quantity").to_numpy(
+            zero_copy_only=False
+        )
+        price = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "l_partkey": pa.array(pk[hit], pa.int64()),
+                "l_suppkey": pa.array(
+                    batch.column("l_suppkey")
+                    .to_numpy(zero_copy_only=False)[hit],
+                    pa.int64(),
+                ),
+                "u": pa.array(
+                    price[hit] / qty[hit], pa.float64()
+                ),
+            }
+        )
+
+    # materialized: consumed twice (per-part min + winner filter)
+    # and bounded by the brand's (part, supplier) pairs
+    unit = pre_aggregate(
+        _parquet_sh(
+            sf_dir, "lineitem",
+            ["l_partkey", "l_suppkey", "l_quantity",
+             "l_extendedprice"],
+        ).map_batches(unit_prices, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"], {"u": ("u", "min")},
+    ).materialize()
+    best = (
+        pre_aggregate(unit, ["l_partkey"], {"mu": ("u", "min")})
+        .to_pandas()
+        .sort_values("l_partkey")
+    )
+    best_ref = ray.put(
+        (
+            best["l_partkey"].to_numpy(np.int64),
+            best["mu"].to_numpy(np.float64),
+        )
+    )
+
+    def winners_only(batch: pd.DataFrame) -> pd.DataFrame:
+        keys, mu = _broadcast_fetch(best_ref)
+        pk = batch["l_partkey"].to_numpy(np.int64)
+        idx = np.clip(
+            np.searchsorted(keys, pk), 0, max(len(keys) - 1, 0)
+        )
+        hit = (keys[idx] == pk) & (
+            batch["u"].to_numpy() == mu[idx]
+        )
+        return batch[hit]
+
+    win = unit.map_batches(
+        winners_only, batch_format="pandas"
+    ).to_pandas()
+
+    keep = frozenset(win["l_suppkey"].astype(int))
+    names = (
+        _parquet(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        .map_batches(
+            lambda b, k=keep: b[b["s_suppkey"].isin(k)],
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    out = win.merge(names, left_on="l_suppkey", right_on="s_suppkey")
+    out["unit_price"] = out["u"].round(4)
+    out["p_partkey"] = out["l_partkey"].astype("int64")
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return (
+        out[["p_partkey", "s_suppkey", "s_name", "unit_price"]]
+        .sort_values(["p_partkey", "s_suppkey"])
+        .reset_index(drop=True)
+    )
+
+
+def q4_priority_check(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 shape: per order priority, how many of one quarter's
+    orders had AT LEAST ONE late lineitem (EXISTS semi-join; shipped
+    >90 days after the order date stands in for the missing
+    commit/receipt dates).  The quarter's orders co-shuffle once with
+    lineitem on orderkey; the EXISTS collapses to a combiner-first
+    distinct over (orderkey, priority) — one row per qualifying
+    order, never a per-order group of its lineitems — and the
+    priority rollup is a final tiny pre_aggregate."""
+    from unfurl_ray.ops.relational import (
+        _ts_us, bucketed_hash_join, pre_aggregate,
+    )
+
+    lo = np.datetime64("1997-01-01", "us")
+    hi = np.datetime64("1997-04-01", "us")
+
+    orders = _parquet_sh(
+        sf_dir, "orders",
+        ["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("o_orderdate"), lo),
+                pc.less(b.column("o_orderdate"), hi),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    li = _parquet_sh(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    joined = bucketed_hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+    )
+    lag_us = 90 * 86_400 * 1_000_000
+
+    def late_only(batch: pd.DataFrame) -> pd.DataFrame:
+        late = (
+            _ts_us(batch["l_shipdate"]).to_numpy()
+            > _ts_us(batch["o_orderdate"]).to_numpy() + lag_us
+        )
+        return batch.loc[late, ["l_orderkey", "o_orderpriority"]]
+
+    exists = pre_aggregate(
+        joined.map_batches(late_only, batch_format="pandas"),
+        ["l_orderkey", "o_orderpriority"],
+        {"n": ("l_orderkey", "count")},
+    )
+    out = pre_aggregate(
+        exists, ["o_orderpriority"],
+        {"order_count": ("n", "count")},
+    ).to_pandas()
+    out["order_count"] = out["order_count"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q8_market_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q8 shape: NATION_3 suppliers' share of all revenue sold
+    into NATION_3's own region, by order year.  nation x region
+    collapse to driver maps; the region's customers co-shuffle with
+    orders, then lineitem joins once on orderkey; supplier
+    nationality is the broadcast sorted-key lookup; both CASE sums
+    (nation numerator, region denominator) pre-aggregate per
+    (year) inside the join output, so the final share division runs
+    over a handful of rows on the driver."""
+    import ray
+
+    from unfurl_ray.ops.relational import (
+        _broadcast_fetch, bucketed_hash_join, pre_aggregate,
+    )
+
+    nation = _parquet(sf_dir, "nation").to_pandas()
+    target = nation[nation["n_name"] == "NATION_3"].iloc[0]
+    region_nations = frozenset(
+        nation.loc[
+            nation["n_regionkey"] == target["n_regionkey"],
+            "n_nationkey",
+        ].astype(int)
+    )
+    target_key = int(target["n_nationkey"])
+
+    sup = (
+        _parquet(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        .to_pandas()
+        .sort_values("s_suppkey")
+    )
+    sup_ref = ray.put(
+        (
+            sup["s_suppkey"].to_numpy(np.int64),
+            sup["s_nationkey"].to_numpy(np.int64),
+        )
+    )
+
+    cust = _parquet_sh(
+        sf_dir, "customer", ["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b, keep=tuple(sorted(region_nations)): b.filter(
+            pc.is_in(
+                b.column("c_nationkey").cast(pa.int64()),
+                pa.array(keep, pa.int64()),
+            )
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = _parquet_sh(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "o_year": pc.year(b.column("o_orderdate")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    ord_cust = bucketed_hash_join(
+        orders, cust, on="o_custkey", right_on="c_custkey",
+    )
+    li = _parquet_sh(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "part_rev": pc.multiply(
+                    b.column("l_extendedprice"),
+                    pc.subtract(
+                        pa.scalar(1.0), b.column("l_discount")
+                    ),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_hash_join(
+        li, ord_cust.select_columns(["o_orderkey", "o_year"]),
+        on="l_orderkey", right_on="o_orderkey",
+    )
+
+    def case_sums(batch: pd.DataFrame) -> pd.DataFrame:
+        keys, nats = _broadcast_fetch(sup_ref)
+        sk = batch["l_suppkey"].to_numpy(np.int64)
+        idx = np.clip(
+            np.searchsorted(keys, sk), 0, max(len(keys) - 1, 0)
+        )
+        is_target = (keys[idx] == sk) & (nats[idx] == target_key)
+        rev = batch["part_rev"].to_numpy()
+        return pd.DataFrame(
+            {
+                "o_year": batch["o_year"].to_numpy(np.int64),
+                "nat_rev": np.where(is_target, rev, 0.0),
+                "all_rev": rev,
+            }
+        )
+
+    agg = pre_aggregate(
+        joined.map_batches(case_sums, batch_format="pandas"),
+        ["o_year"],
+        {
+            "nat_rev": ("nat_rev", "sum"),
+            "all_rev": ("all_rev", "sum"),
+        },
+    ).to_pandas()
+    agg["mkt_share"] = (agg["nat_rev"] / agg["all_rev"]).round(6)
+    agg["o_year"] = agg["o_year"].astype("int64")
+    return (
+        agg[["o_year", "mkt_share"]]
+        .sort_values("o_year")
+        .reset_index(drop=True)
+    )
+
+
+def q9_product_profit(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q9 shape (0.6 x p_retailprice x quantity standing in for
+    the missing partsupp supplycost): profit on one part-name family
+    by supplier nation and order year.  part collapses to broadcast
+    (sorted partkey, retailprice, name-match flag) arrays and
+    supplier to the (suppkey -> nationkey) lookup, both shipped once;
+    lineitem co-shuffles ONCE with orders (for the year); profit
+    partials pre-aggregate per (nation, year) inside the join
+    output."""
+    import ray
+
+    from unfurl_ray.ops.relational import (
+        _broadcast_fetch, bucketed_hash_join, pre_aggregate,
+    )
+
+    nation = _parquet(sf_dir, "nation").to_pandas()
+    name_of = dict(
+        zip(nation["n_nationkey"].astype(int), nation["n_name"])
+    )
+    part = (
+        _parquet(
+            sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]
+        )
+        .to_pandas()
+        .sort_values("p_partkey")
+    )
+    part_ref = ray.put(
+        (
+            part["p_partkey"].to_numpy(np.int64),
+            part["p_retailprice"].to_numpy(np.float64),
+            part["p_name"]
+            .str.contains("gear", regex=False)
+            .to_numpy(np.bool_),
+        )
+    )
+    sup = (
+        _parquet(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        .to_pandas()
+        .sort_values("s_suppkey")
+    )
+    sup_ref = ray.put(
+        (
+            sup["s_suppkey"].to_numpy(np.int64),
+            sup["s_nationkey"].to_numpy(np.int64),
+        )
+    )
+
+    orders = _parquet_sh(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_year": pc.year(b.column("o_orderdate")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        keys, retail, match = _broadcast_fetch(part_ref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        idx = np.clip(
+            np.searchsorted(keys, pk), 0, max(len(keys) - 1, 0)
+        )
+        hit = (keys[idx] == pk) & match[idx] if len(keys) else (
+            np.zeros(len(pk), np.bool_)
+        )
+        qty = batch.column("l_quantity").to_numpy(
+            zero_copy_only=False
+        )[hit]
+        price = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False
+        )[hit]
+        disc = batch.column("l_discount").to_numpy(
+            zero_copy_only=False
+        )[hit]
+        profit = price * (1.0 - disc) - 0.6 * retail[idx[hit]] * qty
+        return pa.table(
+            {
+                "l_orderkey": pa.array(
+                    batch.column("l_orderkey")
+                    .to_numpy(zero_copy_only=False)[hit],
+                    pa.int64(),
+                ),
+                "l_suppkey": pa.array(
+                    batch.column("l_suppkey")
+                    .to_numpy(zero_copy_only=False)[hit],
+                    pa.int64(),
+                ),
+                "profit": pa.array(profit, pa.float64()),
+            }
+        )
+
+    li = _parquet_sh(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+         "l_extendedprice", "l_discount"],
+    ).map_batches(project, batch_format="pyarrow")
+    joined = bucketed_hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+    )
+
+    def by_nation(batch: pd.DataFrame) -> pd.DataFrame:
+        keys, nats = _broadcast_fetch(sup_ref)
+        sk = batch["l_suppkey"].to_numpy(np.int64)
+        idx = np.clip(
+            np.searchsorted(keys, sk), 0, max(len(keys) - 1, 0)
+        )
+        hit = keys[idx] == sk
+        return pd.DataFrame(
+            {
+                "n_nationkey": nats[idx][hit],
+                "o_year": batch["o_year"].to_numpy(np.int64)[hit],
+                "profit": batch["profit"].to_numpy()[hit],
+            }
+        )
+
+    agg = pre_aggregate(
+        joined.map_batches(by_nation, batch_format="pandas"),
+        ["n_nationkey", "o_year"], {"profit": ("profit", "sum")},
+    ).to_pandas()
+    agg["nation"] = agg["n_nationkey"].map(
+        lambda k: name_of[int(k)]
+    )
+    agg["profit"] = agg["profit"].round(2)
+    agg["o_year"] = agg["o_year"].astype("int64")
+    return (
+        agg[["nation", "o_year", "profit"]]
+        .sort_values(["nation", "o_year"])
+        .reset_index(drop=True)
+    )
+
+
+def q11_important_parts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q11 shape (lineitem revenue standing in for partsupp
+    stock value): parts whose revenue exceeds 0.1% of their supplier
+    nation's total.  supplier collapses to the broadcast (suppkey ->
+    nationkey) lookup; ONE combiner-first shuffle builds the
+    (nation, part) value table; nation totals are a 25-row driver
+    fold over a second tiny pre_aggregate, and the HAVING threshold
+    filters vectorized — the 'group total' scalar subquery never
+    re-shuffles.  Revenue is computed in exact integer 1e-4-dollar
+    units (price cents x discount hundredths — the q_mad pattern),
+    so both the threshold comparison and the displayed rounding are
+    summation-order-independent and hash-exact vs the twin."""
+    import ray
+
+    from unfurl_ray.ops.relational import (
+        _broadcast_fetch, pre_aggregate,
+    )
+
+    sup = (
+        _parquet(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        .to_pandas()
+        .sort_values("s_suppkey")
+    )
+    sup_ref = ray.put(
+        (
+            sup["s_suppkey"].to_numpy(np.int64),
+            sup["s_nationkey"].to_numpy(np.int64),
+        )
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        keys, nats = _broadcast_fetch(sup_ref)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        idx = np.clip(
+            np.searchsorted(keys, sk), 0, max(len(keys) - 1, 0)
+        )
+        hit = keys[idx] == sk if len(keys) else np.zeros(
+            len(sk), np.bool_
+        )
+        cents = np.rint(
+            batch.column("l_extendedprice").to_numpy(
+                zero_copy_only=False
+            )
+            * 100.0
+        ).astype(np.int64)
+        disc_h = np.rint(
+            batch.column("l_discount").to_numpy(
+                zero_copy_only=False
+            )
+            * 100.0
+        ).astype(np.int64)
+        rev_e4 = cents * (100 - disc_h)
+        return pa.table(
+            {
+                "nk": pa.array(nats[idx][hit], pa.int64()),
+                "l_partkey": pa.array(
+                    batch.column("l_partkey")
+                    .to_numpy(zero_copy_only=False)[hit],
+                    pa.int64(),
+                ),
+                "val": pa.array(rev_e4[hit], pa.int64()),
+            }
+        )
+
+    # materialized: consumed twice (nation totals + threshold
+    # filter) and bounded by |nations| x |parts|, never lineitem
+    pv = pre_aggregate(
+        _parquet_sh(
+            sf_dir, "lineitem",
+            ["l_partkey", "l_suppkey", "l_extendedprice",
+             "l_discount"],
+        ).map_batches(project, batch_format="pyarrow"),
+        ["nk", "l_partkey"], {"val": ("val", "sum")},
+    ).materialize()
+    totals = (
+        pre_aggregate(pv, ["nk"], {"tot": ("val", "sum")})
+        .to_pandas()
+        .set_index("nk")["tot"]
+        .to_dict()
+    )
+
+    def above(batch: pd.DataFrame) -> pd.DataFrame:
+        tot = batch["nk"].map(totals).to_numpy(np.int64)
+        # val > 0.001 * tot, kept exact in integers
+        return batch[1000 * batch["val"].to_numpy(np.int64) > tot]
+
+    out = pv.map_batches(above, batch_format="pandas").to_pandas()
+    # half-up to cents in exact integers (pandas .round is
+    # half-to-even and would disagree with the twin on exact .xx5)
+    out["value"] = ((out["val"] + 50) // 100) / 100.0
+    out["nk"] = out["nk"].astype("int64")
+    out["l_partkey"] = out["l_partkey"].astype("int64")
+    return (
+        out[["nk", "l_partkey", "value"]]
+        .rename(columns={"nk": "s_nationkey"})
+        .sort_values(["s_nationkey", "l_partkey"])
+        .reset_index(drop=True)
+    )
+
+
+def q20_recent_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q20 shape (shipped-quantity concentration standing in
+    for partsupp availqty): suppliers of one part family whose
+    shipments since 1999 exceed half their all-time quantity.  part
+    collapses to a broadcast name-match flag; one combiner-first
+    shuffle builds per-supplier (total, recent) quantity sums;
+    quantities are integral doubles so both sums — and the 0.5x
+    comparison — are exact against the twin.  The qualifying set is
+    tiny, so names come from a broadcast-filtered supplier scan."""
+    import ray
+
+    from unfurl_ray.ops.relational import (
+        _broadcast_fetch, _ts_us, pre_aggregate,
+    )
+
+    part = (
+        _parquet(sf_dir, "part", ["p_partkey", "p_name"])
+        .to_pandas()
+        .sort_values("p_partkey")
+    )
+    part_ref = ray.put(
+        (
+            part["p_partkey"].to_numpy(np.int64),
+            part["p_name"]
+            .str.contains("gear", regex=False)
+            .to_numpy(np.bool_),
+        )
+    )
+    cut_us = int(
+        np.datetime64("1999-01-01", "us").astype(np.int64)
+    )
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        keys, match = _broadcast_fetch(part_ref)
+        pk = batch["l_partkey"].to_numpy(np.int64)
+        idx = np.clip(
+            np.searchsorted(keys, pk), 0, max(len(keys) - 1, 0)
+        )
+        hit = (keys[idx] == pk) & match[idx] if len(keys) else (
+            np.zeros(len(pk), np.bool_)
+        )
+        qty = batch["l_quantity"].to_numpy()[hit]
+        recent = (
+            _ts_us(batch["l_shipdate"]).to_numpy()[hit] >= cut_us
+        )
+        return pd.DataFrame(
+            {
+                "l_suppkey": batch["l_suppkey"].to_numpy(
+                    np.int64
+                )[hit],
+                "total_qty": qty,
+                "recent_qty": np.where(recent, qty, 0.0),
+            }
+        )
+
+    per_supp = pre_aggregate(
+        _parquet_sh(
+            sf_dir, "lineitem",
+            ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        ).map_batches(project, batch_format="pandas"),
+        ["l_suppkey"],
+        {
+            "total_qty": ("total_qty", "sum"),
+            "recent_qty": ("recent_qty", "sum"),
+        },
+    ).map_batches(
+        lambda b: b[
+            b["recent_qty"].to_numpy() > 0.5 * b["total_qty"].to_numpy()
+        ],
+        batch_format="pandas",
+    ).to_pandas()
+
+    keep = frozenset(per_supp["l_suppkey"].astype(int))
+    names = (
+        _parquet(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        .map_batches(
+            lambda b, k=keep: b[b["s_suppkey"].isin(k)],
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    out = per_supp.merge(
+        names, left_on="l_suppkey", right_on="s_suppkey"
+    )
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    for c in ("total_qty", "recent_qty"):
+        out[c] = out[c].round(2)
+    return (
+        out[["s_suppkey", "s_name", "total_qty", "recent_qty"]]
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+
+
+def q21_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on
+    multi-supplier orders, top 100 by count.  lineitem co-shuffles
+    once with orders on orderkey; per-(order, supplier) late flags
+    collapse combiner-first (bounded by suppliers-per-order, never a
+    per-order group of raw lineitems); per-order counts are a second
+    tiny pre_aggregate whose output joins back bucket-co-partitioned
+    on orderkey; the per-supplier tally closes with partial top-k,
+    and names come from a ≤100-key broadcast-filtered supplier
+    scan."""
+    from unfurl_ray.ops.relational import (
+        _ts_us, bucketed_hash_join, pre_aggregate,
+    )
+
+    orders = _parquet_sh(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate"]
+    )
+    li = _parquet_sh(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"]
+    )
+    joined = bucketed_hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+    )
+    lag_us = 90 * 86_400 * 1_000_000
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        late = (
+            _ts_us(batch["l_shipdate"]).to_numpy()
+            > _ts_us(batch["o_orderdate"]).to_numpy() + lag_us
+        )
+        return pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"].to_numpy(np.int64),
+                "l_suppkey": batch["l_suppkey"].to_numpy(np.int64),
+                "late": late.astype(np.int64),
+            }
+        )
+
+    # materialized: ls feeds both the per-order rollup and the
+    # join-back; re-deriving it would replay the lineitem x orders
+    # join.  It is collapsed to one row per (order, supplier), and
+    # the object store spills it rather than holding it on-heap.
+    ls = pre_aggregate(
+        joined.map_batches(flag, batch_format="pandas"),
+        ["l_orderkey", "l_suppkey"], {"late": ("late", "max")},
+    ).materialize()
+    os_ = pre_aggregate(
+        ls, ["l_orderkey"],
+        {
+            "n_supp": ("late", "count"),
+            "n_late": ("late", "sum"),
+        },
+    )
+    both = bucketed_hash_join(
+        ls, os_.map_batches(
+            lambda b: b.rename_columns(
+                ["ok2", "n_supp", "n_late"]
+            ),
+            batch_format="pyarrow",
+        ),
+        on="l_orderkey", right_on="ok2",
+    )
+    tally = pre_aggregate(
+        both.map_batches(
+            lambda b: b[
+                (b["late"] == 1) & (b["n_late"] == 1)
+                & (b["n_supp"] >= 2)
+            ][["l_suppkey"]],
+            batch_format="pandas",
+        ),
+        ["l_suppkey"], {"numwait": ("l_suppkey", "count")},
+    )
+
+    def partial_top(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[("numwait", "descending"),
+                       ("l_suppkey", "ascending")],
+        )
+        return batch.take(idx[:100])
+
+    top = (
+        tally.map_batches(partial_top, batch_format="pyarrow")
+        .to_pandas()
+    )
+    keep = frozenset(top["l_suppkey"].astype(int))
+    names = (
+        _parquet(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        .map_batches(
+            lambda b, k=keep: b[b["s_suppkey"].isin(k)],
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    top = top.merge(names, left_on="l_suppkey", right_on="s_suppkey")
+    top["numwait"] = top["numwait"].astype("int64")
+    return (
+        top.sort_values(
+            ["numwait", "s_name"], ascending=[False, True]
+        )
+        .head(100)[["s_name", "numwait"]]
+        .reset_index(drop=True)
+    )
