@@ -306,6 +306,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q11_important_parts": p.q11_important_parts,
         "q20_recent_suppliers": p.q20_recent_suppliers,
         "q21_waiting_suppliers": p.q21_waiting_suppliers,
+        # rows-only: iterative fixpoints, numpy-parity pytests instead
+        "q_hits": p.q_hits,
+        "q_ppr": p.q_ppr,
     }
 
 
@@ -4652,8 +4655,8 @@ def oracle_sql() -> dict[str, str]:
             WITH w AS (
                 SELECT event_type,
                        epoch_us(ts) // 604800000000 AS week,
-                       sum(CAST(round(value * 100) AS BIGINT))
-                           AS rev_cents
+                       CAST(sum(CAST(round(value * 100) AS BIGINT))
+                            AS BIGINT) AS rev_cents
                 FROM events GROUP BY 1, 2),
             l AS (
                 SELECT event_type, week, rev_cents,
@@ -4790,8 +4793,8 @@ def oracle_sql() -> dict[str, str]:
         "q_partition_prune": """
             SELECT epoch_us(ts) // 86400000000 AS day,
                    CAST(count(*) AS BIGINT) AS n,
-                   sum(CAST(round(value * 100) AS BIGINT))
-                       AS rev_cents
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS rev_cents
             FROM events WHERE event_type = 'purchase'
             GROUP BY 1 ORDER BY 1
         """,

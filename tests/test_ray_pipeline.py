@@ -5738,3 +5738,97 @@ def test_interval_overlap_join_matches_brute(ray_session):
         got.astype("int64"), brute.astype("int64")
     )
     assert not ((got["k"] == 99)).any()  # touching pair excluded
+
+
+def test_hits_matches_dense_power_iteration(ray_session):
+    """Shard-actor HITS vs dense numpy on a random directed graph
+    (including dangling and source-only nodes)."""
+    import ray.data as rd
+
+    from unfurl_ray.ops.graph import hits
+
+    rng = np.random.default_rng(11)
+    n, m = 60, 400
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    edges = pd.DataFrame({"src": src, "dst": dst}).drop_duplicates()
+
+    got = (
+        hits(
+            rd.from_pandas(edges).repartition(4),
+            n_iter=30, n_buckets=4, dedup_edges=True,
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+    # dense reference, Kleinberg normalization per half-step
+    A = np.zeros((n, n))
+    A[edges["src"].to_numpy(), edges["dst"].to_numpy()] = 1.0
+    h = np.ones(n)
+    for _ in range(30):
+        a = A.T @ h
+        a /= np.linalg.norm(a) or 1.0
+        h = A @ a
+        h /= np.linalg.norm(h) or 1.0
+
+    nodes = got["node"].to_numpy()
+    np.testing.assert_allclose(
+        got["hub"].to_numpy(), h[nodes], atol=1e-9
+    )
+    np.testing.assert_allclose(
+        got["authority"].to_numpy(), a[nodes], atol=1e-9
+    )
+
+
+def test_personalized_pagerank_matches_dense(ray_session):
+    """Shard-actor PPR vs dense numpy random-walk-with-restart on a
+    random directed graph with dangling nodes."""
+    import ray.data as rd
+
+    from unfurl_ray.ops.graph import personalized_pagerank
+
+    rng = np.random.default_rng(13)
+    n, m = 50, 300
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    keep = src != dst
+    edges = pd.DataFrame(
+        {"src": src[keep], "dst": dst[keep]}
+    ).drop_duplicates()
+    seeds = [0, 7, 13]
+
+    got = (
+        personalized_pagerank(
+            rd.from_pandas(edges).repartition(4),
+            seeds, n_iter=40, n_buckets=4, dedup_edges=True,
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+    # dense reference: column-stochastic walk, teleport+dangling to
+    # the seed distribution
+    A = np.zeros((n, n))
+    A[edges["src"].to_numpy(), edges["dst"].to_numpy()] = 1.0
+    deg = A.sum(axis=1)
+    s = np.zeros(n)
+    s[seeds] = 1.0 / len(seeds)
+    r = s.copy()
+    d = 0.85
+    for _ in range(40):
+        w = np.where(deg > 0, r / np.maximum(deg, 1), 0.0)
+        c = A.T @ w
+        dangling = r[deg == 0].sum()
+        r = d * c + ((1 - d) + d * dangling) * s
+
+    nodes = got["node"].to_numpy()
+    np.testing.assert_allclose(
+        got["rank"].to_numpy(), r[nodes], atol=1e-9
+    )
+    # mass conservation
+    assert abs(got["rank"].sum() - 1.0) < 1e-6

@@ -1855,3 +1855,239 @@ def sssp(edges, seeds, weight_col: str = "w", max_iters: int = 64,
             }
         )
     return out.sort_values("node").reset_index(drop=True)
+
+
+class _HitsShard(_GraphShard):
+    """HITS shard: hub/authority state on the shared Pregel layout.
+    Each half-step is one B x B ref exchange: (a) authority folds the
+    PR-shaped per-target (dst, sum hub[src]) contributions; (b) hub
+    folds the owners' authority values served back along the SAME
+    static request lists the register exchange already shipped — the
+    edge arrays never move after setup."""
+
+    def register(self, *incoming) -> int:
+        mine = self._register_nodes(incoming)
+        # positions of each requester's node list, kept in the
+        # requester's (unique-sorted) order so auth_parts()[i] aligns
+        # element-for-element with requester i's plan[t] vals
+        self.req = [
+            np.searchsorted(mine, np.asarray(x, dtype=np.int64))
+            for x in incoming
+        ]
+        # per-target contiguous group sizes for the hub fold
+        self.sizes = [
+            np.diff(np.append(starts, len(spos)))
+            for spos, starts, _vals in self.plan
+        ]
+        self.hub = np.ones(len(mine))
+        self.auth = np.zeros(len(mine))
+        del self._src, self._dst, self._tgt
+        return len(mine)
+
+    def auth_contribs(self):
+        out = []
+        for spos, starts, vals in self.plan:
+            if len(vals) == 0:
+                out.append((vals, np.array([], dtype=np.float64)))
+            else:
+                out.append(
+                    (vals, np.add.reduceat(self.hub[spos], starts))
+                )
+        return out if self.B > 1 else out[0]
+
+    def fold_auth(self, *parts) -> float:
+        c = np.zeros(len(self.nodes))
+        for vals, sums in parts:
+            if len(vals):
+                c[np.searchsorted(self.nodes, vals)] += sums
+        self.auth = c
+        return float((c * c).sum())
+
+    def scale(self, which: str, norm: float) -> None:
+        if norm > 0:
+            if which == "auth":
+                self.auth /= norm
+            else:
+                self.hub /= norm
+
+    def auth_parts(self):
+        out = [self.auth[pos] for pos in self.req]
+        return out if self.B > 1 else out[0]
+
+    def fold_hub(self, *parts) -> float:
+        h = np.zeros(len(self.nodes))
+        for t, part in enumerate(parts):
+            spos, _starts, vals = self.plan[t]
+            if len(vals):
+                h += np.bincount(
+                    spos,
+                    weights=np.repeat(
+                        np.asarray(part), self.sizes[t]
+                    ),
+                    minlength=len(self.nodes),
+                )
+        self.hub = h
+        return float((h * h).sum())
+
+    def result(self) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": self.nodes,
+                "hub": self.hub,
+                "authority": self.auth,
+            }
+        )
+
+
+def hits(edges, n_iter: int = 20, src_col: str = "src",
+         dst_col: str = "dst", n_buckets: int = 32,
+         dedup_edges: bool = False):
+    """HITS hubs/authorities by power iteration on ``n_buckets``
+    co-partitioned graph-shard actors (the same Pregel layout as
+    pagerank — edge set shuffles ONCE at setup, the driver holds only
+    actor handles, per-step refs and the two L2-norm scalars).
+
+    Per iteration: authority(v) = Σ hub(u) over in-edges folds from
+    the PR-shaped pre-aggregated contribution exchange, then hub(u) =
+    Σ authority(v) over out-edges folds from the owners serving
+    authority values back along the static per-shard request lists
+    (the reverse exchange; no reverse EDGE set is ever built).  Both
+    vectors L2-normalize each step via a scalar fan-in, matching
+    Kleinberg's formulation.  Returns (node, hub, authority)."""
+    import math
+
+    import ray
+
+    actors, counts = _spawn_shards(
+        _HitsShard, edges, n_buckets, src_col, dst_col,
+        dedup_edges=dedup_edges,
+    )
+    B = n_buckets
+    n = int(sum(counts))
+    if n == 0:
+        return _collect_shards(
+            actors, [],
+            {"node": "int64", "hub": "float64",
+             "authority": "float64"},
+        )
+
+    for _ in range(n_iter):
+        outs = [_fan(a, "auth_contribs", B) for a in actors]
+        sq = ray.get(
+            [
+                actors[t].fold_auth.remote(
+                    *[outs[i][t] for i in range(B)]
+                )
+                for t in range(B)
+            ]
+        )
+        norm = math.sqrt(sum(sq))
+        ray.get([a.scale.remote("auth", norm) for a in actors])
+        aouts = [_fan(a, "auth_parts", B) for a in actors]
+        sq = ray.get(
+            [
+                actors[i].fold_hub.remote(
+                    *[aouts[t][i] for t in range(B)]
+                )
+                for i in range(B)
+            ]
+        )
+        norm = math.sqrt(sum(sq))
+        ray.get([a.scale.remote("hub", norm) for a in actors])
+
+    refs = [
+        a.result.remote() for a, c in zip(actors, counts) if c > 0
+    ]
+    return _collect_shards(
+        actors, refs,
+        {"node": "int64", "hub": "float64", "authority": "float64"},
+    )
+
+
+class _PPRShard(_PRShard):
+    """Personalized-PageRank shard: restart (and dangling) mass is
+    redistributed over the SEED set instead of uniformly."""
+
+    def set_seeds(self, seeds) -> int:
+        s = np.asarray(seeds, dtype=np.int64)
+        pos = np.searchsorted(self.nodes, s)
+        ok = pos < len(self.nodes)
+        pos = pos[ok]
+        hit = self.nodes[pos] == s[ok]
+        self.seed_pos = pos[hit]
+        return len(self.seed_pos)
+
+    def init_ppr(self, n_seeds: int) -> float:
+        self.n_seeds = n_seeds
+        self.rank = np.zeros(len(self.nodes))
+        if n_seeds:
+            self.rank[self.seed_pos] = 1.0 / n_seeds
+        self.w = np.where(self.deg > 0, self.rank / self.deg, 0.0)
+        return float(self.rank[self.deg == 0].sum())
+
+    def update_ppr(self, damping: float, dangling: float,
+                   *parts) -> float:
+        c = np.zeros(len(self.nodes))
+        for vals, sums in parts:
+            if len(vals):
+                c[np.searchsorted(self.nodes, vals)] += sums
+        self.rank = damping * c
+        if self.n_seeds:
+            boost = (
+                (1.0 - damping) + damping * dangling
+            ) / self.n_seeds
+            self.rank[self.seed_pos] += boost
+        self.w = np.where(self.deg > 0, self.rank / self.deg, 0.0)
+        return float(self.rank[self.deg == 0].sum())
+
+
+def personalized_pagerank(edges, seeds, damping: float = 0.85,
+                          n_iter: int = 15, src_col: str = "src",
+                          dst_col: str = "dst", n_buckets: int = 32,
+                          dedup_edges: bool = False):
+    """Personalized PageRank (random walk with restart to ``seeds``)
+    on the shared Pregel shard layout — identical exchange pattern to
+    ``pagerank`` (per-step: B x B pre-aggregated contribution refs +
+    one dangling scalar), only the restart vector differs: teleport
+    and dangling mass land uniformly on the seed set, giving
+    seed-proximity scores.  ``seeds`` is a small broadcast list.
+    Returns (node, rank)."""
+    import ray
+
+    actors, counts = _spawn_shards(
+        _PPRShard, edges, n_buckets, src_col, dst_col,
+        dedup_edges=dedup_edges,
+    )
+    B = n_buckets
+    if int(sum(counts)) == 0:
+        return _collect_shards(
+            actors, [], {"node": "int64", "rank": "float64"}
+        )
+    seeds = np.asarray(sorted(set(int(s) for s in seeds)), np.int64)
+    n_seeds = int(sum(ray.get(
+        [a.set_seeds.remote(seeds) for a in actors]
+    )))
+    if n_seeds == 0:
+        raise ValueError(
+            "personalized_pagerank: no seed exists in the graph"
+        )
+    dangling = float(sum(ray.get(
+        [a.init_ppr.remote(n_seeds) for a in actors]
+    )))
+    for _ in range(n_iter):
+        outs = [_fan(a, "contribs", B) for a in actors]
+        dangling = float(sum(ray.get(
+            [
+                actors[t].update_ppr.remote(
+                    damping, dangling,
+                    *[outs[i][t] for i in range(B)]
+                )
+                for t in range(B)
+            ]
+        )))
+    refs = [
+        a.ranks.remote() for a, c in zip(actors, counts) if c > 0
+    ]
+    return _collect_shards(
+        actors, refs, {"node": "int64", "rank": "float64"}
+    )

@@ -10515,3 +10515,114 @@ def q21_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
         .head(100)[["s_name", "numwait"]]
         .reset_index(drop=True)
     )
+
+
+def q_hits(sf_dir: str) -> pd.DataFrame:
+    """HITS hubs/authorities (ops.graph.hits) over the directed
+    user -> event-type interaction graph: users are hubs, event types
+    are authorities (ids offset by 10^9 to keep the node domains
+    disjoint).  Distinct (user, type) edges collapse combiner-first
+    before the ONE setup shuffle; each power half-step exchanges only
+    pre-aggregated contribution / authority-value arrays between
+    shard actors.  Rows-only (iterative fixpoint has no SQL twin);
+    pytest parity against dense numpy power iteration covers
+    exactness.  Returns the top-20 hubs and all authorities, rounded
+    so fold order can't flip the hash."""
+    from unfurl_ray.ops.graph import hits
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    types = sorted(
+        _parquet_sh(sf_dir, "events", ["event_type"])
+        .unique("event_type")
+    )
+    code = {t: i for i, t in enumerate(types)}
+
+    def edge(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": batch["user_id"].to_numpy(np.int64),
+                "dst": batch["event_type"].map(code).to_numpy(
+                    np.int64
+                )
+                + 1_000_000_000,
+            }
+        )
+
+    edges = pre_aggregate(
+        _parquet_sh(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(edge, batch_format="pandas"),
+        ["src", "dst"], {"n": ("src", "count")},
+    ).select_columns(["src", "dst"])
+
+    out = hits(edges, n_iter=25, n_buckets=8).to_pandas()
+    hubs = (
+        out[out["node"] < 1_000_000_000]
+        .sort_values(["hub", "node"], ascending=[False, True])
+        .head(20)
+    )
+    auths = out[out["node"] >= 1_000_000_000].sort_values("node")
+    res = pd.concat([hubs, auths], ignore_index=True)
+    res["hub"] = res["hub"].round(8)
+    res["authority"] = res["authority"].round(8)
+    res["node"] = res["node"].astype("int64")
+    return res[["node", "hub", "authority"]].reset_index(drop=True)
+
+
+def q_ppr(sf_dir: str) -> pd.DataFrame:
+    """Personalized PageRank (ops.graph.personalized_pagerank) over
+    the embedding similarity graph, seeded on the label-0 vectors —
+    'which corpus items does the label-0 neighborhood endorse'.  Same
+    one-setup-shuffle Pregel layout as q_pagerank; the seed set is a
+    small broadcast list and restart/dangling mass teleports onto
+    it.  Rows-only (iterative fixpoint); pytest parity against dense
+    numpy RWR covers exactness.  Returns the top-30 NON-seed nodes by
+    rank (the recommendation view), rounded."""
+    from unfurl_ray.ops.graph import personalized_pagerank
+    from unfurl_ray.ops.similarity import cosine_pairs_bucketed
+
+    ds = _parquet(sf_dir, "embeddings")
+    # seed set = the 100 smallest label-0 vec_ids, closed with
+    # per-batch partial min-k so the driver never sees more than
+    # 100 ids per block at any scale
+    seeds = sorted(
+        _parquet(sf_dir, "embeddings", ["vec_id", "label"])
+        .map_batches(
+            lambda b: b[b["label"] == 0][["vec_id"]]
+            .nsmallest(100, "vec_id"),
+            batch_format="pandas",
+        )
+        .to_pandas()["vec_id"]
+        .astype(int)
+    )[:100]
+    pairs = cosine_pairs_bucketed(
+        ds, threshold=0.3, assign_top=3, dedup=False
+    )
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch.column("vec_a").to_numpy(zero_copy_only=False)
+        b = batch.column("vec_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(
+                    np.concatenate([a, b]).astype(np.int64),
+                    pa.int64(),
+                ),
+                "dst": pa.array(
+                    np.concatenate([b, a]).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
+    out = personalized_pagerank(
+        edges, seeds, n_iter=20, n_buckets=8, dedup_edges=True
+    ).to_pandas()
+    seed_set = set(seeds)
+    out = out[~out["node"].isin(seed_set)]
+    out = out.sort_values(
+        ["rank", "node"], ascending=[False, True]
+    ).head(30)
+    out["rank"] = out["rank"].round(8)
+    out["node"] = out["node"].astype("int64")
+    return out[["node", "rank"]].reset_index(drop=True)
