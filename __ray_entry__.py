@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: iterative fixpoints, numpy-parity pytests instead
         "q_hits": p.q_hits,
         "q_ppr": p.q_ppr,
+        "q_gmm": p.q_gmm,
     }
 
 

@@ -5832,3 +5832,59 @@ def test_personalized_pagerank_matches_dense(ray_session):
     )
     # mass conservation
     assert abs(got["rank"].sum() - 1.0) < 1e-6
+
+
+def test_gmm_matches_inmemory_em(ray_session):
+    """Distributed GMM-EM vs an identical-init numpy EM, plus
+    log-likelihood monotonicity."""
+    import ray.data as rd
+
+    from unfurl_ray.ops.fit import gmm_fit
+
+    rng = np.random.default_rng(5)
+    x = np.concatenate(
+        [rng.normal(0, 1, 400), rng.normal(6, 0.5, 200)]
+    )
+    df = pd.DataFrame({"x": x})
+    params, hist = gmm_fit(
+        rd.from_pandas(df).repartition(6), "x", k=2, iters=20
+    )
+
+    # identical deterministic init
+    n = len(x)
+    mean, var = x.mean(), x.var()
+    mu = mean + np.sqrt(var) * np.linspace(-1.0, 1.0, 2)
+    vr = np.full(2, var)
+    w = np.full(2, 0.5)
+    for _ in range(20):
+        logp = (
+            -0.5 * ((x[:, None] - mu) ** 2 / vr
+                    + np.log(2 * np.pi * vr))
+            + np.log(w)
+        )
+        m = logp.max(axis=1, keepdims=True)
+        p = np.exp(logp - m)
+        r = p / p.sum(axis=1, keepdims=True)
+        R = r.sum(axis=0)
+        w = R / n
+        mu = (r * x[:, None]).sum(axis=0) / R
+        vr = (r * x[:, None] ** 2).sum(axis=0) / R - mu**2
+
+    got = params.sort_values("mean")
+    order = np.argsort(mu)
+    np.testing.assert_allclose(
+        got["mean"].to_numpy(), mu[order], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        got["weight"].to_numpy(), w[order], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        got["var"].to_numpy(), vr[order], atol=1e-6
+    )
+    # EM guarantees nondecreasing log-likelihood
+    assert all(
+        b >= a - 1e-7 for a, b in zip(hist, hist[1:])
+    )
+    # the two planted modes were found
+    assert abs(got["mean"].iloc[0] - 0.0) < 0.3
+    assert abs(got["mean"].iloc[1] - 6.0) < 0.3

@@ -843,3 +843,105 @@ def naive_bayes_apply(ds, model: pd.DataFrame, feature_cols: list[str],
         return out
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def gmm_fit(ds, value_col: str, k: int = 3, iters: int = 15):
+    """Distributed EM for a 1-D Gaussian mixture: every iteration is
+    ONE pass of plain Ray tasks over the materialized projected
+    blocks (the kmeans_fit pattern — no per-pass Dataset scheduling),
+    each block returning 3k+1 floats of E-step sufficient statistics
+    (per-component responsibility sums, Σ r·x, Σ r·x², block
+    log-likelihood); the driver folds them in deterministic block
+    order and runs the closed-form M-step.  Init is deterministic
+    and data-derived: one moments pass sets equally spaced means
+    across ±1σ, shared variance, uniform weights.
+
+    Returns (params DataFrame [component, weight, mean, var],
+    log-likelihood history list)."""
+    import ray
+
+    proj = ds.select_columns([value_col]).materialize()
+    block_refs = proj.to_arrow_refs()
+
+    @ray.remote
+    def _moments(block: pa.Table):
+        if block.num_rows == 0 or value_col not in block.column_names:
+            return 0.0, 0.0, 0
+        x = block.column(value_col).to_numpy(zero_copy_only=False)
+        x = x.astype(np.float64)
+        return float(x.sum()), float((x * x).sum()), len(x)
+
+    s1, s2, n = 0.0, 0.0, 0
+    for a, b, c in ray.get([_moments.remote(r) for r in block_refs]):
+        s1, s2, n = s1 + a, s2 + b, n + c
+    if n == 0:
+        raise ValueError("gmm_fit: empty input")
+    mean = s1 / n
+    var = max(s2 / n - mean * mean, 1e-12)
+    sd = var ** 0.5
+    mu = mean + sd * np.linspace(-1.0, 1.0, k)
+    vr = np.full(k, var)
+    w = np.full(k, 1.0 / k)
+
+    @ray.remote
+    def _estep(block: pa.Table, w, mu, vr):
+        if block.num_rows == 0 or value_col not in block.column_names:
+            kk = len(w)
+            return (np.zeros(kk), np.zeros(kk), np.zeros(kk), 0.0)
+        x = block.column(value_col).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)[:, None]
+        logp = (
+            -0.5 * ((x - mu) ** 2 / vr + np.log(2.0 * np.pi * vr))
+            + np.log(w)
+        )
+        m = logp.max(axis=1, keepdims=True)
+        p = np.exp(logp - m)
+        tot = p.sum(axis=1, keepdims=True)
+        r = p / tot
+        ll = float((m[:, 0] + np.log(tot[:, 0])).sum())
+        return (
+            r.sum(axis=0),
+            (r * x).sum(axis=0),
+            (r * x * x).sum(axis=0),
+            ll,
+        )
+
+    history = []
+    for _ in range(iters):
+        parts = ray.get(
+            [_estep.remote(b, w, mu, vr) for b in block_refs]
+        )
+        R = np.zeros(k)
+        RX = np.zeros(k)
+        RX2 = np.zeros(k)
+        ll = 0.0
+        for r_, rx_, rx2_, l_ in parts:
+            R += r_
+            RX += rx_
+            RX2 += rx2_
+            ll += l_
+        history.append(ll)
+        nz = R > 0
+        w = np.where(nz, R / n, w)
+        mu = np.where(nz, RX / np.maximum(R, 1e-300), mu)
+        vr = np.maximum(
+            np.where(
+                nz,
+                RX2 / np.maximum(R, 1e-300) - (
+                    RX / np.maximum(R, 1e-300)
+                ) ** 2,
+                vr,
+            ),
+            1e-12,
+        )
+
+    params = pd.DataFrame(
+        {
+            "component": np.arange(k, dtype=np.int64),
+            "weight": w,
+            "mean": mu,
+            "var": vr,
+        }
+    )
+    return params, history

@@ -10626,3 +10626,43 @@ def q_ppr(sf_dir: str) -> pd.DataFrame:
     out["rank"] = out["rank"].round(8)
     out["node"] = out["node"].astype("int64")
     return out[["node", "rank"]].reset_index(drop=True)
+
+
+def q_gmm(sf_dir: str) -> pd.DataFrame:
+    """3-component 1-D Gaussian mixture (ops.fit.gmm_fit) on
+    log1p(value) of purchase events — the classic spend-segmentation
+    fit.  Distributed EM: each pass is one task sweep over the
+    materialized projected blocks, moving 3k+1 floats per block.
+    Rows-only (iterative EM fixpoint has no SQL twin); pytest checks
+    exact parity vs an in-memory numpy EM with identical init plus
+    log-likelihood monotonicity.  Components are sorted by mean and
+    rounded so fold order can't flip the hash."""
+    from unfurl_ray.ops.fit import gmm_fit
+
+    ds = _parquet_sh(sf_dir, "events", ["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.equal(batch.column("event_type"), "purchase")
+        )
+        return pa.table(
+            {
+                "x": pc.ln(
+                    pc.add(
+                        pc.cast(b.column("value"), pa.float64()),
+                        pa.scalar(1.0),
+                    )
+                )
+            }
+        )
+
+    params, history = gmm_fit(
+        ds.map_batches(prep, batch_format="pyarrow"), "x",
+        k=3, iters=12,
+    )
+    out = params.sort_values("mean").reset_index(drop=True)
+    out["component"] = np.arange(len(out), dtype=np.int64)
+    for c in ("weight", "mean", "var"):
+        out[c] = out[c].round(6)
+    out["final_loglik"] = round(history[-1], 2)
+    return out
