@@ -310,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hits": p.q_hits,
         "q_ppr": p.q_ppr,
         "q_gmm": p.q_gmm,
+        "q_conversion_lag": p.q_conversion_lag,
     }
 
 
@@ -4116,6 +4117,21 @@ def oracle_sql() -> dict[str, str]:
                   AND o_orderdate >= DATE '1999-01-01')
             GROUP BY c_nationkey
             ORDER BY c_nationkey
+        """,
+        # first-view -> first-purchase lag histogram (integer us)
+        "q_conversion_lag": """
+            WITH v AS (
+                SELECT user_id, min(epoch_us(ts)) AS t
+                FROM events WHERE event_type = 'view' GROUP BY 1),
+            p AS (
+                SELECT user_id, min(epoch_us(ts)) AS t
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY 1)
+            SELECT (p.t - v.t) // 3600000000 AS lag_hours,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM v JOIN p USING (user_id)
+            WHERE p.t >= v.t
+            GROUP BY 1 ORDER BY 1
         """,
         # TPC-H Q11 shape: parts above 0.1% of nation stock value
         "q11_important_parts": """

@@ -10666,3 +10666,61 @@ def q_gmm(sf_dir: str) -> pd.DataFrame:
         out[c] = out[c].round(6)
     out["final_loglik"] = round(history[-1], 2)
     return out
+
+
+def q_conversion_lag(sf_dir: str) -> pd.DataFrame:
+    """First-view -> first-purchase conversion-lag histogram in
+    hour buckets.  Two combiner-first min-shuffles collapse events to
+    one (user, first ts) row per side BEFORE the join (the shuffle
+    carries one row per user, never events); the per-user lag joins
+    bucket-co-partitioned and the histogram is a final tiny
+    pre_aggregate.  All arithmetic is integer microseconds —
+    hash-exact vs the twin."""
+    from unfurl_ray.ops.relational import (
+        _ts_us, bucketed_hash_join, pre_aggregate,
+    )
+
+    def first_of(etype: str, out: str):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            m = batch["event_type"].to_numpy() == etype
+            return pd.DataFrame(
+                {
+                    "user_id": batch["user_id"].to_numpy(
+                        np.int64
+                    )[m],
+                    out: _ts_us(batch["ts"]).to_numpy()[m],
+                }
+            )
+
+        return pre_aggregate(
+            _parquet_sh(
+                sf_dir, "events", ["user_id", "event_type", "ts"]
+            ).map_batches(f, batch_format="pandas"),
+            ["user_id"], {out: (out, "min")},
+        )
+
+    views = first_of("view", "vt")
+    buys = first_of("purchase", "pt").map_batches(
+        lambda b: b.rename_columns(["uid2", "pt"]),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_hash_join(
+        views, buys, on="user_id", right_on="uid2",
+    )
+
+    def lag_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        lag = batch["pt"].to_numpy(np.int64) - batch[
+            "vt"
+        ].to_numpy(np.int64)
+        keep = lag >= 0
+        return pd.DataFrame(
+            {"lag_hours": lag[keep] // 3_600_000_000}
+        )
+
+    out = pre_aggregate(
+        joined.map_batches(lag_bucket, batch_format="pandas"),
+        ["lag_hours"], {"n_users": ("lag_hours", "count")},
+    ).to_pandas()
+    out["lag_hours"] = out["lag_hours"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("lag_hours").reset_index(drop=True)
