@@ -311,6 +311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ppr": p.q_ppr,
         "q_gmm": p.q_gmm,
         "q_conversion_lag": p.q_conversion_lag,
+        "q_basket_lift": p.q_basket_lift,
+        "q_tenure_value": p.q_tenure_value,
     }
 
 
@@ -4117,6 +4119,44 @@ def oracle_sql() -> dict[str, str]:
                   AND o_orderdate >= DATE '1999-01-01')
             GROUP BY c_nationkey
             ORDER BY c_nationkey
+        """,
+        # association-rule support/confidence/lift over user baskets
+        "q_basket_lift": """
+            WITH ut AS (
+                SELECT DISTINCT user_id, event_type FROM events),
+            s AS (SELECT event_type, count(*) AS n
+                  FROM ut GROUP BY 1),
+            nb AS (SELECT count(DISTINCT user_id) AS n FROM ut),
+            p AS (
+                SELECT l.event_type AS a, r.event_type AS b,
+                       count(*) AS n_ab
+                FROM ut l
+                JOIN ut r ON l.user_id = r.user_id
+                         AND l.event_type < r.event_type
+                GROUP BY 1, 2)
+            SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
+                   round(n_ab * 1.0 / nb.n, 6) AS support,
+                   round(n_ab * 1.0 / sa.n, 6) AS confidence,
+                   round(nb.n * n_ab * 1.0 / (sa.n * sb.n), 6)
+                       AS lift
+            FROM p
+            CROSS JOIN nb
+            JOIN s sa ON sa.event_type = p.a
+            JOIN s sb ON sb.event_type = p.b
+            ORDER BY a, b
+        """,
+        # event value by user tenure week (exact integer cents)
+        "q_tenure_value": """
+            WITH s AS (
+                SELECT user_id, epoch_us(ts) AS t,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events),
+            f AS (SELECT user_id, min(t) AS t0 FROM s GROUP BY 1)
+            SELECT (t - t0) // 604800000000 AS tenure_week,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS rev_cents
+            FROM s JOIN f USING (user_id)
+            GROUP BY 1 ORDER BY 1
         """,
         # first-view -> first-purchase lag histogram (integer us)
         "q_conversion_lag": """

@@ -10724,3 +10724,190 @@ def q_conversion_lag(sf_dir: str) -> pd.DataFrame:
     out["lag_hours"] = out["lag_hours"].astype("int64")
     out["n_users"] = out["n_users"].astype("int64")
     return out.sort_values("lag_hours").reset_index(drop=True)
+
+
+def q_basket_lift(sf_dir: str) -> pd.DataFrame:
+    """Association-rule metrics (support / confidence / lift) for
+    unordered event-type pairs over per-user baskets — the
+    market-basket analysis on top of q_cooccurrence's exact-dedup
+    pair machinery.  Per-batch LOCAL (user, type) distinct, one
+    user-sharded shuffle co-locates each user's few distinct types,
+    pairs fan out after dedup (bounded by |types|^2/2 per user); the
+    singleton and basket totals come from the same collapsed table,
+    so lift = N * n_ab / (n_a * n_b) closes on a |types|^2-row driver
+    frame.  Ratios are exact-integer divisions rounded identically in
+    the twin."""
+    from unfurl_ray.ops.relational import pre_aggregate
+
+    ds = _parquet_sh(sf_dir, "events", ["user_id", "event_type"])
+
+    def local_distinct(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch[["user_id", "event_type"]].drop_duplicates()
+        return pd.DataFrame(
+            {
+                "user_id": u["user_id"].to_numpy(np.int64),
+                "event_type": u["event_type"].to_numpy(),
+            }
+        )
+
+    # collapsed (user, type) table — one row per distinct pair
+    ut = pre_aggregate(
+        ds.map_batches(local_distinct, batch_format="pandas"),
+        ["user_id", "event_type"],
+        {"n": ("event_type", "count")},
+    ).select_columns(["user_id", "event_type"]).materialize()
+
+    singles = (
+        pre_aggregate(
+            ut, ["event_type"], {"n_users": ("event_type", "count")}
+        )
+        .to_pandas()
+        .set_index("event_type")["n_users"]
+        .astype(int)
+        .to_dict()
+    )
+    n_baskets = int(
+        pre_aggregate(
+            ut, ["user_id"], {"k": ("user_id", "count")}
+        ).count()
+    )
+
+    N_SHARDS = 64
+
+    def add_shard(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_shard"] = (
+            pd.util.hash_array(batch["user_id"].to_numpy())
+            % np.uint64(N_SHARDS)
+        ).astype(np.int64)
+        return batch
+
+    def fan_pairs(group: pd.DataFrame) -> pa.Table:
+        # q_cooccurrence's vectorized per-run triu fan-out: one
+        # map_groups call per SHARD (64 total), never per user
+        g = group.sort_values(["user_id", "event_type"])
+        keys = g["user_id"].to_numpy()
+        types = g["event_type"].to_numpy()
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.string()),
+                "b": pa.array([], pa.string()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        new = np.empty(len(g), dtype=np.bool_)
+        new[0] = True
+        new[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(g))
+        a_out, b_out = [], []
+        for s, e in zip(starts, ends):
+            t = types[s:e]
+            if len(t) < 2:
+                continue
+            ia, ib = np.triu_indices(len(t), k=1)
+            a_out.append(t[ia])
+            b_out.append(t[ib])
+        if not a_out:
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(a_out), pa.string()),
+                "b": pa.array(np.concatenate(b_out), pa.string()),
+            }
+        )
+
+    pair_counts = pre_aggregate(
+        ut.map_batches(add_shard, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(fan_pairs, batch_format="pandas"),
+        ["a", "b"], {"n_ab": ("a", "count")},
+    ).to_pandas()
+
+    def _r6(x: pd.Series) -> pd.Series:
+        # half-away-from-zero at 6 dp — DuckDB round() semantics;
+        # pandas .round is half-to-even and can flip an exact .5
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
+    pair_counts["n_a"] = pair_counts["a"].map(singles).astype(int)
+    pair_counts["n_b"] = pair_counts["b"].map(singles).astype(int)
+    pair_counts["n_ab"] = pair_counts["n_ab"].astype("int64")
+    pair_counts["support"] = _r6(pair_counts["n_ab"] / n_baskets)
+    pair_counts["confidence"] = _r6(
+        pair_counts["n_ab"] / pair_counts["n_a"]
+    )
+    pair_counts["lift"] = _r6(
+        n_baskets
+        * pair_counts["n_ab"]
+        / (pair_counts["n_a"] * pair_counts["n_b"])
+    )
+    return (
+        pair_counts[
+            ["a", "b", "n_ab", "support", "confidence", "lift"]
+        ]
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+
+def q_tenure_value(sf_dir: str) -> pd.DataFrame:
+    """Event value by user tenure (days since the user's first
+    event, bucketed by week of life) — the cohort-age analysis.  One
+    combiner-first min-shuffle collapses events to per-user first
+    timestamps; events then join bucket-co-partitioned on user (the
+    shuffle carries (user, ts, cents) stubs, never text); the tenure
+    bucketing and the exact-cents rollup close vectorized."""
+    from unfurl_ray.ops.relational import (
+        _ts_us, bucketed_hash_join, pre_aggregate,
+    )
+
+    ev = _parquet_sh(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def stub(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(np.int64),
+                "t": _ts_us(batch["ts"]).to_numpy(),
+                "cents": np.rint(
+                    batch["value"].to_numpy() * 100.0
+                ).astype(np.int64),
+            }
+        )
+
+    stubs = ev.map_batches(stub, batch_format="pandas")
+    first = pre_aggregate(
+        stubs, ["user_id"], {"t0": ("t", "min")},
+    ).map_batches(
+        lambda b: b.rename_columns(["uid2", "t0"]),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_hash_join(
+        stubs, first, on="user_id", right_on="uid2",
+    )
+
+    WEEK_US = 7 * 86_400 * 1_000_000
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        wk = (
+            batch["t"].to_numpy(np.int64)
+            - batch["t0"].to_numpy(np.int64)
+        ) // WEEK_US
+        return pd.DataFrame(
+            {
+                "tenure_week": wk,
+                "cents": batch["cents"].to_numpy(np.int64),
+            }
+        )
+
+    out = pre_aggregate(
+        joined.map_batches(bucketize, batch_format="pandas"),
+        ["tenure_week"],
+        {
+            "n_events": ("cents", "count"),
+            "rev_cents": ("cents", "sum"),
+        },
+    ).to_pandas()
+    for c in ("tenure_week", "n_events", "rev_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("tenure_week").reset_index(drop=True)
