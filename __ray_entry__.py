@@ -313,6 +313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_conversion_lag": p.q_conversion_lag,
         "q_basket_lift": p.q_basket_lift,
         "q_tenure_value": p.q_tenure_value,
+        "q_linear_attribution": p.q_linear_attribution,
+        "q_return_rate": p.q_return_rate,
     }
 
 
@@ -4119,6 +4121,41 @@ def oracle_sql() -> dict[str, str]:
                   AND o_orderdate >= DATE '1999-01-01')
             GROUP BY c_nationkey
             ORDER BY c_nationkey
+        """,
+        # linear multi-touch attribution credit spectrum
+        "q_linear_attribution": """
+            WITH t AS (
+                SELECT user_id, event_id, event_type,
+                       epoch_us(ts) AS ts
+                FROM events WHERE event_type <> 'purchase'),
+            p AS (
+                SELECT user_id, event_id, epoch_us(ts) AS ts
+                FROM events WHERE event_type = 'purchase'),
+            pr AS (
+                SELECT t.event_type, t.event_id AS tid,
+                       p.event_id AS pid
+                FROM t JOIN p ON t.user_id = p.user_id
+                           AND p.ts - t.ts > 0
+                           AND p.ts - t.ts <= 3600000000),
+            k AS (SELECT pid, count(*) AS k FROM pr GROUP BY 1)
+            SELECT event_type, CAST(k AS BIGINT) AS k,
+                   CAST(count(*) AS BIGINT) AS n_touches,
+                   round(count(*) * 1.0 / k, 6) AS credit
+            FROM pr JOIN k USING (pid)
+            GROUP BY event_type, k ORDER BY 1, 2
+        """,
+        # return rate per part brand (integer counts, one division)
+        "q_return_rate": """
+            SELECT p_brand,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CASE WHEN l_returnflag = 'R'
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_returned,
+                   round(sum(CASE WHEN l_returnflag = 'R'
+                             THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                       AS return_rate
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            GROUP BY 1 ORDER BY 1
         """,
         # association-rule support/confidence/lift over user baskets
         "q_basket_lift": """

@@ -10911,3 +10911,149 @@ def q_tenure_value(sf_dir: str) -> pd.DataFrame:
     for c in ("tenure_week", "n_events", "rev_cents"):
         out[c] = out[c].astype("int64")
     return out.sort_values("tenure_week").reset_index(drop=True)
+
+
+def q_linear_attribution(sf_dir: str) -> pd.DataFrame:
+    """LINEAR multi-touch attribution spectrum: every purchase
+    splits one unit of credit equally over ALL its preceding touches
+    within a 1-hour window (vs q_attribution's last-touch winner).
+    Composes windowed_pair_join (touch, purchase) pair emission — 2x
+    bucket fan-out, no per-user stream — with a per-purchase
+    touch-count shuffle and a join-back; the result collapses to the
+    exact-integer (touch_type, k) spectrum, so the credit column is
+    ONE integer division per row (n/k) and the twin is hash-exact
+    with no float-summation-order exposure."""
+    from unfurl_ray.ops.relational import (
+        _ts_us, bucketed_hash_join, pre_aggregate,
+        windowed_pair_join,
+    )
+
+    def shape(batch: pd.DataFrame) -> pd.DataFrame:
+        et = batch["event_type"].to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(np.int64),
+                "ts": batch["ts"],
+                "event_id": batch["event_id"].to_numpy(np.int64),
+                "kind": np.where(et == "purchase", "buy", "touch"),
+            }
+        )
+
+    ev = _parquet_sh(
+        sf_dir, "events", ["user_id", "ts", "event_id", "event_type"]
+    ).map_batches(shape, batch_format="pandas")
+    pairs = windowed_pair_join(
+        ev, "user_id", "ts", "event_id", "kind",
+        left_type="touch", right_type="buy", width_s=3600,
+    ).materialize()  # consumed twice: per-purchase k + join-back
+
+    k_per_buy = pre_aggregate(
+        pairs, ["right_id"], {"k": ("right_id", "count")},
+    ).map_batches(
+        lambda b: b.rename_columns(["rid2", "k"]),
+        batch_format="pyarrow",
+    )
+    with_k = bucketed_hash_join(
+        pairs, k_per_buy, on="right_id", right_on="rid2",
+    )
+
+    # touch id -> original event_type (bucketed join against the
+    # pruned touch projection; at design scale both sides are big)
+    touch_types = _parquet_sh(
+        sf_dir, "events", ["event_id", "event_type"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.not_equal(b.column("event_type"), "purchase")
+        ).rename_columns(["tid", "event_type"]),
+        batch_format="pyarrow",
+    )
+    typed = bucketed_hash_join(
+        with_k, touch_types, on="left_id", right_on="tid",
+    )
+
+    out = pre_aggregate(
+        typed, ["event_type", "k"],
+        {"n_touches": ("left_id", "count")},
+    ).to_pandas()
+    out["k"] = out["k"].astype("int64")
+    out["n_touches"] = out["n_touches"].astype("int64")
+    # exact: one integer division per row, half-away to 6 dp
+    out["credit"] = np.floor(
+        out["n_touches"] / out["k"] * 1e6 + 0.5
+    ) / 1e6
+    return (
+        out[["event_type", "k", "n_touches", "credit"]]
+        .sort_values(["event_type", "k"])
+        .reset_index(drop=True)
+    )
+
+
+def q_return_rate(sf_dir: str) -> pd.DataFrame:
+    """Return rate per part brand: part collapses to a broadcast
+    (sorted partkey -> brand code) lookup; one pass of per-batch
+    partial (total, returned) counts per brand folds into a tiny
+    rollup — integer counts, one division per output row, no
+    join, no big shuffle."""
+    import ray
+
+    from unfurl_ray.ops.relational import (
+        _broadcast_fetch, pre_aggregate,
+    )
+
+    part = (
+        _parquet(sf_dir, "part", ["p_partkey", "p_brand"])
+        .to_pandas()
+        .sort_values("p_partkey")
+    )
+    brands = sorted(part["p_brand"].unique())
+    code = {b: i for i, b in enumerate(brands)}
+    part_ref = ray.put(
+        (
+            part["p_partkey"].to_numpy(np.int64),
+            part["p_brand"].map(code).to_numpy(np.int64),
+        )
+    )
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        keys, bc = _broadcast_fetch(part_ref)
+        pk = batch["l_partkey"].to_numpy(np.int64)
+        idx = np.clip(
+            np.searchsorted(keys, pk), 0, max(len(keys) - 1, 0)
+        )
+        hit = keys[idx] == pk if len(keys) else np.zeros(
+            len(pk), np.bool_
+        )
+        ret = (
+            batch["l_returnflag"].to_numpy() == "R"
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "brand_code": bc[idx][hit],
+                "one": np.ones(int(hit.sum()), np.int64),
+                "returned": ret[hit],
+            }
+        )
+
+    out = pre_aggregate(
+        _parquet_sh(
+            sf_dir, "lineitem", ["l_partkey", "l_returnflag"]
+        ).map_batches(partials, batch_format="pandas"),
+        ["brand_code"],
+        {
+            "n_items": ("one", "sum"),
+            "n_returned": ("returned", "sum"),
+        },
+    ).to_pandas()
+    out["p_brand"] = out["brand_code"].map(
+        {v: k for k, v in code.items()}
+    )
+    for c in ("n_items", "n_returned"):
+        out[c] = out[c].astype("int64")
+    out["return_rate"] = np.floor(
+        out["n_returned"] / out["n_items"] * 1e6 + 0.5
+    ) / 1e6
+    return (
+        out[["p_brand", "n_items", "n_returned", "return_rate"]]
+        .sort_values("p_brand")
+        .reset_index(drop=True)
+    )
