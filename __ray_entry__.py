@@ -315,6 +315,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tenure_value": p.q_tenure_value,
         "q_linear_attribution": p.q_linear_attribution,
         "q_return_rate": p.q_return_rate,
+        "q_stickiness": p.q_stickiness,
+        "q_fill_lag": p.q_fill_lag,
+        "q_dup_char_share": p.q_dup_char_share,
     }
 
 
@@ -4121,6 +4124,52 @@ def oracle_sql() -> dict[str, str]:
                   AND o_orderdate >= DATE '1999-01-01')
             GROUP BY c_nationkey
             ORDER BY c_nationkey
+        """,
+        # DAU/WAU stickiness per day (integer counts, one division)
+        "q_stickiness": """
+            WITH ud AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events),
+            d AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+            w AS (
+                SELECT week, count(*) AS wau FROM (
+                    SELECT DISTINCT user_id, day // 7 AS week
+                    FROM ud) GROUP BY 1)
+            SELECT day, CAST(dau AS BIGINT) AS dau,
+                   CAST(wau AS BIGINT) AS wau,
+                   round(dau * 1.0 / wau, 6) AS stickiness
+            FROM d JOIN w ON d.day // 7 = w.week
+            ORDER BY day
+        """,
+        # order-date -> first-shipment lag histogram (integer days)
+        "q_fill_lag": """
+            WITH f AS (
+                SELECT l_orderkey,
+                       min(epoch_us(l_shipdate)) AS ship_us
+                FROM lineitem GROUP BY 1)
+            SELECT (ship_us - epoch_us(o_orderdate))
+                   // 86400000000 AS lag_days,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders JOIN f ON o_orderkey = l_orderkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        # per-source duplicated-character share (exact integers)
+        "q_dup_char_share": """
+            WITH s AS (
+                SELECT md5(text) AS digest, source, n_chars
+                FROM documents),
+            g AS (SELECT digest, count(*) AS gsize
+                  FROM s GROUP BY 1)
+            SELECT source,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum(CASE WHEN gsize >= 2 THEN n_chars
+                            ELSE 0 END) AS BIGINT) AS dup_chars,
+                   round(sum(CASE WHEN gsize >= 2 THEN n_chars
+                             ELSE 0 END) * 1.0 / sum(n_chars), 6)
+                       AS dup_share
+            FROM s JOIN g USING (digest)
+            GROUP BY 1 ORDER BY 1
         """,
         # linear multi-touch attribution credit spectrum
         "q_linear_attribution": """

@@ -11057,3 +11057,196 @@ def q_return_rate(sf_dir: str) -> pd.DataFrame:
         .sort_values("p_brand")
         .reset_index(drop=True)
     )
+
+
+def q_stickiness(sf_dir: str) -> pd.DataFrame:
+    """DAU/WAU stickiness ratio per day: two combiner-first distinct
+    shuffles ((user, day) and (user, week)) collapse to integer
+    active counts; each day's ratio is ONE integer division against
+    its containing week (half-away 6 dp) — no float summation
+    anywhere."""
+    from unfurl_ray.ops.relational import _ts_us, pre_aggregate
+
+    DAY_US = 86_400 * 1_000_000
+
+    ds = _parquet_sh(sf_dir, "events", ["user_id", "ts"])
+
+    def days(batch: pd.DataFrame) -> pd.DataFrame:
+        d = _ts_us(batch["ts"]).to_numpy() // DAY_US
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(np.int64),
+                "day": d,
+            }
+        )
+
+    ud = pre_aggregate(
+        ds.map_batches(days, batch_format="pandas"),
+        ["user_id", "day"], {"n": ("day", "count")},
+    ).select_columns(["user_id", "day"]).materialize()
+
+    dau = pre_aggregate(
+        ud, ["day"], {"dau": ("day", "count")},
+    ).to_pandas()
+    uw = pre_aggregate(
+        ud.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "user_id": b["user_id"],
+                    "week": b["day"].to_numpy(np.int64) // 7,
+                }
+            ),
+            batch_format="pandas",
+        ),
+        ["user_id", "week"], {"n": ("week", "count")},
+    )
+    wau = pre_aggregate(
+        uw.select_columns(["user_id", "week"]),
+        ["week"], {"wau": ("week", "count")},
+    ).to_pandas().set_index("week")["wau"].astype(int).to_dict()
+
+    dau["day"] = dau["day"].astype("int64")
+    dau["dau"] = dau["dau"].astype("int64")
+    dau["wau"] = (dau["day"] // 7).map(wau).astype("int64")
+    dau["stickiness"] = np.floor(
+        dau["dau"] / dau["wau"] * 1e6 + 0.5
+    ) / 1e6
+    return (
+        dau[["day", "dau", "wau", "stickiness"]]
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+
+
+def q_fill_lag(sf_dir: str) -> pd.DataFrame:
+    """Order-fill lag histogram: days from order date to the order's
+    FIRST shipment.  The aggregate AND the join fuse into ONE
+    orderkey shuffle: both sides union with int64-max sentinels in
+    the other side's column and a single (min, min) groupby yields
+    (orderkey, orderdate, first shipdate) — there is no separate
+    aggregate-then-join round trip.  The day-lag histogram is a final
+    tiny pre_aggregate — all integer-microsecond arithmetic."""
+    from unfurl_ray.ops.relational import _ts_us, pre_aggregate
+
+    DAY_US = 86_400 * 1_000_000
+    SENTINEL = np.iinfo(np.int64).max
+
+    li = _parquet_sh(
+        sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "okey": b["l_orderkey"].to_numpy(np.int64),
+                "od_us": np.full(len(b), SENTINEL, np.int64),
+                "ship_us": _ts_us(b["l_shipdate"]).to_numpy(),
+            }
+        ),
+        batch_format="pandas",
+    )
+    orders = _parquet_sh(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "okey": b["o_orderkey"].to_numpy(np.int64),
+                "od_us": _ts_us(b["o_orderdate"]).to_numpy(),
+                "ship_us": np.full(len(b), SENTINEL, np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    per_order = pre_aggregate(
+        li.union(orders), ["okey"],
+        {"od_us": ("od_us", "min"), "ship_us": ("ship_us", "min")},
+    )
+
+    def lag(batch: pd.DataFrame) -> pd.DataFrame:
+        od = batch["od_us"].to_numpy(np.int64)
+        sh = batch["ship_us"].to_numpy(np.int64)
+        # sentinel rows = orders with no lineitem / orphan lineitems
+        keep = (od != SENTINEL) & (sh != SENTINEL)
+        return pd.DataFrame(
+            {"lag_days": (sh[keep] - od[keep]) // DAY_US}
+        )
+
+    out = pre_aggregate(
+        per_order.map_batches(lag, batch_format="pandas"),
+        ["lag_days"], {"n_orders": ("lag_days", "count")},
+    ).to_pandas()
+    out["lag_days"] = out["lag_days"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("lag_days").reset_index(drop=True)
+
+
+def q_dup_char_share(sf_dir: str) -> pd.DataFrame:
+    """Dedup ROI report: per source, what share of corpus CHARACTERS
+    sits in duplicated texts (exact-dup groups of size >= 2).  The
+    md5 groupby carries (digest, source, n_chars) stubs — never
+    text; group sizes join back onto the stubs in the same bucketed
+    shuffle family, and the per-source rollup keeps everything in
+    exact integers until one final division."""
+    from unfurl_ray.ops.relational import (
+        bucketed_hash_join, pre_aggregate,
+    )
+
+    ds = _parquet_sh(
+        sf_dir, "documents", ["text", "source", "n_chars"]
+    )
+
+    def stub(batch: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        digests = [
+            hashlib.md5(t.encode()).hexdigest()
+            for t in batch["text"]
+        ]
+        return pd.DataFrame(
+            {
+                "digest": digests,
+                "source": batch["source"].to_numpy(),
+                "n_chars": batch["n_chars"].to_numpy(np.int64),
+            }
+        )
+
+    stubs = ds.map_batches(stub, batch_format="pandas").materialize()
+    sizes = pre_aggregate(
+        stubs, ["digest"], {"gsize": ("digest", "count")},
+    ).map_batches(
+        lambda b: b.rename_columns(["d2", "gsize"]),
+        batch_format="pyarrow",
+    )
+    tagged = bucketed_hash_join(
+        stubs, sizes, on="digest", right_on="d2",
+    )
+
+    def split(batch: pd.DataFrame) -> pd.DataFrame:
+        dup = (batch["gsize"].to_numpy(np.int64) >= 2).astype(
+            np.int64
+        )
+        nc = batch["n_chars"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "source": batch["source"].to_numpy(),
+                "total_chars": nc,
+                "dup_chars": nc * dup,
+            }
+        )
+
+    out = pre_aggregate(
+        tagged.map_batches(split, batch_format="pandas"),
+        ["source"],
+        {
+            "total_chars": ("total_chars", "sum"),
+            "dup_chars": ("dup_chars", "sum"),
+        },
+    ).to_pandas()
+    for c in ("total_chars", "dup_chars"):
+        out[c] = out[c].astype("int64")
+    out["dup_share"] = np.floor(
+        out["dup_chars"] / out["total_chars"] * 1e6 + 0.5
+    ) / 1e6
+    return (
+        out[["source", "total_chars", "dup_chars", "dup_share"]]
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
