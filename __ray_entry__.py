@@ -318,6 +318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_stickiness": p.q_stickiness,
         "q_fill_lag": p.q_fill_lag,
         "q_dup_char_share": p.q_dup_char_share,
+        "q_abc_analysis": p.q_abc_analysis,
+        "q_drawdown": p.q_drawdown,
     }
 
 
@@ -4124,6 +4126,43 @@ def oracle_sql() -> dict[str, str]:
                   AND o_orderdate >= DATE '1999-01-01')
             GROUP BY c_nationkey
             ORDER BY c_nationkey
+        """,
+        # ABC / Pareto classification of parts by revenue share
+        "q_abc_analysis": """
+            WITH pr AS (
+                SELECT l_partkey,
+                       sum(CAST(round(l_extendedprice * 100)
+                                AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100)
+                                         AS BIGINT))) AS val
+                FROM lineitem GROUP BY 1),
+            tot AS (SELECT sum(val) AS t FROM pr),
+            r AS (
+                SELECT val,
+                       sum(val) OVER (
+                           ORDER BY val DESC, l_partkey) AS cum
+                FROM pr)
+            SELECT CASE WHEN cum * 100 <= t * 80 THEN 'A'
+                        WHEN cum * 100 <= t * 95 THEN 'B'
+                        ELSE 'C' END AS cls,
+                   CAST(count(*) AS BIGINT) AS n_parts,
+                   CAST(sum(val) AS BIGINT) AS class_val
+            FROM r, tot
+            GROUP BY 1 ORDER BY 1
+        """,
+        # worst daily-revenue drop from the running peak
+        "q_drawdown": """
+            WITH d AS (
+                SELECT epoch_us(ts) // 86400000000 AS day,
+                       sum(CAST(round(value * 100) AS BIGINT))
+                           AS rev
+                FROM events GROUP BY 1),
+            r AS (
+                SELECT rev, max(rev) OVER (ORDER BY day) AS peak
+                FROM d)
+            SELECT CAST(max(peak - rev) AS BIGINT)
+                   AS max_drawdown_cents
+            FROM r
         """,
         # DAU/WAU stickiness per day (integer counts, one division)
         "q_stickiness": """

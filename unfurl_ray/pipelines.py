@@ -11250,3 +11250,119 @@ def q_dup_char_share(sf_dir: str) -> pd.DataFrame:
         .sort_values("source")
         .reset_index(drop=True)
     )
+
+
+def q_abc_analysis(sf_dir: str) -> pd.DataFrame:
+    """ABC / Pareto inventory classification: parts ranked by revenue
+    (exact 1e-4-dollar integers), class A = rows while cumulative
+    share <= 80%, B = to 95%, C = rest — ties broken by partkey like
+    the twin's window.  Distributed shape: one combiner-first
+    per-part shuffle, then a (value -> count) histogram whose driver
+    fold is bounded by DISTINCT revenue values (the q_budget_select
+    tie-class pattern; a 100 TB run would quantize values to bound
+    the class count).  Boundary tie classes split by exact integer
+    arithmetic — no row-level sort, no id fetch at all."""
+    from unfurl_ray.ops.relational import (
+        bucketed_aggregate, pre_aggregate,
+    )
+
+    def rev_e4(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            batch.column("l_extendedprice").to_numpy(
+                zero_copy_only=False
+            )
+            * 100.0
+        ).astype(np.int64)
+        disc_h = np.rint(
+            batch.column("l_discount").to_numpy(
+                zero_copy_only=False
+            )
+            * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_partkey": batch.column("l_partkey").cast(
+                    pa.int64()
+                ),
+                "val": pa.array(
+                    cents * (100 - disc_h), pa.int64()
+                ),
+            }
+        )
+
+    per_part = pre_aggregate(
+        _parquet_sh(
+            sf_dir, "lineitem",
+            ["l_partkey", "l_extendedprice", "l_discount"],
+        ).map_batches(rev_e4, batch_format="pyarrow"),
+        ["l_partkey"], {"val": ("val", "sum")},
+    )
+    hist = (
+        bucketed_aggregate(
+            per_part, ["val"], {"k": ("l_partkey", "count")}
+        )
+        .to_pandas()
+        .sort_values("val", ascending=False)
+        .reset_index(drop=True)
+    )
+    v = hist["val"].astype("int64").to_numpy()
+    k = hist["k"].astype("int64").to_numpy()
+    t = int((v * k).sum())
+    cb = np.concatenate(([0], np.cumsum(v * k)[:-1]))
+
+    def rows_within(pct: int) -> np.ndarray:
+        # rows i=1..k of a tie class satisfy
+        # (cb + i*v)*100 <= pct*t  ->  i <= (pct*t - 100*cb)/(100*v)
+        lim = (pct * t - 100 * cb) // (100 * np.maximum(v, 1))
+        return np.clip(lim, 0, k)
+
+    n_a = rows_within(80)
+    n_ab = rows_within(95)
+    rows = {
+        "A": (int(n_a.sum()), int((n_a * v).sum())),
+        "B": (int((n_ab - n_a).sum()), int(((n_ab - n_a) * v).sum())),
+        "C": (int((k - n_ab).sum()), int(((k - n_ab) * v).sum())),
+    }
+    return pd.DataFrame(
+        {
+            "cls": list(rows),
+            "n_parts": [rows[c][0] for c in rows],
+            "class_val": [rows[c][1] for c in rows],
+        }
+    ).astype({"n_parts": "int64", "class_val": "int64"})
+
+
+def q_drawdown(sf_dir: str) -> pd.DataFrame:
+    """Worst daily-revenue drop from the running peak: the daily
+    exact-cents rollup is one combiner-first shuffle; the running
+    max over the (bounded, ~thousands at any scale) day series
+    closes on the driver.  One-row output, all integers."""
+    from unfurl_ray.ops.relational import _ts_us, pre_aggregate
+
+    DAY_US = 86_400 * 1_000_000
+
+    ds = _parquet_sh(sf_dir, "events", ["ts", "value"])
+
+    def daily(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": _ts_us(batch["ts"]).to_numpy() // DAY_US,
+                "cents": np.rint(
+                    batch["value"].to_numpy() * 100.0
+                ).astype(np.int64),
+            }
+        )
+
+    d = (
+        pre_aggregate(
+            ds.map_batches(daily, batch_format="pandas"),
+            ["day"], {"rev": ("cents", "sum")},
+        )
+        .to_pandas()
+        .sort_values("day")
+    )
+    rev = d["rev"].astype("int64").to_numpy()
+    peak = np.maximum.accumulate(rev)
+    return pd.DataFrame(
+        {"max_drawdown_cents": [int((peak - rev).max())]}
+    ).astype("int64")
