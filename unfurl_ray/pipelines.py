@@ -10857,7 +10857,11 @@ def q_tenure_value(sf_dir: str) -> pd.DataFrame:
     combiner-first min-shuffle collapses events to per-user first
     timestamps; events then join bucket-co-partitioned on user (the
     shuffle carries (user, ts, cents) stubs, never text); the tenure
-    bucketing and the exact-cents rollup close vectorized."""
+    bucketing and the exact-cents rollup close vectorized.  The stub
+    projection is deliberately NOT materialized: both consumers
+    re-derive it from the pruned parquet read (two streaming scans),
+    which at design scale is cheaper than parking an event-cardinality
+    table in the object store."""
     from unfurl_ray.ops.relational import (
         _ts_us, bucketed_hash_join, pre_aggregate,
     )
